@@ -1,0 +1,115 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs a catalog query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, then compares row count, column names, and
+(order-insensitively, columns sorted by name) the values. Used by
+tests and by `python -m dbt_project_spark.oracle_check [sf_dir]`.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+from dbt_project_spark.sources.registry import TABLES
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # Normalize -0.0 and format with enough digits to catch real
+        # mismatches while absorbing float64 representation noise.
+        if v == 0:
+            v = 0.0
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm_cell(r[i]) for i in order))
+    return sorted(out)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def check_query(spark, sf_dir: str, name: str, query_fn, oracle: str | None):
+    """Returns dict with rows/cols/match info; oracle=None → rows-only."""
+    sdf = query_fn(spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+    result = {
+        "name": name,
+        "spark_rows": len(srows),
+        "spark_cols": sorted(scols),
+        "oracle": oracle is not None,
+    }
+    if oracle is None:
+        result["ok"] = True
+        return result
+    con = duckdb_conn(sf_dir)
+    cur = con.execute(oracle)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    result["oracle_rows"] = len(orows)
+    result["cols_match"] = sorted(scols) == sorted(ocols)
+    if not result["cols_match"]:
+        result["oracle_cols"] = sorted(ocols)
+        result["ok"] = False
+        return result
+    a = _canon([tuple(r) for r in srows], scols)
+    b = _canon(orows, ocols)
+    result["rows_match"] = len(a) == len(b)
+    result["values_match"] = a == b
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        only_a = [x for x in a if x not in set(b)][:3]
+        only_b = [x for x in b if x not in set(a)][:3]
+        result["sample_diff"] = diff or list(zip(only_a, only_b))
+    result["ok"] = bool(result["rows_match"] and result["values_match"])
+    return result
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
+    from dbt_project_spark import get_spark
+    from dbt_project_spark.catalog import ORACLES, QUERIES, load_all
+
+    load_all()
+    spark = get_spark()
+    failures = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            r = check_query(spark, sf_dir, name, fn, ORACLES.get(name))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        status = "ok  " if r["ok"] else "FAIL"
+        extra = "" if r["ok"] else f" {r}"
+        kind = "oracle" if r["oracle"] else "rows-only"
+        print(f"{status} {name} [{kind}] rows={r['spark_rows']}{extra}")
+        failures += 0 if r["ok"] else 1
+    print(f"\n{failures} failures")
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    raise SystemExit(1 if main(sf, only) else 0)
