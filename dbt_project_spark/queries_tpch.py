@@ -1,1 +1,433 @@
-"""Placeholder — filled in this round."""
+"""TPC-H-style warehouse queries, adapted to the testdata's columns.
+
+These exercise the SQL-engine surface a dbt project runs on Spark SQL:
+multi-way joins, broadcast dimension joins, conditional aggregation,
+semi-joins, and top-N. Monetary arithmetic uses fixed-point integers
+(price/discount/tax carry exactly 2 decimals) so sums are exact and
+order-independent — bit-identical to the ANSI oracle.
+
+Scale notes (100 TB): region/nation/supplier/part are dimension
+tables → explicit ``broadcast()`` (no shuffle of the fact side);
+orders⋈lineitem and customer⋈orders are co-partitioned shuffle joins
+on their keys, which AQE can re-plan (incl. skew splitting). Top-N is
+``orderBy().limit(n)`` — Spark runs TakeOrderedAndProject, a per-
+partition heap + driver merge, never a global sort spill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.sources import load_table
+
+# Fixed-point helper fragments (oracle side).
+_EP100 = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+_DISC100 = "CAST(round(l_discount * 100, 0) AS BIGINT)"
+_TAX100 = "CAST(round(l_tax * 100, 0) AS BIGINT)"
+_QTY = "CAST(l_quantity AS BIGINT)"
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem with fixed-point monetary columns added."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("ep100", F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        .withColumn("disc100", F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+        .withColumn("tax100", F.round(F.col("l_tax") * 100, 0).cast("bigint"))
+        .withColumn("qty", F.col("l_quantity").cast("bigint"))
+    )
+
+
+def _revenue10000() -> F.Column:
+    """l_extendedprice*(1-l_discount) in ×10000 fixed point."""
+    return F.col("ep100") * (F.lit(100) - F.col("disc100"))
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM({_QTY}) AS sum_qty,
+           SUM({_EP100}) / 100.0 AS sum_base_price,
+           SUM({_EP100} * (100 - {_DISC100})) / 10000.0 AS sum_disc_price,
+           SUM({_EP100} * (100 - {_DISC100}) * (100 + {_TAX100})) / 1000000.0 AS sum_charge,
+           SUM({_QTY}) / (COUNT(*) * 1.0) AS avg_qty,
+           SUM({_EP100}) / (COUNT(*) * 100.0) AS avg_price,
+           SUM({_DISC100}) / (COUNT(*) * 100.0) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1 shape)."""
+    li = _lineitem(spark, sf_dir).filter(F.col("l_shipdate") <= "2000-12-01")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        (F.sum("ep100") / F.lit(100.0)).alias("sum_base_price"),
+        (F.sum(_revenue10000()) / F.lit(10000.0)).alias("sum_disc_price"),
+        (
+            F.sum(F.col("ep100") * (F.lit(100) - F.col("disc100")) * (F.lit(100) + F.col("tax100")))
+            / F.lit(1000000.0)
+        ).alias("sum_charge"),
+        (F.sum("qty") / (n * F.lit(1.0))).alias("avg_qty"),
+        (F.sum("ep100") / (n * F.lit(100.0))).alias("avg_price"),
+        (F.sum("disc100") / (n * F.lit(100.0))).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           SUM({_EP100} * (100 - {_DISC100})) / 10000.0 AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: 3-way join + top-N (TPC-H Q3 shape)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = _lineitem(spark, sf_dir).filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg((F.sum(_revenue10000()) / F.lit(10000.0)).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking via EXISTS semi-join (TPC-H Q4 shape;
+    l_shipdate > o_orderdate stands in for the missing commit/receipt
+    dates)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           SUM({_EP100} * (100 - {_DISC100})) / 10000.0 AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: 6-way join with broadcast dims (TPC-H Q5)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _lineitem(spark, sf_dir)
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(_revenue10000()) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle=f"""
+    SELECT SUM({_EP100} * {_DISC100}) / 10000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND round(l_discount * 100, 0) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue change: pure filter+agg, the predicate-pushdown
+    showcase (TPC-H Q6)."""
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("disc100").between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        (F.sum(F.col("ep100") * F.col("disc100")) / F.lit(10000.0)).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           SUM({_EP100} * (100 - {_DISC100})) / 10000.0 AS revenue
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation sn ON s_nationkey = sn.n_nationkey
+                  JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between nation pair, by year (TPC-H Q7 shape)."""
+    nation = load_table(spark, sf_dir, "nation")
+    sn = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ))
+    cn = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    ))
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    df = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sn, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(cn, F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return df.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg((F.sum(_revenue10000()) / F.lit(10000.0)).alias("revenue"))
+
+
+@register(
+    "tpch_q8",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             {_EP100} * (100 - {_DISC100}) AS vol10000,
+             sn.n_name AS supp_nation
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation cn ON c_nationkey = cn.n_nationkey
+                    JOIN region ON cn.n_regionkey = r_regionkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol10000 ELSE 0 END) AS BIGINT)
+             / (SUM(vol10000) * 1.0) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share within a region (TPC-H Q8 shape)."""
+    nation = load_table(spark, sf_dir, "nation")
+    cn = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    ))
+    sn = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    li = _lineitem(spark, sf_dir)
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("c_nkey"))
+        .join(region, F.col("c_rkey") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _revenue10000().alias("vol10000"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol10000")).otherwise(F.lit(0))).cast("bigint")
+            / (F.sum("vol10000") * F.lit(1.0))
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           SUM({_EP100} * (100 - {_DISC100})) / 10000.0 AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: top-20 lost revenue (TPC-H Q10 shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _lineitem(spark, sf_dir).filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(_revenue10000()) / F.lit(10000.0)).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN {_EP100} * (100 - {_DISC100}) ELSE 0 END) AS BIGINT)
+           / (SUM({_EP100} * (100 - {_DISC100})) * 1.0) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: conditional agg over broadcast join (Q14)."""
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    vol = _revenue10000()
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))).cast("bigint")
+            / (F.sum(vol) * F.lit(1.0))
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM({_QTY}) > 150)
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           SUM({_QTY}) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, orderdate, o_totalprice
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: semi-join against an aggregate (Q18)."""
+    li = _lineitem(spark, sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum("qty").alias("sum_qty"))
+    )
