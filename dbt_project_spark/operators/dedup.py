@@ -1,0 +1,284 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+All DataFrame-native (no Python UDFs): tokenization and shingling are
+codegen'd array expressions; hashes are the cross-engine md5-prefix
+integer (functions/expressions.py), so every step is reproducible in
+ANSI SQL for the oracle.
+
+Scale notes (100 TB):
+- exact dedup groups on the 128-bit content hash, not the text — the
+  shuffle carries 16-byte keys, not documents.
+- candidate generation is always bucket-local (shared shingle, shared
+  LSH band, shared SimHash band): never an O(n²) cross join. Hot
+  buckets (stop-shingles) are the skew risk; ``max_bucket`` caps them
+  (standard practice: a shingle shared by >N docs is useless for
+  dedup anyway and only inflates the join).
+- MinHash signatures are fixed-width (K ints/doc), so the
+  signature-stage shuffle is O(docs), independent of doc length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbt_project_spark.functions.expressions import md5_int
+
+# MinHash permutation constants: h_i(x) = (A[i]*x + B[i]) mod P.
+# Shared with the oracle SQL — single source of truth.
+MINHASH_P = 2147483647
+MINHASH_A = [7, 13, 31, 43, 59, 87, 101, 127, 151, 163, 179, 199, 211, 229, 241, 263]
+MINHASH_B = [3, 17, 29, 47, 61, 79, 103, 131, 149, 167, 181, 193, 223, 233, 251, 269]
+SIMHASH_BITS = 32
+
+
+def tokens_col(text_col: str = "text"):
+    """Lowercased alphanumeric tokens (regexp-extracted, order kept)."""
+    return F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+
+
+def shingles_col(tokens: str = "tokens", n: int = 3):
+    """Distinct word n-grams of a token array column (codegen arrays)."""
+    joined = " || ' ' || ".join(f"{tokens}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({tokens}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({tokens}) - {n}), i -> {joined})) "
+        f"ELSE array() END"
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content, keeping
+    the smallest id. Groups on md5(text) so the shuffle key is 16
+    bytes regardless of document size."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exploded_shingles(df: DataFrame, id_col: str, n: int = 3) -> DataFrame:
+    """(doc, set_size, shingle) — one row per distinct shingle per doc.
+    Expects a ``__toks`` column (see ``_with_tokens``)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        shingles_col("__toks", n).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    return sh.select("doc", "sz", F.explode("sh").alias("sg"))
+
+
+def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn("__toks", tokens_col(text_col))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard via shared-shingle join.
+
+    intersection = count of co-occurring shingles; |A∪B| by
+    inclusion-exclusion — integer arithmetic end-to-end, so the final
+    ratio is bit-deterministic.
+    """
+    ex = exploded_shingles(_with_tokens(df, text_col), id_col, n)
+    if max_bucket is not None:
+        freq = Window.partitionBy("sg")
+        ex = ex.withColumn("__n", F.count(F.lit(1)).over(freq)).filter(
+            F.col("__n") <= max_bucket
+        ).drop("__n")
+    a = ex.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "sg")
+    b = ex.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "sg")
+    pairs = (
+        a.join(b, on="sg")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("sz_a").alias("sa"),
+            F.max("sz_b").alias("sb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """K=len(A) minhash values per doc, as columns mh0..mh{K-1}.
+
+    Signature stage is a single groupBy(doc) over exploded shingles
+    with K min() aggregates — map-side partials make the shuffle
+    O(docs × K)."""
+    ex = exploded_shingles(_with_tokens(df, text_col), id_col, n)
+    h = ex.withColumn("h", md5_int("sg"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return h.groupBy(F.col("doc")).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs, verified with exact Jaccard.
+
+    Docs sharing ANY band (band = md5 of r consecutive signature
+    values) become candidates; candidates are then verified against
+    the exact n-gram Jaccard so output precision is 1.0 — LSH only
+    trades recall for scale.
+    """
+    k = len(MINHASH_A)
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n)
+    band_cols = []
+    for bnd in range(bands):
+        parts = [f"mh{bnd * r + j}" for j in range(r)]
+        band_cols.append(
+            md5_int(F.concat_ws(",", *[F.col(p).cast("string") for p in parts])).alias(
+                f"band{bnd}"
+            )
+        )
+    banded = sig.select("doc", *band_cols)
+    stacked = banded.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bnd).alias("bid"), F.col(f"band{bnd}").alias("bv"))
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("bx"),
+    ).select("doc", "bx.bid", "bx.bv")
+    a = stacked.select(F.col("doc").alias("doc_a"), "bid", "bv")
+    b = stacked.select(F.col("doc").alias("doc_b"), "bid", "bv")
+    cand = (
+        a.join(b, on=["bid", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Verify ONLY candidate pairs (the point of LSH at scale): join the
+    # candidates back to the shingle postings to count intersections.
+    ex = exploded_shingles(_with_tokens(df, text_col), id_col, n)
+    exa = ex.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "sg")
+    exb = ex.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "sg")
+    return (
+        cand.join(exa, on="doc_a")
+        .join(exb, on=["doc_b", "sg"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("sz_a").alias("sa"),
+            F.max("sz_b").alias("sb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Per-doc SimHash: bit b of the signature is the sign of the sum
+    of ±1 votes from every token occurrence's hash bit b.
+
+    Computed as `bits` conditional-sum aggregates over exploded tokens
+    — one shuffle, no per-bit explode (input rows × 1, not × bits).
+    Band columns (8-bit slices) support hamming-bucketed candidate
+    generation at scale.
+    """
+    tok = (
+        _with_tokens(df, text_col)
+        .select(F.col(id_col).alias("doc"), F.explode("__toks").alias("tk"))
+        .withColumn("h", md5_int("tk"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{bit}")
+        for bit in range(bits)
+    ]
+    per_doc = tok.groupBy("doc").agg(*votes)
+    sig = sum(
+        [
+            F.when(F.col(f"v{bit}") > 0, F.lit(2**bit)).otherwise(F.lit(0))
+            for bit in range(bits)
+        ],
+        start=F.lit(0),
+    ).cast("bigint")
+    out = per_doc.withColumn("simhash", sig).select("doc", "simhash")
+    for bnd in range(bits // 8):
+        out = out.withColumn(
+            f"band{bnd}",
+            F.shiftright(F.col("simhash"), bnd * 8).bitwiseAND(255).cast("int"),
+        )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs: candidates share ≥1 signature band (pigeonhole:
+    any pair within hamming ≤ bands-1 per band region shares one),
+    verified by exact popcount hamming distance."""
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    nbands = bits // 8
+    stacked = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bnd).alias("bid"), F.col(f"band{bnd}").alias("bv"))
+                    for bnd in range(nbands)
+                ]
+            )
+        ).alias("bx"),
+    ).select("doc", "simhash", "bx.bid", "bx.bv")
+    a = stacked.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"), "bid", "bv"
+    )
+    b = stacked.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"), "bid", "bv"
+    )
+    return (
+        a.join(b, on=["bid", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
