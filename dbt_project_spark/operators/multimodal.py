@@ -1,0 +1,109 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as `binary` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages — the Spark-side plumbing
+(schemas, batching, partitioning) is real; the actual codec call is
+stubbed (no image/audio libs in this environment) behind
+``decode_image``, with a deterministic md5-derived fake used for the
+feature path so the pipeline is testable end-to-end.
+
+Scale notes: binary payloads ride the normal columnar path (parquet
+binary + Arrow batches into Python). ``mapInPandas`` streams
+batches — peak memory is one Arrow batch per core, not one partition;
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds it when
+payloads are large. Feature extraction is embarrassingly parallel:
+no shuffle at all until a downstream aggregation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, content_md5 string, "
+    "fake_width int, fake_height int"
+)
+
+
+def decode_image(payload: bytes):
+    """Real codec hook — intentionally stubbed (no PIL/ffmpeg here).
+
+    A deployment wires this to PIL/torchvision/ffmpeg; everything
+    around it (batching, schema, partitioning) is identical.
+    """
+    raise NotImplementedError(
+        "image/audio decode requires codec libraries not present in "
+        "this environment; wire decode_image() to PIL/ffmpeg in a real "
+        "deployment"
+    )
+
+
+def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stand-in payload: UTF-8 bytes of the text column as `content`
+    (binary), plus a metadata struct — the schema a real multimodal
+    table would have."""
+    return df.withColumn("content", F.col(text_col).cast("binary")).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.length(F.col(text_col).cast("binary")).cast("bigint").alias("n_bytes"),
+        ),
+    )
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    The 'decode' is a deterministic md5-derived fake (so tests and the
+    SQL oracle can verify the plumbing); swap the marked line for
+    ``decode_image`` in deployment.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            md5s = [hashlib.md5(b).hexdigest() for b in pdf["content"]]
+            hints = [int(h[:8], 16) for h in md5s]
+            out = pdf[[id_col]].copy()
+            out["n_bytes"] = [len(b) for b in pdf["content"]]
+            out["content_md5"] = md5s
+            # deployment: w, h = decode_image(b).size  — stubbed:
+            out["fake_width"] = [64 + (h % 1857) for h in hints]
+            out["fake_height"] = [64 + ((h >> 11) % 1017) for h in hints]
+            yield out
+
+    return df.select(id_col, "content").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id", n_frames: int = 4) -> DataFrame:
+    """Deterministic frame sampling stub: emits n_frames rows per
+    payload with byte-offset 'frames' — the explode/partition shape of
+    real video sampling without the codec."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r["content"]
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    off = i * step
+                    chunk = payload[off : off + step]
+                    rows.append(
+                        {
+                            id_col: r[id_col],
+                            "frame_idx": i,
+                            "frame_md5": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "content").mapInPandas(
+        batches, f"{id_col} bigint, frame_idx int, frame_md5 string"
+    )
