@@ -38,13 +38,25 @@ def tokens_col(text_col: str = "text"):
 
 
 def shingles_col(tokens: str = "tokens", n: int = 3):
-    """Distinct word n-grams of a token array column (codegen arrays)."""
-    joined = " || ' ' || ".join(f"{tokens}[i + {j}]" for j in range(n))
-    return F.expr(
-        f"CASE WHEN size({tokens}) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size({tokens}) - {n}), i -> {joined})) "
-        f"ELSE array() END"
-    )
+    """Distinct word n-grams of a token array column (codegen arrays).
+
+    Built as chained ``zip_with`` over ``slice``s rather than
+    ``transform(sequence(...), i -> tokens[i+j])``: higher-order
+    function ARGUMENTS are evaluated once per row, while lambda-body
+    references to an outer column get re-evaluated per element after
+    Catalyst inlines the (possibly expensive) token expression into the
+    lambda — with a regexp tokenizer that was an O(tokens²) blowup
+    (observed 25× on the dedup benchmark). ``concat`` null-propagates
+    over zip_with's padding, so trailing partial n-grams filter out.
+    """
+    expr = tokens
+    for j in range(1, n):
+        expr = (
+            f"zip_with({expr}, "
+            f"slice({tokens}, {j + 1}, greatest(size({tokens}) - {j}, 0)), "
+            f"(a, b) -> concat(a, ' ', b))"
+        )
+    return F.expr(f"array_distinct(filter({expr}, x -> x IS NOT NULL))")
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
