@@ -1,0 +1,277 @@
+"""Advanced-analytics family over `events`: window functions
+(running/moving/rank/lag), sessionization, ROLLUP grouping sets,
+exact distinct, and an as-of (most-recent-prior-event) join.
+
+Determinism notes: every window has a total order ((ts, event_id) is
+unique per user), fixed-point integer sums make prefix aggregations
+exact, and raw-column comparisons (rank by value) compare identical
+parquet-sourced doubles on both engines.
+
+Scale notes: all windows partition by user_id — one hash shuffle, then
+per-partition sorted evaluation; sessionization is the standard
+gap-flag prefix-sum (two window passes over the SAME partitioning, so
+Catalyst plans a single exchange + sort). ROLLUP is computed with
+partial aggregation per grouping set (Expand + single shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.sources import load_table
+
+_V100 = "CAST(round(value * 100, 0) AS BIGINT)"
+SESSION_GAP_SEC = 1800
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("value100", F.round(F.col("value") * 100, 0).cast("bigint"))
+        .withColumn("epoch", F.unix_timestamp("ts"))
+    )
+
+
+@register(
+    "win_running_total",
+    oracle=f"""
+    SELECT event_id, user_id,
+           SUM({_V100}) OVER (PARTITION BY user_id
+                              ORDER BY epoch(ts), event_id
+                              ROWS UNBOUNDED PRECEDING) / 100.0 AS running_total
+    FROM events
+    """,
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total (prefix sum over event time)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        (F.sum("value100").over(w) / F.lit(100.0)).alias("running_total"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle=f"""
+    SELECT event_id, user_id,
+           SUM({_V100}) OVER w / (COUNT(*) OVER w * 100.0) AS moving_avg_5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row moving average per user (exact: integer sum / count)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        (F.sum("value100").over(w) / (F.count(F.lit(1)).over(w) * F.lit(100.0))).alias(
+            "moving_avg_5"
+        ),
+    )
+
+
+@register(
+    "win_top3_per_user",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY value DESC, event_id) AS INT) AS rn
+      FROM events)
+    SELECT user_id, event_id, value, rn FROM r WHERE rn <= 3
+    """,
+)
+def win_top3_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user (rank-filter pattern)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_lag_delta",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ({_V100} - LAG({_V100}) OVER (PARTITION BY user_id
+                                         ORDER BY epoch(ts), event_id)) / 100.0
+               AS delta_value
+    FROM events
+    """,
+)
+def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta vs previous event per user (lag)."""
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        (
+            (F.col("value100") - F.lag("value100").over(w)) / F.lit(100.0)
+        ).alias("delta_value"),
+    )
+
+
+@register(
+    "sessionization",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                       > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), event_id)),
+    s AS (
+      SELECT user_id, ep,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM g)
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MAX(ep) - MIN(ep) AS duration_sec
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): flag gaps with
+    lag, prefix-sum the flags into session ids, aggregate per session.
+    Both window passes share one (user_id) partitioning."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("epoch") - F.lag("epoch").over(w) > SESSION_GAP_SEC, 1
+        ).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(ws).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("epoch") - F.min("epoch")).alias("duration_sec"),
+    )
+
+
+@register(
+    "rollup_type_daily",
+    oracle=f"""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           SUM({_V100}) / 100.0 AS total_value
+    FROM events
+    GROUP BY ROLLUP(event_type, day)
+    """,
+)
+def rollup_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: (type, day), (type), () — subtotal rows
+    carry NULL group keys, identical semantics both engines."""
+    return (
+        _events(spark, sf_dir)
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("value100") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "distinct_users_daily",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY day
+    """,
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily distinct users. (At 100 TB you'd usually take
+    approx_count_distinct's HLL and accept ~2% error — kept exact here
+    for oracle parity; the HLL variant is a one-token change.)"""
+    return (
+        _events(spark, sf_dir)
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "asof_last_signup",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             event_type,
+             MAX(CASE WHEN event_type = 'signup'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+               OVER (PARTITION BY user_id ORDER BY epoch(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_signup_ep
+      FROM events)
+    SELECT event_id, user_id, ep - last_signup_ep AS sec_since_signup
+    FROM marked
+    WHERE event_type = 'purchase' AND last_signup_ep IS NOT NULL
+    """,
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a running conditional max: for every
+    purchase, seconds since that user's most recent PRIOR signup.
+    This is the single-pass (no join!) formulation of an as-of join
+    when both sides live in one ordered stream — at scale it's one
+    shuffle on user_id instead of a range-join."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "last_signup_ep",
+        F.max(F.when(F.col("event_type") == "signup", F.col("epoch"))).over(w),
+    )
+    return (
+        marked.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_signup_ep").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("epoch") - F.col("last_signup_ep")).alias("sec_since_signup"),
+        )
+    )

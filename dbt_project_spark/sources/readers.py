@@ -1,0 +1,87 @@
+"""Format readers beyond parquet: CSV, JSON lines, JDBC (gated).
+
+Reference parity: data_input.py loads a CSV (pandas → MySQL row
+loop); kafka_consumer.py reassembles JSON topic messages into rows.
+Spark-first: declarative schema-on-read, distributed, pushdown-
+capable; the per-row Python loop becomes a single scan.
+
+Scale notes: always pass an explicit schema in production paths —
+``inferSchema`` reads the data twice; CSV/JSON scans parallelize by
+file split, and the JDBC reader only parallelizes with
+partitionColumn bounds (otherwise it is one executor pulling the
+whole table through one connection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV reader (data_input.py parity, distributed)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")  # dev only: 2 passes
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """JSON-lines reader (the Kafka message payload shape, at rest)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str = "com.mysql.cj.jdbc.Driver",
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """JDBC source (web_traffic.sql's raw_traffic_data shape).
+
+    Requires a driver jar + reachable DB (absent here → clear error).
+    With partition bounds the read fans out to num_partitions parallel
+    range queries; without them it is single-connection.
+    """
+    try:
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("driver", driver)
+            .option("dbtable", table)
+            .option("user", user)
+            .option("password", password)
+        )
+        if partition_column is not None:
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("lowerBound", str(lower_bound))
+                .option("upperBound", str(upper_bound))
+                .option("numPartitions", str(num_partitions))
+            )
+        return reader.load()
+    except Exception as e:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            f"JDBC source unavailable (driver {driver} jar + reachable DB "
+            f"required; url={url}): {e}"
+        ) from e

@@ -1,0 +1,61 @@
+"""Source reader tests: CSV / JSON round-trips, registry guards."""
+
+import pytest
+
+from dbt_project_spark.sources import TABLES, load_table, register_views
+from dbt_project_spark.sources.readers import read_csv, read_json
+from tests.conftest import SF_SMOKE
+
+
+def test_registry_loads_all_tables(spark):
+    for t in TABLES:
+        df = load_table(spark, SF_SMOKE, t)
+        assert df.count() > 0, t
+
+
+def test_registry_rejects_unknown(spark):
+    with pytest.raises(KeyError, match="unknown table"):
+        load_table(spark, SF_SMOKE, "nope")
+
+
+def test_register_views_sql(spark):
+    register_views(spark, SF_SMOKE, ["region", "nation"])
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey"
+    ).collect()[0]["n"]
+    assert n == 25
+
+
+def test_events_ts_is_timestamp(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = load_table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_csv")
+    src.write.option("header", "true").csv(path)
+    back = read_csv(spark, path, schema=src.schema)
+    assert back.count() == 25
+    assert back.exceptAll(src).count() == 0
+
+
+def test_json_roundtrip(spark, tmp_path):
+    src = load_table(spark, SF_SMOKE, "region")
+    path = str(tmp_path / "region_json")
+    src.write.json(path)
+    back = read_json(spark, path, schema=src.schema)
+    assert back.exceptAll(src).count() == 0
+
+
+def test_csv_reader_kafka_message_shape(spark, tmp_path):
+    """The reference's CSV → topic messages shape (kafka_producer.py)."""
+    p = tmp_path / "traffic.csv"
+    p.write_text(
+        "Page Views,Session Duration,Time on Page,timestamp\n"
+        "3,120.5,45.2,2024-01-01 00:00:01\n"
+        "1,30.0,10.0,2024-01-01 00:00:02\n"
+    )
+    df = read_csv(spark, str(p))
+    assert df.count() == 2
+    assert "Page Views" in df.columns
