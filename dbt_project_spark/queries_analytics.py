@@ -231,6 +231,32 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentiles_by_type",
+    oracle=f"""
+    SELECT event_type,
+           quantile_cont({_V100}, 0.5) / 100.0 AS p50,
+           quantile_cont({_V100}, 0.9) / 100.0 AS p90,
+           quantile_cont({_V100}, 0.99) / 100.0 AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type (Spark
+    `percentile` ≡ ANSI quantile_cont on the fixed-point ints). At
+    100 TB the one-token swap to `approx_percentile` trades exactness
+    for a t-digest mergeable sketch."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            (F.expr("percentile(value100, 0.5)") / 100.0).alias("p50"),
+            (F.expr("percentile(value100, 0.9)") / 100.0).alias("p90"),
+            (F.expr("percentile(value100, 0.99)") / 100.0).alias("p99"),
+        )
+    )
+
+
+@register(
     "asof_last_signup",
     oracle="""
     WITH marked AS (

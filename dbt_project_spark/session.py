@@ -49,6 +49,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
