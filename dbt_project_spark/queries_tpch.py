@@ -431,3 +431,199 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("qty").alias("sum_qty"))
     )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): left outer
+    join keeps zero-order customers; COUNT(col) skips their NULLs."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_EP100} * (100 - {_DISC100})) AS total10000
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total10000 / 10000.0 AS total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total10000 = (SELECT MAX(total10000) FROM revenue0)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15): scalar-subquery max against a derived
+    revenue view. Integer fixed-point makes the MAX tie-exact."""
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue10000()).alias("total10000")
+    )
+    mx = revenue0.agg(F.max("total10000").alias("m"))
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        revenue0.join(F.broadcast(mx), revenue0.total10000 == F.col("m"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total10000") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle=f"""
+    WITH avg_qty AS (
+      SELECT l_partkey AS pk, SUM({_QTY}) / (COUNT(*) * 5.0) AS fifth_avg
+      FROM lineitem GROUP BY l_partkey)
+    SELECT SUM({_EP100}) / (100.0 * 7) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN avg_qty ON pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < fifth_avg
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17): correlated avg
+    subquery decorrelated into a per-part aggregate join. The 1/5·avg
+    threshold is computed as an exact integer ratio."""
+    li = _lineitem(spark, sf_dir)
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum("qty") / (F.count(F.lit(1)) * F.lit(5.0))).alias("fifth_avg")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.pk)
+        .filter(F.col("l_quantity") < F.col("fifth_avg"))
+        .agg((F.sum("ep100") / F.lit(100.0 * 7)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): EXISTS +
+    NOT EXISTS against the same fact, expressed as semi/anti joins
+    (l_shipdate > sibling shipdate stands in for receipt/commit)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    base = (
+        l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+        .filter(F.col("l1.l_shipdate") > F.col("o_orderdate"))
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    not_later = with_other.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        not_later.join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+    eligible AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer, avg_bal
+      WHERE c_acctbal > ab)
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+               AS totacctbal
+    FROM eligible
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 shape): scalar avg subquery
+    + anti-join for above-average-balance customers with no orders in
+    1997. The avg threshold is a float comparison against raw parquet
+    doubles — identical bits on both engines, so the filter set
+    matches exactly."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    eligible = cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    no_orders = eligible.join(
+        orders, eligible.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint")).cast("bigint")
+            / F.lit(100.0)
+        ).alias("totacctbal"),
+    )

@@ -1,0 +1,89 @@
+"""Plan-regression tests: the physical properties SCALE.md claims,
+asserted so a refactor can't silently regress them. A failure here
+means the query still returns right answers but would fall over at
+100 TB (full scans, lost broadcasts, extra shuffles)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dbt_project_spark.catalog import QUERIES, load_all
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _exchanges(plan: str) -> int:
+    # each node appears twice in formatted output (tree + details)
+    return sum(
+        plan.count(f"{kind}Exchange") // 2
+        for kind in ("Shuffle", "Broadcast")
+    ) or plan.count("Exchange") // 2
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = _plan(QUERIES["tpch_q6"](spark, SF_SMOKE))
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # filter reached parquet
+    assert "LessThan(l_shipdate" in plan
+    # projection pruned to the 4 needed columns
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in rs and "l_returnflag" not in rs
+    assert "l_extendedprice" in rs
+
+
+def test_windowed_distribution_reads_two_columns(spark):
+    plan = _plan(QUERIES["wt_windowed_distribution"](spark, SF_SMOKE))
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "struct<ts:bigint,event_type:string>" in rs
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = _plan(QUERIES["tpch_q5"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_window_family_single_exchange(spark):
+    for name in ("win_running_total", "sessionization", "asof_last_signup"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        n = plan.count("ShuffleExchange") // 2 or plan.count("Exchange") // 2
+        assert n == 1, f"{name}: expected 1 exchange, plan has {n}"
+
+
+def test_windowed_distribution_exchanges_carry_aggregates(spark):
+    """Two exchanges max, and partial aggregation happens before the
+    first one (map-side combine — shuffled rows are groups, not events)."""
+    plan = _plan(QUERIES["wt_windowed_distribution"](spark, SF_SMOKE))
+    n = plan.count("Exchange") // 2
+    assert n <= 2
+    assert "HashAggregate" in plan
+    # partial agg node appears before the exchange in the tree section
+    tree = plan.split("(1)")[0]
+    first_agg = tree.find("HashAggregate")
+    first_ex = tree.find("Exchange")
+    assert first_agg != -1 and first_ex != -1 and first_agg > first_ex  # tree prints top-down: exchange ABOVE partial agg
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """day-partitioned layout + day filter → PartitionFilters prune the
+    scan to one directory (the incremental-pipeline read path)."""
+    from dbt_project_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "ev_part")
+    ev.write.partitionBy("day").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(day" in plan
+    n_days = ev.select("day").distinct().count()
+    assert back.count() == ev.filter("day = '2024-01-05'").count()
+    # scan reads 1 of n_days partitions (attr ids vary: day#NN)
+    assert "= 2024-01-05)" in plan
+    assert n_days > 1
