@@ -34,6 +34,10 @@ HEADLINE = [
     "text_quality",
     "ann_bruteforce_topk",
     "mm_binary_features",
+    "sessionization",
+    "win_running_total",
+    "percentiles_by_type",
+    "tpch_q21",
 ]
 
 
