@@ -38,3 +38,4 @@ def load_all() -> None:
     import dbt_project_spark.queries_pipeline  # noqa: F401
     import dbt_project_spark.queries_multimodal  # noqa: F401
     import dbt_project_spark.queries_analytics  # noqa: F401
+    import dbt_project_spark.queries_vectors  # noqa: F401

@@ -1,0 +1,170 @@
+"""Vector-pipeline family over `embeddings`: normalization, int8
+quantization, and IVF-style clustered ANN.
+
+The IVF variant completes the ANN ladder (brute-force → hyperplane
+LSH → IVF): vectors are assigned to the nearest of K fixed centroids
+(here: the first K corpus vectors — a deterministic stand-in for
+k-means centroids, which at scale arrive from an offline sampling
+job); queries search ONLY their centroid's posting list. Assignment
+and search are pure DataFrame ops, reproduced exactly in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.functions.expressions import cosine_similarity, l2_norm
+from dbt_project_spark.sources import load_table
+
+N_CENTROIDS = 8
+IVF_TOPK = 5
+_Q = 127.0  # int8 quantization scale
+
+
+@register(
+    "vec_normalize",
+    oracle="""
+    WITH flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings),
+    norms AS (SELECT vec_id, SQRT(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id)
+    SELECT e.vec_id,
+           ROUND(n.nrm, 6) AS l2_norm,
+           ROUND(list_sum(list_transform(e.embedding, v -> (v::DOUBLE / n.nrm)
+                 * (v::DOUBLE / n.nrm))), 6) AS unit_norm_check
+    FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id
+    """,
+)
+def vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms + verification that the normalized vector has unit
+    norm (the check column is the interesting output: ≈1.0)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.withColumn("nrm", l2_norm("embedding"))
+    unit = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda v: (v.cast("double") / F.col("nrm")) * (v.cast("double") / F.col("nrm")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "vec_id",
+        F.round("nrm", 6).alias("l2_norm"),
+        F.round(unit, 6).alias("unit_norm_check"),
+    )
+
+
+@register(
+    "vec_quantize_int8",
+    oracle=f"""
+    WITH flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings),
+    mx AS (SELECT vec_id, MAX(ABS(x)) AS m FROM flat GROUP BY vec_id),
+    q AS (SELECT f.vec_id,
+                 CAST(round(f.x / m.m * {_Q}, 0) AS INT) AS qv
+          FROM flat f JOIN mx m ON f.vec_id = m.vec_id)
+    SELECT vec_id,
+           CAST(SUM(qv) AS BIGINT) AS q_sum,
+           CAST(MAX(qv) AS INT) AS q_max,
+           CAST(MIN(qv) AS INT) AS q_min,
+           COUNT(*) AS dim
+    FROM q GROUP BY vec_id
+    """,
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (per-vector absmax scaling) — the
+    storage/bandwidth play for 100 TB embedding corpora (4× smaller
+    than float32, SIMD-friendly dot products). Output summarises the
+    quantized vector so the oracle compares exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.withColumn(
+        "m", F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
+    ).withColumn(
+        "qvec",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") / F.col("m") * _Q, 0).cast("int"),
+        ),
+    )
+    return d.select(
+        "vec_id",
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_max("qvec").alias("q_max"),
+        F.array_min("qvec").alias("q_min"),
+        F.size("qvec").cast("bigint").alias("dim"),
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id < {N_CENTROIDS}),
+    asgf AS (SELECT e.vec_id, c.cid,
+                    unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
+             FROM embeddings e CROSS JOIN cent c),
+    sims AS (SELECT vec_id, cid,
+                    ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS s
+             FROM asgf GROUP BY vec_id, cid),
+    assign AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM sims) WHERE rn = 1),
+    q AS (SELECT a.vec_id AS query_id, e.embedding AS qe, a.cid
+          FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+          WHERE a.vec_id < {N_CENTROIDS}),
+    pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qe, e.embedding AS ce
+              FROM q JOIN assign c ON c.cid = q.cid AND c.vec_id != q.query_id
+                    JOIN embeddings e ON e.vec_id = c.vec_id),
+    flat AS (SELECT query_id, neighbor_id,
+                    unnest(qe)::DOUBLE AS x, unnest(ce)::DOUBLE AS y FROM pairs),
+    nsims AS (SELECT query_id, neighbor_id,
+                     ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cosine
+              FROM flat GROUP BY query_id, neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+               FROM nsims)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {IVF_TOPK}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-clustered ANN: assign every vector to its nearest centroid,
+    then each query (the centroid seed vectors themselves) searches
+    only its cluster's posting list. One broadcast (centroids), one
+    assignment pass over the corpus, bucket-local scoring."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+    )
+    sims = e.crossJoin(cent).withColumn(
+        "s", F.round(cosine_similarity("embedding", "ce"), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), "cid")
+    assign = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    q = assign.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "cid",
+    )
+    cand = assign.select(
+        F.col("vec_id").alias("neighbor_id"), "cid", F.col("embedding").alias("ce")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, on="cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity("qe", "ce"), 6))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
