@@ -117,3 +117,85 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag fingerprint (md5 of sorted unique tokens) + min-shingle
     rolling-hash fingerprint."""
     return fingerprints(load_table(spark, sf_dir, "documents"), "doc_id")
+
+
+@register(
+    "text_chunking",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+               FROM documents),
+    c AS (SELECT doc_id,
+                 unnest(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS chunk_idx,
+                 unnest(list_transform(range(0, CAST(ceil(len(toks) / 64.0) AS BIGINT)),
+                        i -> array_to_string(toks[i*64 + 1 : i*64 + 96], ' '))) AS chunk
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk,
+           CAST(len(regexp_extract_all(chunk, '[a-z0-9]+')) AS BIGINT) AS chunk_tokens
+    FROM c
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk=96 tokens, stride=64)
+    — the standard long-document splitter for a training pipeline.
+    Pure codegen arrays: chunk list built per row, then posexplode;
+    no shuffle at all until a downstream aggregation.
+
+    DuckDB slicing is 1-based inclusive `l[a:b]`; the Spark side uses
+    `slice(toks, i*64+1, 96)` — same 96-token windows every 64.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.withColumn("toks", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+    c = (
+        t.filter(F.size("toks") > 0)
+        .withColumn(
+            "chunks",
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(toks) / 64.0) AS INT) - 1),"
+                " i -> array_join(slice(toks, i*64 + 1, 96), ' '))"
+            ),
+        )
+        .select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk",
+        F.expr("size(regexp_extract_all(chunk, '[a-z0-9]+', 0))")
+        .cast("bigint")
+        .alias("chunk_tokens"),
+    )
+
+
+@register(
+    "corpus_sample_stratified",
+    oracle="""
+    WITH h AS (SELECT doc_id, lang, source,
+                      ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+               FROM documents),
+    kept AS (SELECT * FROM h WHERE
+               (lang = 'en' AND bucket < 50) OR (lang <> 'en' AND bucket < 80))
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM kept GROUP BY lang
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by content-hash bucket: 50%
+    of English, 80% of everything else (the rebalancing move for a
+    multilingual corpus). Hash-bucket sampling is reproducible across
+    engines and runs — no RNG, no seed management, stable under
+    re-partitioning — which is why it's the standard for train/val
+    splits at scale."""
+    from dbt_project_spark.functions.expressions import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.withColumn("bucket", md5_int("text") % 100)
+    kept = h.filter(
+        ((F.col("lang") == "en") & (F.col("bucket") < 50))
+        | ((F.col("lang") != "en") & (F.col("bucket") < 80))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
