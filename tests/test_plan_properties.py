@@ -4,7 +4,6 @@ means the query still returns right answers but would fall over at
 100 TB (full scans, lost broadcasts, extra shuffles)."""
 
 import pyspark.sql.functions as F
-import pytest
 
 from dbt_project_spark.catalog import QUERIES, load_all
 from tests.conftest import SF_SMOKE
