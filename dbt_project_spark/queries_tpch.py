@@ -627,3 +627,258 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("totacctbal"),
     )
+
+
+@register(
+    "tpch_q2",
+    oracle=f"""
+    WITH price AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN({_EP100} / {_QTY}) AS unit100
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (SELECT pk, MIN(unit100) AS best100 FROM price GROUP BY pk)
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation,
+           pr.unit100 / 100.0 AS unit_price
+    FROM price pr JOIN best b ON pr.pk = b.pk AND pr.unit100 = b.best100
+                  JOIN part p ON p.p_partkey = pr.pk
+                  JOIN supplier s ON s.s_suppkey = pr.sk
+                  JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size >= 40
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape): the correlated min
+    subquery decorrelated into a per-part best-price join; observed
+    unit price from lineitem stands in for the missing partsupp
+    supplycost. Ties keep every best-price supplier, like Q2."""
+    li = _lineitem(spark, sf_dir)
+    price = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min((F.col("ep100") / F.col("qty")).cast("double")).alias("unit100"))
+    # NOTE: ep100/qty is exact-int ÷ exact-int in double — bit-stable.
+    best = price.groupBy("pk").agg(F.min("unit100").alias("best100"))
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        price.join(best, (price.pk == best.pk) & (price.unit100 == best.best100))
+        .drop(best.pk)
+        .join(part, F.col("pk") == part.p_partkey)
+        .join(supp, F.col("sk") == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            (F.col("unit100") / F.lit(100.0)).alias("unit_price"),
+        )
+    )
+
+
+@register(
+    "tpch_q9",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           SUM({_EP100} * (100 - {_DISC100})
+               - CAST(round(p_retailprice * 100, 0) AS BIGINT) * {_QTY} * 80)
+             / 10000.0 AS sum_profit
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape): revenue minus a cost
+    basis (0.8 × retail price × qty stands in for ps_supplycost),
+    by supplier nation and order year, for parts matching a name
+    pattern."""
+    li = _lineitem(spark, sf_dir)
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .withColumn("rp100", F.round(F.col("p_retailprice") * 100, 0).cast("bigint"))
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    orders = load_table(spark, sf_dir, "orders")
+    profit = _revenue10000() - F.col("rp100") * F.col("qty") * F.lit(80)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg((F.sum(profit) / F.lit(10000.0)).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey, SUM({_EP100} * (100 - {_DISC100})) AS val10000
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS ps_partkey, val10000 / 10000.0 AS value
+    FROM pv
+    WHERE val10000 > (SELECT CAST(SUM(val10000) * 0.001 AS DOUBLE) FROM pv)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (TPC-H Q11 shape): parts whose
+    traded value within one nation exceeds 0.1% of that nation's total
+    — scalar aggregate subquery as a broadcast cross-filter."""
+    li = _lineitem(spark, sf_dir)
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    )
+    pv = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue10000()).alias("val10000"))
+    )
+    thresh = pv.agg((F.sum("val10000") * F.lit(0.001)).cast("double").alias("t"))
+    return (
+        pv.join(F.broadcast(thresh), F.col("val10000") > F.col("t"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            (F.col("val10000") / F.lit(10000.0)).alias("value"),
+        )
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l_linestatus AS shipmode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority split (TPC-H Q12 shape): conditional counts
+    of urgent vs other orders per line status (standing in for the
+    missing l_shipmode)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("shipmode"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_size IN (10, 20, 30, 40, 50)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-supplier relationship count (TPC-H Q16 shape): distinct
+    suppliers per part attribute combo, from observed lineitem pairs
+    (partsupp stand-in)."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#3")
+            & F.col("p_size").isin(10, 20, 30, 40, 50)
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle=f"""
+    SELECT SUM({_EP100} * (100 - {_DISC100})) / 10000.0 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue over an OR-of-ANDs predicate (TPC-H Q19
+    shape) — the disjunctive-pushdown stressor."""
+    li = _lineitem(spark, sf_dir)
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return j.filter(cond).agg(
+        (F.sum(_revenue10000()) / F.lit(10000.0)).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle=f"""
+    WITH shipped AS (
+      SELECT l_suppkey, SUM({_QTY}) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_name, s_nationkey
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 100)
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with significant promo volume (TPC-H Q20 shape):
+    aggregate-derived key set consumed via semi-join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    shipped = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(
+        shipped, supp.s_suppkey == shipped.l_suppkey, "left_semi"
+    ).select("s_name", "s_nationkey")
