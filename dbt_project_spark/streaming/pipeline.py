@@ -71,6 +71,7 @@ def micro_batch_analytics(df: DataFrame) -> dict[str, DataFrame]:
     """The reference's per-batch analytics (process_batch,
     spark_streaming_new.py:109-252), reusing the batch operators."""
     from dbt_project_spark.operators.bucketize import categorize
+    from dbt_project_spark.operators.stats import correlation_matrix, hourly_profile
     from dbt_project_spark.operators.windows import (
         windowed_count_distribution,
         windowed_stats,
@@ -100,6 +101,13 @@ def micro_batch_analytics(df: DataFrame) -> dict[str, DataFrame]:
         "page_views_distribution": dist,
         "session_categories": cats,
         "engagement_scores": scores,
+        # reference prints these per batch (spark_streaming_new.py:227-252)
+        "hourly_patterns": hourly_profile(
+            df, "ts", ["page_views", "session_duration", "time_on_page"]
+        ),
+        "correlation": correlation_matrix(
+            df, ["page_views", "session_duration", "time_on_page", "engagement_score"]
+        ),
     }
 
 
@@ -122,7 +130,13 @@ def run_file_stream_pipeline(
 
     sink_paths = {
         name: os.path.join(out_dir, name)
-        for name in ("page_views_distribution", "session_categories", "engagement_scores")
+        for name in (
+            "page_views_distribution",
+            "session_categories",
+            "engagement_scores",
+            "hourly_patterns",
+            "correlation",
+        )
     }
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
