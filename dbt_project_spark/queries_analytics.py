@@ -301,3 +301,74 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("epoch") - F.col("last_signup_ep")).alias("sec_since_signup"),
         )
     )
+
+
+@register(
+    "wt_value_histogram",
+    oracle=f"""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           CAST(floor(value / 25.0) AS BIGINT) * CAST(25 AS DOUBLE) AS bin_lo,
+           COUNT(*) AS n,
+           SUM({_V100}) / 100.0 AS bin_value_sum
+    FROM events GROUP BY bin
+    """,
+)
+def wt_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of `value` (25-unit bins) — floor-bucket
+    arithmetic, one shuffle carrying one row per bin."""
+    ev = _events(spark, sf_dir)
+    bin_col = F.floor(F.col("value") / 25.0).cast("bigint")
+    return (
+        ev.withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(
+            (F.first("bin") * 25.0).alias("bin_lo"),
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("value100") / F.lit(100.0)).alias("bin_value_sum"),
+        )
+        .select("bin", "bin_lo", "n", "bin_value_sum")
+    )
+
+
+@register(
+    "wt_daily_type_pivot",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY day
+    """,
+)
+def wt_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily × event-type pivot (wide counts). Explicit value list —
+    at scale an unbounded pivot needs a distinct-scan first; pinning
+    the columns keeps the plan single-pass."""
+    ev = _events(spark, sf_dir).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return (
+        ev.groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "users_purchase_no_error",
+    oracle="""
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def users_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: (user, day) pairs with a purchase but no error
+    that day (EXCEPT ≡ distinct + anti-join — one shuffle per side)."""
+    ev = _events(spark, sf_dir).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "day")
+    x = ev.filter(F.col("event_type") == "error").select("user_id", "day")
+    return p.subtract(x)
