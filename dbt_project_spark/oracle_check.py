@@ -20,11 +20,11 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # Normalize -0.0 and format with enough digits to catch real
-        # mismatches while absorbing float64 representation noise.
+        # Full round-trip precision (17 sig digits): the gate must be
+        # at least as strict as a bitwise hash. Only -0.0 is folded.
         if v == 0:
             v = 0.0
-        return f"{v:.9g}"
+        return f"{v:.17g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)
