@@ -30,6 +30,9 @@ def compare_frames(
     l = left.select(*keys, *[F.col(c).alias(f"{c}{ls}") for c in value_cols])
     r = right.select(*keys, *[F.col(c).alias(f"{c}{rs}") for c in value_cols])
     joined = l.join(r, on=list(keys), how="full_outer")
+    # null-safe equality via coalesce-to-NaN: Spark SQL defines
+    # NaN = NaN as TRUE, so two missing sides compare as a match while
+    # missing-vs-present compares false (value = NaN is false).
     match = F.lit(True)
     for c in value_cols:
         match = match & (

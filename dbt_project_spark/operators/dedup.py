@@ -46,8 +46,9 @@ def shingles_col(tokens: str = "tokens", n: int = 3):
     references to an outer column get re-evaluated per element after
     Catalyst inlines the (possibly expensive) token expression into the
     lambda — with a regexp tokenizer that was an O(tokens²) blowup
-    (observed 25× on the dedup benchmark). ``concat`` null-propagates
-    over zip_with's padding, so trailing partial n-grams filter out.
+    (measured ~9× on the sf0.1 dedup benchmark). ``concat``
+    null-propagates over zip_with's padding, so trailing partial
+    n-grams filter out.
     """
     expr = tokens
     for j in range(1, n):
@@ -287,9 +288,10 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Near-dup pairs: candidates share ≥1 signature band (pigeonhole:
-    any pair within hamming ≤ bands-1 per band region shares one),
-    verified by exact popcount hamming distance."""
+    """Near-dup pairs: candidates share ≥1 signature band — by
+    pigeonhole, any pair with hamming distance < nbands must agree on
+    at least one 8-bit band, so recall is exact for max_hamming <=
+    nbands-1 — then verified by exact popcount hamming distance."""
     sig = simhash_signatures(df, id_col, text_col, bits)
     nbands = bits // 8
     stacked = sig.select(
