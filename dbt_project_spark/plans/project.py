@@ -159,19 +159,35 @@ class Project:
     # -- schema tests (dbt test parity) -------------------------------
     def test(self, names: list[str] | None = None) -> dict[str, int]:
         """Run registered tests; returns violations per test; raises on
-        any failure (like `dbt test`)."""
-        results: dict[str, int] = {}
-        failures = []
+        any failure (like `dbt test`).
+
+        All tests execute as ONE Spark action: each test's violation
+        set is reduced to a (label, count) row and the rows are
+        unioned — N tests cost one job submission instead of N (at
+        cluster scale, one scheduler round-trip and shared scan reuse
+        instead of N sequential jobs)."""
+        from pyspark.sql import functions as F
+
+        per_test = []
         for name in names or list(self.models):
             m = self.models[name]
             if not m.tests:
                 continue
             df = self.ref(name)
             for label, test in m.tests:
-                bad = test(df).count()
-                results[f"{name}.{label}"] = bad
-                if bad:
-                    failures.append(f"{name}.{label}: {bad} violations")
+                per_test.append(
+                    test(df).agg(
+                        F.lit(f"{name}.{label}").alias("test_name"),
+                        F.count(F.lit(1)).alias("violations"),
+                    )
+                )
+        if not per_test:
+            return {}
+        combined = per_test[0]
+        for t in per_test[1:]:
+            combined = combined.unionAll(t)
+        results = {r["test_name"]: r["violations"] for r in combined.collect()}
+        failures = [f"{k}: {v} violations" for k, v in results.items() if v]
         if failures:
             raise SchemaTestError("; ".join(failures))
         return results
