@@ -372,3 +372,51 @@ def users_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = ev.filter(F.col("event_type") == "purchase").select("user_id", "day")
     x = ev.filter(F.col("event_type") == "error").select("user_id", "day")
     return p.subtract(x)
+
+
+@register(
+    "wt_gap_filled_series",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(floor(min(epoch(ts)) / 3600) AS BIGINT) * 3600 AS lo,
+             CAST(floor(max(epoch(ts)) / 3600) AS BIGINT) * 3600 AS hi
+      FROM events),
+    grid AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS slot FROM bounds),
+    agg AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS slot,
+             COUNT(*) AS n, SUM({_V100}) AS v100
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY slot)
+    SELECT strftime(make_timestamp(g.slot * 1000000), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(a.n, 0) AS n_purchases,
+           COALESCE(a.v100, 0) / 100.0 AS purchase_value
+    FROM grid g LEFT JOIN agg a ON a.slot = g.slot
+    """,
+)
+def wt_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series with gaps filled by zeros: generate the
+    full hour grid from min/max bounds (sequence + explode — no
+    driver-side loop), left-join the sparse aggregate. The standard
+    shape for dashboards/forecasting inputs where missing buckets must
+    be explicit zeros, not absent rows."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        (F.floor(F.min("epoch") / 3600) * 3600).cast("bigint").alias("lo"),
+        (F.floor(F.max("epoch") / 3600) * 3600).cast("bigint").alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("slot")
+    )
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("slot", (F.floor(F.col("epoch") / 3600) * 3600).cast("bigint"))
+        .groupBy("slot")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value100").alias("v100"))
+    )
+    return grid.join(agg, on="slot", how="left").select(
+        F.date_format(F.timestamp_seconds("slot"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases"),
+        (F.coalesce(F.col("v100"), F.lit(0)) / F.lit(100.0)).alias("purchase_value"),
+    )

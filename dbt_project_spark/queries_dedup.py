@@ -181,3 +181,36 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_T)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+@register(
+    "dedup_editdistance",
+    oracle="""
+    WITH p AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+    FROM p a JOIN p b
+      ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by edit distance (entity-resolution modality
+    for short strings like names/titles). Blocked by first character —
+    at scale the block key caps the quadratic pair space the same way
+    shingle buckets do for documents; levenshtein itself is the
+    built-in JVM DP, no UDF."""
+    p = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = p.select(F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("edit_distance") <= 4)
+        .select("name_a", "name_b", "edit_distance")
+    )
