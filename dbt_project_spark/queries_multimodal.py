@@ -33,3 +33,29 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic-fake; see operators/multimodal.py)."""
     docs = attach_blob(load_table(spark, sf_dir, "documents"))
     return extract_features(docs)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, text,
+                      greatest(octet_length(encode(text)) // 4, 1) AS step
+               FROM documents),
+    f AS (SELECT doc_id, step, unnest(range(0, 4)) AS frame_idx FROM d),
+    -- documents are pure ASCII, so byte offsets == char offsets and
+    -- md5(substr(text)) == md5 of the byte slice the Spark side hashes
+    c AS (SELECT f.doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
+                 substr(d.text, f.frame_idx * f.step + 1, f.step) AS chunk
+          FROM f JOIN d ON d.doc_id = f.doc_id)
+    SELECT doc_id, frame_idx, md5(chunk) AS frame_md5 FROM c
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling over binary payloads (mapInPandas,
+    Arrow-batched): 4 evenly spaced byte-range 'frames' per payload,
+    fingerprinted — the explode/partition shape of real video frame
+    extraction with the codec stubbed (operators/multimodal.py)."""
+    from dbt_project_spark.operators.multimodal import frame_sample
+
+    docs = attach_blob(load_table(spark, sf_dir, "documents"))
+    return frame_sample(docs, n_frames=4)
