@@ -28,6 +28,7 @@ from dbt_project_spark.operators.windows import (
     two_level_rollup,
     windowed_count_distribution,
     windowed_stats,
+    with_tumbling_window,
 )
 from dbt_project_spark.sources import load_table
 
@@ -321,4 +322,116 @@ def wt_stream_batch_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count",
         tolerance=10.0,
         label="windowed_distribution",
+    )
+
+
+@register(
+    "wt_compare_categories",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_WIN.format(w=300)},
+             CASE WHEN value < 50 THEN 'Short'
+                  WHEN value < 150 THEN 'Medium'
+                  ELSE 'Long' END AS session_category
+      FROM events),
+    direct AS (
+      SELECT window_start, session_category, COUNT(*) AS count
+      FROM c GROUP BY window_start, session_category),
+    fine AS (
+      SELECT {_WIN.format(w=60)},
+             CASE WHEN value < 50 THEN 'Short'
+                  WHEN value < 150 THEN 'Medium'
+                  ELSE 'Long' END AS session_category,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, session_category),
+    rolled AS (
+      SELECT strftime(make_timestamp(CAST(floor(epoch(strptime(window_start, '%Y-%m-%d %H:%M:%S'))/300)*300 AS BIGINT)*1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+             session_category, CAST(SUM(cnt) AS BIGINT) AS count
+      FROM fine GROUP BY 1, session_category)
+    SELECT d.window_start, d.session_category,
+           d.count AS count_stream, r.count AS count_batch,
+           (d.count = r.count) AS is_match
+    FROM direct d JOIN rolled r
+      ON d.window_start = r.window_start AND d.session_category = r.session_category
+    """,
+)
+def wt_compare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-categories comparison table (comparision.sql:5-21):
+    per-window stream/batch counts side by side with a match flag —
+    the 'stream' side is the direct 5-min aggregation, the 'batch'
+    side re-derives it from 1-min partials."""
+    ev = _events(spark, sf_dir).withColumn(
+        "session_category", categorize("value", [50, 150], ["Short", "Medium", "Long"])
+    )
+    direct = windowed_count_distribution(ev, "ts", 300, ["session_category"]).select(
+        "window_start", "session_category", "count"
+    )
+    rolled = (
+        two_level_rollup(ev, "ts", 60, 300, "value100", ["session_category"])
+        .select("window_start", "session_category", F.col("n_events").alias("count"))
+    )
+    d = direct.alias("d")
+    r = rolled.alias("r")
+    return (
+        d.join(r, on=["window_start", "session_category"])
+        .select(
+            "window_start",
+            "session_category",
+            F.col("d.count").alias("count_stream"),
+            F.col("r.count").alias("count_batch"),
+            (F.col("d.count") == F.col("r.count")).alias("is_match"),
+        )
+    )
+
+
+@register(
+    "wt_compare_engagement",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_WIN.format(w=300)},
+             400 * {_K} + 3 * {_V100} + 300 * user_id AS eng1000
+      FROM events),
+    direct AS (
+      SELECT window_start,
+             SUM(eng1000) / (COUNT(*) * 1000.0) AS avg_eng
+      FROM s GROUP BY window_start),
+    partials AS (
+      SELECT window_start, CAST(SUM(eng1000) AS BIGINT) AS s1000, COUNT(*) AS n
+      FROM s GROUP BY window_start),
+    recomputed AS (
+      SELECT window_start, s1000 / (n * 1000.0) AS avg_eng FROM partials)
+    SELECT d.window_start,
+           d.avg_eng AS stream_avg, r.avg_eng AS batch_avg,
+           (d.avg_eng = r.avg_eng) AS is_match
+    FROM direct d JOIN recomputed r ON d.window_start = r.window_start
+    """,
+)
+def wt_compare_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-scores comparison (comparision.sql:45-63): direct
+    per-window average vs average recomputed from mergeable (sum,
+    count) partials — the fixed-point representation makes the two
+    derivations exactly equal, which is the streaming/batch-parity
+    guarantee the reference checks by hand."""
+    ev = _events(spark, sf_dir).withColumn(
+        "eng1000",
+        engagement_score("k", "value100", "user_id", weights=(400, 3, 300)).cast("bigint"),
+    )
+    base = with_tumbling_window(ev, "ts", 300)
+    direct = base.groupBy("window_start").agg(
+        (F.sum("eng1000") / (F.count(F.lit(1)) * F.lit(1000.0))).alias("avg_eng")
+    )
+    partials = base.groupBy("window_start").agg(
+        F.sum("eng1000").cast("bigint").alias("s1000"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    recomputed = partials.select(
+        "window_start", (F.col("s1000") / (F.col("n") * F.lit(1000.0))).alias("avg_eng")
+    )
+    d = direct.alias("d")
+    r = recomputed.alias("r")
+    return d.join(r, on="window_start").select(
+        "window_start",
+        F.col("d.avg_eng").alias("stream_avg"),
+        F.col("r.avg_eng").alias("batch_avg"),
+        (F.col("d.avg_eng") == F.col("r.avg_eng")).alias("is_match"),
     )
