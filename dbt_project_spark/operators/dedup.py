@@ -76,7 +76,14 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def exploded_shingles(df: DataFrame, id_col: str, n: int = 3) -> DataFrame:
     """(doc, set_size, shingle) — one row per distinct shingle per doc.
-    Expects a ``__toks`` column (see ``_with_tokens``)."""
+    Expects a ``__toks`` column (see ``_with_tokens``).
+
+    Deliberately shuffle-free: sz = size(sh) costs extra in-projection
+    evaluations of the shingle pipeline (~3×, pure CPU). The
+    alternative (explode once, sz = count() over doc) measured 2.4×
+    faster warm on local[32] but inserts a full postings exchange on
+    doc — at 100 TB an extra full-data shuffle loses to linear
+    map-side CPU, so the shuffle-free shape is kept."""
     sh = df.select(
         F.col(id_col).alias("doc"),
         shingles_col("__toks", n).alias("sh"),
