@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dbt_project_spark.catalog import ORACLES, QUERIES, load_all  # noqa: E402
+from dbt_project_spark.catalog import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    load_all,
+    ordered_queries,
+)
 
 load_all()
 
@@ -32,8 +37,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered by ``catalog.PRIORITY`` so the driver's 50-query
+    correctness window always covers never-verified / changed / new
+    queries first; prior-round driver-green queries overflow the
+    window but stay covered by the local replica gate.
+    """
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -49,7 +49,7 @@ def _revenue10000() -> F.Column:
     "tpch_q1",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM({_QTY}) AS sum_qty,
+           CAST(SUM({_QTY}) AS BIGINT) AS sum_qty,
            SUM({_EP100}) / 100.0 AS sum_base_price,
            SUM({_EP100} * (100 - {_DISC100})) / 10000.0 AS sum_disc_price,
            SUM({_EP100} * (100 - {_DISC100}) * (100 + {_TAX100})) / 1000000.0 AS sum_charge,
@@ -399,7 +399,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_name, c_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_totalprice,
-           SUM({_QTY}) AS sum_qty
+           CAST(SUM({_QTY}) AS BIGINT) AS sum_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (SELECT l_orderkey FROM big)

@@ -8,8 +8,14 @@ comparison) generalized to engine-vs-ANSI-oracle.
 
 import pytest
 
-from dbt_project_spark.catalog import ORACLES, QUERIES, load_all
-from dbt_project_spark.oracle_check import check_query
+from dbt_project_spark.catalog import (
+    ORACLES,
+    PRIORITY,
+    QUERIES,
+    load_all,
+    ordered_queries,
+)
+from dbt_project_spark.oracle_check import check_query, duckdb_conn
 from tests.conftest import SF_SMOKE
 
 load_all()
@@ -19,6 +25,32 @@ def test_every_query_has_oracle_or_is_documented():
     missing = set(QUERIES) - set(ORACLES)
     # rows-only entries must be deliberate; currently all queries have oracles
     assert missing == set()
+
+
+def test_priority_order_is_well_formed():
+    # No stale names, no duplicates, and reordering loses no queries.
+    assert set(PRIORITY) <= set(QUERIES), sorted(set(PRIORITY) - set(QUERIES))
+    assert len(PRIORITY) == len(set(PRIORITY))
+    ordered = ordered_queries()
+    assert list(ordered)[: len(PRIORITY)] == [n for n in PRIORITY if n in QUERIES]
+    assert set(ordered) == set(QUERIES)
+
+
+def test_no_hugeint_oracle_columns():
+    """The driver's value hasher serializes DuckDB HUGEINT (int128)
+    differently from Spark BIGINT even for equal values (r01: tpch_q1/
+    q18 false reds). Guard: no oracle may emit a 128-bit column."""
+    con = duckdb_conn(SF_SMOKE)
+    bad = {}
+    for name, sql in ORACLES.items():
+        types = [
+            str(row[1]).upper()
+            for row in con.execute(f"DESCRIBE ({sql})").fetchall()
+        ]
+        wide = [t for t in types if "HUGEINT" in t or "INT128" in t]
+        if wide:
+            bad[name] = wide
+    assert not bad, bad
 
 
 def test_entry_contract(spark):
