@@ -28,8 +28,13 @@ def engagement_score(
     time_on_page: Column | str,
     weights: tuple[float, float, float] = (0.4, 0.3, 0.3),
 ) -> Column:
-    """Weighted engagement score (reference: batch_stream.sql:61,
-    spark_streaming_new.py:96)."""
+    """Weighted engagement score (reference: batch_stream.sql:61).
+
+    The reference's own two paths disagree: its streaming job
+    (spark_streaming_new.py:96) additionally divides
+    session_duration and time_on_page by 60, its batch SQL does not.
+    This repo deliberately uses the batch formula everywhere so
+    stream and batch results are comparable."""
     pv = F.col(page_views) if isinstance(page_views, str) else page_views
     sd = F.col(session_duration) if isinstance(session_duration, str) else session_duration
     tp = F.col(time_on_page) if isinstance(time_on_page, str) else time_on_page

@@ -39,11 +39,19 @@ def salted_join(
     exploded to every salt value, so each hot key's rows spread over
     n_salts partitions instead of one straggler.
 
-    ``salt_source`` is a left column whose hash spreads rows (defaults
-    to the key itself combined with a per-row component if present).
-    Result equals the plain join exactly (verified in tests).
+    ``salt_source`` is a left column whose hash spreads rows. The
+    default salts on the hash of the ENTIRE left row, which is
+    deterministic across runs, retries, and partition layouts (rows
+    with identical content share a salt — harmless for spreading
+    unless the hot key's rows are all byte-identical, in which case
+    pass a distinguishing ``salt_source``). Result equals the plain
+    join exactly (verified in tests).
     """
-    src = F.col(salt_source) if salt_source else F.monotonically_increasing_id()
+    src = (
+        F.col(salt_source)
+        if salt_source
+        else F.xxhash64(*[F.col(c) for c in left.columns])
+    )
     l = left.withColumn("__salt", F.pmod(F.xxhash64(src), n_salts).cast("int"))
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

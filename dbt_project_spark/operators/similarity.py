@@ -80,6 +80,90 @@ def with_lsh_bucket(df: DataFrame, vec: str = "embedding") -> DataFrame:
     return df.withColumn("bucket", bucket.cast("int"))
 
 
+def lsh_table_weights(ntables: int, nbits: int, dim: int = LSH_DIM) -> list[list[list[float]]]:
+    """Deterministic hyperplanes for banded LSH: ``ntables`` tables of
+    ``nbits`` hyperplanes each (same LCG stream as ``LSH_W``, so the
+    literal matrix is reproducible in the oracle SQL)."""
+    flat = _lcg_weights(ntables * nbits, dim)
+    return [flat[t * nbits : (t + 1) * nbits] for t in range(ntables)]
+
+
+def with_lsh_bands(
+    df: DataFrame,
+    vec: str,
+    weights: list[list[list[float]]],
+    id_col: str,
+    id_out: str = "doc",
+) -> DataFrame:
+    """Explode each vector to (id, tid, bv): one sign-bucket per table.
+
+    Output is ids+ints only — vectors are NOT carried through the
+    band shuffle (candidates join back to the corpus by id), so the
+    band-join stage shuffles O(rows × ntables × 12 bytes) regardless
+    of vector dimension."""
+    cols = []
+    for tid, rows in enumerate(weights):
+        bucket = F.lit(0)
+        for j, row in enumerate(rows):
+            w = F.array(*[F.lit(x) for x in row])
+            bucket = bucket + F.when(
+                dot_product(F.col(vec), w) >= 0, F.lit(2**j)
+            ).otherwise(F.lit(0))
+        cols.append(
+            F.struct(F.lit(tid).alias("tid"), bucket.cast("int").alias("bv"))
+        )
+    return df.select(
+        F.col(id_col).alias(id_out), F.explode(F.array(*cols)).alias("bx")
+    ).select(id_out, "bx.tid", "bx.bv")
+
+
+def embedding_lsh_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec: str,
+    threshold: float,
+    ntables: int = 8,
+    nbits: int = 3,
+) -> DataFrame:
+    """Near-dup vector pairs via banded hyperplane LSH + exact verify.
+
+    Candidates = pairs sharing ANY table's sign-bucket; each candidate
+    is then scored with exact cosine, so precision is 1.0 and only
+    recall is approximate. Per-table detect probability for a pair at
+    angle θ is (1-θ/π)^nbits; overall recall = 1-(1-p^nbits)^ntables.
+    Candidate volume scales as ntables/2^nbits × all-pairs, so nbits
+    is the scale dial: at a production near-dup threshold (cosine
+    ≥0.9, p≈0.9) nbits=12-16 keeps recall >0.95 with a 2^12/ntables
+    reduction; the catalog binding uses nbits=3 only because its test
+    threshold (0.4, p≈0.65) is far below any real dedup bar.
+
+    Blocking is bucket-local at any corpus size — never an O(n²)
+    cross join (the r01 label-blocked version measured 8.5% recall
+    and was quadratic within label blocks; reference parity per
+    VERDICT.md round-1 E-family)."""
+    w = lsh_table_weights(ntables, nbits)
+    bands = with_lsh_bands(corpus, vec, w, id_col, id_out="doc")
+    a = bands.select(F.col("doc").alias("vec_a"), "tid", "bv")
+    b = bands.select(F.col("doc").alias("vec_b"), "tid", "bv")
+    cand = (
+        a.join(b, on=["tid", "bv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec).alias("__ea"))
+    eb = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec).alias("__eb"))
+    from dbt_project_spark.functions.expressions import cosine_similarity as _cos
+
+    return (
+        cand.join(ea, on="vec_a")
+        .join(eb, on="vec_b")
+        .withColumn("cosine", F.round(_cos("__ea", "__eb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def hyperplane_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

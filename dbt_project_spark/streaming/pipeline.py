@@ -53,9 +53,17 @@ def join_metric_streams(
 ) -> DataFrame:
     """3-way inner join on (record_id, ts) with watermarks + score.
 
-    Parity: spark_streaming_new.py:79-103. Works identically on batch
-    and streaming DataFrames (the join keys contain the watermarked
-    event-time column, so streaming state is expirable)."""
+    Parity: spark_streaming_new.py:79-103 for the join/watermark
+    SHAPE. Deliberate deviation in the score itself: the reference's
+    streaming job scales session_duration and time_on_page by /60
+    (spark_streaming_new.py:96) while its own batch SQL
+    (batch_stream.sql) does not — the two reference paths disagree.
+    This repo follows the batch formula on BOTH paths so its
+    stream==batch parity tests are meaningful; same for the session
+    category bounds (50/150 per batch_stream.sql, vs the streaming
+    job's 60/300). Works identically on batch and streaming
+    DataFrames (the join keys contain the watermarked event-time
+    column, so streaming state is expirable)."""
     if pv.isStreaming:
         pv = pv.withWatermark("ts", watermark)
         sd = sd.withWatermark("ts", watermark)

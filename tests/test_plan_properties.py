@@ -68,6 +68,49 @@ def test_windowed_distribution_exchanges_carry_aggregates(spark):
     assert first_agg != -1 and first_ex != -1 and first_agg > first_ex  # tree prints top-down: exchange ABOVE partial agg
 
 
+def test_jaccard_single_postings_exchange(spark):
+    """The shared-shingle self-join must shuffle the postings on sg
+    once (reused/aligned for both sides) plus one exchange for the
+    pair groupBy and one for the max_bucket window — a refactor that
+    re-derives postings per side would double the tokenize+shuffle
+    cost (the dominant stage at 100 TB)."""
+    plan = _plan(QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE))
+    n = _exchanges(plan)
+    # window(sg) + join-side alignment + groupBy(doc_a,doc_b): the
+    # persisted postings make the two join sides reuse one scan; cap
+    # the budget so an extra full-postings shuffle fails the test.
+    assert n <= 4, f"jaccard plan grew to {n} exchanges:\n{plan[:2000]}"
+    assert "InMemoryTableScan" in plan  # persisted postings actually reused
+
+
+def test_minhash_lsh_exchange_budget(spark):
+    """Signature agg + band self-join + candidate verify: the postings
+    relation must come from the persisted cache (3 consumers), and the
+    whole plan stays within its exchange budget."""
+    plan = _plan(QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE))
+    assert "InMemoryTableScan" in plan
+    n = _exchanges(plan)
+    assert n <= 8, f"minhash plan grew to {n} exchanges"
+
+
+def test_embedding_lsh_no_cartesian(spark):
+    """Banded-LSH embedding dedup must never plan a cartesian/BNL
+    join — candidates come from the (tid, bv) equi-join."""
+    plan = _plan(QUERIES["dedup_embedding"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_editdistance_equi_blocked(spark):
+    """The blocked edit-distance join must be a pure equi-join on
+    (pfx, band) — round 1's theta-join (substr equality inside the
+    join condition with <) planned as SMJ but with the quadratic
+    first-char key; the new plan must not be nested-loop either."""
+    plan = _plan(QUERIES["dedup_editdistance"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """day-partitioned layout + day filter → PartitionFilters prune the
     scan to one directory (the incremental-pipeline read path)."""
