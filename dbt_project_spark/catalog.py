@@ -64,6 +64,8 @@ PRIORITY: list[str] = [
     "dedup_embedding",
     "dedup_editdistance",
     # --- new queries this round are inserted here as they land ---
+    "approx_distinct_users_daily",
+    "approx_percentiles_by_type",
     # r01 driver-green, unchanged; fill remaining window slots.
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -420,3 +420,89 @@ def wt_gap_filled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases"),
         (F.coalesce(F.col("v100"), F.lit(0)) / F.lit(100.0)).alias("purchase_value"),
     )
+
+
+@register(
+    "approx_distinct_users_daily",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY day
+    """,
+)
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user counts, gated against the exact answer.
+
+    This is the actual 100 TB answer for daily uniques: HLL sketches
+    merge map-side (a few KB per group crosses the shuffle) where
+    COUNT(DISTINCT) must shuffle every (day, user_id) pair. The query
+    emits the exact count plus a boolean asserting the HLL estimate
+    (rsd=2%) landed within ±5% — so the sketch's error bound itself
+    goes through the value-hash gate (oracle emits literal TRUE; a
+    drifting sketch flips the boolean and fails the gate). HLL merge
+    is register-wise max — commutative — so the estimate is
+    deterministic for fixed data regardless of partitioning."""
+    return (
+        _events(spark, sf_dir)
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__hll"),
+        )
+        .select(
+            "day",
+            "n_users_exact",
+            (
+                F.abs(F.col("__hll") - F.col("n_users_exact"))
+                <= F.col("n_users_exact") * 0.05
+            ).alias("hll_within_5pct"),
+        )
+    )
+
+
+@register(
+    "approx_percentiles_by_type",
+    oracle=f"""
+    SELECT event_type,
+           quantile_cont({_V100}, 0.5) / 100.0 AS p50,
+           quantile_cont({_V100}, 0.9) / 100.0 AS p90,
+           TRUE AS sketch_within_rank_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable Greenwald-Khanna summary) gated by
+    a RANK-space tolerance: the p50/p90 estimates must land between
+    the exact p45..p55 / p88..p92 values. Rank tolerance is the
+    principled check for GK sketches (the accuracy parameter bounds
+    rank error at 1/accuracy = 0.01% here, far inside the +-5%/-+2%
+    rank window), and it is distribution-free — a value-space
+    relative-error check would be meaningless around dense regions.
+    Exact percentiles ship as the output columns; the sketch check is
+    the boolean (oracle: literal TRUE), so sketch drift fails the
+    value-hash gate."""
+    pct = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            (F.expr("percentile(value100, 0.5)") / 100.0).alias("p50"),
+            (F.expr("percentile(value100, 0.9)") / 100.0).alias("p90"),
+            F.expr("percentile(value100, 0.45)").alias("__lo50"),
+            F.expr("percentile(value100, 0.55)").alias("__hi50"),
+            F.expr("percentile(value100, 0.88)").alias("__lo90"),
+            F.expr("percentile(value100, 0.92)").alias("__hi90"),
+            F.expr("approx_percentile(value100, 0.5, 10000)").alias("__a50"),
+            F.expr("approx_percentile(value100, 0.9, 10000)").alias("__a90"),
+        )
+    )
+    ok = (
+        (F.col("__a50") >= F.col("__lo50"))
+        & (F.col("__a50") <= F.col("__hi50"))
+        & (F.col("__a90") >= F.col("__lo90"))
+        & (F.col("__a90") <= F.col("__hi90"))
+    )
+    return pct.select(
+        "event_type", "p50", "p90", ok.alias("sketch_within_rank_tol")
+    )

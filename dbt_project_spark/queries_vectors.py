@@ -18,8 +18,10 @@ from dbt_project_spark.catalog import register
 from dbt_project_spark.functions.expressions import cosine_similarity, l2_norm
 from dbt_project_spark.sources import load_table
 
-N_CENTROIDS = 8
+N_CENTROIDS = 64
 IVF_TOPK = 5
+NPROBE = 2  # clusters probed per query (recall dial; 1 = classic IVF)
+NQUERIES = 5
 _Q = 127.0  # int8 quantization scale
 
 
@@ -95,6 +97,17 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic assignment tie-break without a window: maximize the
+# exact integer key round(s*1e6)*100000 - cid  (s is already rounded
+# to 6 dp, so round(s*1e6) is exact; cid < 100000). Highest cosine
+# wins, ties broken by LOWEST cid — identical semantics to
+# ROW_NUMBER() OVER (ORDER BY s DESC, cid) = 1, but expressible as a
+# max_by aggregate, which Spark computes with map-side partials: the
+# assignment shuffle carries one (vec_id, cid, key) triple per corpus
+# vector instead of sorting n×K vector-carrying rows.
+_KEY_SQL = "(CAST(round(s * 1000000) AS BIGINT) * 100000 - cid)"
+
+
 @register(
     "ann_ivf_topk",
     oracle=f"""
@@ -106,13 +119,14 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims AS (SELECT vec_id, cid,
                     ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS s
              FROM asgf GROUP BY vec_id, cid),
-    assign AS (SELECT vec_id, cid FROM (
+    assign AS (SELECT vec_id, max_by(cid, {_KEY_SQL}) AS cid
+               FROM sims GROUP BY vec_id),
+    probes AS (SELECT vec_id AS query_id, cid FROM (
         SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-        FROM sims) WHERE rn = 1),
-    q AS (SELECT a.vec_id AS query_id, e.embedding AS qe, a.cid
-          FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
-          WHERE a.vec_id < {N_CENTROIDS}),
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {_KEY_SQL} DESC) AS rn
+        FROM sims WHERE vec_id < {NQUERIES}) WHERE rn <= {NPROBE}),
+    q AS (SELECT p.query_id, p.cid, e.embedding AS qe
+          FROM probes p JOIN embeddings e ON e.vec_id = p.query_id),
     pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qe, e.embedding AS ce
               FROM q JOIN assign c ON c.cid = q.cid AND c.vec_id != q.query_id
                     JOIN embeddings e ON e.vec_id = c.vec_id),
@@ -129,31 +143,45 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-clustered ANN: assign every vector to its nearest centroid,
-    then each query (the centroid seed vectors themselves) searches
-    only its cluster's posting list. One broadcast (centroids), one
-    assignment pass over the corpus, bucket-local scoring."""
+    """IVF-clustered ANN over 64 centroids with nprobe=2.
+
+    Corpus assignment: broadcast the centroid set, score n×K pairs,
+    reduce with ``max_by`` on an exact integer key — a groupBy with
+    map-side partial aggregation, so the shuffle carries one small
+    triple per corpus vector (round 1 used a row_number window that
+    sorted n×K rows WITH their embeddings). Embeddings for candidate
+    scoring are fetched by a join on vec_id afterwards.
+
+    Queries probe their NPROBE nearest clusters (the standard IVF
+    recall dial: nprobe/K of the corpus scored per query). Centroids
+    here are the first K corpus vectors — a deterministic stand-in
+    for k-means centroids, which at scale arrive from an offline
+    sampling job."""
     e = load_table(spark, sf_dir, "embeddings")
     cent = F.broadcast(
         e.filter(F.col("vec_id") < N_CENTROIDS).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
         )
     )
-    sims = e.crossJoin(cent).withColumn(
-        "s", F.round(cosine_similarity("embedding", "ce"), 6)
+    sims = (
+        e.crossJoin(cent)
+        .withColumn("s", F.round(cosine_similarity("embedding", "ce"), 6))
+        .select("vec_id", "cid", "s")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), "cid")
-    assign = (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "embedding")
+    key = (F.round(F.col("s") * 1000000).cast("bigint") * 100000) - F.col("cid")
+    assign = sims.groupBy("vec_id").agg(F.max_by("cid", key).alias("cid"))
+    wq = Window.partitionBy("vec_id").orderBy(F.desc(key))
+    probes = (
+        sims.filter(F.col("vec_id") < NQUERIES)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
     )
-    q = assign.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        "cid",
+    q = probes.join(
+        e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
+        on="query_id",
     )
-    cand = assign.select(
+    cand = assign.join(e, on="vec_id").select(
         F.col("vec_id").alias("neighbor_id"), "cid", F.col("embedding").alias("ce")
     )
     scored = (

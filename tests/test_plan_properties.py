@@ -111,6 +111,21 @@ def test_editdistance_equi_blocked(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_assignment_partial_aggregation(spark):
+    """Centroid assignment must be a max_by groupBy with map-side
+    partials (shuffle = one small triple per corpus vector), never a
+    row_number window over n×K vector-carrying rows."""
+    plan = _plan(QUERIES["ann_ivf_topk"](spark, SF_SMOKE))
+    assert "partial_max_by" in plan
+    # the corpus-side assignment must not be windowed (the small
+    # query-side probe ranking legitimately uses one window); count
+    # real Window nodes only — Spark 4 adds WindowGroupLimit helpers
+    import re
+
+    n_windows = len(re.findall(r"\(\d+\) Window\b", plan))
+    assert n_windows <= 2, f"{n_windows} Window nodes"  # probe + final top-k
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """day-partitioned layout + day filter → PartitionFilters prune the
     scan to one directory (the incremental-pipeline read path)."""
