@@ -59,9 +59,11 @@ def read_jdbc(
 ) -> DataFrame:
     """JDBC source (web_traffic.sql's raw_traffic_data shape).
 
-    Requires a driver jar + reachable DB (absent here → clear error).
     With partition bounds the read fans out to num_partitions parallel
-    range queries; without them it is single-connection.
+    range queries; without them it is single-connection. Live-tested
+    against embedded Derby (tests/test_jdbc.py: 4-way partitioned
+    read, even split, round-trip equality); MySQL needs only its
+    driver jar + url.
     """
     try:
         reader = (

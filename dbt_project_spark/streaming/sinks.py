@@ -1,11 +1,12 @@
 """Sink builders: parquet (partitioned), CSV, JDBC (gated).
 
 The reference writes every analytic to MySQL via JDBC
-(spark_streaming_new.py:126-223). The JDBC path here is code-complete
-but requires a JDBC driver jar + reachable database — neither exists
-in this environment, so ``write_jdbc`` raises a clear error instead.
-Parquet sinks are the cluster-native equivalent (columnar, partition-
-pruned, object-store friendly) and what the tests exercise.
+(spark_streaming_new.py:126-223). ``write_jdbc`` is live-tested
+against the Spark-bundled embedded Derby (tests/test_jdbc.py) —
+MySQL itself is reachable by swapping url+driver. Parquet sinks are
+the cluster-native equivalent (columnar, partition-pruned,
+object-store friendly) and what the analytics pipeline tests
+exercise.
 """
 
 from __future__ import annotations

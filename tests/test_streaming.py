@@ -88,3 +88,56 @@ def test_streaming_windowed_agg_availablenow(spark, events, tmp_path):
     ).agg(F.count(F.lit(1)).alias("n"))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_update_mode_distribution_matches_batch(spark, events, tmp_path):
+    """Update-mode pct-of-window: every emitted version must be a
+    correctly normalized distribution (per-window pct sums to 100),
+    multiple triggers must actually fire (maxFilesPerTrigger=1), and
+    the final emitted state must equal the batch operator exactly —
+    the reference's stream-vs-batch accuracy methodology
+    (comparision.sql:25-41) applied per emit, not just at the end."""
+    from dbt_project_spark.operators.windows import windowed_count_distribution
+    from dbt_project_spark.streaming.update_dist import (
+        read_current_distribution,
+        run_update_distribution,
+    )
+
+    src = str(tmp_path / "src")
+    # 4 time-ranged files → 4 triggers, arriving roughly in time order
+    events.repartitionByRange(4, "ts").write.parquet(src)
+
+    run_update_distribution(
+        spark,
+        src,
+        state_dir=str(tmp_path / "state"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        width_sec=300,
+        key_col="event_type",
+        # files are only approximately time-ordered; an unbounded
+        # watermark keeps every event (update mode does not require
+        # eviction for correctness — documented state-size tradeoff)
+        watermark="3650 days",
+    )
+
+    out_dir = tmp_path / "out"
+    versions = sorted(int(d.name[1:]) for d in out_dir.iterdir())
+    assert len(versions) > 1, "maxFilesPerTrigger=1 should yield multiple emits"
+
+    # every emit is a valid distribution
+    for v in versions:
+        emitted = spark.read.parquet(str(out_dir / f"v{v}"))
+        sums = (
+            emitted.groupBy("window_start")
+            .agg(F.round(F.sum("percentage"), 0).alias("s"))
+            .collect()
+        )
+        assert all(abs(r["s"] - 100.0) < 1e-9 for r in sums), f"v{v} not normalized"
+
+    # final emit == batch operator on the full data
+    final = read_current_distribution(spark, str(out_dir))
+    want = windowed_count_distribution(events, "ts", 300, ["event_type"])
+    assert final.count() == want.count()
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
