@@ -38,6 +38,10 @@ HEADLINE = [
     "win_running_total",
     "percentiles_by_type",
     "tpch_q21",
+    # round 2: re-blocked / new operators
+    "dedup_embedding",
+    "ann_ivf_topk",
+    "approx_distinct_users_daily",
 ]
 
 

@@ -140,9 +140,28 @@ def embedding_lsh_pairs(
     Blocking is bucket-local at any corpus size — never an O(n²)
     cross join (the r01 label-blocked version measured 8.5% recall
     and was quadratic within label blocks; reference parity per
-    VERDICT.md round-1 E-family)."""
+    VERDICT.md round-1 E-family).
+
+    Measured parameter curve at sf0.1 (2000 vecs, 920 true pairs at
+    the 0.4 test threshold): (8,3)→65% of all-pairs as candidates,
+    recall 0.91; (12,4)→54%, 0.90; (18,5)→44%, 0.87; (28,6)→37%,
+    0.86. A 0.4 threshold sits near the bulk of the similarity
+    distribution, so candidate pruning is inherently weak — at a
+    production threshold (0.9) the same construction prunes by
+    ~2^nbits/ntables with recall held by the much higher per-bit
+    agreement probability."""
+    from pyspark import StorageLevel
+
+    from dbt_project_spark.functions.expressions import dot_product as _dot
+    from dbt_project_spark.functions.expressions import l2_norm as _l2
+
     w = lsh_table_weights(ntables, nbits)
-    bands = with_lsh_bands(corpus, vec, w, id_col, id_out="doc")
+    # Persist the band projection: both self-join sides consume it and
+    # Spark does not dedup the subtree — without it the ntables×nbits
+    # hyperplane dot products are computed twice per vector.
+    bands = with_lsh_bands(corpus, vec, w, id_col, id_out="doc").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = bands.select(F.col("doc").alias("vec_a"), "tid", "bv")
     b = bands.select(F.col("doc").alias("vec_b"), "tid", "bv")
     cand = (
@@ -151,14 +170,30 @@ def embedding_lsh_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec).alias("__ea"))
-    eb = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec).alias("__eb"))
-    from dbt_project_spark.functions.expressions import cosine_similarity as _cos
-
+    # Norms are per-VECTOR (computed once, n times total), not per
+    # candidate pair — the verify stage then does one zip_with dot and
+    # one double division per pair. Same fp evaluation order as the
+    # oracle's SQRT(SUM(x*x)) * SQRT(SUM(y*y)) (sequential sum, sqrt,
+    # multiply), so 6-dp parity is preserved.
+    ea = corpus.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec).alias("__ea"),
+        _l2(vec).alias("__na"),
+    )
+    eb = corpus.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec).alias("__eb"),
+        _l2(vec).alias("__nb"),
+    )
     return (
         cand.join(ea, on="vec_a")
         .join(eb, on="vec_b")
-        .withColumn("cosine", F.round(_cos("__ea", "__eb"), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot("__ea", "__eb") / (F.col("__na") * F.col("__nb")), 6
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
