@@ -66,6 +66,10 @@ PRIORITY: list[str] = [
     # --- new queries this round are inserted here as they land ---
     "approx_distinct_users_daily",
     "approx_percentiles_by_type",
+    "contamination_ngram",
+    "dedup_clusters",
+    "corpus_token_stats",
+    "text_normalize",
     # r01 driver-green, unchanged; fill remaining window slots.
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -120,3 +124,4 @@ def load_all() -> None:
     import dbt_project_spark.queries_multimodal  # noqa: F401
     import dbt_project_spark.queries_analytics  # noqa: F401
     import dbt_project_spark.queries_vectors  # noqa: F401
+    import dbt_project_spark.queries_corpus  # noqa: F401

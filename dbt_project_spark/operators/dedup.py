@@ -249,6 +249,56 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    (node, component_id=min node id in component).
+
+    The standard distributed CC loop (label propagation over the
+    symmetrized edge list, converging in O(diameter) rounds — dup
+    clusters are near-cliques, so 2-3 rounds in practice). Each round
+    is one shuffle join + one groupBy-min with map-side partials;
+    labels persist round-over-round (at cluster scale: checkpoint
+    every few rounds to truncate lineage). Deterministic: the
+    fixpoint (min reachable id per node) is independent of iteration
+    or partition order."""
+    from pyspark import StorageLevel
+
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym.u == labels.node).select(
+            F.col("v").alias("node"), "lab"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = new.exceptAll(labels).count()
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    else:  # pragma: no cover - defensive
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    sym.unpersist()
+    return labels
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
 ) -> DataFrame:

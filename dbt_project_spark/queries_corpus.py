@@ -1,0 +1,204 @@
+"""Corpus-pipeline family (round 2): decontamination, dup clustering,
+corpus statistics, normalization — the operations a training-data
+pipeline runs between raw crawl and tokenizer.
+
+Oracle notes: the cluster query's oracle is a recursive CTE (DuckDB
+WITH RECURSIVE) computing the same min-label fixpoint as the Spark
+iterative loop; both are deterministic (min id per component is
+independent of evaluation order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+    shingles_col,
+    tokens_col,
+)
+from dbt_project_spark.operators.text_clean import normalize_text
+from dbt_project_spark.queries_dedup import _minhash_oracle
+from dbt_project_spark.sources import load_table
+
+# n-gram order for contamination checks. Production pipelines use
+# 8-13; the synthetic corpus' short word-salad docs make 5-grams
+# near-unique (1 hit at sf0.01), so 4 keeps the oracle non-degenerate
+# (8 contaminated docs) while exercising the same mechanism.
+CONTAM_N = 4
+BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 → stand-in benchmark doc
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _ngram_sql(n: int) -> str:
+    """DuckDB list expression: distinct word n-grams of token list t."""
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(t) >= {n} THEN list_distinct(list_transform("
+        f"range(1, len(t) - {n - 2}), i -> {parts})) ELSE [] END"
+    )
+
+
+@register(
+    "contamination_ngram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (SELECT doc_id, unnest({_ngram_sql(CONTAM_N)}) AS g FROM toks),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+    corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % {BENCH_MOD} != 0),
+    szs AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+    hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
+             FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id)
+    SELECT h.doc_id, h.n_hits,
+           ROUND(h.n_hits / (s.n_grams * 1.0), 6) AS contamination
+    FROM hits h JOIN szs s ON s.doc_id = h.doc_id
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by exact n-gram collision — the
+    standard check before training (docs sharing 5-grams with an eval
+    set are flagged with their contaminated fraction).
+
+    The benchmark set (stand-in: doc_id % 97 == 0) is tiny relative
+    to the corpus, so its distinct n-grams BROADCAST: the corpus
+    streams through one hash-join probe, no corpus shuffle for the
+    match. Per-doc aggregation shuffles only (doc_id, counts)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens_col("text")
+    )
+    grams = docs.select(
+        "doc_id", F.explode(shingles_col("__toks", CONTAM_N)).alias("g")
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = F.broadcast(grams.filter(is_bench).select("g").distinct())
+    corpus = grams.filter(~is_bench)
+    szs = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus.join(bench, on="g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.join(szs, on="doc_id").select(
+        "doc_id",
+        "n_hits",
+        F.round(F.col("n_hits") / (F.col("n_grams") * F.lit(1.0)), 6).alias(
+            "contamination"
+        ),
+    )
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    labels AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+               FROM reach GROUP BY node),
+    sized AS (SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM labels GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size
+    FROM labels l JOIN sized s ON s.cluster_id = l.cluster_id
+    """
+
+
+@register("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs folded into canonical clusters: connected
+    components over the MinHash-LSH pair graph, cluster_id = min
+    doc_id in the component (the doc a dedup pass would keep).
+
+    Spark side is the iterative min-label propagation loop
+    (operators/dedup.py:connected_components); the oracle reaches the
+    same fixpoint with a recursive CTE. Only docs that appear in some
+    near-dup pair are emitted (singletons are the corpus majority and
+    carry no dedup decision)."""
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", 0.8
+    )
+    labels = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
+    sized = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sized, on="cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+@register(
+    "corpus_token_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents),
+    ex AS (SELECT doc_id, lang, source, unnest(t) AS tk FROM toks),
+    per_group AS (SELECT lang, source,
+                         COUNT(DISTINCT doc_id) AS n_docs,
+                         COUNT(*) AS total_tokens,
+                         COUNT(DISTINCT tk) AS vocab
+                  FROM ex GROUP BY lang, source)
+    SELECT lang, source, n_docs, total_tokens, vocab,
+           total_tokens / (n_docs * 1.0) AS avg_tokens
+    FROM per_group
+    """,
+)
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus statistics: docs, token volume,
+    vocabulary size, mean doc length — the partition-planning numbers
+    for a tokenization run. Single explode + one grouped aggregation
+    (distinct counts shuffle (group, token) pairs; at 100 TB swap
+    vocab to approx_count_distinct — see approx_distinct_users_daily
+    for the gated pattern)."""
+    ex = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("__toks", tokens_col("text"))
+        .select("doc_id", "lang", "source", F.explode("__toks").alias("tk"))
+    )
+    g = ex.groupBy("lang", "source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("tk").alias("vocab"),
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        "vocab",
+        (F.col("total_tokens") / (F.col("n_docs") * F.lit(1.0))).alias("avg_tokens"),
+    )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+           length(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_len
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalized form per doc (lowercase, punctuation →
+    space, collapsed whitespace), emitted as md5 + length so the
+    full normalized text never leaves the executors. Pure projection
+    — no shuffle."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__norm", normalize_text("text")
+    )
+    return d.select(
+        "doc_id",
+        F.md5("__norm").alias("norm_md5"),
+        F.length("__norm").cast("bigint").alias("norm_len"),
+    )

@@ -82,6 +82,26 @@ def test_empty_and_tiny_docs_no_crash(spark):
     assert minhash_lsh_pairs(tiny, "doc_id", "text", 0.1).count() == 0
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A chain a-b-c must collapse to one component labeled by its min
+    id even though a and c never share an edge (needs >1 propagation
+    round); disjoint edges stay separate components."""
+    from dbt_project_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(3, 2), (2, 1), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["doc_a", "doc_b"],
+    )
+    labels = {
+        r["node"]: r["lab"] for r in connected_components(edges).collect()
+    }
+    assert labels == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+
+
 def test_jaccard_max_bucket_caps_planted_skew(spark):
     """One stop-shingle shared by ALL docs: uncapped, it alone creates
     O(n²) join rows; capped, it is dropped entirely and only genuine
