@@ -70,6 +70,10 @@ PRIORITY: list[str] = [
     "dedup_clusters",
     "corpus_token_stats",
     "text_normalize",
+    "mm_audio_windows",
+    "cube_type_daily",
+    "win_percent_rank_ntile",
+    "skew_salted_join",
     # r01 driver-green, unchanged; fill remaining window slots.
     "dedup_exact",
     "dedup_minhash_lsh",

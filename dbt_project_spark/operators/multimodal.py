@@ -79,6 +79,54 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "content").mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def audio_windows(
+    df: DataFrame, id_col: str = "doc_id", window: int = 32
+) -> DataFrame:
+    """Windowed amplitude features over a binary 'audio' payload.
+
+    Treats the payload as unsigned 8-bit samples and computes, per
+    fixed-size window: sample count, peak, and amplitude sum — the
+    RMS/VAD-style summarization shape of real audio pipelines, with
+    the codec (resample/decode to PCM) stubbed exactly like
+    decode_image. Vectorized numpy over Arrow batches: one
+    frombuffer + reduceat per payload, no Python-per-sample loop.
+    Integer outputs only, so the oracle compares bit-exactly."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out_rows = []
+            for did, payload in zip(pdf[id_col], pdf["content"]):
+                a = np.frombuffer(payload, dtype=np.uint8)
+                if len(a) == 0:
+                    continue
+                starts = np.arange(0, len(a), window)
+                sums = np.add.reduceat(a.astype(np.int64), starts)
+                peaks = np.maximum.reduceat(a, starts)
+                ns = np.diff(np.append(starts, len(a)))
+                for i in range(len(starts)):
+                    out_rows.append(
+                        {
+                            id_col: did,
+                            "win_idx": i,
+                            "n_samples": int(ns[i]),
+                            "peak": int(peaks[i]),
+                            "amp_sum": int(sums[i]),
+                        }
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=[id_col, "win_idx", "n_samples", "peak", "amp_sum"],
+            )
+
+    return df.select(id_col, "content").mapInPandas(
+        batches,
+        f"{id_col} bigint, win_idx int, n_samples int, peak int, amp_sum bigint",
+    )
+
+
 def frame_sample(df: DataFrame, id_col: str = "doc_id", n_frames: int = 4) -> DataFrame:
     """Deterministic frame sampling stub: emits n_frames rows per
     payload with byte-offset 'frames' — the explode/partition shape of

@@ -506,3 +506,92 @@ def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pct.select(
         "event_type", "p50", "p90", ok.alias("sketch_within_rank_tol")
     )
+
+
+@register(
+    "cube_type_daily",
+    oracle=f"""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           SUM({_V100}) / 100.0 AS total_value
+    FROM events
+    GROUP BY CUBE(event_type, day)
+    """,
+)
+def cube_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all four of (type, day), (type), (day), ():
+    one Expand + single shuffle with partial aggregation, same physical
+    shape as ROLLUP but with the (day)-only subtotal rows added."""
+    return (
+        _events(spark, sf_dir)
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("value100") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "win_percent_rank_ntile",
+    oracle=f"""
+    SELECT event_id, event_type,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY {_V100}, event_id)
+    """,
+)
+def win_percent_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions per event type. The window
+    orders by (value, event_id) — a TOTAL order, which makes ntile's
+    tie-splitting deterministic and identical across engines (ntile
+    over a non-total order is engine-defined on ties)."""
+    w = Window.partitionBy("event_type").orderBy("value100", "event_id")
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@register(
+    "skew_salted_join",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS skew_key,
+             {_V100} AS v100
+      FROM events),
+    dim AS (SELECT skew_key, COUNT(*) AS key_rows FROM keyed GROUP BY skew_key)
+    SELECT k.skew_key, d.key_rows,
+           COUNT(*) AS n,
+           SUM(k.v100) / 100.0 AS total_value
+    FROM keyed k JOIN dim d ON d.skew_key = k.skew_key
+    GROUP BY k.skew_key, d.key_rows
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-skew join through the salted-join operator: ~90% of
+    events collapse onto skew_key 0, the classic straggler shape. The
+    salted path spreads the hot key over n_salts partitions (left side
+    salted by full-row hash, right side exploded to all salts); the
+    oracle is the PLAIN join + aggregate — result equality IS the
+    correctness property of salting. Bench runs this entry to keep the
+    skew path timed at sf scale."""
+    from dbt_project_spark.operators.joins import salted_join
+
+    keyed = _events(spark, sf_dir).select(
+        F.when(F.col("user_id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+        F.col("value100").alias("v100"),
+    )
+    dim = keyed.groupBy("skew_key").agg(F.count(F.lit(1)).alias("key_rows"))
+    joined = salted_join(keyed, dim, "skew_key", n_salts=8)
+    return joined.groupBy("skew_key", "key_rows").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("v100") / F.lit(100.0)).alias("total_value"),
+    )

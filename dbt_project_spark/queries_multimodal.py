@@ -59,3 +59,35 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_blob(load_table(spark, sf_dir, "documents"))
     return frame_sample(docs, n_frames=4)
+
+
+@register(
+    "mm_audio_windows",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+               FROM documents WHERE octet_length(encode(text)) > 0),
+    w AS (SELECT doc_id, text, n,
+                 unnest(range(0, (n + 31) // 32)) AS win_idx FROM d),
+    -- documents are pure ASCII: byte k == ascii(char k)
+    s AS (SELECT doc_id, win_idx,
+                 list_transform(
+                   range(1 + win_idx * 32, 1 + least((win_idx + 1) * 32, n)),
+                   i -> ascii(substr(text, i::INT, 1))) AS bs
+          FROM w)
+    SELECT doc_id,
+           CAST(win_idx AS INT) AS win_idx,
+           CAST(len(bs) AS INT) AS n_samples,
+           CAST(list_max(bs) AS INT) AS peak,
+           CAST(list_sum(bs) AS BIGINT) AS amp_sum
+    FROM s
+    """,
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality stand-in: payload bytes as unsigned 8-bit
+    samples → per-32-sample-window count/peak/amplitude-sum, computed
+    with vectorized numpy over Arrow batches (frombuffer + reduceat —
+    no per-sample Python). Integer outputs, bit-exact oracle."""
+    from dbt_project_spark.operators.multimodal import audio_windows
+
+    docs = attach_blob(load_table(spark, sf_dir, "documents"))
+    return audio_windows(docs, window=32)
