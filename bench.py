@@ -42,6 +42,10 @@ HEADLINE = [
     "dedup_embedding",
     "ann_ivf_topk",
     "approx_distinct_users_daily",
+    "skew_salted_join",
+    "contamination_ngram",
+    "dedup_clusters",
+    "mm_audio_windows",
 ]
 
 

@@ -74,6 +74,8 @@ PRIORITY: list[str] = [
     "cube_type_daily",
     "win_percent_rank_ntile",
     "skew_salted_join",
+    "props_json_stats",
+    "range_join_error_impact",
     # r01 driver-green, unchanged; fill remaining window slots.
     "dedup_exact",
     "dedup_minhash_lsh",

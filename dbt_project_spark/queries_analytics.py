@@ -595,3 +595,76 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum("v100") / F.lit(100.0)).alias("total_value"),
     )
+
+
+@register(
+    "props_json_stats",
+    oracle=f"""
+    WITH k AS (SELECT event_type,
+                      json_extract(props, '$.k')::INT AS k
+               FROM events)
+    SELECT event_type,
+           CAST(k // 10 AS INT) AS k_decile,
+           COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS k_sum
+    FROM k GROUP BY event_type, k_decile
+    """,
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column path: extract a JSON field from `props`
+    (the reference's Kafka payloads are exactly such JSON objects) and
+    aggregate per (event_type, value decile). get_json_object is a
+    codegen JVM expression — the JSON never round-trips to Python; at
+    100 TB prefer from_json with an explicit schema once per pipeline
+    so the parse happens a single time."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        _events(spark, sf_dir)
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type", F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+        )
+    )
+
+
+@register(
+    "range_join_error_impact",
+    oracle=f"""
+    WITH err AS (SELECT event_id AS err_id,
+                        CAST(floor(epoch(ts)) AS BIGINT) AS s
+                 FROM events WHERE event_type = 'error'),
+    pur AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, {_V100} AS v
+            FROM events WHERE event_type = 'purchase')
+    SELECT err_id,
+           COUNT(*) AS n_purchases,
+           SUM(v) / 100.0 AS purchase_value
+    FROM err JOIN pur ON pur.ep >= err.s AND pur.ep <= err.s + 600
+    GROUP BY err_id
+    """,
+)
+def range_join_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval analysis via the bucketed range join: for
+    each error event, purchases in the 10 minutes after it. The time
+    axis is bucketed at the interval width, intervals explode into the
+    1-2 buckets they span, and the join is an EQUI-join on bucket with
+    the exact range predicate applied after — |points| + |intervals|
+    join input instead of the |err| × |purchase| theta join the oracle
+    runs (fine for DuckDB at sf0.01; a cross product at 100 TB)."""
+    from dbt_project_spark.operators.joins import bucketed_range_join
+
+    ev = _events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("epoch").alias("w_start"),
+        (F.col("epoch") + 600).alias("w_end"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("epoch").alias("ep"), F.col("value100").alias("v")
+    )
+    joined = bucketed_range_join(pur, err, "ep", "w_start", "w_end", 600)
+    return joined.groupBy("err_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        (F.sum("v") / F.lit(100.0)).alias("purchase_value"),
+    )

@@ -126,6 +126,14 @@ def test_ivf_assignment_partial_aggregation(spark):
     assert n_windows <= 2, f"{n_windows} Window nodes"  # probe + final top-k
 
 
+def test_range_join_is_equi_bucketed(spark):
+    """The point-in-interval query must plan an equi-join on the time
+    bucket (SMJ/SHJ), never a cartesian/BNL theta join."""
+    plan = _plan(QUERIES["range_join_error_impact"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """day-partitioned layout + day filter → PartitionFilters prune the
     scan to one directory (the incremental-pipeline read path)."""
