@@ -122,10 +122,19 @@ def jaccard_pairs(
 
         ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
-        freq = Window.partitionBy("sg")
-        ex = ex.withColumn("__n", F.count(F.lit(1)).over(freq)).filter(
-            F.col("__n") <= max_bucket
-        ).drop("__n")
+        # Hot-shingle cap as a broadcast anti-join, not a count window:
+        # the groupBy shuffles only per-shingle partial counts (map-side
+        # combine), and the hot list is tiny by construction (≤
+        # |postings|/max_bucket entries, stop-shingles in practice) so
+        # it broadcasts — vs. a window over sg, which would sort the
+        # FULL postings relation.
+        hot = (
+            ex.groupBy("sg")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("sg")
+        )
+        ex = ex.join(F.broadcast(hot), on="sg", how="left_anti")
     a = ex.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "sg")
     b = ex.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "sg")
     pairs = (
