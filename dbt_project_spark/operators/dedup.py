@@ -277,6 +277,10 @@ def connected_components(
     or partition order."""
     from pyspark import StorageLevel
 
+    # Persist the raw edge list BEFORE symmetrizing: the union has two
+    # branches over the same (possibly expensive — e.g. MinHash) edge
+    # pipeline, and Spark does not dedup the subtree.
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -287,6 +291,18 @@ def connected_components(
         .withColumn("lab", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Convergence signal: per-node labels only ever DECREASE (min of a
+    # shrinking set), so the exact sum of labels is strictly monotone
+    # until the fixpoint — an unchanged sum ⇔ no node changed. One
+    # map-side-combined aggregate per round instead of an exceptAll
+    # (which would re-shuffle both label relations). DECIMAL(38,0)
+    # keeps the sum exact at any corpus size.
+    def _sig(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sig = _sig(labels)
     for _ in range(max_iter):
         prop = sym.join(labels, sym.u == labels.node).select(
             F.col("v").alias("node"), "lab"
@@ -297,11 +313,12 @@ def connected_components(
             .agg(F.min("lab").alias("lab"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = new.exceptAll(labels).count()
+        new_sig = _sig(new)
         labels.unpersist()
         labels = new
-        if changed == 0:
+        if new_sig == prev_sig:
             break
+        prev_sig = new_sig
     else:  # pragma: no cover - defensive
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     sym.unpersist()
