@@ -49,3 +49,20 @@ def test_frame_sample_shape(blobs):
 def test_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError, match="codec"):
         decode_image(b"\x89PNG...")
+
+
+def test_audio_windows_shapes_and_empty_payload(spark):
+    from dbt_project_spark.operators.multimodal import audio_windows
+
+    df = spark.createDataFrame(
+        [(1, bytearray(range(70))), (2, bytearray()), (3, bytearray([255]))],
+        "doc_id LONG, content BINARY",
+    )
+    rows = {(r["doc_id"], r["win_idx"]): r for r in audio_windows(df, window=32).collect()}
+    # doc 1: 70 bytes -> windows of 32, 32, 6
+    assert rows[(1, 0)]["n_samples"] == 32 and rows[(1, 0)]["amp_sum"] == sum(range(32))
+    assert rows[(1, 1)]["peak"] == 63
+    assert rows[(1, 2)]["n_samples"] == 6
+    # doc 2 (empty payload) emits nothing; doc 3 is a single sample
+    assert not any(d == 2 for d, _ in rows)
+    assert rows[(3, 0)] ["peak"] == 255 and rows[(3, 0)]["n_samples"] == 1

@@ -76,10 +76,11 @@ def test_jaccard_single_postings_exchange(spark):
     cost (the dominant stage at 100 TB)."""
     plan = _plan(QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE))
     n = _exchanges(plan)
-    # window(sg) + join-side alignment + groupBy(doc_a,doc_b): the
-    # persisted postings make the two join sides reuse one scan; cap
-    # the budget so an extra full-postings shuffle fails the test.
-    assert n <= 4, f"jaccard plan grew to {n} exchanges:\n{plan[:2000]}"
+    # hot-shingle count agg + broadcast of the hot list + join-side
+    # alignment + pair groupBy: the persisted postings make the two
+    # join sides reuse one scan; cap the budget so an extra
+    # full-postings shuffle fails the test.
+    assert n <= 5, f"jaccard plan grew to {n} exchanges:\n{plan[:2000]}"
     assert "InMemoryTableScan" in plan  # persisted postings actually reused
 
 
@@ -152,3 +153,16 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # scan reads 1 of n_days partitions (attr ids vary: day#NN)
     assert "= 2024-01-05)" in plan
     assert n_days > 1
+
+
+def test_corpus_queries_prune_scan_columns(spark):
+    """Corpus family must read only the columns it uses (documents has
+    5 columns; contamination needs 2, token stats needs 4)."""
+    plan = _plan(QUERIES["contamination_ngram"](spark, SF_SMOKE))
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in rs and "text" in rs
+    assert "n_chars" not in rs and "source" not in rs and "lang" not in rs
+
+    plan = _plan(QUERIES["text_normalize"](spark, SF_SMOKE))
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "n_chars" not in rs and "lang" not in rs

@@ -55,3 +55,46 @@ def test_jaccard_pairs_matches_python_model(spark_session_holder, docs_texts, th
     assert set(got) == set(want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def _py_components(edges):
+    """Union-find reference model: node -> min id in its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark_session_holder, edges):
+    from dbt_project_spark.operators.dedup import connected_components
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["node"]: r["lab"] for r in connected_components(df).collect()
+    }
+    assert got == _py_components(edges)
