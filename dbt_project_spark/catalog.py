@@ -76,6 +76,7 @@ PRIORITY: list[str] = [
     "skew_salted_join",
     "props_json_stats",
     "range_join_error_impact",
+    "kmv_user_overlap",
     # r01 driver-green, unchanged; fill remaining window slots.
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -668,3 +668,122 @@ def range_join_error_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         (F.sum("v") / F.lit(100.0)).alias("purchase_value"),
     )
+
+
+KMV_K = 256
+_H = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+
+
+@register(
+    "kmv_user_overlap",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, {_H} AS h
+      FROM events WHERE event_type IN ('purchase', 'error')),
+    ranked AS (SELECT event_type, h,
+                      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM hashed),
+    sk AS (SELECT event_type, h FROM ranked WHERE rn <= {KMV_K}),
+    per_type AS (SELECT event_type, MAX(h) AS theta, COUNT(*) AS n
+                 FROM sk GROUP BY event_type),
+    est_t AS (SELECT event_type,
+                     CASE WHEN n < {KMV_K} THEN n * 1.0
+                          ELSE ROUND(({KMV_K} - 1) * 4294967296.0 / theta, 6)
+                     END AS est
+              FROM per_type),
+    uh AS (SELECT DISTINCT h FROM hashed),
+    ur AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM uh),
+    usk AS (SELECT MAX(h) AS theta, COUNT(*) AS n FROM ur WHERE rn <= {KMV_K}),
+    est_u AS (SELECT CASE WHEN n < {KMV_K} THEN n * 1.0
+                          ELSE ROUND(({KMV_K} - 1) * 4294967296.0 / theta, 6)
+                     END AS est FROM usk),
+    exact AS (
+      SELECT COUNT(*) AS exact_overlap FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'error'))
+    SELECT
+      (SELECT est FROM est_t WHERE event_type = 'purchase') AS est_purchase_users,
+      (SELECT est FROM est_t WHERE event_type = 'error') AS est_error_users,
+      (SELECT est FROM est_u) AS est_union,
+      ROUND((SELECT est FROM est_t WHERE event_type = 'purchase')
+            + (SELECT est FROM est_t WHERE event_type = 'error')
+            - (SELECT est FROM est_u), 6) AS est_overlap,
+      (SELECT exact_overlap FROM exact) AS exact_overlap
+    """,
+)
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch set operations: estimate the
+    purchase∩error user overlap from two 256-value sketches plus
+    inclusion-exclusion over the union sketch, alongside the exact
+    intersection.
+
+    Unlike HLL, KMV composes under set operations, and it is fully
+    DETERMINISTIC here: both engines compute identical md5-derived
+    hashes, so the estimates are bit-equal and go through the exact
+    value-hash gate (no tolerance boolean needed). At 100 TB the
+    sketch is a k-row state per group (a top-k min aggregate with
+    map-side partials); the exact intersect is the full shuffle it
+    replaces."""
+    from dbt_project_spark.functions.expressions import md5_int
+
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .select("event_type", md5_int(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    k = F.lit(KMV_K)
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    per_type = sk.groupBy("event_type").agg(
+        F.max("h").alias("theta"), F.count(F.lit(1)).alias("n")
+    )
+    est_expr = F.when(F.col("n") < k, F.col("n") * F.lit(1.0)).otherwise(
+        F.round((k - 1) * F.lit(4294967296.0) / F.col("theta"), 6)
+    )
+    est = per_type.withColumn("est", est_expr)
+    est_p = est.filter(F.col("event_type") == "purchase").select(
+        F.col("est").alias("est_purchase_users")
+    )
+    est_e = est.filter(F.col("event_type") == "error").select(
+        F.col("est").alias("est_error_users")
+    )
+    ur = (
+        hashed.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= k)
+    )
+    est_u = (
+        ur.agg(F.max("h").alias("theta"), F.count(F.lit(1)).alias("n"))
+        .withColumn("est", est_expr)
+        .select(F.col("est").alias("est_union"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    exact = pur.intersect(err).agg(
+        F.count(F.lit(1)).alias("exact_overlap")
+    )
+    # four 1-row relations — declarative assembly, no driver round-trip
+    return (
+        est_p.crossJoin(est_e)
+        .crossJoin(est_u)
+        .crossJoin(exact)
+        .withColumn(
+            "est_overlap",
+            F.round(
+                F.col("est_purchase_users")
+                + F.col("est_error_users")
+                - F.col("est_union"),
+                6,
+            ),
+        )
+        .select(
+            "est_purchase_users",
+            "est_error_users",
+            "est_union",
+            "est_overlap",
+            "exact_overlap",
+        )
+    )
