@@ -721,10 +721,13 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike HLL, KMV composes under set operations, and it is fully
     DETERMINISTIC here: both engines compute identical md5-derived
     hashes, so the estimates are bit-equal and go through the exact
-    value-hash gate (no tolerance boolean needed). At 100 TB the
-    sketch is a k-row state per group (a top-k min aggregate with
-    map-side partials); the exact intersect is the full shuffle it
-    replaces."""
+    value-hash gate (no tolerance boolean needed). Construction here
+    is a rank window over the distinct user-hash relation (one sort
+    per group — matches the oracle exactly); at 100 TB you would
+    instead keep per-partition k-mins and merge (mapPartitions top-k,
+    k rows per partition crossing the shuffle) and accept that the
+    plain SQL oracle no longer mirrors the physical plan, only the
+    result."""
     from dbt_project_spark.functions.expressions import md5_int
 
     ev = load_table(spark, sf_dir, "events")
