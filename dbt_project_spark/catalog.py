@@ -77,6 +77,7 @@ PRIORITY: list[str] = [
     "props_json_stats",
     "range_join_error_impact",
     "kmv_user_overlap",
+    "session_window_stats",
     # r01 driver-green, unchanged; fill remaining window slots.
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -790,3 +790,57 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_overlap",
         )
     )
+
+
+@register(
+    "session_window_stats",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS t, {_V100} AS v FROM events),
+    g AS (SELECT user_id, t, v,
+                 CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+          FROM e),
+    s AS (SELECT user_id, t, v,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+    agg AS (SELECT user_id, sid,
+                   MIN(t) AS st,
+                   MAX(t) + INTERVAL 30 MINUTE AS en,
+                   COUNT(*) AS n_events,
+                   SUM(v) / 100.0 AS total_value
+            FROM s GROUP BY user_id, sid)
+    SELECT user_id,
+           strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events, total_value
+    FROM agg
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-minute gap) — the
+    same sessions as `sessionization` but through Spark's dedicated
+    session-window aggregation operator (merging-window state, also
+    valid in streaming) instead of the lag/prefix-sum window-function
+    formulation. Spark's rule (verified): an event exactly gap-apart
+    MERGES (new session only when diff > gap); window end = last
+    event + gap. The oracle casts DuckDB's nanosecond timestamps to
+    microseconds to match Spark's timestamp precision before the gap
+    comparison."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value100", F.round(F.col("value") * 100, 0).cast("bigint")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("value100") / F.lit(100.0)).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
