@@ -141,3 +141,41 @@ def test_update_mode_distribution_matches_batch(spark, events, tmp_path):
     assert final.count() == want.count()
     assert final.exceptAll(want).count() == 0
     assert want.exceptAll(final).count() == 0
+
+
+def test_streaming_session_window_matches_batch(spark, events, tmp_path):
+    """F.session_window is a streaming-valid merging-window aggregate.
+    Append mode emits a session only once the watermark passes its
+    end, so with a 0s watermark (single trigger → no late drops) the
+    streamed output must equal exactly the batch sessions that CLOSE
+    before the final watermark (= max event time); each user's
+    still-open tail session stays in state."""
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    raw = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def agg(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", "sw.start", "sw.end", "n_events")
+        )
+
+    q = (
+        agg(raw.withWatermark("ts", "0 seconds"))
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("sessions_stream")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    want = agg(events).filter(F.col("end") <= F.lit(max_ts))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
