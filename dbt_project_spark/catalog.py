@@ -78,6 +78,10 @@ PRIORITY: list[str] = [
     "range_join_error_impact",
     "kmv_user_overlap",
     "session_window_stats",
+    "seq_pack",
+    "span_dedup",
+    "corpus_filter_funnel",
+    "vocab_topk",
     # r01 driver-green, unchanged; fill remaining window slots.
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -133,3 +137,4 @@ def load_all() -> None:
     import dbt_project_spark.queries_analytics  # noqa: F401
     import dbt_project_spark.queries_vectors  # noqa: F401
     import dbt_project_spark.queries_corpus  # noqa: F401
+    import dbt_project_spark.queries_training  # noqa: F401

@@ -1,0 +1,327 @@
+"""Training-data pipeline family (round 2, session 2): the operations
+between a cleaned corpus and a tokenizer run — sequence packing,
+span-level boilerplate dedup, the end-to-end filter funnel, and
+vocabulary heavy hitters.
+
+All four are oracle-exact: integer token math end-to-end, no floats
+except final ROUND()ed ratios computed by one double division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.operators.dedup import tokens_col
+from dbt_project_spark.sources import load_table
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# Context-length budget for sequence packing (tokens per chunk).
+PACK_BUDGET = 512
+# Docs per offset bucket in the two-phase distributed prefix sum.
+PACK_BUCKET = 1024
+# Span length (tokens) for span-level dedup. Production pipelines
+# split on newlines/sentences; the synthetic corpus is single-line
+# word salad, so fixed 3-token spans stand in (measured 19% dup rate
+# at sf0.01 — non-degenerate but not saturated).
+SPAN_N = 3
+# Heavy-hitter cutoff (synthetic vocab is 31 tokens; 20 keeps the
+# rank boundary inside the data).
+VOCAB_K = 20
+
+
+@register(
+    "seq_pack",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    o AS (SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+                     AS token_offset
+          FROM t WHERE n_tokens > 0)
+    SELECT doc_id, n_tokens, token_offset,
+           token_offset // {PACK_BUDGET} AS first_chunk,
+           (token_offset + n_tokens - 1) // {PACK_BUDGET} AS last_chunk,
+           (token_offset + n_tokens - 1) // {PACK_BUDGET}
+               - token_offset // {PACK_BUDGET} + 1 AS n_chunks
+    FROM o
+    """,
+)
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: concatenate the corpus in
+    doc_id order and cut fixed ``PACK_BUDGET``-token chunks (the
+    GPT-style concat-then-chunk packing); emit each doc's global token
+    offset and the chunk span it lands in.
+
+    The global prefix sum is the scale hazard — a naive
+    ``SUM() OVER (ORDER BY doc_id)`` with no partition key pulls the
+    corpus into ONE partition. This implementation is the two-phase
+    distributed version: per-bucket (doc_id div 1024) token subtotals
+    (tiny: corpus/1024 rows) get a driver-side cumsum and broadcast
+    back; the big table then needs only a bucket-partitioned window.
+    Shuffle traffic = one (bucket, n_tokens) pair per doc, never text.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.size(tokens_col("text")).cast("bigint").alias("n_tokens")
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET}"))
+    )
+    # Phase 1: tiny per-bucket subtotals; cumsum over buckets is a
+    # window over corpus/1024 rows (fine to single-partition).
+    bucket_offsets = (
+        docs.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn(
+            "bucket_offset",
+            F.sum("bucket_tokens").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("bucket", F.coalesce("bucket_offset", F.lit(0)).alias("bucket_offset"))
+    )
+    # Phase 2: bucket-partitioned running sum + broadcast bucket base.
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        docs.join(F.broadcast(bucket_offsets), on="bucket")
+        .withColumn(
+            "token_offset",
+            (F.col("bucket_offset") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+            .cast("bigint"),
+        )
+    )
+    b = PACK_BUDGET
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "token_offset",
+        F.expr(f"token_offset div {b}").alias("first_chunk"),
+        F.expr(f"(token_offset + n_tokens - 1) div {b}").alias("last_chunk"),
+        F.expr(
+            f"(token_offset + n_tokens - 1) div {b} - token_offset div {b} + 1"
+        ).alias("n_chunks"),
+    )
+
+
+def _span_sql(n: int) -> str:
+    """DuckDB: non-overlapping n-token spans of token list toks."""
+    return (
+        f"list_transform(range(0, CAST(ceil(len(toks)/{n}.0) AS BIGINT)),"
+        f" i -> array_to_string(toks[i*{n}+1 : i*{n}+{n}], ' '))"
+    )
+
+
+@register(
+    "span_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 unnest(range(0, CAST(ceil(len(toks)/{SPAN_N}.0) AS BIGINT))) AS si,
+                 unnest({_span_sql(SPAN_N)}) AS sp
+          FROM t WHERE len(toks) > 0),
+    k AS (SELECT doc_id, doc_id*100000 + si AS okey,
+                 MIN(doc_id*100000 + si) OVER (PARTITION BY md5(sp)) AS first_key
+          FROM s)
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN okey > first_key THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           ROUND(SUM(CASE WHEN okey > first_key THEN 1 ELSE 0 END)
+                 / (COUNT(*) * 1.0), 6) AS dup_frac
+    FROM k GROUP BY doc_id
+    """,
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (paragraph-level) exact dedup across the corpus:
+    split every doc into fixed token spans, mark each span instance a
+    duplicate unless it is the globally-first occurrence (min
+    (doc_id, span_idx)), report per-doc dup fraction — the boilerplate
+    measurement pass of a crawl pipeline.
+
+    Scale shape: spans never leave their executor as text — the
+    global first-occurrence resolution groups on md5(span) (16-byte
+    shuffle keys) + an 8-byte order key, then broadcast-joins nothing:
+    the min-key table is joined back on the same md5 hash partitioning
+    (one shuffle, reused by Catalyst on both sides of the self-join).
+    """
+    spans = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", tokens_col("text"))
+        .filter(F.size("toks") > 0)
+        .withColumn(
+            "sp_arr",
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(toks)/{SPAN_N}.0) AS INT) - 1),"
+                f" i -> array_join(slice(toks, i*{SPAN_N}+1, {SPAN_N}), ' '))"
+            ),
+        )
+        .select("doc_id", F.posexplode("sp_arr").alias("si", "sp"))
+        .select(
+            "doc_id",
+            (F.col("doc_id") * 100000 + F.col("si")).alias("okey"),
+            F.md5("sp").alias("h"),
+        )
+    )
+    firsts = spans.groupBy("h").agg(F.min("okey").alias("first_key"))
+    return (
+        spans.join(firsts, on="h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("okey") > F.col("first_key")).cast("bigint")).alias(
+                "n_dup_spans"
+            ),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_spans") / (F.col("n_spans") * F.lit(1.0)), 6),
+        )
+    )
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    f AS (SELECT doc_id, text,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+                 CAST(len(list_filter(toks, x -> x IN
+                     ('the','a','of','and','to'))) AS BIGINT) AS n_stop
+          FROM t),
+    s AS (SELECT doc_id, text,
+                 (n_tokens BETWEEN 20 AND 10000) AS k1,
+                 (n_tokens > 0 AND n_stop / n_tokens < 0.5
+                  AND n_unique / n_tokens > 0.2) AS k2
+          FROM f),
+    surv AS (SELECT doc_id, text FROM s WHERE k1 AND k2),
+    dd AS (SELECT doc_id,
+                  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+           FROM surv),
+    c AS (SELECT (SELECT COUNT(*) FROM s) AS n_total,
+                 (SELECT COUNT(*) FROM s WHERE k1) AS n_k1,
+                 (SELECT COUNT(*) FROM surv) AS n_k12,
+                 (SELECT COUNT(*) FROM dd WHERE doc_id = keeper) AS n_k123)
+    SELECT 'token_length' AS stage, n_total AS n_in,
+           n_total - n_k1 AS n_dropped, n_k1 AS n_out FROM c
+    UNION ALL
+    SELECT 'quality', n_k1, n_k1 - n_k12, n_k12 FROM c
+    UNION ALL
+    SELECT 'exact_dedup', n_k12, n_k12 - n_k123, n_k123 FROM c
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus filter funnel: token-length gate →
+    quality gate (stopword + uniqueness ratios) → exact dedup among
+    survivors, reported as per-stage in/dropped/out counts — the
+    yield dashboard every training-data pipeline publishes.
+
+    Sequential semantics matter: dedup keeps the min doc_id among
+    docs that SURVIVED the earlier stages (dropping a low-quality
+    copy must not delete the text from the corpus). One scan computes
+    both stage flags (conditional aggregation, map-side partials);
+    only stage-1/2 survivors shuffle — on md5(text), never raw text
+    order keys — for the dedup count.
+    """
+    stop_list = "('the','a','of','and','to')"
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", tokens_col("text"))
+        .select(
+            "doc_id",
+            "text",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("bigint").alias("n_unique"),
+            F.expr(f"CAST(size(filter(toks, x -> x IN {stop_list})) AS BIGINT)").alias(
+                "n_stop"
+            ),
+        )
+        .withColumn("k1", F.col("n_tokens").between(20, 10000))
+        .withColumn(
+            "k2",
+            (F.col("n_tokens") > 0)
+            & (F.col("n_stop") / F.col("n_tokens") < 0.5)
+            & (F.col("n_unique") / F.col("n_tokens") > 0.2),
+        )
+    )
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("k1").cast("bigint")).alias("n_k1"),
+        F.sum((F.col("k1") & F.col("k2")).cast("bigint")).alias("n_k12"),
+    )
+    surv = d.filter(F.col("k1") & F.col("k2")).select("doc_id", F.md5("text").alias("h"))
+    kept = (
+        surv.groupBy("h")
+        .agg(F.min("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_k123"))
+    )
+    stages = base.crossJoin(kept).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("token_length").alias("stage"),
+                    F.col("n_total").alias("n_in"),
+                    (F.col("n_total") - F.col("n_k1")).alias("n_dropped"),
+                    F.col("n_k1").alias("n_out"),
+                ),
+                F.struct(
+                    F.lit("quality").alias("stage"),
+                    F.col("n_k1").alias("n_in"),
+                    (F.col("n_k1") - F.col("n_k12")).alias("n_dropped"),
+                    F.col("n_k12").alias("n_out"),
+                ),
+                F.struct(
+                    F.lit("exact_dedup").alias("stage"),
+                    F.col("n_k12").alias("n_in"),
+                    (F.col("n_k12") - F.col("n_k123")).alias("n_dropped"),
+                    F.col("n_k123").alias("n_out"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select("s.stage", "s.n_in", "s.n_dropped", "s.n_out")
+
+
+@register(
+    "vocab_topk",
+    oracle=f"""
+    WITH ex AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    g AS (SELECT token, COUNT(*) AS freq FROM ex GROUP BY token),
+    r AS (SELECT token, freq,
+                 ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+          FROM g)
+    SELECT CAST(rank AS INT) AS rank, token, freq
+    FROM r WHERE rank <= {VOCAB_K}
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: global token frequencies,
+    deterministic top-K (freq desc, token asc tie-break) — the
+    tokenizer-training / stopword-discovery primitive.
+
+    Scale shape: explode → hash-aggregate gets map-side partial
+    counts (vocab-sized partials per task, not corpus-sized), then
+    ``orderBy().limit(K)`` compiles to TakeOrderedAndProject — each
+    partition keeps only its local top-K and the driver merges K-item
+    heaps. No global sort, no single-partition window over the vocab:
+    the row_number runs on the K surviving rows only.
+    """
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    topk = g.orderBy(F.desc("freq"), F.asc("token")).limit(VOCAB_K)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"), "token", "freq"
+    )
