@@ -82,6 +82,9 @@ PRIORITY: list[str] = [
     "span_dedup",
     "corpus_filter_funnel",
     "vocab_topk",
+    "ohlc_resample",
+    "twa_by_type_day",
+    "win_time_range_avg",
     # r01 driver-green, unchanged; fill remaining window slots.
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -138,3 +141,4 @@ def load_all() -> None:
     import dbt_project_spark.queries_vectors  # noqa: F401
     import dbt_project_spark.queries_corpus  # noqa: F401
     import dbt_project_spark.queries_training  # noqa: F401
+    import dbt_project_spark.queries_timeseries  # noqa: F401

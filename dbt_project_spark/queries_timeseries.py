@@ -1,0 +1,179 @@
+"""Time-series family over `events` (round 2, session 2): OHLC
+downsampling, duration-weighted averages, and time-RANGE trailing
+windows — the resample/rollup primitives of a metrics store.
+
+Determinism notes: `value` carries exactly 2 decimals, so all sums
+run in ×100 fixed point (`CAST(round(value*100, 0) AS BIGINT)`) with
+one final double division. Row identity inside a window is ordered by
+(ts, event_id); the oracle encodes that composite as a zero-padded
+string key because DuckDB's arg_min/arg_max take no struct ordering
+(Spark's min_by/max_by order structs natively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.sources import load_table
+
+_V100 = "CAST(round(value * 100, 0) AS BIGINT)"
+# Zero-padded lexicographic == (ts, event_id) numeric order.
+_OKEY = (
+    "strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H%M%S%f')"
+    " || lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+OHLC_BUCKET_S = 900  # 15-minute bars
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn(
+        "value100", F.round(F.col("value") * 100, 0).cast("bigint")
+    )
+
+
+@register(
+    "ohlc_resample",
+    oracle=f"""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))/{OHLC_BUCKET_S})
+                           * {OHLC_BUCKET_S} AS BIGINT) AS bar_epoch,
+                      {_V100} AS v100, {_OKEY} AS okey
+               FROM events)
+    SELECT event_type, bar_epoch,
+           arg_min(v100, okey) / 100.0 AS open,
+           MAX(v100) / 100.0 AS high,
+           MIN(v100) / 100.0 AS low,
+           arg_max(v100, okey) / 100.0 AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(v100) AS BIGINT) / 100.0 AS total_value
+    FROM e GROUP BY event_type, bar_epoch
+    """,
+)
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling: per (event_type, 15-min bar) the first /
+    max / min / last value plus volume — the classic metrics-store
+    resample.
+
+    Scale shape: ONE hash aggregation. open/close use min_by/max_by
+    over a (ts, event_id) struct — unlike a row_number window, these
+    get map-side partial aggregation (each task keeps one candidate
+    row per (type, bar) before the shuffle), so shuffle volume is
+    bars×types, independent of event count.
+    """
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / OHLC_BUCKET_S) * OHLC_BUCKET_S)
+        .cast("bigint")
+        .alias("bar_epoch"),
+        "value100",
+        F.struct(F.col("ts"), F.col("event_id")).alias("okey"),
+    )
+    return e.groupBy("event_type", "bar_epoch").agg(
+        (F.min_by("value100", "okey") / 100.0).alias("open"),
+        (F.max("value100") / 100.0).alias("high"),
+        (F.min("value100") / 100.0).alias("low"),
+        (F.max_by("value100", "okey") / 100.0).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("value100") / 100.0).alias("total_value"),
+    )
+
+
+@register(
+    "twa_by_type_day",
+    oracle=f"""
+    WITH e AS (SELECT event_type,
+                      CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS eu,
+                      {_V100} AS v100, {_OKEY} AS okey
+               FROM events),
+    w AS (SELECT event_type, day, v100,
+                 lead(eu) OVER (PARTITION BY event_type, day ORDER BY okey)
+                     - eu AS dur_us
+          FROM e)
+    SELECT event_type, day,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(v100 * dur_us) AS BIGINT)
+               / (100.0 * CAST(SUM(dur_us) AS BIGINT)) AS twa_value
+    FROM w WHERE dur_us IS NOT NULL
+    GROUP BY event_type, day
+    """,
+)
+def twa_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day): each sample
+    holds until the next one, so it is weighted by its duration —
+    the correct average for irregularly-sampled gauges (a plain AVG
+    over-weights bursts). The day's last sample has no successor and
+    contributes no interval.
+
+    Scale shape: the lead() window partitions by (type, day) — state
+    per window is one row, and the partition key is bounded (types ×
+    days), so no executor ever holds more than a day of one type.
+    All math is exact int64 (µs durations × fixed-point values); the
+    single double division happens after both sums close.
+    """
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("eu"),
+        "value100",
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    d = e.withColumn("dur_us", F.lead("eu").over(w) - F.col("eu")).filter(
+        F.col("dur_us").isNotNull()
+    )
+    return d.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        (
+            F.sum(F.col("value100") * F.col("dur_us")).cast("bigint")
+            / (F.lit(100.0) * F.sum("dur_us").cast("bigint"))
+        ).alias("twa_value"),
+    )
+
+
+@register(
+    "win_time_range_avg",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS eu,
+                      {_V100} AS v100
+               FROM events)
+    SELECT event_id,
+           CAST(COUNT(*) OVER tw AS BIGINT) AS n_in_window,
+           CAST(SUM(v100) OVER tw AS BIGINT)
+               / (100.0 * COUNT(*) OVER tw) AS avg_10min
+    FROM e
+    WINDOW tw AS (PARTITION BY user_id ORDER BY eu
+                  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 10-minute average of the user's values — a
+    time-RANGE frame (value-based, in µs), not a row-count frame: the
+    window widens and narrows with event density, which ROWS BETWEEN
+    cannot express.
+
+    Tie semantics make this deterministic without a tie-break column:
+    a RANGE frame includes ALL peers of the current order key, so
+    events sharing a timestamp see identical frames in both engines.
+    Partitioned by user_id — bounded state per user, no global sort.
+    """
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("eu"), "value100"
+    )
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("eu")
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.count(F.lit(1)).over(tw).cast("bigint").alias("n_in_window"),
+        (
+            F.sum("value100").over(tw).cast("bigint")
+            / (F.lit(100.0) * F.count(F.lit(1)).over(tw))
+        ).alias("avg_10min"),
+    )
