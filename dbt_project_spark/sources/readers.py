@@ -87,3 +87,51 @@ def read_jdbc(
             f"JDBC source unavailable (driver {driver} jar + reachable DB "
             f"required; url={url}): {e}"
         ) from e
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC reader — same columnar pushdown/pruning story as parquet
+    (predicate pushdown, column projection, split-parallel scans);
+    included so warehouses standardized on ORC can swap formats
+    without touching query code."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    """ORC writer (optionally hive-partitioned, like the parquet sink)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(
+            *([partition_by] if isinstance(partition_by, str) else partition_by)
+        )
+    writer.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """Raw text reader: one row per line (or per file) in a `value`
+    column — the ingestion path for crawl dumps before any parsing.
+    Line mode splits by file block, so a single huge file still fans
+    out across executors."""
+    return spark.read.text(path, wholetext=whole_file)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """binaryFile reader: (path, modificationTime, length, content)
+    per file — the multimodal ingest path (images/audio land as
+    opaque `content` bytes + metadata, then flow into the
+    mapInPandas feature extractors in operators/multimodal.py).
+
+    Scale note: each file becomes one row read by one task; the
+    format is for many-small-object corpora (it refuses files >
+    spark.sql.sources.binaryFile.maxLength, default 2^31-1). Column
+    pruning applies — selecting only `path`/`length` never reads
+    file bytes."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

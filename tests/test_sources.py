@@ -59,3 +59,46 @@ def test_csv_reader_kafka_message_shape(spark, tmp_path):
     df = read_csv(spark, str(p))
     assert df.count() == 2
     assert "Page Views" in df.columns
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from dbt_project_spark.sources.readers import read_orc, write_orc
+
+    df = spark.range(0, 100).selectExpr(
+        "id", "id % 7 AS grp", "CAST(id * 1.5 AS DOUBLE) AS v"
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path, partition_by="grp")
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    assert {r[0] for r in back.select("grp").distinct().collect()} == set(range(7))
+    # partition pruning: the grp filter is a hive-partition predicate
+    filtered = back.filter("grp = 3")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert filtered.count() == 14  # ids ≡ 3 (mod 7) in [0, 100)
+
+
+def test_text_reader_line_and_whole(spark, tmp_path):
+    from dbt_project_spark.sources.readers import read_text
+
+    p = tmp_path / "docs.txt"
+    p.write_text("line one\nline two\nline three\n")
+    lines = read_text(spark, str(p))
+    assert lines.count() == 3
+    whole = read_text(spark, str(p), whole_file=True)
+    assert whole.count() == 1
+    assert "line two" in whole.collect()[0][0]
+
+
+def test_binary_file_reader(spark, tmp_path):
+    from dbt_project_spark.sources.readers import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02\x03")
+    (tmp_path / "b.bin").write_bytes(b"\xff" * 10)
+    (tmp_path / "skip.txt").write_text("not binary payload")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r["path"].split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert rows["a.bin"]["length"] == 4
+    assert bytes(rows["b.bin"]["content"]) == b"\xff" * 10
