@@ -166,3 +166,55 @@ def test_corpus_queries_prune_scan_columns(spark):
     plan = _plan(QUERIES["text_normalize"](spark, SF_SMOKE))
     rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "n_chars" not in rs and "lang" not in rs
+
+
+def test_seq_pack_two_phase_prefix_sum(spark):
+    """seq_pack's distributed prefix sum: the corpus-sized side only
+    ever sees a BUCKET-partitioned window; the unpartitioned cumsum
+    runs on the tiny per-bucket subtotals, which reach the big side
+    via broadcast — never a global sort of the corpus."""
+    import re
+
+    plan = _plan(QUERIES["seq_pack"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    windows = re.findall(r"\(\d+\) Window\b", plan)
+    assert len(windows) == 2
+    # the big-side window is partitioned by bucket (no empty
+    # partition spec touching the docs scan side)
+    assert "windowspecdefinition(bucket" in plan
+
+
+def test_ohlc_partial_min_by(spark):
+    """OHLC open/close must stay one aggregation with map-side
+    partials (partial_min_by/partial_max_by), not a row_number
+    window: shuffle volume is bars×types, not events."""
+    plan = _plan(QUERIES["ohlc_resample"](spark, SF_SMOKE))
+    assert "partial_min_by" in plan
+    assert "partial_max_by" in plan
+    assert plan.count("ShuffleExchange") // 2 <= 1 or _exchanges(plan) <= 1
+    assert "Window" not in plan
+
+
+def test_vocab_topk_take_ordered(spark):
+    """Top-K compiles to TakeOrderedAndProject (per-partition heaps),
+    never a global Sort of the vocabulary."""
+    plan = _plan(QUERIES["vocab_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_time_window_queries_single_exchange(spark):
+    """twa + RANGE-frame queries: one hash exchange each (the window
+    partition key), nothing else."""
+    for name in ("twa_by_type_day", "win_time_range_avg"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert _exchanges(plan) == 1, name
+
+
+def test_span_dedup_no_cartesian_bounded_exchanges(spark):
+    """span_dedup: md5-keyed first-occurrence resolution joins back
+    without a cartesian product; exchange budget stays at the two
+    grouping shuffles (h, doc_id) + at most a broadcast."""
+    plan = _plan(QUERIES["span_dedup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert _exchanges(plan) <= 3
