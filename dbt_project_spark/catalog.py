@@ -85,6 +85,8 @@ PRIORITY: list[str] = [
     "ohlc_resample",
     "twa_by_type_day",
     "win_time_range_avg",
+    "corpus_shard_shuffle",
+    "corpus_mix_sample",
     # r01 driver-green, unchanged; fill remaining window slots.
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -325,3 +325,136 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         F.row_number().over(w).cast("int").alias("rank"), "token", "freq"
     )
+
+
+N_SHARDS = 8  # test scale; production uses thousands of shards
+
+
+@register(
+    "corpus_shard_shuffle",
+    oracle=f"""
+    WITH h AS (SELECT doc_id,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          AS hkey
+               FROM documents),
+    s AS (SELECT doc_id, hkey, hkey % {N_SHARDS} AS shard FROM h)
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training readers:
+    every doc hashes to a shard, and its position within the shard is
+    its hash order — a reproducible random permutation with no RNG
+    state, stable under re-partitioning and retries (the reason
+    training pipelines shuffle by content hash, not by rand()).
+
+    Scale shape: one shuffle on the shard key; the per-shard
+    row_number is the write order of that shard file. N_SHARDS scales
+    to thousands so each window partition stays file-sized — there is
+    never a global sort over the corpus.
+    """
+    from dbt_project_spark.functions.expressions import md5_int
+
+    h = load_table(spark, sf_dir, "documents").select(
+        "doc_id", md5_int(F.col("doc_id").cast("string")).alias("hkey")
+    )
+    s = h.withColumn("shard", (F.col("hkey") % N_SHARDS).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return s.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
+MIX_BUDGET_TOKENS = 20_000  # target token budget for the mixed corpus
+
+
+@register(
+    "corpus_mix_sample",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, text,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    avail AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+              FROM t GROUP BY source),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM avail),
+    plan AS (SELECT a.source, a.avail_tokens,
+                    CAST({MIX_BUDGET_TOKENS} // n_sources AS BIGINT) AS target_tokens,
+                    CASE WHEN a.avail_tokens = 0 THEN 0
+                         WHEN {MIX_BUDGET_TOKENS} // n_sources >= a.avail_tokens
+                             THEN 10000
+                         ELSE ({MIX_BUDGET_TOKENS} // n_sources) * 10000
+                              // a.avail_tokens
+                    END AS keep_thr
+             FROM avail a CROSS JOIN tot),
+    kept AS (SELECT t.source,
+                    COUNT(*) AS n_docs_kept,
+                    CAST(SUM(t.n_tokens) AS BIGINT) AS kept_tokens
+             FROM t JOIN plan p ON p.source = t.source
+             WHERE ('0x' || substr(md5(t.text), 1, 8))::BIGINT % 10000
+                   < p.keep_thr
+             GROUP BY t.source)
+    SELECT p.source, p.avail_tokens, p.target_tokens,
+           COALESCE(k.n_docs_kept, 0) AS n_docs_kept,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens
+    FROM plan p LEFT JOIN kept k ON k.source = p.source
+    """,
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing subsample: split a global token budget equally
+    across sources, convert each source's allocation into a
+    deterministic hash-threshold keep rate (md5(text) % 10000 <
+    target/avail × 10000), and report what the sample actually
+    delivers — the executable form of a training-mix plan.
+
+    Scale shape: the per-source allocation table is sources-sized →
+    broadcast back onto the corpus; the corpus itself is scanned once
+    and filtered by a pure hash predicate (no RNG, reproducible on
+    retries). Integer arithmetic end-to-end so the oracle matches
+    bit-for-bit.
+    """
+    from dbt_project_spark.functions.expressions import md5_int
+
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("n_tokens", F.size(tokens_col("text")).cast("bigint"))
+        .select("doc_id", "source", "text", "n_tokens")
+    )
+    avail = t.groupBy("source").agg(F.sum("n_tokens").alias("avail_tokens"))
+    n_sources = avail.agg(F.count(F.lit(1)).alias("n_sources"))
+    per = MIX_BUDGET_TOKENS
+    plan = (
+        avail.crossJoin(F.broadcast(n_sources))
+        .withColumn("target_tokens", F.expr(f"{per} div n_sources").cast("bigint"))
+        .withColumn(
+            "keep_thr",
+            F.when(F.col("avail_tokens") == 0, F.lit(0))
+            .when(F.col("target_tokens") >= F.col("avail_tokens"), F.lit(10000))
+            .otherwise(
+                F.expr("(target_tokens * 10000) div avail_tokens")
+            )
+            .cast("bigint"),
+        )
+        .select("source", "avail_tokens", "target_tokens", "keep_thr")
+    )
+    kept = (
+        t.join(F.broadcast(plan), on="source")
+        .filter(md5_int("text") % 10000 < F.col("keep_thr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+    )
+    return (
+        plan.join(kept, on="source", how="left")
+        .select(
+            "source",
+            "avail_tokens",
+            "target_tokens",
+            F.coalesce("n_docs_kept", F.lit(0)).cast("bigint").alias("n_docs_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        )
+    )
