@@ -87,6 +87,10 @@ PRIORITY: list[str] = [
     "win_time_range_avg",
     "corpus_shard_shuffle",
     "corpus_mix_sample",
+    "funnel_conversion",
+    "cohort_retention",
+    "scd2_user_tier",
+    "event_transitions",
     # r01 driver-green, unchanged; fill remaining window slots.
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -144,3 +148,4 @@ def load_all() -> None:
     import dbt_project_spark.queries_corpus  # noqa: F401
     import dbt_project_spark.queries_training  # noqa: F401
     import dbt_project_spark.queries_timeseries  # noqa: F401
+    import dbt_project_spark.queries_product  # noqa: F401

@@ -1,0 +1,282 @@
+"""Product-analytics family over `events`: ordered conversion funnel,
+cohort retention, SCD type-2 attribute history, and an event-transition
+matrix. These are the queries a product/growth warehouse runs daily —
+the reference's web-traffic suite (batch_stream.sql) stops at windowed
+counts; this family adds the user-journey layer on top of the same
+events stream.
+
+Determinism: all stage logic is integer (epoch seconds / epoch days /
+value100 fixed-point); every percentage is integer basis points with a
+single final double division; every window has a total order.
+
+Scale shapes (100 TB events):
+- funnel: three monotonically-shrinking per-user aggregates; each stage
+  joins on user_id (one hash partitioning reused), and stage outputs
+  are users-sized, not events-sized.
+- cohort: (user, day) distinct collapses events 60×+ before the
+  cohort-offset shuffle; output is cohorts×weeks — tiny.
+- scd2: one user_id-partitioned window pass (the sessionization
+  pattern: change-flag + prefix-sum islands), then a users×islands agg.
+- transitions: one lead() pass per user partition, then a 25-cell agg;
+  the pct window runs over the 25-row aggregate, not the events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.sources import load_table
+
+_EP = "CAST(floor(epoch(ts)) AS BIGINT)"
+_V100 = "CAST(round(value * 100, 0) AS BIGINT)"
+
+# SCD2 daily-spend tiers on the value100 scale (sf0.01 user-day
+# terciles ~5.8k / ~13.9k — thresholds keep all three tiers populated).
+TIER_LOW_MAX = 6_000
+TIER_MID_MAX = 14_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("epoch", F.unix_timestamp("ts"))
+        .withColumn("value100", F.round(F.col("value") * 100, 0).cast("bigint"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle=f"""
+    WITH v AS (SELECT user_id, MIN({_EP}) AS t1
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN({_EP}) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND {_EP} > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN({_EP}) AS t3
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND {_EP} > c.t2
+          GROUP BY e.user_id),
+    stages AS (
+      SELECT '1_view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+      UNION ALL SELECT '2_click', (SELECT COUNT(*) FROM c)
+      UNION ALL SELECT '3_purchase', (SELECT COUNT(*) FROM p))
+    SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users * 10000 // (SELECT n_users FROM stages
+                                    WHERE stage = '1_view') AS BIGINT)
+               / 100.0 AS pct_of_top
+    FROM stages
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    for stage N only with an event strictly after their stage-N-1
+    entry time (min-epoch semantics, ties-at-same-second excluded
+    identically in both engines).
+
+    Each stage is a per-user min over a filtered scan joined to the
+    previous (smaller) stage — user-keyed shuffles over
+    monotonically-shrinking inputs; the final counts are 3 scalars.
+    """
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("epoch") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("epoch") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t3"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("1_view").alias("stage"), "n_users")
+        .unionByName(c.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("2_click").alias("stage"), "n_users"))
+        .unionByName(p.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("3_purchase").alias("stage"), "n_users"))
+    )
+    top = stages.filter(F.col("stage") == "1_view").select(
+        F.col("n_users").alias("top_users")
+    )
+    return stages.crossJoin(F.broadcast(top)).select(
+        "stage",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        (F.expr("n_users * 10000 div top_users").cast("bigint") / F.lit(100.0)).alias(
+            "pct_of_top"
+        ),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT user_id, {_EP} // 86400 AS ed FROM events),
+    f AS (SELECT user_id, MIN(ed) AS cohort_ed FROM a GROUP BY user_id)
+    SELECT strftime(to_timestamp(f.cohort_ed * 86400), '%Y-%m-%d') AS cohort_day,
+           CAST((a.ed - f.cohort_ed) // 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted as
+    retained in each 7-day offset bucket they appear in.
+
+    The (user, day) distinct collapses the events table by ~events-per-
+    user-day before anything else moves; first-day is a per-user min on
+    that collapsed set, and the output is cohorts × weeks. The
+    expensive exact COUNT(DISTINCT user) runs on day-level rows, not
+    raw events.
+    """
+    ev = _events(spark, sf_dir)
+    a = ev.select(
+        "user_id", F.expr("epoch div 86400").cast("bigint").alias("ed")
+    ).distinct()
+    f = a.groupBy("user_id").agg(F.min("ed").alias("cohort_ed"))
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            F.date_format(
+                F.timestamp_seconds(F.col("cohort_ed") * 86400), "yyyy-MM-dd"
+            ).alias("cohort_day"),
+            F.expr("(ed - cohort_ed) div 7").cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "scd2_user_tier",
+    oracle=f"""
+    WITH d AS (SELECT user_id, {_EP} // 86400 AS ed,
+                      SUM({_V100}) AS v100
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT user_id, ed,
+                 CASE WHEN v100 < {TIER_LOW_MAX} THEN 'Low'
+                      WHEN v100 < {TIER_MID_MAX} THEN 'Mid'
+                      ELSE 'High' END AS tier
+          FROM d),
+    g AS (SELECT user_id, ed, tier,
+                 CASE WHEN tier = LAG(tier) OVER w THEN 0 ELSE 1 END AS chg
+          FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ed)),
+    i AS (SELECT user_id, ed, tier,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ed
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM g)
+    SELECT user_id, tier,
+           strftime(to_timestamp(MIN(ed) * 86400), '%Y-%m-%d') AS valid_from,
+           strftime(to_timestamp(MAX(ed) * 86400), '%Y-%m-%d') AS valid_to,
+           COUNT(*) AS n_days,
+           CAST(island AS BIGINT) AS version
+    FROM i GROUP BY user_id, tier, island
+    """,
+)
+def scd2_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: per-user daily spend tier
+    (Low/Mid/High on fixed-point daily totals), consecutive same-tier
+    runs collapsed into validity intervals [valid_from, valid_to] with
+    a version counter — the slowly-changing-dimension merge a
+    warehouse would maintain incrementally, derived here in one pass.
+
+    Change-flag + prefix-sum islands reuse a single user_id
+    partitioning (one exchange, two window passes over it); the
+    groupBy collapses to users × islands.
+    """
+    ev = _events(spark, sf_dir)
+    d = (
+        ev.groupBy(
+            "user_id", F.expr("epoch div 86400").cast("bigint").alias("ed")
+        ).agg(F.sum("value100").alias("v100"))
+    )
+    t = d.withColumn(
+        "tier",
+        F.when(F.col("v100") < TIER_LOW_MAX, "Low")
+        .when(F.col("v100") < TIER_MID_MAX, "Mid")
+        .otherwise("High"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ed")
+    g = t.withColumn(
+        "chg",
+        F.when(F.col("tier") == F.lag("tier").over(w), 0).otherwise(1),
+    )
+    wi = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    i = g.withColumn("island", F.sum("chg").over(wi))
+    return i.groupBy("user_id", "tier", "island").agg(
+        F.date_format(
+            F.timestamp_seconds(F.min("ed") * 86400), "yyyy-MM-dd"
+        ).alias("valid_from"),
+        F.date_format(
+            F.timestamp_seconds(F.max("ed") * 86400), "yyyy-MM-dd"
+        ).alias("valid_to"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).select(
+        "user_id",
+        "tier",
+        "valid_from",
+        "valid_to",
+        "n_days",
+        F.col("island").cast("bigint").alias("version"),
+    )
+
+
+@register(
+    "event_transitions",
+    oracle=f"""
+    WITH s AS (SELECT user_id, event_type,
+                      LEAD(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY {_EP}, event_id)
+                          AS next_type
+               FROM events),
+    c AS (SELECT event_type AS from_type, next_type AS to_type,
+                 COUNT(*) AS n
+          FROM s WHERE next_type IS NOT NULL
+          GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) / 100.0 AS pct
+    FROM c
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (Markov counts): per-user
+    lead() pairs, counted into a types×types grid with a
+    row-normalized percentage.
+
+    One user-partitioned window pass over events; the normalizing
+    window runs over the 25-row aggregate. At 100 TB the only
+    events-sized shuffle is the lead() partitioning.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    s = ev.withColumn("next_type", F.lead("event_type").over(w))
+    c = (
+        s.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = Window.partitionBy("from_type")
+    return (
+        c.withColumn("total", F.sum("n").over(wn))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.expr("n * 10000 div total").cast("bigint") / F.lit(100.0)).alias(
+                "pct"
+            ),
+        )
+    )

@@ -218,3 +218,33 @@ def test_span_dedup_no_cartesian_bounded_exchanges(spark):
     assert "CartesianProduct" not in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
     assert _exchanges(plan) <= 3
+
+
+def test_scd2_windows_share_one_partitioning(spark):
+    """scd2_user_tier: change-flag lag() and island prefix-sum run over
+    the same user_id partitioning — Catalyst plans ONE sort for both
+    Window nodes; total exchange budget is the daily agg + the window
+    key + the island agg."""
+    import re
+
+    plan = _plan(QUERIES["scd2_user_tier"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
+    assert _exchanges(plan) <= 3
+
+
+def test_event_transitions_window_over_aggregate(spark):
+    """event_transitions: the normalizing pct window must run over the
+    types×types aggregate, not over raw events — the plan has exactly
+    one events-sized shuffle (lead partitioning) plus the tiny agg."""
+    plan = _plan(QUERIES["event_transitions"](spark, SF_SMOKE))
+    assert _exchanges(plan) <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_stage_joins_are_keyed(spark):
+    """funnel_conversion: every stage join is an equi-join on user_id
+    (no cartesian anywhere despite the final scalar cross join, which
+    is broadcast-1-row)."""
+    plan = _plan(QUERIES["funnel_conversion"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
