@@ -89,6 +89,8 @@ PRIORITY: list[str] = [
     "corpus_mix_sample",
     "funnel_conversion",
     "cohort_retention",
+    "triangle_count",
+    "pagerank_trade",
     "scd2_user_tier",
     "event_transitions",
     # r01 driver-green, unchanged; fill remaining window slots.
@@ -149,3 +151,4 @@ def load_all() -> None:
     import dbt_project_spark.queries_training  # noqa: F401
     import dbt_project_spark.queries_timeseries  # noqa: F401
     import dbt_project_spark.queries_product  # noqa: F401
+    import dbt_project_spark.queries_graph  # noqa: F401

@@ -1,0 +1,127 @@
+"""Reusable graph operators over edge DataFrames.
+
+`triangle_count` and `pagerank_fixedpoint` are the operator cores of
+the `triangle_count` / `pagerank_trade` catalog queries
+(queries_graph.py), factored over arbitrary edge inputs so property
+tests can run them on planted graphs (K4, paths, stars, chains).
+
+Both are pure DataFrame compositions — equi-joins and aggregations
+only — and keep the per-node state tables (degrees, ranks) separate
+from the edges-sized data so only small tables are ever broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def orient_by_degree(edges: DataFrame) -> DataFrame:
+    """Direct each undirected edge (u, v) toward its higher-
+    (degree, id) endpoint. Input must have one row per undirected edge
+    with u < v. Output columns: src, dst. Oriented out-degree is
+    O(sqrt(m)), which bounds wedge fan-out in triangle counting."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    less = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(less, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(less, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in an undirected graph given one row per edge
+    with columns (u, v), u < v. Returns a 1-row DataFrame
+    (n_nodes, n_edges, n_triangles). Degree-oriented wedge join —
+    every stage is an equi-join, no node's fan-out exceeds O(sqrt(m))."""
+    o = orient_by_degree(edges)
+    e1 = o.alias("e1")
+    e2 = o.alias("e2")
+    wedge = e1.join(
+        e2,
+        on=(F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b"))
+    closing = o.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    tri = wedge.join(closing, on=["a", "b"], how="leftsemi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", F.col("n_triangles").cast("bigint"))
+    )
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list (src, dst).
+
+    Ranks are BIGINT units of ``1/scale`` with floor division
+    throughout, so results are bit-identical across engines and across
+    partitionings (integer addition is associative; double addition is
+    not). Per iteration: broadcast the nodes-sized rank table onto the
+    edges, aggregate contributions by dst. Returns (node, r) with r in
+    scaled units.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    edges = edges.join(outdeg, "src").persist()
+    nodes = nodes.crossJoin(F.broadcast(n_nodes)).persist()
+    teleport_pct = 100 - damping_pct
+
+    ranks = nodes.select(
+        "node", "n", F.expr(f"{scale} div n").cast("bigint").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                F.broadcast(ranks.select("node", "r")),
+                edges.src == F.col("node"),
+            )
+            .select("dst", F.expr("r div od").alias("part"))
+            .groupBy("dst")
+            .agg(F.sum("part").alias("contrib"))
+        )
+        ranks = nodes.join(
+            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            "n",
+            (
+                F.expr(f"({scale} div n) * {teleport_pct} div 100")
+                + F.expr(f"coalesce(contrib, 0) * {damping_pct} div 100")
+            ).cast("bigint").alias("r"),
+        )
+    return ranks.select("node", "r")

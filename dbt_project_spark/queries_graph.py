@@ -1,0 +1,191 @@
+"""Graph-analytics family: triangle counting over the part co-purchase
+graph and fixed-point PageRank over a nation trade graph, both derived
+from the TPC-H-ish tables. Complements `dedup_clusters` (connected
+components in queries_corpus.py) — together these are the three graph
+primitives a relational engine is usually asked for before anyone
+reaches for a graph system.
+
+Determinism: graphs are built with integer keys and fixed-point
+weights; PageRank runs in scaled-integer arithmetic (BIGINT
+micro-units, floor division) so iteration results are bit-identical
+across engines — summing doubles would be order-dependent and could
+never hash-gate.
+
+Scale shapes:
+- triangle_count uses the degree-orientation trick: each undirected
+  edge is directed from its (degree, id)-smaller endpoint, bounding
+  per-node wedge fan-out by sqrt(m) on any graph — the difference
+  between O(Σdeg²) and O(m^1.5) at 100 TB. All stages are equi-joins.
+- pagerank: ranks are nodes-sized, edges are the big side; every
+  iteration is one broadcast-ranks join + one dst aggregation. The
+  unrolled-loop pattern is exactly how you'd run it on a cluster until
+  graph size forces Pregel-style message batching.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.sources import load_table
+
+# PageRank parameters: scaled-integer rank units, 85/100 damping,
+# fixed iteration count (unrolled in both engines).
+PR_SCALE = 1_000_000_000_000
+PR_ITERS = 5
+# Top partner nations kept per source nation (the full trade graph is
+# complete at 25 nations — thresholding makes the structure visible).
+PR_TOP_PARTNERS = 3
+
+_W100 = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+
+
+@register(
+    "triangle_count",
+    oracle="""
+    WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT node, COUNT(*) AS d FROM (
+              SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node),
+    o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+                 CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+          FROM e JOIN deg du ON du.node = e.u
+                 JOIN deg dv ON dv.node = e.v),
+    wedge AS (SELECT e1.dst AS a, e2.dst AS b
+              FROM o e1 JOIN o e2
+                ON e1.src = e2.src AND e1.dst < e2.dst),
+    closing AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM o),
+    tri AS (SELECT COUNT(*) AS n_triangles
+            FROM wedge w
+            WHERE EXISTS (SELECT 1 FROM closing c
+                          WHERE c.a = w.a AND c.b = w.b))
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part co-purchase graph (parts linked
+    when they appear in the same order), using degree orientation:
+    direct each edge toward its higher-(degree, id) endpoint, fan out
+    wedges only along out-edges, close them against the oriented edge
+    set. Oriented out-degree is bounded by O(sqrt(m)), so the wedge
+    stage can't blow up on a hub part the way naive Σdeg² does.
+    """
+    from dbt_project_spark.operators.graph import triangle_count as tc
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(b, on=(F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    return tc(e)
+
+
+def _pr_oracle() -> str:
+    """Unrolled fixed-point PageRank CTE chain (see pagerank_trade)."""
+    head = f"""
+    WITH w AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                      SUM({_W100}) AS w100
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               WHERE s.s_nationkey <> c.c_nationkey
+               GROUP BY 1, 2),
+    edges AS (SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY w100 DESC, dst) AS rk
+                FROM w)
+              WHERE rk <= {PR_TOP_PARTNERS}),
+    nodes AS (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST({PR_SCALE} // (SELECT n FROM n) AS BIGINT) AS r
+           FROM nodes)
+    """
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        prev = f"r{i - 1}"
+        iters.append(f"""
+    c{i} AS (SELECT e.dst AS node, SUM(p.r // od.od) AS contrib
+             FROM edges e
+             JOIN {prev} p ON p.node = e.src
+             JOIN outdeg od ON od.src = e.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT nodes.node,
+                    CAST(({PR_SCALE} // (SELECT n FROM n)) * 15 // 100
+                         + COALESCE(c{i}.contrib, 0) * 85 // 100
+                         AS BIGINT) AS r
+             FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node)""")
+    return (
+        head
+        + ","
+        + ",".join(iters)
+        + f"""
+    SELECT node AS nationkey, r AS rank_scaled,
+           r / {PR_SCALE}.0 AS rank
+    FROM r{PR_ITERS}
+    """
+    )
+
+
+@register("pagerank_trade", oracle=_pr_oracle())
+def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the nation trade graph (supplier
+    nation → customer nation, each source keeping its top
+    ``PR_TOP_PARTNERS`` partners by traded volume). ``PR_ITERS``
+    unrolled iterations in BIGINT micro-units with floor division —
+    bit-identical across engines, unlike float PageRank whose sums are
+    addition-order-dependent.
+
+    Each iteration: broadcast the nodes-sized rank table onto the
+    edge list, aggregate contributions by dst — at 100 TB the edges
+    never move, only rank deltas do. (Past ~10^9 nodes you'd switch to
+    checkpointed Pregel rounds; the per-iteration dataflow is the
+    same join+agg as here.)
+    """
+    from dbt_project_spark.operators.graph import pagerank_fixedpoint
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    w = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(
+            F.sum(F.expr(_W100)).alias("w100"),
+        )
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("w100"), F.asc("dst"))
+    edges = (
+        w.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= PR_TOP_PARTNERS)
+        .select("src", "dst")
+    )
+    ranks = pagerank_fixedpoint(
+        edges, iters=PR_ITERS, scale=PR_SCALE, damping_pct=85
+    )
+    return ranks.select(
+        F.col("node").alias("nationkey"),
+        F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(float(PR_SCALE))).alias("rank"),
+    )

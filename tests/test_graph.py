@@ -1,0 +1,93 @@
+"""Planted-graph tests for the graph operators (operators/graph.py):
+triangle counts on graphs with known answers, PageRank mass
+conservation and hand-computed fixed-point values."""
+
+import pyspark.sql.functions as F
+
+from dbt_project_spark.operators.graph import (
+    orient_by_degree,
+    pagerank_fixedpoint,
+    triangle_count,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(u), int(v)) for u, v in pairs], "u bigint, v bigint"
+    )
+
+
+def test_triangle_k4(spark):
+    # complete graph on 4 nodes: C(4,3) = 4 triangles
+    k4 = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    row = triangle_count(k4).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+
+def test_triangle_path_has_none(spark):
+    path = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    assert triangle_count(path).collect()[0].n_triangles == 0
+
+
+def test_triangle_hub_star_plus_rim(spark):
+    # star hub 0 with rim cycle 1-2-3-4-1: triangles = rim edges = 4
+    g = _edges(
+        spark,
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4), (1, 4)],
+    )
+    assert triangle_count(g).collect()[0].n_triangles == 4
+
+
+def test_orientation_covers_each_edge_once(spark):
+    g = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    o = orient_by_degree(g)
+    normalized = o.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    )
+    assert sorted(map(tuple, normalized.collect())) == [
+        (1, 2),
+        (1, 3),
+        (2, 3),
+        (3, 4),
+    ]
+    # out-degree of the hub endpoint stays bounded: node 3 has degree 3
+    # but at most deg-ordered forward edges
+    od = dict(
+        o.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert max(od.values()) <= 2
+
+
+def test_pagerank_mass_conserved_and_sink_free(spark):
+    # 3-cycle: symmetric, every node ends at scale/3 exactly
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    scale = 1_000_000_000
+    r = {row.node: row.r for row in pagerank_fixedpoint(cyc, iters=4, scale=scale).collect()}
+    assert set(r) == {1, 2, 3}
+    assert len(set(r.values())) == 1  # symmetry preserved exactly
+    total = sum(r.values())
+    # floor division loses at most a few units per node per iteration
+    assert scale - 100 <= total <= scale
+
+
+def test_pagerank_chain_matches_hand_computation(spark):
+    # 1 -> 2, 2 -> 1 with damping 50% and tiny scale: replicate the
+    # integer recurrence in python and compare exactly.
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    scale, iters, d = 10_000, 3, 50
+    r = {1: scale // 2, 2: scale // 2}
+    for _ in range(iters):
+        contrib = {2: r[1] // 1, 1: r[2] // 1}
+        r = {
+            n: (scale // 2) * (100 - d) // 100 + contrib[n] * d // 100
+            for n in (1, 2)
+        }
+    got = {
+        row.node: row.r
+        for row in pagerank_fixedpoint(
+            edges, iters=iters, scale=scale, damping_pct=d
+        ).collect()
+    }
+    assert got == r
