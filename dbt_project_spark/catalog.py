@@ -52,9 +52,6 @@ PRIORITY: list[str] = [
     "distinct_users_daily",
     "percentiles_by_type",
     "asof_last_signup",
-    "wt_value_histogram",
-    "wt_daily_type_pivot",
-    "users_purchase_no_error",
     "wt_gap_filled_series",
     "vec_normalize",
     "vec_quantize_int8",
@@ -91,8 +88,17 @@ PRIORITY: list[str] = [
     "cohort_retention",
     "triangle_count",
     "pagerank_trade",
+    "grouping_sets_matrix",
+    "unpivot_daily_metrics",
     "scd2_user_tier",
     "event_transitions",
+    # No r01 driver verdict but locally verified twice (builder gate +
+    # judge's independent re-run) — first overflow candidates when the
+    # window fills with new queries; rotate back in once r02 greens
+    # free slots.
+    "wt_value_histogram",
+    "wt_daily_type_pivot",
+    "users_purchase_no_error",
     # r01 driver-green, unchanged; fill remaining window slots.
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -844,3 +844,88 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "grouping_sets_matrix",
+    oracle=f"""
+    SELECT CAST(grouping_id(event_type, day) AS BIGINT) AS gid,
+           event_type, day,
+           COUNT(*) AS n_events,
+           CAST(SUM({_V100}) AS BIGINT) AS value100
+    FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+          FROM events)
+    GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+    """,
+)
+def grouping_sets_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond ROLLUP/CUBE's lattices) with a
+    grouping_id disambiguator — (type, day), (type), (day) and the
+    grand total in ONE pass. Catalyst plans this as a single Expand +
+    one shuffle with map-side partial aggregation: four aggregations
+    for the price of one scan, which is the point at 100 TB (the naive
+    alternative is four scans + a union). gid bit semantics
+    (left-to-right, 1 = aggregated-away) match DuckDB's exactly."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "day"], ["event_type"], ["day"], []],
+            "event_type",
+            "day",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value100").alias("value100"),
+        )
+        .select("gid", "event_type", "day", "n_events", "value100")
+    )
+
+
+_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@register(
+    "unpivot_daily_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             {cols}
+      FROM events GROUP BY day)
+    {unions}
+    """.format(
+        cols=",\n             ".join(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+            for t in _TYPES
+        ),
+        unions="\n    UNION ALL ".join(
+            f"SELECT day, 'n_{t}' AS metric, n_{t} AS n FROM wide"
+            for t in _TYPES
+        ),
+    ),
+)
+def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt: one conditional-count aggregation produces the
+    wide daily metrics table, then ``DataFrame.unpivot`` (Expand, no
+    shuffle, no UDF) reshapes days×1 rows into days×metrics rows — the
+    layout feature stores and plotting layers want. The only shuffle
+    is the daily aggregation; the melt is free."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    wide = ev.groupBy("day").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{t}")
+            for t in _TYPES
+        ]
+    )
+    return wide.unpivot(
+        ids=["day"],
+        values=[f"n_{t}" for t in _TYPES],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )

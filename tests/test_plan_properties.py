@@ -248,3 +248,21 @@ def test_funnel_stage_joins_are_keyed(spark):
     plan = _plan(QUERIES["funnel_conversion"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    """grouping_sets_matrix: 4 grouping sets computed with ONE Expand
+    and ONE hash exchange (partial agg before it) — not four scans."""
+    plan = _plan(QUERIES["grouping_sets_matrix"](spark, SF_SMOKE))
+    assert plan.count("(1) Scan parquet") + plan.count("Scan parquet") >= 1
+    assert plan.count("Expand") >= 2  # node appears in tree + details
+    assert _exchanges(plan) == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_unpivot_adds_no_shuffle(spark):
+    """unpivot_daily_metrics: the melt is an Expand over the daily
+    aggregate — exchange budget identical to the aggregation alone."""
+    plan = _plan(QUERIES["unpivot_daily_metrics"](spark, SF_SMOKE))
+    assert _exchanges(plan) == 1
+    assert "Expand" in plan
