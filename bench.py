@@ -46,6 +46,13 @@ HEADLINE = [
     "contamination_ngram",
     "dedup_clusters",
     "mm_audio_windows",
+    # round 2, session 2: graph / product / training additions
+    "triangle_count",
+    "pagerank_trade",
+    "scd2_user_tier",
+    "seq_pack",
+    "corpus_mix_sample",
+    "grouping_sets_matrix",
 ]
 
 

@@ -47,7 +47,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     with columns (u, v), u < v. Returns a 1-row DataFrame
     (n_nodes, n_edges, n_triangles). Degree-oriented wedge join —
     every stage is an equi-join, no node's fan-out exceeds O(sqrt(m))."""
-    o = orient_by_degree(edges)
+    from pyspark import StorageLevel
+
+    # edges feeds orientation (3 refs) + the node/edge counts; the
+    # oriented list feeds both wedge sides and the closing set. Cache
+    # both — Spark does not dedup repeated subtrees, so an uncached
+    # (expensive) edge construction would run ~5 times.
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    o = orient_by_degree(edges).persist(StorageLevel.MEMORY_AND_DISK)
     e1 = o.alias("e1")
     e2 = o.alias("e2")
     wedge = e1.join(
@@ -90,6 +98,14 @@ def pagerank_fixedpoint(
     edges, aggregate contributions by dst. Returns (node, r) with r in
     scaled units.
     """
+    from pyspark import StorageLevel
+
+    # Persist the RAW edge list first: nodes, out-degrees, and the
+    # node count each reference it, and Spark does not share subtrees
+    # — without the cache the (possibly expensive) edge-construction
+    # pipeline would run once per reference.
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -97,10 +113,17 @@ def pagerank_fixedpoint(
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
-    edges = edges.join(outdeg, "src").persist()
-    nodes = nodes.crossJoin(F.broadcast(n_nodes)).persist()
+    edges = edges.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = nodes.crossJoin(F.broadcast(n_nodes)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     teleport_pct = 100 - damping_pct
 
+    # Each ranks_k feeds exactly ONE downstream broadcast
+    # (contrib_{k+1}), so the lazy chain already executes each
+    # iteration once — no per-iteration materialization needed. At
+    # hundreds of iterations you'd checkpoint every ~10 rounds to
+    # truncate lineage; at PageRank's typical 5-20 this is optimal.
     ranks = nodes.select(
         "node", "n", F.expr(f"{scale} div n").cast("bigint").alias("r")
     )
