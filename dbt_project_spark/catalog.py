@@ -52,7 +52,6 @@ PRIORITY: list[str] = [
     "distinct_users_daily",
     "percentiles_by_type",
     "asof_last_signup",
-    "wt_gap_filled_series",
     "vec_normalize",
     "vec_quantize_int8",
     "ann_ivf_topk",
@@ -90,6 +89,7 @@ PRIORITY: list[str] = [
     "pagerank_trade",
     "grouping_sets_matrix",
     "unpivot_daily_metrics",
+    "resample_interpolate",
     "scd2_user_tier",
     "event_transitions",
     # No r01 driver verdict but locally verified twice (builder gate +
@@ -99,6 +99,7 @@ PRIORITY: list[str] = [
     "wt_value_histogram",
     "wt_daily_type_pivot",
     "users_purchase_no_error",
+    "wt_gap_filled_series",
     # r01 driver-green, unchanged; fill remaining window slots.
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -266,3 +266,14 @@ def test_unpivot_adds_no_shuffle(spark):
     plan = _plan(QUERIES["unpivot_daily_metrics"](spark, SF_SMOKE))
     assert _exchanges(plan) == 1
     assert "Expand" in plan
+
+
+def test_resample_interpolate_one_sort_two_directions(spark):
+    """resample_interpolate: forward-fill and backward-fill frames
+    share one event_type partitioning/sort — a single Window node
+    evaluates all four filled columns; no second exchange for the
+    backward pass."""
+    import re
+
+    plan = _plan(QUERIES["resample_interpolate"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
