@@ -1,0 +1,80 @@
+"""Python DataSource API (Spark 4): the synth_events generator plans
+real partitions, generates deterministically, and absorbs EqualTo
+pushdown into generation."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dbt_project_spark.sources.pysource import (
+    EVENT_TYPES,
+    _row,
+    register_synth_source,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_synth_source(spark)
+    conf = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf, "false")
+    spark.conf.set(conf, "true")
+    yield
+    spark.conf.set(conf, prev)
+
+
+def _read(spark, **opts):
+    r = spark.read.format("synth_events")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_rowcount_and_schema(spark):
+    df = _read(spark, rows=500, parts=3)
+    assert df.count() == 500
+    assert df.columns == ["event_id", "user_id", "event_type", "value"]
+
+
+def test_partition_planning(spark):
+    df = _read(spark, rows=100, parts=7)
+    assert df.rdd.getNumPartitions() == 7
+    # strided id ranges are disjoint and complete
+    assert df.agg(F.countDistinct("event_id")).collect()[0][0] == 100
+
+
+def test_deterministic_across_partitionings(spark):
+    a = _read(spark, rows=200, parts=2).collect()
+    b = _read(spark, rows=200, parts=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # and matches the generator function directly
+    assert sorted(map(tuple, a))[:3] == [_row(i) for i in range(3)]
+
+
+def test_equalto_pushdown_matches_post_filter(spark):
+    pushed = _read(spark, rows=1000, parts=4).filter(
+        F.col("event_type") == "click"
+    )
+    # correctness: pushdown-generated rows == full generation + filter
+    want = [r for i in range(1000) if (r := _row(i))[2] == "click"]
+    got = sorted(map(tuple, pushed.collect()))
+    assert got == sorted(want)
+    assert len(got) > 0
+
+
+def test_unsupported_filter_still_correct(spark):
+    # value > threshold is NOT absorbed by the source; Spark must
+    # apply it post-scan and results stay exact
+    df = _read(spark, rows=300, parts=2).filter(F.col("value") > 500.0)
+    want = [r for i in range(300) if (r := _row(i))[3] > 500.0]
+    assert sorted(map(tuple, df.collect())) == sorted(want)
+
+
+def test_types_cover_reference_vocabulary(spark):
+    got = {
+        r.event_type
+        for r in _read(spark, rows=2000, parts=4)
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == set(EVENT_TYPES)
