@@ -49,7 +49,6 @@ PRIORITY: list[str] = [
     "win_lag_delta",
     "sessionization",
     "rollup_type_daily",
-    "distinct_users_daily",
     "percentiles_by_type",
     "asof_last_signup",
     "vec_normalize",
@@ -90,6 +89,7 @@ PRIORITY: list[str] = [
     "grouping_sets_matrix",
     "unpivot_daily_metrics",
     "resample_interpolate",
+    "linreg_value_trend",
     "scd2_user_tier",
     "event_transitions",
     # No r01 driver verdict but locally verified twice (builder gate +
@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     "wt_daily_type_pivot",
     "users_purchase_no_error",
     "wt_gap_filled_series",
+    "distinct_users_daily",
     # r01 driver-green, unchanged; fill remaining window slots.
     "dedup_exact",
     "dedup_minhash_lsh",

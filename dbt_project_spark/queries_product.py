@@ -280,3 +280,78 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "linreg_value_trend",
+    oracle=f"""
+    WITH e AS (SELECT event_type, {_EP} AS ep, {_V100} AS v100
+               FROM events),
+    m AS (SELECT event_type, MIN(ep) AS x0, MIN(v100) AS y0
+          FROM e GROUP BY event_type),
+    s AS (SELECT e.event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(e.ep - m.x0) AS BIGINT) AS sx,
+                 CAST(SUM(e.v100 - m.y0) AS BIGINT) AS sy,
+                 CAST(SUM((e.ep - m.x0) * (e.v100 - m.y0)) AS BIGINT) AS sxy,
+                 CAST(SUM((e.ep - m.x0) * (e.ep - m.x0)) AS BIGINT) AS sxx
+          FROM e JOIN m ON m.event_type = e.event_type
+          GROUP BY e.event_type)
+    SELECT event_type, n,
+           CAST((CAST(n AS DECIMAL(38,0)) * sxy
+                 - CAST(sx AS DECIMAL(38,0)) * sy) * 86400 AS VARCHAR)
+               AS slope_day_num,
+           CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                - CAST(sx AS DECIMAL(38,0)) * sx AS VARCHAR)
+               AS slope_day_den
+    FROM s
+    """,
+)
+def linreg_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of value over time (is engagement drifting?):
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), scaled to value-units per
+    day. x and y are shifted by their per-group minima FIRST so every
+    per-row product and per-group sum stays inside BIGINT at any
+    realistic scale; the final combination runs in DECIMAL(38,0)
+    (exact at 100 TB row counts) and the slope is emitted as an EXACT
+    rational (numerator/denominator decimal strings) — measured: the
+    double division differs between engines in the last ulp, and
+    Spark's decimal `div` silently wraps at this magnitude, so the
+    rational pair is the only bit-stable cross-engine contract.
+
+    Plan: one tiny min-aggregate broadcast back onto the scan, then
+    one map-side-combined aggregation — two scans, one events-sized
+    shuffle of 5-group partials.
+    """
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("epoch").alias("ep"),
+        F.col("value100").alias("v100"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.min("ep").alias("x0"), F.min("v100").alias("y0")
+    )
+    j = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        (F.col("ep") - F.col("x0")).alias("x"),
+        (F.col("v100") - F.col("y0")).alias("y"),
+    )
+    s = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dec = "CAST(n AS DECIMAL(38,0))"
+    sxdec = "CAST(sx AS DECIMAL(38,0))"
+    return s.select(
+        "event_type",
+        "n",
+        F.expr(f"CAST(({dec} * sxy - {sxdec} * sy) * 86400 AS STRING)").alias(
+            "slope_day_num"
+        ),
+        F.expr(f"CAST({dec} * sxx - {sxdec} * sx AS STRING)").alias(
+            "slope_day_den"
+        ),
+    )
