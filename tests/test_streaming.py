@@ -179,3 +179,68 @@ def test_streaming_session_window_matches_batch(spark, events, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events, tmp_path):
+    """Stream-stream INTERVAL join: purchases joined to each user's
+    clicks within the preceding 30 minutes (event-time range
+    condition). Watermarks on both sides bound the buffered state —
+    Spark keeps only rows inside watermark + interval, which is what
+    makes an unbounded stream-stream join feasible at all. Parity:
+    the availableNow streaming result equals the equivalent batch
+    range join."""
+    src = str(tmp_path / "ivsrc")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def prep(df, prefix):
+        ts = F.col("ts")
+        if dict(df.dtypes).get("ts") == "bigint":
+            ts = F.timestamp_micros(F.expr("ts div 1000"))
+        return df.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            ts.alias(f"{prefix}_ts"),
+            F.col("event_id").alias(f"{prefix}_id"),
+            "event_type",
+        )
+
+    def interval_join(clicks, purchases):
+        return purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        ).select("p_user", "p_id", "c_id")
+
+    raw = spark.readStream.schema(schema).parquet(src)
+    clicks_s = prep(raw, "c").filter(F.col("event_type") == "click").drop(
+        "event_type"
+    ).withWatermark("c_ts", "1 hour")
+    purch_s = prep(raw, "p").filter(F.col("event_type") == "purchase").drop(
+        "event_type"
+    ).withWatermark("p_ts", "1 hour")
+
+    q = (
+        interval_join(clicks_s, purch_s)
+        .writeStream.format("memory")
+        .queryName("iv_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ivckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("iv_join")
+
+    batch = spark.read.parquet(src)
+    clicks_b = prep(batch, "c").filter(F.col("event_type") == "click").drop(
+        "event_type"
+    )
+    purch_b = prep(batch, "p").filter(F.col("event_type") == "purchase").drop(
+        "event_type"
+    )
+    want = interval_join(clicks_b, purch_b)
+
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
