@@ -100,6 +100,24 @@ def _query(args) -> int:
     return 0
 
 
+def _explain(args) -> int:
+    from dbt_project_spark import get_spark
+    from dbt_project_spark.catalog import QUERIES, load_all
+
+    load_all()
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; known: {', '.join(sorted(QUERIES))}")
+        return 2
+    spark = get_spark(app_name=f"dbt-project-spark-explain-{args.name}")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    print(
+        df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), args.mode
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dbt_project_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -122,6 +140,20 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--rows", type=int, default=20)
     q.add_argument("--out", default=None)
     q.set_defaults(fn=_query)
+
+    e = sub.add_parser(
+        "explain",
+        help="print a catalog query's plan (the scale audit tool: "
+        "check PushedFilters/ReadSchema/Exchange count by eye)",
+    )
+    e.add_argument("name")
+    e.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    e.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+    e.set_defaults(fn=_explain)
 
     args = p.parse_args(argv)
     return args.fn(args)

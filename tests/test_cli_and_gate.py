@@ -78,3 +78,11 @@ def test_oracle_gate_precision_sensitivity(spark):
         f"SELECT {off!r} AS bounce_rate_percentage",
     )
     assert not r["ok"]
+
+
+def test_cli_explain_shows_pushdown(spark, capsys):
+    rc = main(["explain", "tpch_q6", "--sf-dir", SF_SMOKE])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "PushedFilters" in out
