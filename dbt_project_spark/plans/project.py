@@ -38,10 +38,11 @@ class SchemaTestError(AssertionError):
 class _Model:
     name: str
     builder: Callable | str  # fn(project) -> DataFrame, or SQL text
-    materialized: str = "view"  # view | table | incremental
+    materialized: str = "view"  # view | table | incremental | merge
     deps: tuple[str, ...] = ()
     path: str | None = None  # parquet target for table/incremental
     partition_by: str | None = None  # partition column (incremental key)
+    unique_key: str | None = None  # upsert key for merge
     tests: list = field(default_factory=list)
 
 
@@ -58,12 +59,14 @@ class Project:
 
     # -- registration -------------------------------------------------
     def model(self, name: str, deps: tuple[str, ...] = (),
-              materialized: str = "view", partition_by: str | None = None):
+              materialized: str = "view", partition_by: str | None = None,
+              unique_key: str | None = None):
         """Decorator registering fn(project) -> DataFrame as a model."""
 
         def deco(fn):
             self.models[name] = _Model(
-                name, fn, materialized, tuple(deps), partition_by=partition_by
+                name, fn, materialized, tuple(deps),
+                partition_by=partition_by, unique_key=unique_key,
             )
             return fn
 
@@ -147,6 +150,54 @@ class Project:
                 .partitionBy(m.partition_by)
                 .parquet(path)
             )
+        elif m.materialized == "merge":
+            # dbt's incremental `merge` strategy (MERGE INTO semantics
+            # without a table format): upsert by unique_key, rewriting
+            # ONLY the partitions the batch touches via dynamic
+            # partition overwrite. At 100 TB the write cost is
+            # O(affected partitions), not O(table); a real deployment
+            # would use Delta/Iceberg MERGE for ACID commit — the
+            # dataflow (anti-join survivors ∪ batch, partition-scoped)
+            # is identical.
+            if m.partition_by is None or m.unique_key is None:
+                raise ValueError(
+                    f"merge model {m.name} needs partition_by + unique_key"
+                )
+            try:
+                existing = self.spark.read.parquet(path)
+            except Exception:  # first run: plain partitioned write
+                existing = None
+            if existing is None:
+                df.write.mode("overwrite").partitionBy(m.partition_by).parquet(
+                    path
+                )
+            else:
+                affected = [
+                    r[0]
+                    for r in df.select(m.partition_by).distinct().collect()
+                ]  # partitions-sized driver list, like the high-water mark
+                survivors = existing.filter(
+                    F.col(m.partition_by).isin(affected)
+                ).join(
+                    df.select(m.unique_key).distinct(),
+                    on=m.unique_key,
+                    how="left_anti",
+                )
+                merged = survivors.unionByName(df)
+                # we read and overwrite the same files: cut the lineage
+                # onto local storage before the commit deletes them
+                merged = merged.localCheckpoint(eager=True)
+                conf = "spark.sql.sources.partitionOverwriteMode"
+                prev = self.spark.conf.get(conf)
+                self.spark.conf.set(conf, "dynamic")
+                try:
+                    (
+                        merged.write.mode("overwrite")
+                        .partitionBy(m.partition_by)
+                        .parquet(path)
+                    )
+                finally:
+                    self.spark.conf.set(conf, prev)
         else:
             raise ValueError(f"unknown materialization {m.materialized!r}")
         return self.spark.read.parquet(path)

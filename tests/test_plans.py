@@ -102,3 +102,46 @@ def test_incremental_materialization(spark, sources, tmp_path):
     out = p2.ref("inc")
     assert out.count() == 3  # duplicated day1 input NOT re-ingested
     assert out.filter("d = '2024-01-02'").count() == 1
+
+
+def test_merge_materialization_upserts_by_key(spark, tmp_path):
+    """merge materialization: second run upserts overlapping keys,
+    appends new keys, touches ONLY the batch's partitions (untouched
+    partition files survive byte-identical)."""
+    from dbt_project_spark.plans.project import Project
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id bigint, day string, val bigint"
+        )
+
+    state = {"batch": mk([(1, "d1", 10), (2, "d1", 20), (3, "d2", 30)])}
+    proj = Project(spark, sources={}, target_dir=str(tmp_path))
+
+    @proj.model("facts", materialized="merge", partition_by="day",
+                unique_key="id")
+    def facts(p):
+        return state["batch"]
+
+    proj.run(["facts"])
+    first = {(r.id, r.day, r.val) for r in spark.read.parquet(
+        str(tmp_path / "facts")).collect()}
+    assert first == {(1, "d1", 10), (2, "d1", 20), (3, "d2", 30)}
+
+    import os
+    d2_files = sorted(os.listdir(str(tmp_path / "facts" / "day=d2")))
+
+    # second batch: update id=2, insert id=4 — both in partition d1
+    state["batch"] = mk([(2, "d1", 99), (4, "d1", 40)])
+    proj._built.clear()
+    proj.run(["facts"])
+    got = {(r.id, r.day, r.val) for r in spark.read.parquet(
+        str(tmp_path / "facts")).collect()}
+    assert got == {
+        (1, "d1", 10),   # survivor in touched partition
+        (2, "d1", 99),   # upserted
+        (3, "d2", 30),   # untouched partition
+        (4, "d1", 40),   # inserted
+    }
+    # d2 partition was not rewritten
+    assert sorted(os.listdir(str(tmp_path / "facts" / "day=d2"))) == d2_files
