@@ -155,3 +155,57 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id", n_frames: int = 4) -> Da
     return df.select(id_col, "content").mapInPandas(
         batches, f"{id_col} bigint, frame_idx int, frame_md5 string"
     )
+
+
+def arrow_byte_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-payload byte-class statistics via ``mapInArrow`` — the
+    zero-copy sibling of the mapInPandas operators above: batches stay
+    as Arrow buffers end-to-end (no pandas materialization), and the
+    per-byte work is one numpy ``frombuffer`` + ``bincount`` per
+    batch, i.e. vectorized over the whole Arrow buffer rather than
+    per-row Python. This is the shape a 100 TB byte-level scan wants:
+    embarrassingly parallel, no shuffle, C-speed inner loop.
+
+    Input needs (id_col, content: binary); emits byte-class counts
+    (alpha / digit / space / other) per payload.
+    """
+
+    def batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        alpha = np.zeros(256, dtype=bool)
+        alpha[ord("a"): ord("z") + 1] = True
+        alpha[ord("A"): ord("Z") + 1] = True
+        digit = np.zeros(256, dtype=bool)
+        digit[ord("0"): ord("9") + 1] = True
+        space = np.zeros(256, dtype=bool)
+        space[[ord(" "), ord("\t"), ord("\n"), ord("\r")]] = True
+
+        for batch in it:
+            ids = batch.column(0)
+            content = batch.column(1)
+            n_bytes, n_alpha, n_digit, n_space = [], [], [], []
+            for v in content:
+                buf = np.frombuffer(v.as_buffer(), dtype=np.uint8)
+                counts = np.bincount(buf, minlength=256)
+                n_bytes.append(int(buf.size))
+                n_alpha.append(int(counts[alpha].sum()))
+                n_digit.append(int(counts[digit].sum()))
+                n_space.append(int(counts[space].sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array(n_alpha, pa.int64()),
+                    pa.array(n_digit, pa.int64()),
+                    pa.array(n_space, pa.int64()),
+                ],
+                names=[id_col, "n_bytes", "n_alpha", "n_digit", "n_space"],
+            )
+
+    return df.select(id_col, "content").mapInArrow(
+        batches,
+        f"{id_col} bigint, n_bytes bigint, n_alpha bigint, "
+        "n_digit bigint, n_space bigint",
+    )

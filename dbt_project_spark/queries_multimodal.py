@@ -91,3 +91,29 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_blob(load_table(spark, sf_dir, "documents"))
     return audio_windows(docs, window=32)
+
+
+@register(
+    "mm_arrow_byte_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+                AS BIGINT) AS n_alpha,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digit,
+           CAST(length(text)
+                - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+                AS BIGINT) AS n_space
+    FROM documents
+    """,
+)
+def mm_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-class stats via mapInArrow (operators/multimodal.py
+    arrow_byte_stats): Arrow buffers straight into numpy bincount —
+    no pandas, no shuffle. Oracle counts the same classes with regex
+    over the ASCII text (byte == char for this corpus)."""
+    from dbt_project_spark.operators.multimodal import arrow_byte_stats
+
+    docs = attach_blob(load_table(spark, sf_dir, "documents"))
+    return arrow_byte_stats(docs)
