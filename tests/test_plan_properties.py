@@ -277,3 +277,21 @@ def test_resample_interpolate_one_sort_two_directions(spark):
 
     plan = _plan(QUERIES["resample_interpolate"](spark, SF_SMOKE))
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_graph_queries_no_cartesian(spark):
+    """triangle_count / pagerank_trade: every stage is an equi-join
+    (wedge join, closing semi-join, broadcast rank joins) — a refactor
+    that degrades any of them to a cartesian product dies here."""
+    for name in ("triangle_count", "pagerank_trade"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_pagerank_ranks_are_broadcast(spark):
+    """pagerank: the nodes-sized rank/contribution tables broadcast
+    onto the cached edge list — edges never shuffle inside the
+    iteration loop."""
+    plan = _plan(QUERIES["pagerank_trade"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # cached edges feed iterations
