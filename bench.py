@@ -64,9 +64,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen once (tiny scale) so per-query times measure
-    # the plan, not first-run JIT.
+    # Warm the JVM/codegen once so per-query times measure the plan,
+    # not first-run JIT: one scan+agg shape and one window shape
+    # (window codegen is a separate JIT surface — measured: without
+    # this, the first windowed headline query reads ~2x its steady
+    # state).
     QUERIES["tpch_q6"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    QUERIES["win_lag_delta"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
