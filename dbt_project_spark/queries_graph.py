@@ -44,21 +44,21 @@ _W100 = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
 @register(
     "triangle_count",
     oracle="""
-    WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
                FROM lineitem a JOIN lineitem b
                  ON a.l_orderkey = b.l_orderkey
                 AND a.l_partkey < b.l_partkey),
-    deg AS (SELECT node, COUNT(*) AS d FROM (
+    deg AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
               SELECT u AS node FROM e UNION ALL SELECT v FROM e)
             GROUP BY node),
-    o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+    o AS MATERIALIZED (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
                  CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
           FROM e JOIN deg du ON du.node = e.u
                  JOIN deg dv ON dv.node = e.v),
     wedge AS (SELECT e1.dst AS a, e2.dst AS b
               FROM o e1 JOIN o e2
                 ON e1.src = e2.src AND e1.dst < e2.dst),
-    closing AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM o),
+    closing AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM o),
     tri AS (SELECT COUNT(*) AS n_triangles
             FROM wedge w
             WHERE EXISTS (SELECT 1 FROM closing c
@@ -94,7 +94,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pr_oracle() -> str:
     """Unrolled fixed-point PageRank CTE chain (see pagerank_trade)."""
     head = f"""
-    WITH w AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+    WITH w AS MATERIALIZED (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
                       SUM({_W100}) AS w100
                FROM lineitem l
                JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -102,17 +102,17 @@ def _pr_oracle() -> str:
                JOIN supplier s ON l.l_suppkey = s.s_suppkey
                WHERE s.s_nationkey <> c.c_nationkey
                GROUP BY 1, 2),
-    edges AS (SELECT src, dst FROM (
+    edges AS MATERIALIZED (SELECT src, dst FROM (
                 SELECT src, dst,
                        ROW_NUMBER() OVER (PARTITION BY src
                                           ORDER BY w100 DESC, dst) AS rk
                 FROM w)
               WHERE rk <= {PR_TOP_PARTNERS}),
-    nodes AS (SELECT DISTINCT node FROM (
+    nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
                 SELECT src AS node FROM edges
                 UNION ALL SELECT dst FROM edges)),
     n AS (SELECT COUNT(*) AS n FROM nodes),
-    outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
     r0 AS (SELECT node, CAST({PR_SCALE} // (SELECT n FROM n) AS BIGINT) AS r
            FROM nodes)
     """
