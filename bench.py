@@ -53,6 +53,8 @@ HEADLINE = [
     "seq_pack",
     "corpus_mix_sample",
     "grouping_sets_matrix",
+    "resample_interpolate",
+    "mm_arrow_byte_stats",
 ]
 
 

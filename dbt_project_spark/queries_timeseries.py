@@ -265,16 +265,25 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("bigint").alias("event_id"),
         )
     )
-    order = [F.col("ep"), F.col("is_grid"), F.coalesce("event_id", F.lit(-1))]
+    # Backward fill via the REVERSED sort with a running
+    # [unboundedPreceding, current] frame: Spark evaluates running
+    # frames in O(n) with incremental state, but a literal
+    # [current, unboundedFollowing] frame with ignoreNulls re-scans
+    # the tail per row — measured O(n²): 73 s vs ~2 s at sf0.1.
+    # The reversed running `last` is element-for-element identical to
+    # the forward `first` over the following frame (the oracle keeps
+    # the forward formulation; DuckDB evaluates it efficiently).
+    fwd = [F.col("ep"), F.col("is_grid"), F.coalesce("event_id", F.lit(-1))]
+    rev = [c.desc() for c in fwd]
     wb = (
         Window.partitionBy("event_type")
-        .orderBy(*order)
+        .orderBy(*fwd)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
         Window.partitionBy("event_type")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*rev)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_ep = F.when(F.col("is_grid") == 0, F.col("ep"))
     filled = u.select(
@@ -283,8 +292,8 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_grid",
         F.last("v100", ignorenulls=True).over(wb).alias("prev_v"),
         F.last(obs_ep, ignorenulls=True).over(wb).alias("prev_t"),
-        F.first("v100", ignorenulls=True).over(wf).alias("next_v"),
-        F.first(obs_ep, ignorenulls=True).over(wf).alias("next_t"),
+        F.last("v100", ignorenulls=True).over(wf).alias("next_v"),
+        F.last(obs_ep, ignorenulls=True).over(wf).alias("next_t"),
     )
     return (
         filled.filter(
