@@ -929,3 +929,44 @@ def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="n",
     )
+
+
+@register(
+    "hll_sketch_rollup",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT) AS n_days,
+           COUNT(DISTINCT user_id) AS exact_month_users,
+           TRUE AS union_within_5pct
+    FROM events
+    """,
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable sketch COLUMNS (Apache DataSketches HLL via
+    hll_sketch_agg): build one ~KB sketch per day, then answer the
+    month-level distinct by UNIONING the stored sketches — no second
+    pass over raw events. This is the sketch-table pattern a 100 TB
+    warehouse ships: dailies are computed incrementally and any
+    rollup window (week/month/quarter) is a sketch union over a
+    days-sized table. The union estimate is tolerance-gated through
+    the value-hash oracle like the other approx entries (oracle emits
+    literal TRUE; sketch drift flips the boolean and fails the gate).
+    """
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_month_users"))
+    return rolled.crossJoin(F.broadcast(exact)).select(
+        F.col("n_days").cast("bigint"),
+        "exact_month_users",
+        (
+            F.abs(F.col("est") - F.col("exact_month_users"))
+            <= 0.05 * F.col("exact_month_users")
+        ).alias("union_within_5pct"),
+    )
