@@ -202,3 +202,58 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("__norm").alias("norm_md5"),
         F.length("__norm").cast("bigint").alias("norm_len"),
     )
+
+
+def _keep_list_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    labels AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+               FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    """
+
+
+@register("corpus_keep_list", oracle=_keep_list_oracle())
+def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of a near-dedup pass: a keep/drop decision for
+    EVERY document. Docs in a MinHash-LSH near-dup cluster keep only
+    the min-id representative; the singleton majority is kept
+    untouched (left join against the clusters, not a scan of them).
+    Downstream training jobs filter `WHERE keep` — this list is the
+    interface between dedup and the rest of the pipeline.
+
+    Scale shape: clusters cover only the near-dup fraction of the
+    corpus, so the join adds a broadcast-sized (or at worst
+    cluster-count-keyed) overlay onto one corpus scan — the corpus
+    itself never self-joins here; all the pair work happened in the
+    bucketed LSH stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", 0.8)
+    labels = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
+    return (
+        docs.select("doc_id")
+        # no broadcast hint: the near-dup label table is usually tiny
+        # (AQE will broadcast it), but on a pathological corpus it can
+        # be corpus-sized — let the optimizer decide from stats.
+        .join(labels, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")).alias(
+                "keep"
+            ),
+        )
+    )
