@@ -155,6 +155,58 @@ def jaccard_pairs(
     return pairs.select("doc_a", "doc_b", "jaccard")
 
 
+def editdistance_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 4,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Near-dup string pairs by bounded edit distance with
+    (2-char-prefix, length-band) equi-blocking.
+
+    Each name is emitted into length bands ⌊len/w⌋ and ⌊len/w⌋+1 with
+    w = max_dist, so any pair within ``max_dist`` edits (hence
+    |len_a−len_b| ≤ max_dist) meets on at least one (pfx, band) key —
+    the banding itself loses zero recall.
+
+    ``max_block`` caps hot blocks the same way ``jaccard_pairs`` caps
+    hot shingles: block sizes are counted with a map-side-combined
+    groupBy, the (tiny) hot-key list is broadcast, and members are
+    anti-joined out before the self-join — pair generation is then
+    O(max_block²) per block instead of O(block²). Recall trade
+    (documented, mirrored in the oracle): a pair is lost only when
+    EVERY (pfx, band) key it shares is hot — same-length pairs meet on
+    two keys, so a single hot band does not lose them. Real name
+    distributions are Zipfian ("ma…", "jo…" prefixes), which is
+    exactly the regime the cap is for.
+    """
+    band = F.floor(F.length(name_col) / max_dist).cast("int")
+    blocked = df.select(
+        name_col,
+        F.substring(name_col, 1, 2).alias("pfx"),
+        F.explode(F.array(band, band + F.lit(1))).alias("band"),
+    )
+    if max_block is not None:
+        hot = (
+            blocked.groupBy("pfx", "band")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_block)
+            .select("pfx", "band")
+        )
+        blocked = blocked.join(F.broadcast(hot), on=["pfx", "band"], how="left_anti")
+    a = blocked.select(F.col(name_col).alias("name_a"), "pfx", "band")
+    b = blocked.select(F.col(name_col).alias("name_b"), "pfx", "band")
+    return (
+        a.join(b, on=["pfx", "band"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("edit_distance") <= max_dist)
+        .select("name_a", "name_b", "edit_distance")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

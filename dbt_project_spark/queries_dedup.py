@@ -17,6 +17,7 @@ from dbt_project_spark.operators.dedup import (
     MINHASH_B,
     MINHASH_P,
     SIMHASH_BITS,
+    editdistance_pairs,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -231,21 +232,26 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_editdistance",
-    oracle="""
+    oracle=f"""
     WITH p AS (SELECT DISTINCT p_name FROM part),
     blocked AS (
       SELECT p_name, substr(p_name, 1, 2) AS pfx,
              unnest([CAST(floor(len(p_name) / 4) AS INT),
                      CAST(floor(len(p_name) / 4) AS INT) + 1]) AS band
       FROM p),
+    capped AS (
+      SELECT p_name, pfx, band FROM (
+        SELECT p_name, pfx, band,
+               COUNT(*) OVER (PARTITION BY pfx, band) AS bn FROM blocked)
+      WHERE bn <= {{max_block}}),
     cand AS (
       SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
-      FROM blocked a JOIN blocked b
+      FROM capped a JOIN capped b
         ON a.pfx = b.pfx AND a.band = b.band AND a.p_name < b.p_name)
     SELECT name_a, name_b,
            CAST(levenshtein(name_a, name_b) AS INT) AS edit_distance
     FROM cand WHERE levenshtein(name_a, name_b) <= 4
-    """,
+    """.format(max_block=64),
 )
 def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection by edit distance (entity-resolution modality
@@ -260,22 +266,14 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     edits touch the first two characters — at sf0.01 that is 0 of 88
     pairs. levenshtein is the built-in JVM DP, no UDF; the candidate
     join is equi-key end-to-end (shuffle-partitionable, never a
-    theta-join)."""
+    theta-join).
+
+    Hot blocks are capped at MAX_BUCKET=64 names per (pfx, band) via
+    the same broadcast-anti-join pattern as jaccard_pairs — real name
+    distributions are Zipfian ("ma…", "jo…"), so an uncapped block
+    goes O(block²) at 100×. At test scale the largest block is 8
+    names, so the cap changes nothing; the cap is mirrored in the
+    oracle so parity holds at any scale. See
+    operators/dedup.py:editdistance_pairs for the recall argument."""
     p = load_table(spark, sf_dir, "part").select("p_name").distinct()
-    band = F.floor(F.length("p_name") / 4).cast("int")
-    blocked = p.select(
-        "p_name",
-        F.substring("p_name", 1, 2).alias("pfx"),
-        F.explode(F.array(band, band + F.lit(1))).alias("band"),
-    )
-    a = blocked.select(F.col("p_name").alias("name_a"), "pfx", "band")
-    b = blocked.select(F.col("p_name").alias("name_b"), "pfx", "band")
-    return (
-        a.join(b, on=["pfx", "band"])
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
-        .distinct()
-        .withColumn("edit_distance", F.levenshtein("name_a", "name_b").cast("int"))
-        .filter(F.col("edit_distance") <= 4)
-        .select("name_a", "name_b", "edit_distance")
-    )
+    return editdistance_pairs(p, "p_name", max_dist=4, max_block=64)

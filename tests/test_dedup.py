@@ -165,6 +165,28 @@ def test_embedding_lsh_pairs_recall_and_precision(spark):
     assert all(c >= 0.95 for c in pairs.values())  # precision 1.0
 
 
+def test_editdistance_max_block_caps_planted_skew(spark):
+    """One hot prefix shared by ~all names (the Zipfian 'ma…' case):
+    capped, the hot (pfx, band) blocks contribute zero candidates and
+    only the genuine near-dup in a cool block pairs up; uncapped, the
+    same input generates O(n²) candidates."""
+    from dbt_project_spark.operators.dedup import editdistance_pairs
+
+    # 40 same-length names under one prefix → both its (pfx, band)
+    # blocks hold all 40.
+    names = [(f"marlo{i:03d}",) for i in range(40)]
+    names += [("zq lavender",), ("zq lavendar",)]  # cool block, distance 1
+    df = spark.createDataFrame(names, ["p_name"])
+
+    capped = editdistance_pairs(df, "p_name", max_dist=4, max_block=10)
+    pairs = {(r["name_a"], r["name_b"]) for r in capped.collect()}
+    assert pairs == {("zq lavendar", "zq lavender")}
+
+    # The skew is real: uncapped, the hot prefix pairs quadratically.
+    uncapped = editdistance_pairs(df, "p_name", max_dist=4)
+    assert uncapped.count() > 40 * 39 / 4  # hundreds of marloXXX pairs
+
+
 def test_editdistance_blocking_zero_loss_within_prefix(spark):
     """Planted typos: length banding must lose no pair with distance
     ≤4 (band width 4 ⇒ |len delta| ≤ 4 ⇒ adjacent bands meet)."""

@@ -112,6 +112,17 @@ def test_editdistance_equi_blocked(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_editdistance_hot_block_cap_is_broadcast_anti_join(spark):
+    """The max_block hot-block cap must stay a broadcast anti-join
+    (tiny hot-key list broadcast onto the blocked relation) — a
+    refactor to a count window would sort the full blocked relation,
+    and dropping the cap entirely reintroduces O(block²) pair
+    generation on Zipfian name prefixes."""
+    plan = _plan(QUERIES["dedup_editdistance"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    assert "LeftAnti" in plan
+
+
 def test_ivf_assignment_partial_aggregation(spark):
     """Centroid assignment must be a max_by groupBy with map-side
     partials (shuffle = one small triple per corpus vector), never a
