@@ -88,15 +88,25 @@ def pagerank_fixedpoint(
     iters: int = 5,
     scale: int = 1_000_000_000_000,
     damping_pct: int = 85,
+    broadcast_threshold: int = 10_000_000,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list (src, dst).
 
     Ranks are BIGINT units of ``1/scale`` with floor division
     throughout, so results are bit-identical across engines and across
     partitionings (integer addition is associative; double addition is
-    not). Per iteration: broadcast the nodes-sized rank table onto the
+    not). Per iteration: join the nodes-sized rank table onto the
     edges, aggregate contributions by dst. Returns (node, r) with r in
     scaled units.
+
+    The rank/contribution tables are BROADCAST only while the graph
+    has ≤ ``broadcast_threshold`` nodes (counted once from the cached
+    edge list). Broadcasting a rank table past ~10⁷ nodes is a
+    driver/executor OOM; above the threshold the joins run as plain
+    shuffle hash/merge joins on the equi-keys (AQE still promotes
+    genuinely small rank tables to broadcast at runtime). Results are
+    bit-identical in both regimes — integer fixed-point math is
+    partitioning-independent.
     """
     from pyspark import StorageLevel
 
@@ -119,7 +129,14 @@ def pagerank_fixedpoint(
     )
     teleport_pct = 100 - damping_pct
 
-    # Each ranks_k feeds exactly ONE downstream broadcast
+    # One scalar count decides the join strategy for every iteration;
+    # nodes is persisted, so this also warms the cache the loop reuses.
+    small_graph = nodes.count() <= broadcast_threshold
+
+    def _rank_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_graph else df
+
+    # Each ranks_k feeds exactly ONE downstream join
     # (contrib_{k+1}), so the lazy chain already executes each
     # iteration once — no per-iteration materialization needed. At
     # hundreds of iterations you'd checkpoint every ~10 rounds to
@@ -130,7 +147,7 @@ def pagerank_fixedpoint(
     for _ in range(iters):
         contrib = (
             edges.join(
-                F.broadcast(ranks.select("node", "r")),
+                _rank_side(ranks.select("node", "r")),
                 edges.src == F.col("node"),
             )
             .select("dst", F.expr("r div od").alias("part"))
@@ -138,7 +155,7 @@ def pagerank_fixedpoint(
             .agg(F.sum("part").alias("contrib"))
         )
         ranks = nodes.join(
-            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+            _rank_side(contrib), nodes.node == contrib.dst, "left"
         ).select(
             "node",
             "n",

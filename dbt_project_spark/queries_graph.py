@@ -39,13 +39,59 @@ PR_ITERS = 5
 PR_TOP_PARTNERS = 3
 
 _W100 = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+# Per-order basket cap for the co-purchase edge build: pair generation
+# inside an order is O(basket²), so a pathological basket (one order
+# holding thousands of items — co-occurrence graphs outside TPC-H do
+# this) would go quadratic. Keep the top TC_MAX_BASKET parts per order
+# by total quantity (fixed-point, partkey tiebreak — deterministic in
+# both engines). TPC-H orders have ≤7 lineitems, so 8 changes nothing
+# at test scale while bounding any input.
+TC_MAX_BASKET = 8
+_Q100 = "CAST(round(l_quantity * 100, 0) AS BIGINT)"
+
+
+def copurchase_edges(li: DataFrame, max_basket: int = TC_MAX_BASKET) -> DataFrame:
+    """Undirected co-purchase edges (u, v), u < v: parts linked when
+    they appear in the same order, each order's basket capped to its
+    top ``max_basket`` parts by summed quantity. The basket ranking
+    window runs over the same l_orderkey partitioning the self-join
+    shuffles on, so the cap adds a sort but no extra exchange."""
+    per_part = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.sum(F.expr(_Q100)).alias("q100")
+    )
+    wq = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("q100"), F.asc("l_partkey")
+    )
+    basket = (
+        per_part.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= max_basket)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    return (
+        a.join(
+            b,
+            on=(F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
 
 
 @register(
     "triangle_count",
-    oracle="""
-    WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-               FROM lineitem a JOIN lineitem b
+    oracle=f"""
+    WITH bp AS MATERIALIZED (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY SUM({_Q100}) DESC, l_partkey) AS rk
+        FROM lineitem GROUP BY l_orderkey, l_partkey)
+      WHERE rk <= {TC_MAX_BASKET}),
+    e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM bp a JOIN bp b
                  ON a.l_orderkey = b.l_orderkey
                 AND a.l_partkey < b.l_partkey),
     deg AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
@@ -76,19 +122,17 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges only along out-edges, close them against the oriented edge
     set. Oriented out-degree is bounded by O(sqrt(m)), so the wedge
     stage can't blow up on a hub part the way naive Σdeg² does.
+
+    The edge build caps each order's basket at TC_MAX_BASKET parts
+    (see ``copurchase_edges``) so a pathological basket can't make
+    per-order pair generation quadratic — mirrored in the oracle.
     """
     from dbt_project_spark.operators.graph import triangle_count as tc
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    e = (
-        a.join(b, on=(F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
     )
-    return tc(e)
+    return tc(copurchase_edges(li))
 
 
 def _pr_oracle() -> str:

@@ -72,6 +72,51 @@ def test_pagerank_mass_conserved_and_sink_free(spark):
     assert scale - 100 <= total <= scale
 
 
+def test_copurchase_basket_cap_bounds_hot_order(spark):
+    """A pathological 50-item basket must contribute C(8,2)=28 pairs,
+    not C(50,2)=1225 — the per-order cap keeps the top parts by summed
+    quantity (partkey tiebreak) and leaves normal orders untouched."""
+    from dbt_project_spark.queries_graph import copurchase_edges
+
+    rows = [(1, p, 1.0) for p in range(100, 150)]  # hot order, equal qty
+    rows += [(2, 10, 5.0), (2, 11, 4.0), (2, 12, 3.0)]  # normal order
+    li = spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint, l_quantity double"
+    )
+    edges = {(r.u, r.v) for r in copurchase_edges(li, max_basket=8).collect()}
+    hot_pairs = [(u, v) for (u, v) in edges if u >= 100]
+    assert len(hot_pairs) == 28
+    # equal quantities → deterministic partkey tiebreak keeps 100..107
+    assert {p for uv in hot_pairs for p in uv} == set(range(100, 108))
+    assert {(10, 11), (10, 12), (11, 12)} <= edges
+
+
+def test_pagerank_shuffle_regime_bit_identical(spark):
+    """Above broadcast_threshold the rank joins run as plain shuffle
+    joins; integer fixed-point ranks must be bit-identical to the
+    broadcast regime (partitioning-independence is the whole point of
+    the scaled-BIGINT math)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1)],
+        "src bigint, dst bigint",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = {
+            row.node: row.r
+            for row in pagerank_fixedpoint(
+                edges, iters=4, broadcast_threshold=0
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    bcast = {
+        row.node: row.r for row in pagerank_fixedpoint(edges, iters=4).collect()
+    }
+    assert shuffled == bcast
+
+
 def test_pagerank_chain_matches_hand_computation(spark):
     # 1 -> 2, 2 -> 1 with damping 50% and tiny scale: replicate the
     # integer recurrence in python and compare exactly.

@@ -309,3 +309,26 @@ def test_pagerank_ranks_are_broadcast(spark):
     plan = _plan(QUERIES["pagerank_trade"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "InMemoryTableScan" in plan  # cached edges feed iterations
+
+
+def test_pagerank_broadcast_is_conditional_on_node_count(spark):
+    """The generic operator must hint broadcast only under the node
+    threshold: past ~10⁷ nodes a broadcast rank table is a driver OOM.
+    Both regimes are pinned — the small graph broadcasts even with
+    auto-broadcast disabled (explicit hint), the above-threshold
+    binding plans shuffle joins for the SAME graph."""
+    from dbt_project_spark.operators.graph import pagerank_fixedpoint
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = _plan(pagerank_fixedpoint(edges, iters=2))
+        assert "BroadcastHashJoin" in hinted
+        unhinted = _plan(pagerank_fixedpoint(edges, iters=2, broadcast_threshold=0))
+        assert "BroadcastHashJoin" not in unhinted
+        assert "SortMergeJoin" in unhinted or "ShuffledHashJoin" in unhinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
