@@ -1,0 +1,139 @@
+"""Deterministic fixed-point k-means (Lloyd's) for IVF centroid
+training.
+
+Everything runs in scaled-BIGINT space so training is bit-identical
+across engines and partitionings (the oracle replays the exact same
+iterations in ANSI SQL):
+
+- vector components are ``round(x * 1e6)`` BIGINTs — exact, associative
+  sums, unlike float accumulation which is addition-order-dependent;
+- assignment minimizes the exact integer key ``d2 * 1024 + cid``
+  (squared L2 in scaled units; ties break toward the lowest centroid
+  id) via ``min_by`` — a groupBy with map-side partials, shuffling one
+  small triple per vector, never a row_number window over n×K
+  vector-carrying rows;
+- centroid update is the per-dimension floor mean (``sum div count``),
+  computed by posexplode → groupBy(cid, pos) → array re-assembly;
+  empty clusters keep their previous centroid.
+
+Initialization is a deterministic hash-sample: the K vectors with the
+smallest ``(md5(vid), vid)`` — an orderBy().limit() that compiles to
+TakeOrderedAndProject (per-partition heaps), not a global corpus sort.
+
+Scale shape per iteration: assignment broadcasts the K×dim centroid
+table onto the corpus (K ≤ thousands — always broadcastable, unlike
+PageRank's nodes-sized ranks); the update shuffles dim×n small
+(cid, pos, x) rows with map-side combine. Centroids are persisted each
+round — they feed both the next assignment and the empty-cluster
+fallback, and an unpersisted 2-consumer chain re-executes the whole
+prefix per reference (exponential in iterations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbt_project_spark.functions.expressions import md5_int
+
+KM_SCALE = 1_000_000
+# Tie-break multiplier in assignment keys; must exceed the centroid
+# count. d2 ≤ dim × (2·SCALE)² ≈ 2.6e14 at dim 64, ×1024 ≈ 2.7e17 —
+# comfortably inside BIGINT.
+KM_KEY_M = 1024
+
+
+def int_vectors(
+    df: DataFrame, id_col: str, vec_col: str, scale: int = KM_SCALE
+) -> DataFrame:
+    """(vid, iv): vector components as round(x·scale) BIGINTs."""
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            vec_col, lambda x: F.round(x.cast("double") * scale).cast("bigint")
+        ).alias("iv"),
+    )
+
+
+def hash_seed_centroids(iv: DataFrame, k: int) -> DataFrame:
+    """K seed centroids (cid, civ) by smallest (md5(vid), vid) — a
+    deterministic hash-sample of the corpus, order-independent of the
+    input layout."""
+    seeded = iv.withColumn("h", md5_int(F.col("vid").cast("string")))
+    topk = seeded.orderBy("h", "vid").limit(k)
+    w = Window.orderBy("h", "vid")
+    return topk.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("cid"),
+        F.col("iv").alias("civ"),
+    )
+
+
+def _d2_key() -> Column:
+    d2 = F.aggregate(
+        F.zip_with("iv", "civ", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d2 * F.lit(KM_KEY_M) + F.col("cid")
+
+
+def assign_clusters(iv: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vid, cid): nearest centroid by exact integer squared-L2 key."""
+    scored = iv.crossJoin(F.broadcast(cent)).withColumn("key", _d2_key())
+    return scored.groupBy("vid").agg(F.min_by("cid", F.col("key")).alias("cid"))
+
+
+def probe_clusters(iv: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """(vid, cid): each vector's ``nprobe`` nearest centroids (the IVF
+    query-side recall dial)."""
+    scored = iv.crossJoin(F.broadcast(cent)).withColumn("key", _d2_key())
+    w = Window.partitionBy("vid").orderBy(F.asc("key"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("vid", "cid")
+    )
+
+
+def _update_centroids(iv: DataFrame, asg: DataFrame, prev: DataFrame) -> DataFrame:
+    flat = asg.join(iv, "vid").select("cid", F.posexplode("iv").alias("pos", "x"))
+    comps = flat.groupBy("cid", "pos").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    rebuilt = (
+        comps.withColumn("c", F.expr("sx div n"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("nciv")
+        )
+    )
+    return prev.join(rebuilt, "cid", "left").select(
+        "cid", F.coalesce("nciv", "civ").alias("civ")
+    )
+
+
+def kmeans_fit(iv: DataFrame, k: int, iters: int) -> DataFrame:
+    """Fixed-iteration Lloyd's over int vectors: returns (cid, civ).
+
+    ``iv`` should be persisted by the caller (it is consumed 2×/round).
+    Centroids are persisted per round: K×dim BIGINTs — tiny — and each
+    round's table has two consumers (next assignment + empty-cluster
+    coalesce), so leaving the chain lazy would re-execute the full
+    prefix exponentially often."""
+    from pyspark import StorageLevel
+
+    cent = hash_seed_centroids(iv, k)
+    cached = []
+    for _ in range(iters):
+        cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(cent)
+        asg = assign_clusters(iv, cent)
+        cent = _update_centroids(iv, asg, cent)
+    cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
+    cent.count()
+    for c in cached:
+        c.unpersist()
+    return cent
