@@ -970,3 +970,100 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_month_users")
         ).alias("union_within_5pct"),
     )
+
+
+@register(
+    "theta_set_ops",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT (SELECT COUNT(*) FROM p) AS exact_purchase,
+           (SELECT COUNT(*) FROM e) AS exact_error,
+           (SELECT COUNT(*) FROM p WHERE user_id IN (SELECT user_id FROM e))
+             AS exact_inter,
+           (SELECT COUNT(*) FROM p WHERE user_id NOT IN (SELECT user_id FROM e))
+             AS exact_a_not_b,
+           TRUE AS inter_within_5pct,
+           TRUE AS a_not_b_within_5pct,
+           TRUE AS union_within_5pct
+    """,
+)
+def theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS (Apache DataSketches via Spark 4
+    theta_sketch_agg / theta_intersection / theta_difference): the
+    operation HLL cannot do — HLL unions only, theta supports
+    intersection and a-not-b ON THE SKETCHES. One sketch per event
+    type is built in a single events pass; purchase∩error,
+    purchase∖error, and purchase∪error are then computed sketch-side
+    and tolerance-gated against the exact answers (oracle emits
+    literal TRUE; estimate drift flips a boolean and fails the
+    value-hash gate). At 100 TB this is the audience-overlap /
+    retention-intersection pattern: per-segment sketches are KBs,
+    set algebra never rescans events. Complements [[hll_sketch_rollup]]
+    (union-rollup) with the full set algebra."""
+    ev = _events(spark, sf_dir)
+    sk = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    both = sk.groupBy().pivot("event_type", ["purchase", "error"]).agg(
+        F.first("sk")
+    )
+    est = both.select(
+        F.theta_sketch_estimate(
+            F.theta_intersection("purchase", "error")
+        ).alias("est_inter"),
+        F.theta_sketch_estimate(
+            F.theta_difference("purchase", "error")
+        ).alias("est_a_not_b"),
+        F.theta_sketch_estimate(F.theta_union("purchase", "error")).alias(
+            "est_union"
+        ),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    x = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    exact = (
+        p.withColumn("in_p", F.lit(1))
+        .join(x.withColumn("in_e", F.lit(1)), on="user_id", how="full")
+        .agg(
+            F.sum("in_p").alias("exact_purchase"),
+            F.sum("in_e").alias("exact_error"),
+            # coalesce: sum over zero matching rows is NULL in Spark but the
+            # exact count is 0 (e.g. purchase ⊆ error makes a_not_b empty).
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("in_p").isNotNull() & F.col("in_e").isNotNull(), 1
+                    )
+                ),
+                F.lit(0),
+            ).alias("exact_inter"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("in_p").isNotNull() & F.col("in_e").isNull(), 1)
+                ),
+                F.lit(0),
+            ).alias("exact_a_not_b"),
+        )
+    )
+
+    def _gate(est_col: str, exact_col) -> F.Column:
+        # 5% relative with a 2-count absolute floor so an exact answer of 0
+        # (valid for intersections/differences) doesn't demand estimate == 0.
+        return F.abs(F.col(est_col) - exact_col) <= F.greatest(
+            0.05 * exact_col, F.lit(2.0)
+        )
+
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("exact_purchase").cast("bigint"),
+        F.col("exact_error").cast("bigint"),
+        F.col("exact_inter").cast("bigint"),
+        F.col("exact_a_not_b").cast("bigint"),
+        _gate("est_inter", F.col("exact_inter")).alias("inter_within_5pct"),
+        _gate("est_a_not_b", F.col("exact_a_not_b")).alias("a_not_b_within_5pct"),
+        _gate(
+            "est_union",
+            F.col("exact_purchase") + F.col("exact_error") - F.col("exact_inter"),
+        ).alias("union_within_5pct"),
+    )
