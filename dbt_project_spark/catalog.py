@@ -37,71 +37,26 @@ def register(name: str, oracle: str | None = None):
 # emitted first (in this order); everything else follows in
 # registration order.
 PRIORITY: list[str] = [
-    # r01 driver fails, root-caused as DuckDB HUGEINT oracle typing —
-    # oracle now casts; these two must be in-window to flip green.
-    "tpch_q1",
-    "tpch_q18",
-    # 17 queries with no r01 driver verdict (registered past slot 50).
-    "mm_frame_sample",
-    "win_running_total",
-    "win_moving_avg",
-    "win_top3_per_user",
-    "win_lag_delta",
-    "sessionization",
-    "rollup_type_daily",
-    "percentiles_by_type",
-    "asof_last_signup",
-    "vec_normalize",
-    "vec_quantize_int8",
-    "ann_ivf_topk",
-    # Re-blocked / re-bound this round — need fresh driver verdicts.
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "dedup_editdistance",
-    # --- new queries this round are inserted here as they land ---
-    "approx_distinct_users_daily",
-    "approx_percentiles_by_type",
-    "contamination_ngram",
-    "dedup_clusters",
-    "corpus_token_stats",
-    "text_normalize",
-    "mm_audio_windows",
-    "cube_type_daily",
-    "win_percent_rank_ntile",
-    "skew_salted_join",
-    "props_json_stats",
-    "range_join_error_impact",
-    "kmv_user_overlap",
-    "session_window_stats",
-    "seq_pack",
-    "span_dedup",
-    "corpus_filter_funnel",
-    "vocab_topk",
-    "ohlc_resample",
-    "twa_by_type_day",
-    "win_time_range_avg",
-    "corpus_shard_shuffle",
-    "corpus_mix_sample",
-    "funnel_conversion",
-    "cohort_retention",
-    "triangle_count",
-    "pagerank_trade",
-    "grouping_sets_matrix",
-    "unpivot_daily_metrics",
-    "resample_interpolate",
-    "linreg_value_trend",
-    "scd2_user_tier",
-    "event_transitions",
-    # No r01 driver verdict but locally verified twice (builder gate +
-    # judge's independent re-run) — first overflow candidates when the
-    # window fills with new queries; rotate back in once r02 greens
-    # free slots.
+    # --- new queries this round (r03) — no driver verdict yet ---
+    "theta_set_ops",
+    "ivf_train_centroids",
+    # --- changed this round — need fresh driver verdicts ---
+    "ann_ivf_topk",  # centroids now k-means-trained, not first-K
+    "dedup_editdistance",  # hot (prefix, band) block cap
+    "pagerank_trade",  # conditional rank broadcast
+    "triangle_count",  # per-order basket cap
+    "approx_percentiles_by_type",  # p50/p90 rounded both sides
+    # --- never driver-checked (judge-verified locally in r02) ---
+    "mm_arrow_byte_stats",
+    "hll_sketch_rollup",
+    "corpus_keep_list",
     "wt_value_histogram",
     "wt_daily_type_pivot",
     "users_purchase_no_error",
     "wt_gap_filled_series",
     "distinct_users_daily",
-    # r01 driver-green, unchanged; fill remaining window slots.
+    # --- r01 driver-green, unchanged since: stalest verdicts fill the
+    # remaining window slots for a refresh ---
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -127,8 +82,20 @@ PRIORITY: list[str] = [
     "wt_stream_batch_compare",
     "wt_compare_categories",
     "wt_compare_engagement",
-    # Overflow (driver-green r01, re-verified locally each round):
-    # the remaining tpch_q* follow in registration order.
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    # Overflow (driver-green r02 or freshly re-verified r01, all
+    # re-verified locally each round): remaining tpch_q*, the win_*/
+    # analytics/corpus/training/timeseries/product/graph families
+    # follow in registration order.
 ]
 
 
