@@ -46,6 +46,7 @@ PRIORITY: list[str] = [
     "pagerank_trade",  # conditional rank broadcast
     "triangle_count",  # per-order basket cap
     "approx_percentiles_by_type",  # p50/p90 rounded both sides
+    "percentiles_by_type",  # same rounding fix
     # --- never driver-checked (judge-verified locally in r02) ---
     "mm_arrow_byte_stats",
     "hll_sketch_rollup",

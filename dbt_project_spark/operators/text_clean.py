@@ -14,12 +14,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Order matters: URLs before emails (a URL can contain '@' userinfo),
-# emails before phones (digits inside emails must not be re-matched).
+# emails and IPv4s before phones (digits inside an email, and dotted
+# quads, would otherwise match the loose phone pattern).
 PII_PATTERNS: dict[str, str] = {
     "url": r"https?://[^\s]+",
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?\d[\d\s().-]{7,}\d",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
 }
 
 
@@ -39,15 +40,20 @@ def redact_pii(
 ) -> DataFrame:
     """Replace PII spans with ``token``; adds one count column per
     pattern plus the redacted text. One projection, no shuffle —
-    embarrassingly parallel over the corpus."""
+    embarrassingly parallel over the corpus.
+
+    Each ``n_{pattern}`` counts matches against the PROGRESSIVELY
+    redacted string (the input after all earlier patterns were
+    replaced), so the counts agree with what this pass actually
+    redacted: a phone-like digit run inside a URL is counted (and
+    redacted) as part of the URL, not again as a phone.
+    """
     out = df
     red = F.col(text_col)
     for name, pat in PII_PATTERNS.items():
         out = out.withColumn(
             f"n_{name}",
-            F.size(
-                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
-            ),
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0))),
         )
         red = F.regexp_replace(red, pat, token)
     return out.withColumn("redacted", red)

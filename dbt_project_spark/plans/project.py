@@ -159,6 +159,17 @@ class Project:
             # would use Delta/Iceberg MERGE for ACID commit — the
             # dataflow (anti-join survivors ∪ batch, partition-scoped)
             # is identical.
+            #
+            # ASSUMPTION (same caveat dbt + Delta attach to partition-
+            # pruned MERGE): a unique_key's partition_by value is
+            # immutable. Survivors are anti-joined only within the
+            # batch's partitions, so if a key MOVES partitions between
+            # batches the stale row in the old, untouched partition
+            # survives and the key is duplicated. Detecting that would
+            # require scanning every partition — exactly the O(table)
+            # cost this strategy exists to avoid. If keys can move,
+            # use `incremental_strategy: merge` on a table format with
+            # a full-table match condition instead.
             if m.partition_by is None or m.unique_key is None:
                 raise ValueError(
                     f"merge model {m.name} needs partition_by + unique_key"

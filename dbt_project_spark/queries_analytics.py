@@ -234,9 +234,9 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentiles_by_type",
     oracle=f"""
     SELECT event_type,
-           quantile_cont({_V100}, 0.5) / 100.0 AS p50,
-           quantile_cont({_V100}, 0.9) / 100.0 AS p90,
-           quantile_cont({_V100}, 0.99) / 100.0 AS p99
+           ROUND(quantile_cont({_V100}, 0.5) / 100.0, 6) AS p50,
+           ROUND(quantile_cont({_V100}, 0.9) / 100.0, 6) AS p90,
+           ROUND(quantile_cont({_V100}, 0.99) / 100.0, 6) AS p99
     FROM events GROUP BY event_type
     """,
 )
@@ -249,9 +249,17 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir)
         .groupBy("event_type")
         .agg(
-            (F.expr("percentile(value100, 0.5)") / 100.0).alias("p50"),
-            (F.expr("percentile(value100, 0.9)") / 100.0).alias("p90"),
-            (F.expr("percentile(value100, 0.99)") / 100.0).alias("p99"),
+            # ROUND(.,6) both sides: interpolated-percentile internals can
+            # differ in the last ulp between engines (ADVICE r02).
+            F.round(F.expr("percentile(value100, 0.5)") / 100.0, 6).alias(
+                "p50"
+            ),
+            F.round(F.expr("percentile(value100, 0.9)") / 100.0, 6).alias(
+                "p90"
+            ),
+            F.round(F.expr("percentile(value100, 0.99)") / 100.0, 6).alias(
+                "p99"
+            ),
         )
     )
 
@@ -466,8 +474,8 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_percentiles_by_type",
     oracle=f"""
     SELECT event_type,
-           quantile_cont({_V100}, 0.5) / 100.0 AS p50,
-           quantile_cont({_V100}, 0.9) / 100.0 AS p90,
+           ROUND(quantile_cont({_V100}, 0.5) / 100.0, 6) AS p50,
+           ROUND(quantile_cont({_V100}, 0.9) / 100.0, 6) AS p90,
            TRUE AS sketch_within_rank_tol
     FROM events GROUP BY event_type
     """,
@@ -487,8 +495,14 @@ def approx_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir)
         .groupBy("event_type")
         .agg(
-            (F.expr("percentile(value100, 0.5)") / 100.0).alias("p50"),
-            (F.expr("percentile(value100, 0.9)") / 100.0).alias("p90"),
+            # ROUND(.,6) both sides: interpolated-percentile internals can
+            # differ in the last ulp between engines (ADVICE r02).
+            F.round(F.expr("percentile(value100, 0.5)") / 100.0, 6).alias(
+                "p50"
+            ),
+            F.round(F.expr("percentile(value100, 0.9)") / 100.0, 6).alias(
+                "p90"
+            ),
             F.expr("percentile(value100, 0.45)").alias("__lo50"),
             F.expr("percentile(value100, 0.55)").alias("__hi50"),
             F.expr("percentile(value100, 0.88)").alias("__lo90"),

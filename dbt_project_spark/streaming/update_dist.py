@@ -26,6 +26,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -40,6 +41,28 @@ def _latest_version(dir_: str) -> int | None:
         int(d[1:]) for d in os.listdir(dir_) if d.startswith("v") and d[1:].isdigit()
     ]
     return max(versions) if versions else None
+
+
+def _next_version(dir_: str) -> int:
+    """max(existing)+1, NOT the trigger's epoch_id: after a checkpoint
+    restart a replayed epoch_id can be LOWER than the on-disk max, and
+    a version written under it would never be read by _latest_version."""
+    v = _latest_version(dir_)
+    return 0 if v is None else v + 1
+
+
+def _prune_versions(dir_: str, keep: int = 2) -> None:
+    """Drop all but the newest ``keep`` versions once a write commits —
+    otherwise every trigger leaves a full state+output copy behind
+    (unbounded disk growth over a long-running stream). keep=2 retains
+    one rollback step."""
+    if not os.path.isdir(dir_):
+        return
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(dir_) if d.startswith("v") and d[1:].isdigit()
+    )
+    for v in versions[:-keep]:
+        shutil.rmtree(os.path.join(dir_, f"v{v}"), ignore_errors=True)
 
 
 def read_current_distribution(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -106,7 +129,7 @@ def run_update_distribution(
                 how="left_anti",
             )
             state = kept.unionByName(updates)
-        new_state_path = os.path.join(state_dir, f"v{epoch_id}")
+        new_state_path = os.path.join(state_dir, f"v{_next_version(state_dir)}")
         state.write.mode("overwrite").parquet(new_state_path)
 
         # Recompute pct ONLY for windows touched this trigger, over the
@@ -131,8 +154,12 @@ def run_update_distribution(
             dist = prev_out.join(
                 touched, on="window_start", how="left_anti"
             ).unionByName(dist)
-        dist.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{epoch_id}"))
+        dist.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"v{_next_version(out_dir)}")
+        )
         updates.unpersist()
+        _prune_versions(state_dir)
+        _prune_versions(out_dir)
 
     q = (
         counts.writeStream.outputMode("update")

@@ -46,3 +46,25 @@ def test_normalize_text_canonical_and_idempotent(spark):
     # idempotent: normalizing the normalized form is a no-op
     again = df.select(normalize_text(normalize_text("text")).alias("n")).collect()
     assert [r["n"] for r in again] == [vals[1], vals[2]]
+
+
+def test_redact_counts_match_redactions(spark):
+    """n_* columns count what THIS pass redacted: a span consumed by an
+    earlier pattern (digits in a URL, an IP that also looks like a
+    phone) must not be double-counted by a later one."""
+    rows = [
+        (1, "see https://ex.com/p?id=5551234567 for details"),
+        (2, "host 10.20.30.40 answered"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+
+    r1 = got[1]  # digit run lives inside the URL: counted once, as URL
+    assert r1["n_url"] == 1
+    assert r1["n_phone"] == 0
+    assert r1["redacted"].count("[REDACTED]") == 1
+
+    r2 = got[2]  # dotted quad is ipv4, not a phone number
+    assert r2["n_ipv4"] == 1
+    assert r2["n_phone"] == 0
+    assert r2["redacted"].count("[REDACTED]") == 1
