@@ -8,19 +8,33 @@ driver's correctness gate hashes values after sorting columns by name.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from dbt_project_spark.caching import release_tracked
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and optional oracle SQL) to the catalog."""
+    """Decorator: add a query (and optional oracle SQL) to the catalog.
+
+    The catalog entry (NOT the plain function, which is returned
+    unchanged for direct/internal calls) releases all tracked
+    persisted intermediates before building: consumers run
+    build→materialize per query sequentially, so the previous query's
+    caches are dead by then (see caching.py)."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = entry
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

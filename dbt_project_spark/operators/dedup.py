@@ -118,9 +118,9 @@ def jaccard_pairs(
     """
     ex = exploded_shingles(_with_tokens(df, text_col), id_col, n)
     if persist_postings:
-        from pyspark import StorageLevel
+        from dbt_project_spark.caching import persist_tracked
 
-        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+        ex = persist_tracked(ex)
     if max_bucket is not None:
         # Hot-shingle cap as a broadcast anti-join, not a count window:
         # the groupBy shuffles only per-shingle partial counts (map-side
@@ -251,12 +251,13 @@ def minhash_lsh_pairs(
     """
     k = len(MINHASH_A)
     r = k // bands
-    from pyspark import StorageLevel
+    from dbt_project_spark.caching import persist_tracked
 
     # One persisted postings relation feeds the signature stage AND
     # both verify sides (3 consumers — Spark won't dedup the subtrees).
-    postings = exploded_shingles(_with_tokens(df, text_col), id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Tracked: released when the next catalog query is built.
+    postings = persist_tracked(
+        exploded_shingles(_with_tokens(df, text_col), id_col, n)
     )
     sig = minhash_signatures(df, id_col, text_col, n, postings=postings)
     band_cols = []
@@ -327,21 +328,22 @@ def connected_components(
     every few rounds to truncate lineage). Deterministic: the
     fixpoint (min reachable id per node) is independent of iteration
     or partition order."""
-    from pyspark import StorageLevel
+    from dbt_project_spark.caching import persist_tracked
 
     # Persist the raw edge list BEFORE symmetrizing: the union has two
     # branches over the same (possibly expensive — e.g. MinHash) edge
-    # pipeline, and Spark does not dedup the subtree.
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # pipeline, and Spark does not dedup the subtree. Tracked persists
+    # are released at the next catalog query; sym and per-round labels
+    # are ALSO unpersisted eagerly below (loop-local lifetime).
+    edges = persist_tracked(edges)
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
-    labels = (
+    sym = persist_tracked(sym)
+    labels = persist_tracked(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Convergence signal: per-node labels only ever DECREASE (min of a
     # shrinking set), so the exact sum of labels is strictly monotone
@@ -359,11 +361,10 @@ def connected_components(
         prop = sym.join(labels, sym.u == labels.node).select(
             F.col("v").alias("node"), "lab"
         )
-        new = (
+        new = persist_tracked(
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         new_sig = _sig(new)
         labels.unpersist()

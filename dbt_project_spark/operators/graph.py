@@ -47,15 +47,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     with columns (u, v), u < v. Returns a 1-row DataFrame
     (n_nodes, n_edges, n_triangles). Degree-oriented wedge join —
     every stage is an equi-join, no node's fan-out exceeds O(sqrt(m))."""
-    from pyspark import StorageLevel
+    from dbt_project_spark.caching import persist_tracked
 
     # edges feeds orientation (3 refs) + the node/edge counts; the
     # oriented list feeds both wedge sides and the closing set. Cache
     # both — Spark does not dedup repeated subtrees, so an uncached
-    # (expensive) edge construction would run ~5 times.
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # (expensive) edge construction would run ~5 times. Tracked:
+    # released when the next catalog query is built.
+    edges = persist_tracked(edges)
     edges.count()
-    o = orient_by_degree(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    o = persist_tracked(orient_by_degree(edges))
     e1 = o.alias("e1")
     e2 = o.alias("e2")
     wedge = e1.join(
@@ -108,13 +109,14 @@ def pagerank_fixedpoint(
     bit-identical in both regimes — integer fixed-point math is
     partitioning-independent.
     """
-    from pyspark import StorageLevel
+    from dbt_project_spark.caching import persist_tracked
 
     # Persist the RAW edge list first: nodes, out-degrees, and the
     # node count each reference it, and Spark does not share subtrees
     # — without the cache the (possibly expensive) edge-construction
-    # pipeline would run once per reference.
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # pipeline would run once per reference. All persists here are
+    # tracked: released when the next catalog query is built.
+    edges = persist_tracked(edges)
     edges.count()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -123,10 +125,8 @@ def pagerank_fixedpoint(
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
-    edges = edges.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = nodes.crossJoin(F.broadcast(n_nodes)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    edges = persist_tracked(edges.join(outdeg, "src"))
+    nodes = persist_tracked(nodes.crossJoin(F.broadcast(n_nodes)))
     teleport_pct = 100 - damping_pct
 
     # One scalar count decides the join strategy for every iteration;

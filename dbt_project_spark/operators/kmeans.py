@@ -123,16 +123,16 @@ def kmeans_fit(iv: DataFrame, k: int, iters: int) -> DataFrame:
     round's table has two consumers (next assignment + empty-cluster
     coalesce), so leaving the chain lazy would re-execute the full
     prefix exponentially often."""
-    from pyspark import StorageLevel
+    from dbt_project_spark.caching import persist_tracked
 
     cent = hash_seed_centroids(iv, k)
     cached = []
     for _ in range(iters):
-        cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
+        cent = persist_tracked(cent)
         cached.append(cent)
         asg = assign_clusters(iv, cent)
         cent = _update_centroids(iv, asg, cent)
-    cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
+    cent = persist_tracked(cent)
     cent.count()
     for c in cached:
         c.unpersist()

@@ -150,18 +150,16 @@ def embedding_lsh_pairs(
     production threshold (0.9) the same construction prunes by
     ~2^nbits/ntables with recall held by the much higher per-bit
     agreement probability."""
-    from pyspark import StorageLevel
-
+    from dbt_project_spark.caching import persist_tracked
     from dbt_project_spark.functions.expressions import dot_product as _dot
     from dbt_project_spark.functions.expressions import l2_norm as _l2
 
     w = lsh_table_weights(ntables, nbits)
     # Persist the band projection: both self-join sides consume it and
     # Spark does not dedup the subtree — without it the ntables×nbits
-    # hyperplane dot products are computed twice per vector.
-    bands = with_lsh_bands(corpus, vec, w, id_col, id_out="doc").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # hyperplane dot products are computed twice per vector. Tracked:
+    # released when the next catalog query is built.
+    bands = persist_tracked(with_lsh_bands(corpus, vec, w, id_col, id_out="doc"))
     a = bands.select(F.col("doc").alias("vec_a"), "tid", "bv")
     b = bands.select(F.col("doc").alias("vec_b"), "tid", "bv")
     cand = (

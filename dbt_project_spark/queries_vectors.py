@@ -268,10 +268,10 @@ def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         int_vectors,
         kmeans_fit,
     )
-    from pyspark import StorageLevel
+    from dbt_project_spark.caching import persist_tracked
 
     e = load_table(spark, sf_dir, "embeddings")
-    iv = int_vectors(e, "vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
+    iv = persist_tracked(int_vectors(e, "vec_id", "embedding"))
     cent = kmeans_fit(iv, K_TRAIN, KM_ITERS)
     counts = (
         assign_clusters(iv, cent)

@@ -65,3 +65,18 @@ def test_entry_contract(spark):
 def test_oracle_parity(spark, name):
     r = check_query(spark, SF_SMOKE, name, QUERIES[name], ORACLES.get(name))
     assert r["ok"], r
+
+
+def test_tracked_caches_released_at_next_query_build(spark):
+    """Operators persist intermediates the caller's plan still needs
+    (postings, edge lists); the catalog entry releases them when the
+    NEXT query is built, so a long gate/bench session cannot
+    accumulate cache blocks (ADVICE r02)."""
+    from dbt_project_spark import caching
+
+    QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    assert len(caching._TRACKED) > 0  # postings still registered
+    # Building any other catalog query drops the previous query's
+    # caches; tpch_q6 itself persists nothing.
+    QUERIES["tpch_q6"](spark, SF_SMOKE).collect()
+    assert len(caching._TRACKED) == 0
