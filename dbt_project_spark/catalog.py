@@ -54,6 +54,7 @@ PRIORITY: list[str] = [
     # --- new queries this round (r03) — no driver verdict yet ---
     "theta_set_ops",
     "ivf_train_centroids",
+    "dedup_incremental",
     # --- changed this round — need fresh driver verdicts ---
     "ann_ivf_topk",  # centroids now k-means-trained, not first-K
     "dedup_editdistance",  # hot (prefix, band) block cap

@@ -260,26 +260,7 @@ def minhash_lsh_pairs(
         exploded_shingles(_with_tokens(df, text_col), id_col, n)
     )
     sig = minhash_signatures(df, id_col, text_col, n, postings=postings)
-    band_cols = []
-    for bnd in range(bands):
-        parts = [f"mh{bnd * r + j}" for j in range(r)]
-        band_cols.append(
-            md5_int(F.concat_ws(",", *[F.col(p).cast("string") for p in parts])).alias(
-                f"band{bnd}"
-            )
-        )
-    banded = sig.select("doc", *band_cols)
-    stacked = banded.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(bnd).alias("bid"), F.col(f"band{bnd}").alias("bv"))
-                    for bnd in range(bands)
-                ]
-            )
-        ).alias("bx"),
-    ).select("doc", "bx.bid", "bx.bv")
+    stacked = minhash_band_stack(sig, bands)
     a = stacked.select(F.col("doc").alias("doc_a"), "bid", "bv")
     b = stacked.select(F.col("doc").alias("doc_b"), "bid", "bv")
     cand = (
@@ -290,9 +271,50 @@ def minhash_lsh_pairs(
     )
     # Verify ONLY candidate pairs (the point of LSH at scale): join the
     # candidates back to the (shared, persisted) shingle postings.
-    ex = postings
-    exa = ex.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "sg")
-    exb = ex.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "sg")
+    return verify_jaccard(cand, postings, threshold)
+
+
+def minhash_band_stack(sig: DataFrame, bands: int) -> DataFrame:
+    """(doc, bid, bv): one row per (doc, band); bv = md5-int of the
+    band's r consecutive signature values. The stacked layout is what
+    both the self-join path and the persisted index store — band joins
+    shuffle (id, 2 ints) rows regardless of document size."""
+    k = len(MINHASH_A)
+    r = k // bands
+    band_cols = []
+    for bnd in range(bands):
+        parts = [f"mh{bnd * r + j}" for j in range(r)]
+        band_cols.append(
+            md5_int(F.concat_ws(",", *[F.col(p).cast("string") for p in parts])).alias(
+                f"band{bnd}"
+            )
+        )
+    banded = sig.select("doc", *band_cols)
+    return banded.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bnd).alias("bid"), F.col(f"band{bnd}").alias("bv"))
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("bx"),
+    ).select("doc", "bx.bid", "bx.bv")
+
+
+def verify_jaccard(
+    cand: DataFrame, postings: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate (doc_a, doc_b) pairs from a
+    shingle-postings relation — precision 1.0 regardless of how the
+    candidates were generated."""
+    exa = postings.select(
+        F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "sg"
+    )
+    exb = postings.select(
+        F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "sg"
+    )
     return (
         cand.join(exa, on="doc_a")
         .join(exb, on=["doc_b", "sg"])
@@ -309,6 +331,114 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    bands: int = 4,
+    n: int = 3,
+) -> None:
+    """Persist the corpus-side MinHash dedup index: the banded
+    signature stack (``bands.parquet``) and the shingle postings
+    (``postings.parquet``).
+
+    This is the batch half of production incremental dedup: the corpus
+    is signed ONCE, and each daily batch joins against the saved index
+    instead of re-reading corpus text (``incremental_minhash_pairs``).
+    At cluster scale both tables would be bucketed — bands by
+    (bid, bv) so the lookup join is shuffle-free on the index side,
+    postings by doc for the verify join."""
+    import os
+
+    ex = exploded_shingles(_with_tokens(df, text_col), id_col, n)
+    sig = minhash_signatures(df, id_col, text_col, n, postings=ex)
+    minhash_band_stack(sig, bands).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "bands.parquet")
+    )
+    ex.write.mode("overwrite").parquet(os.path.join(index_dir, "postings.parquet"))
+
+
+def incremental_minhash_pairs(
+    spark,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    threshold: float,
+    bands: int = 4,
+    n: int = 3,
+    update_index: bool = False,
+) -> DataFrame:
+    """Near-dup pairs involving a NEW batch, against a saved index.
+
+    Computes signatures/postings for the new batch only, then joins
+    new bands against (saved ∪ new) bands — so candidates are exactly
+    the new-vs-corpus and new-vs-new pairs; corpus-vs-corpus pairs
+    (already found when the index was built) are never regenerated and
+    corpus text is never re-read. Cost per batch is
+    O(|batch| + matching index buckets), not O(|corpus|): the shape
+    production dedup runs daily.
+
+    Verification reads shingle postings from the index for the corpus
+    side, so precision stays 1.0 without touching corpus text.
+
+    ``update_index=True`` appends the batch's bands/postings to the
+    index so the next batch sees this one.
+    """
+    import os
+
+    from dbt_project_spark.caching import persist_tracked
+
+    new_postings = persist_tracked(
+        exploded_shingles(_with_tokens(new_df, text_col), id_col, n)
+    )
+    sig = minhash_signatures(new_df, id_col, text_col, n, postings=new_postings)
+    new_stack = persist_tracked(minhash_band_stack(sig, bands))
+    # The corpus side is the index MINUS this batch's ids. The
+    # anti-join matters for correctness, not just hygiene: parquet
+    # scans resolve files at EXECUTION time, so once update_index has
+    # appended, a (lazy) re-execution of the returned pairs would see
+    # the batch on the index side too and double-count every shingle
+    # in the verify stage. Stripping batch ids makes the result
+    # identical no matter when the plan runs (and makes re-running an
+    # already-indexed batch idempotent).
+    new_ids = new_df.select(F.col(id_col).alias("doc")).distinct()
+    old_stack = spark.read.parquet(
+        os.path.join(index_dir, "bands.parquet")
+    ).join(new_ids, on="doc", how="left_anti")
+    old_postings = spark.read.parquet(
+        os.path.join(index_dir, "postings.parquet")
+    ).join(new_ids, on="doc", how="left_anti")
+
+    a = new_stack.select(F.col("doc").alias("doc_a"), "bid", "bv")
+    b = old_stack.unionByName(new_stack).select(
+        F.col("doc").alias("doc_b"), "bid", "bv"
+    )
+    # least/greatest ordering dedups the new-vs-new pairs that would
+    # otherwise appear from both sides of the asymmetric join.
+    cand = (
+        a.join(b, on=["bid", "bv"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pairs = verify_jaccard(
+        cand, old_postings.unionByName(new_postings), threshold
+    )
+    if update_index:
+        new_stack.write.mode("append").parquet(
+            os.path.join(index_dir, "bands.parquet")
+        )
+        new_postings.write.mode("append").parquet(
+            os.path.join(index_dir, "postings.parquet")
+        )
+    return pairs
 
 
 def connected_components(

@@ -17,8 +17,10 @@ from dbt_project_spark.operators.dedup import (
     MINHASH_B,
     MINHASH_P,
     SIMHASH_BITS,
+    build_minhash_index,
     editdistance_pairs,
     exact_dedup,
+    incremental_minhash_pairs,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_signatures,
@@ -102,7 +104,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(cand_pred: str = "", extra_cols: str = "") -> str:
+    """Full MinHash-LSH pipeline in DuckDB SQL. ``cand_pred``
+    restricts the candidate pairs (incremental variant: at least one
+    side in the new batch); ``extra_cols`` appends output columns."""
     k = len(MINHASH_A)
     r = k // 4
     mins = ",\n           ".join(
@@ -119,6 +124,7 @@ def _minhash_oracle() -> str:
     stack = " UNION ALL ".join(
         f"SELECT doc, {bnd} AS bid, band{bnd} AS bv FROM bands" for bnd in range(4)
     )
+    where = f"WHERE {cand_pred}" if cand_pred else ""
     return f"""
     WITH {_EX_CTE},
     hashed AS (SELECT doc, sz, {_MD5INT.format(x='sg')} AS h FROM ex),
@@ -126,13 +132,14 @@ def _minhash_oracle() -> str:
     bands AS (SELECT doc, {bands} FROM sigs),
     stack AS ({stack}),
     cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-             FROM stack a JOIN stack b ON a.bid = b.bid AND a.bv = b.bv AND a.doc < b.doc),
+             FROM stack a JOIN stack b ON a.bid = b.bid AND a.bv = b.bv AND a.doc < b.doc
+             {where}),
     ver AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter,
                    MAX(ea.sz) AS sa, MAX(eb.sz) AS sb
             FROM cand c JOIN ex ea ON ea.doc = c.doc_a
                         JOIN ex eb ON eb.doc = c.doc_b AND eb.sg = ea.sg
             GROUP BY c.doc_a, c.doc_b)
-    SELECT doc_a, doc_b, inter / (sa + sb - inter) AS jaccard
+    SELECT doc_a, doc_b, inter / (sa + sb - inter) AS jaccard{extra_cols}
     FROM ver WHERE inter / (sa + sb - inter) >= {JACCARD_T}
     """
 
@@ -142,6 +149,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidates verified by exact Jaccard."""
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_T
+    )
+
+
+# Incremental dedup: documents with doc_id % NEW_MOD == 0 play the
+# role of "today's batch"; the rest are the already-indexed corpus.
+NEW_MOD = 10
+
+
+@register(
+    "dedup_incremental",
+    oracle=_minhash_oracle(
+        cand_pred=f"a.doc % {NEW_MOD} = 0 OR b.doc % {NEW_MOD} = 0",
+        extra_cols=(
+            f",\n           CASE WHEN doc_a % {NEW_MOD} = 0 "
+            f"AND doc_b % {NEW_MOD} = 0 THEN 'new_new' "
+            "ELSE 'new_old' END AS pair_kind"
+        ),
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus MinHash dedup against a PERSISTED index —
+    the shape production dedup runs daily (reference has no
+    counterpart; LLM-pipeline extension).
+
+    The corpus side (doc_id % 10 != 0) is signed once into a parquet
+    index (banded signatures + shingle postings); the batch
+    (doc_id % 10 == 0) computes its own signatures and joins the saved
+    bands — corpus text is never re-read and corpus-vs-corpus pairs
+    are never regenerated. The oracle is the full-recompute pipeline
+    restricted to pairs with ≥1 new side: proves incremental == full
+    recompute on exactly the pairs a batch run owes.
+    """
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % NEW_MOD != 0)
+    new = docs.filter(F.col("doc_id") % NEW_MOD == 0)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mh_index_{tag}"
+    )
+    build_minhash_index(old, "doc_id", "text", index_dir)
+    pairs = incremental_minhash_pairs(
+        spark, new, "doc_id", "text", index_dir, JACCARD_T
+    )
+    return pairs.withColumn(
+        "pair_kind",
+        F.when(
+            (F.col("doc_a") % NEW_MOD == 0) & (F.col("doc_b") % NEW_MOD == 0),
+            F.lit("new_new"),
+        ).otherwise(F.lit("new_old")),
     )
 
 

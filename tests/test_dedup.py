@@ -216,3 +216,110 @@ def test_editdistance_blocking_zero_loss_within_prefix(spark):
     # distance to nothing (distance to others is >4 anyway, but assert
     # no pair contains it to lock the documented blocking behavior)
     assert not any(a.startswith("dark") or b.startswith("dark") for a, b in pairs)
+
+
+def test_incremental_index_flags_only_new_pairs(spark, tmp_path):
+    """Incremental dedup against a saved index: new-vs-old and
+    new-vs-new pairs are found, old-vs-old pairs (already found at
+    index build) are never regenerated."""
+    from dbt_project_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+            (4, "completely different words appear in this one here"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(old, "doc_id", "text", idx)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1/2
+            (11, "fresh batch sentence with new vocabulary only"),
+            (12, "fresh batch sentence with new vocabulary only"),  # dup of 11
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_minhash_pairs(
+            spark, batch, "doc_id", "text", idx, 0.8
+        ).collect()
+    }
+    assert (1, 10) in pairs and (2, 10) in pairs  # new vs old
+    assert (11, 12) in pairs  # new vs new
+    assert (1, 2) not in pairs  # old vs old: index build's job, not ours
+    assert all(a < b for a, b in pairs)
+
+
+def test_incremental_index_update_accumulates(spark, tmp_path):
+    """update_index=True appends the batch so the NEXT batch sees it."""
+    from dbt_project_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(old, "doc_id", "text", idx)
+
+    b1 = spark.createDataFrame(
+        [(10, "brand new content in the first daily batch today")],
+        ["doc_id", "text"],
+    )
+    p1 = incremental_minhash_pairs(
+        spark, b1, "doc_id", "text", idx, 0.8, update_index=True
+    )
+    assert p1.count() == 0  # nothing matches yet; batch now indexed
+
+    b2 = spark.createDataFrame(
+        [(20, "brand new content in the first daily batch today")],  # dup of 10
+        ["doc_id", "text"],
+    )
+    p2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_minhash_pairs(
+            spark, b2, "doc_id", "text", idx, 0.8
+        ).collect()
+    }
+    assert p2 == {(10, 20)}  # batch-1 doc found via the UPDATED index
+
+
+def test_incremental_lazy_rescan_after_update_is_stable(spark, tmp_path):
+    """Parquet scans resolve files at execution time: pairs collected
+    AFTER update_index has appended the batch must still verify with
+    single-counted shingles (same-batch dup stays jaccard == 1.0)."""
+    from dbt_project_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(old, "doc_id", "text", idx)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "fresh batch sentence with new vocabulary only"),
+            (11, "fresh batch sentence with new vocabulary only"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = incremental_minhash_pairs(
+        spark, batch, "doc_id", "text", idx, 0.8, update_index=True
+    )
+    rows = pairs.collect()  # materialized AFTER the append
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(10, 11)}
+    assert rows[0]["jaccard"] == 1.0
