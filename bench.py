@@ -4,6 +4,22 @@
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Each query is forced end-to-end with the
 noop sink (full computation, no collect/driver materialization cost).
+
+Methodology (r03): per-query MEDIAN of $SPARK_GRAFT_BENCH_RUNS
+(default 3) in-session runs, executed as interleaved passes (run every
+query once, then again, ...) so samples are spread across the session
+and a host-load spike doesn't bias one query. The JSON carries the
+medians plus per-query [min, max] spread — a >15% median shift on an
+unchanged plan is a regression, a uniform shift inside the spread is
+host drift (the r01→r02 +36% was unattributable with n=1).
+
+An additional sf1 section re-times the 10 most expensive queries at
+10× the base scale (data generated once into benchdata/ by
+dbt_project_spark.sfgen, key-offset replication) to catch constants
+that hide at sf0.1. The section is wall-clock budgeted
+($SPARK_GRAFT_SF1_BUDGET sec, default 240): extra passes are dropped
+first, then remaining queries are skipped — whatever was dropped is
+listed in the JSON, never silently.
 """
 
 from __future__ import annotations
@@ -11,10 +27,12 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 from dbt_project_spark import get_spark
 from dbt_project_spark.catalog import QUERIES, load_all
@@ -55,42 +73,126 @@ HEADLINE = [
     "grouping_sets_matrix",
     "resample_interpolate",
     "mm_arrow_byte_stats",
+    # round 3
+    "ivf_train_centroids",
+    "theta_set_ops",
+]
+
+# The 10 most expensive headline queries per BENCH_r02, cheapest first
+# so budget truncation at sf1 drops passes of the cheap ones last and
+# every query gets its pass-0 sample as early as possible.
+SF1_QUERIES = [
+    "seq_pack",
+    "tpch_q21",
+    "dedup_minhash_lsh",
+    "pipeline_nation_revenue",
+    "ann_ivf_topk",
+    "pagerank_trade",
+    "dedup_embedding",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "triangle_count",
 ]
 
 
+def _run_once(name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    QUERIES[name](sf_dir=sf_dir, spark=_SPARK).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    return time.perf_counter() - t0
+
+
+def _bench(
+    names: list[str], sf_dir: str, runs: int, budget_s: float | None = None
+) -> dict:
+    t_start = time.perf_counter()
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _pass in range(runs):
+        for name in names:
+            over = (
+                budget_s is not None
+                and time.perf_counter() - t_start > budget_s
+            )
+            if over and samples[name]:
+                continue  # keep the samples we have
+            if over:
+                continue  # no sample yet either — listed as skipped
+            samples[name].append(_run_once(name, sf_dir))
+    out = {
+        "queries": {
+            n: round(statistics.median(s), 3) for n, s in samples.items() if s
+        },
+        "spread": {
+            n: [round(min(s), 3), round(max(s), 3)]
+            for n, s in samples.items()
+            if s
+        },
+        "n_runs": {n: len(s) for n, s in samples.items() if s},
+        "skipped": [n for n, s in samples.items() if not s],
+        "wall_sec": round(time.perf_counter() - t_start, 3),
+    }
+    return out
+
+
 def main() -> None:
+    global _SPARK
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "240"))
+    sf1_on = os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     load_all()
-    spark = get_spark(app_name="bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    _SPARK = get_spark(app_name="bench")
+    _SPARK.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen once so per-query times measure the plan,
     # not first-run JIT: one scan+agg shape and one window shape
     # (window codegen is a separate JIT surface — measured: without
     # this, the first windowed headline query reads ~2x its steady
     # state).
-    QUERIES["tpch_q6"](spark, sf_dir).write.mode("overwrite").format("noop").save()
-    QUERIES["win_lag_delta"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    QUERIES["tpch_q6"](_SPARK, sf_dir).write.mode("overwrite").format("noop").save()
+    QUERIES["win_lag_delta"](_SPARK, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
+    base = _bench(HEADLINE, sf_dir, runs)
+
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(base["queries"].values()), 3),
+        "unit": "sec",
+        "queries": base["queries"],
+        "sf": sf,
+        "runs": runs,
+        "methodology": "median of interleaved passes",
+        "spread": base["spread"],
+        "n_runs": base["n_runs"],
+    }
+    if base["skipped"]:
+        result["skipped"] = base["skipped"]
+
+    if sf1_on and sf is not None:
+        from dbt_project_spark.sfgen import ensure_scaled
+
+        sf1_dir = os.path.join(REPO, "benchdata", f"sf{round(sf * 10, 4):g}")
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        ensure_scaled(_SPARK, sf_dir, sf1_dir, factor=10)
+        gen_sec = round(time.perf_counter() - t0, 3)
+        sf1 = _bench(SF1_QUERIES, sf1_dir, runs, budget_s=sf1_budget)
+        result["sf1"] = {
+            "sf": round(sf * 10, 4),
+            "gen_sec": gen_sec,
+            "budget_sec": sf1_budget,
+            "queries": sf1["queries"],
+            "spread": sf1["spread"],
+            "n_runs": sf1["n_runs"],
+            "skipped": sf1["skipped"],
+            "wall_sec": sf1["wall_sec"],
+        }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,152 @@
+"""Deterministic scale-out of the driver's parquet tables (bench only).
+
+``ensure_scaled`` replicates a source scale-factor directory K× with
+key offsets so joins keep their semantics at the larger scale:
+
+- ``region`` / ``nation`` are fixed dimensions — copied once.
+- Fact/dim keys are offset per copy by ``copy_k × (max_key + 1)``, the
+  same scheme TPC-H itself uses between scale factors: every copy is a
+  self-consistent universe (orders→customer, lineitem→orders/part/
+  supplier, events→user all still join 1:1 with the original density).
+- ``documents.text`` gets a copy-specific marker token spliced after
+  every 2nd word (copy 0 keeps the original text). A verbatim 10×
+  replication would turn every document into a 10-clique of exact
+  dups and quadratically inflate every dedup verify stage; the marker
+  destroys cross-copy shingle overlap while preserving each copy's
+  internal near-dup structure, so dedup workloads scale linearly like
+  a real corpus.
+- ``embeddings.embedding`` is rotated by ``copy_k`` positions —
+  norm-preserving, so each copy has the same magnitude distribution
+  but cross-copy cosine collapses to noise (no artificial 10-cliques
+  in ANN/embedding-dedup either).
+
+Everything is a single narrow projection over a ``range(factor)``
+cross join — no shuffle, no Python row code — so generating sf1 from
+sf0.1 (~17 MB → ~170 MB) takes well under a minute and is fully
+deterministic (no RNG, no timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_project_spark.sources.registry import load_table
+
+# table -> columns to offset per copy (each gets + k * (max+1))
+_OFFSET_KEYS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+# key column -> table whose max defines the offset stride (foreign
+# keys must use the REFERENCED table's stride so copy universes align)
+_KEY_SOURCE: dict[str, tuple[str, str]] = {
+    "c_custkey": ("customer", "c_custkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+_COPY_ONCE = ["region", "nation"]
+
+# output files per table at factor 10 (≈64-128 MB-target splits would
+# be overkill at this absolute size; 8 gives local[32] real read
+# parallelism without a small-files problem)
+_N_FILES = {"lineitem": 16, "orders": 8, "events": 8}
+
+
+def _strides(spark: SparkSession, src_dir: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    cache: dict[tuple[str, str], int] = {}
+    for key, (table, col) in _KEY_SOURCE.items():
+        if (table, col) not in cache:
+            cache[(table, col)] = (
+                load_table(spark, src_dir, table)
+                .agg(F.max(col).cast("bigint").alias("m"))
+                .collect()[0]["m"]
+            )
+        out[key] = cache[(table, col)] + 1
+    return out
+
+
+def _scaled_table(
+    spark: SparkSession,
+    src_dir: str,
+    table: str,
+    factor: int,
+    strides: dict[str, int],
+) -> DataFrame:
+    df = load_table(spark, src_dir, table)
+    copies = spark.range(factor).select(F.col("id").cast("int").alias("__k"))
+    out = df.crossJoin(copies)
+    for key in _OFFSET_KEYS[table]:
+        out = out.withColumn(
+            key,
+            (F.col(key) + F.col("__k").cast("bigint") * F.lit(strides[key])).cast(
+                df.schema[key].dataType
+            ),
+        )
+    if table == "documents":
+        marked = F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(\S+ \S+) "),
+            F.concat(F.lit("$1 zq"), F.col("__k").cast("string"), F.lit(" ")),
+        )
+        out = out.withColumn(
+            "text", F.when(F.col("__k") == 0, F.col("text")).otherwise(marked)
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
+    if table == "embeddings":
+        dim = F.size("embedding")
+        rotated = F.concat(
+            F.slice(F.col("embedding"), F.col("__k") + 1, dim - F.col("__k")),
+            F.slice(F.col("embedding"), F.lit(1), F.col("__k")),
+        )
+        out = out.withColumn(
+            "embedding",
+            F.when(F.col("__k") == 0, F.col("embedding")).otherwise(rotated),
+        )
+    return out.drop("__k")
+
+
+def ensure_scaled(
+    spark: SparkSession, src_dir: str, dst_dir: str, factor: int = 10
+) -> str:
+    """Generate ``dst_dir`` as ``factor``× ``src_dir`` if not present.
+
+    Idempotent: a ``_DONE`` marker written after the last table makes a
+    half-finished generation (killed bench run) regenerate cleanly.
+    """
+    marker = os.path.join(dst_dir, "_DONE")
+    if os.path.exists(marker):
+        return dst_dir
+    os.makedirs(dst_dir, exist_ok=True)
+    strides = _strides(spark, src_dir)
+    for table in _COPY_ONCE:
+        load_table(spark, src_dir, table).write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{table}.parquet")
+        )
+    for table in _OFFSET_KEYS:
+        df = _scaled_table(spark, src_dir, table, factor, strides)
+        df.repartition(_N_FILES.get(table, 4)).write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{table}.parquet")
+        )
+    with open(marker, "w") as fh:
+        fh.write(f"factor={factor} src={src_dir}\n")
+    return dst_dir

@@ -11,6 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -49,10 +50,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) → read as int64 ns;
-        # convert to a µs timestamp (integer div — double division
-        # would lose precision at 1e18 ns magnitudes).
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # The driver's events.ts is parquet TIMESTAMP(NANOS) → read as
+        # int64 ns under nanosAsLong; convert to a µs timestamp
+        # (integer div — double division would lose precision at 1e18
+        # ns magnitudes). Re-written copies (sfgen bench data) already
+        # carry a µs timestamp and skip this.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
