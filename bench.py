@@ -76,6 +76,8 @@ HEADLINE = [
     # round 3
     "ivf_train_centroids",
     "theta_set_ops",
+    "dedup_incremental",
+    "dedup_embedding_strict",
 ]
 
 # The 10 most expensive headline queries per BENCH_r02, cheapest first
@@ -88,7 +90,12 @@ SF1_QUERIES = [
     "pipeline_nation_revenue",
     "ann_ivf_topk",
     "pagerank_trade",
-    "dedup_embedding",
+    # NOT dedup_embedding: its τ=0.4 output is a fixed quantile of the
+    # random cosine bulk — Θ(n²) rows by construction (measured 27×
+    # runtime at 10×, candidate rate pinned at the 65% random-collision
+    # floor at both scales). The strict variant is the
+    # scale-representative embedding-dedup workload.
+    "dedup_embedding_strict",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "triangle_count",

@@ -55,6 +55,7 @@ PRIORITY: list[str] = [
     "theta_set_ops",
     "ivf_train_centroids",
     "dedup_incremental",
+    "dedup_embedding_strict",
     # --- changed this round — need fresh driver verdicts ---
     "ann_ivf_topk",  # centroids now k-means-trained, not first-K
     "dedup_editdistance",  # hot (prefix, band) block cap

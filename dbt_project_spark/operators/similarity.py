@@ -148,8 +148,21 @@ def embedding_lsh_pairs(
     0.86. A 0.4 threshold sits near the bulk of the similarity
     distribution, so candidate pruning is inherently weak — at a
     production threshold (0.9) the same construction prunes by
-    ~2^nbits/ntables with recall held by the much higher per-bit
-    agreement probability."""
+    ~ntables/2^nbits with recall held by the much higher per-bit
+    agreement probability.
+
+    Measured at 10× (r03): the candidate fractions above are the
+    THEORETICAL random-collision floor 1-(1-2^-nbits)^ntables at both
+    sf0.1 and sf1 (0.651 for (8,3) at n=2000 and n=20000; mean-
+    centering before hashing changes nothing) — the synthetic
+    embeddings are i.i.d.-random with no cluster structure, so a
+    below-bulk threshold makes the OUTPUT itself Θ(n²) and no
+    parameter choice can be sub-quadratic. With planted near-dups at
+    τ=0.9, (16,11) measures recall 1.0 with the candidate rate at its
+    0.8% floor (see queries_dedup.dedup_embedding_strict). At a fixed
+    false-candidate budget, nbits is the log(n) dial: each extra bit
+    halves the random collision rate, so nbits ≈ log2(n·ntables/
+    budget_pairs_per_row) keeps candidates linear in n."""
     from dbt_project_spark.caching import persist_tracked
     from dbt_project_spark.functions.expressions import dot_product as _dot
     from dbt_project_spark.functions.expressions import l2_norm as _l2

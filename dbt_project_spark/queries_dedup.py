@@ -42,10 +42,43 @@ COSINE_T = 0.4
 MAX_BUCKET = 64
 # Banded hyperplane LSH for embedding dedup: 8 tables × 3 bits —
 # sized for the test threshold 0.4 (p≈0.65/bit → recall ≈0.9);
-# production thresholds (0.9+) want nbits 12-16. See
+# production thresholds (0.9+) want nbits 10-16. See
 # operators/similarity.py:embedding_lsh_pairs.
 EMB_NTABLES = 8
 EMB_NBITS = 3
+# Strict (production-threshold) variant: the synthetic embeddings are
+# i.i.d.-random (measured all-pairs cosine at sf0.1 is a clean N(0,σ)
+# with max 0.64 — no planted near-dups), so the strict query plants
+# its own deterministic clones: every PLANT_MOD-th vector gets a copy
+# at vec_id+PLANT_STRIDE with ±62.5% per-dim multiplicative noise
+# (cosine vs original: min 0.872 / mean 0.932 / max 0.961 at sf0.1).
+# At τ=0.9 with 16 tables × 11 bits: measured recall 1.0 (97/97
+# above-τ planted pairs), random-pair candidate rate 16/2^11 ≈ 0.8%
+# of all-pairs (vs 65% for the τ=0.4 binding — see
+# dedup_embedding_strict docstring for why τ=0.4 cannot scale).
+EMB_STRICT_T = 0.9
+EMB_STRICT_NTABLES = 16
+EMB_STRICT_NBITS = 11
+PLANT_MOD = 20
+PLANT_STRIDE = 1_000_000_000
+# One source of truth for the planted-clone corpus, Spark + DuckDB:
+# i is 0-based in Spark transform(), 1-based in DuckDB list_transform
+# — the +1 below aligns them. All noise factors are k/8 (exact in
+# binary), elements are cast to double BEFORE any arithmetic, so both
+# engines compute bit-identical perturbed vectors.
+_PLANT_SPARK = (
+    "transform(embedding, (x, i) -> cast(x as double)"
+    " * (1.0 + (pmod(vec_id*31 + i + 1, 11) - 5) * 0.125))"
+)
+_PLANT_SQL = f"""
+SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+UNION ALL
+SELECT vec_id + {PLANT_STRIDE} AS vec_id,
+       list_transform(embedding::DOUBLE[],
+                      (x, i) -> x * (1.0 + ((vec_id*31 + i) % 11 - 5) * 0.125))
+           AS embedding
+FROM embeddings WHERE vec_id % {PLANT_MOD} = 0
+"""
 
 # ---- shared oracle fragments (DuckDB) ----
 _MD5INT = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
@@ -233,12 +266,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_oracle() -> str:
+def _emb_oracle(
+    ntables: int = EMB_NTABLES,
+    nbits: int = EMB_NBITS,
+    threshold: float = COSINE_T,
+    corpus_sql: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
     """Banded-LSH embedding dedup in ANSI SQL: identical literal
-    hyperplanes, identical band layout, exact cosine verify."""
+    hyperplanes, identical band layout, exact cosine verify.
+    ``corpus_sql`` lets a variant substitute a derived corpus (e.g.
+    the planted-clone union of ``dedup_embedding_strict``)."""
     from dbt_project_spark.operators.similarity import lsh_table_weights
 
-    w = lsh_table_weights(EMB_NTABLES, EMB_NBITS)
+    w = lsh_table_weights(ntables, nbits)
     band_exprs = []
     for t, rows in enumerate(w):
         terms = []
@@ -251,22 +291,23 @@ def _emb_oracle() -> str:
         band_exprs.append("CAST(" + " + ".join(terms) + f" AS INT) AS b{t}")
     stack = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS tid, b{t} AS bv FROM bk"
-        for t in range(EMB_NTABLES)
+        for t in range(ntables)
     )
     return f"""
-    WITH bk AS (SELECT vec_id, embedding, {", ".join(band_exprs)} FROM embeddings),
+    WITH corpus AS ({corpus_sql}),
+    bk AS (SELECT vec_id, embedding, {", ".join(band_exprs)} FROM corpus),
     st AS ({stack}),
     cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
              FROM st a JOIN st b ON a.tid = b.tid AND a.bv = b.bv
                                 AND a.vec_id < b.vec_id),
     pairs AS (SELECT va, vb, ea.embedding AS ea, eb.embedding AS eb
-              FROM cand JOIN embeddings ea ON ea.vec_id = va
-                        JOIN embeddings eb ON eb.vec_id = vb),
+              FROM cand JOIN corpus ea ON ea.vec_id = va
+                        JOIN corpus eb ON eb.vec_id = vb),
     flat AS (SELECT va, vb, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM pairs),
     sims AS (SELECT va AS vec_a, vb AS vec_b,
                     ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cosine
              FROM flat GROUP BY va, vb)
-    SELECT vec_a, vec_b, cosine FROM sims WHERE cosine >= {COSINE_T}
+    SELECT vec_a, vec_b, cosine FROM sims WHERE cosine >= {threshold}
     """
 
 
@@ -278,7 +319,20 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only 8.5% recall (5 of 59 true pairs at sf0.01). Banded LSH
     (8 tables × 3 bits at this threshold) is bucket-local at any
     corpus size and measured 90% recall; precision stays 1.0 (exact
-    cosine verify on candidates only)."""
+    cosine verify on candidates only).
+
+    SCALE CAVEAT (measured, r03): the synthetic embeddings are
+    i.i.d.-random — the all-pairs cosine histogram at sf0.1 is a
+    zero-centered bell with max 0.64, so τ=0.4 selects a fixed
+    QUANTILE of the random bulk. The output itself is then Θ(n²)
+    (0.046% of all pairs at every scale), and no algorithm can beat
+    its own output size — the 10×-scale bench measured 27× runtime
+    for 10× rows, with candidate volume pinned at the theoretical
+    random-collision floor 1-(1-2⁻³)⁸ = 65% at BOTH scales (mean-
+    centering measured no change, confirming no cluster structure).
+    This binding stays as the sf0.1 correctness query for the
+    operator mechanics; ``dedup_embedding_strict`` is the
+    scale-representative near-dup workload."""
     return embedding_lsh_pairs(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
@@ -286,6 +340,57 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         COSINE_T,
         ntables=EMB_NTABLES,
         nbits=EMB_NBITS,
+    )
+
+
+@register(
+    "dedup_embedding_strict",
+    oracle=_emb_oracle(
+        EMB_STRICT_NTABLES, EMB_STRICT_NBITS, EMB_STRICT_T, _PLANT_SQL
+    ),
+)
+def dedup_embedding_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at a production threshold (τ=0.9) over a corpus
+    with deterministically planted near-duplicate clones.
+
+    The scale-representative embedding-dedup workload: real near-dup
+    corpora have a tiny population of high-cosine pairs over a random
+    bulk, which is exactly what LSH prunes well — at τ=0.9 the
+    hyperplane agreement probability for true pairs (cos≈0.93,
+    p=1-θ/π≈0.88) is far from the random baseline (0.5), so long
+    bands crush false candidates without losing recall:
+    16 tables × 11 bits → random-pair candidate rate 16/2^11 ≈ 0.8%
+    of all-pairs, measured recall 1.0 at sf0.1 (97/97 planted pairs
+    above τ). Contrast ``dedup_embedding``'s τ=0.4 binding (65%
+    candidate rate, output itself Θ(n²) on random data — see its
+    docstring).
+
+    Clones are planted inside the query (every PLANT_MOD-th vector,
+    ±62.5% per-dim multiplicative noise, exact k/8 factors) with the
+    SAME arithmetic in the oracle SQL, so the driver's hash gate
+    verifies the full pipeline — planting, banding, candidate join,
+    exact verify — on any scale factor. Per-table band computation is
+    176 hyperplane dot products per vector, JVM-side codegen,
+    embarrassingly parallel; the candidate join shuffles ids+ints
+    only (no vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"
+        ),
+    )
+    pert = emb.filter(F.col("vec_id") % PLANT_MOD == 0).select(
+        (F.col("vec_id") + PLANT_STRIDE).alias("vec_id"),
+        F.expr(_PLANT_SPARK).alias("embedding"),
+    )
+    return embedding_lsh_pairs(
+        base.unionByName(pert),
+        "vec_id",
+        "embedding",
+        EMB_STRICT_T,
+        ntables=EMB_STRICT_NTABLES,
+        nbits=EMB_STRICT_NBITS,
     )
 
 

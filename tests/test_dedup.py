@@ -323,3 +323,63 @@ def test_incremental_lazy_rescan_after_update_is_stable(spark, tmp_path):
     rows = pairs.collect()  # materialized AFTER the append
     assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(10, 11)}
     assert rows[0]["jaccard"] == 1.0
+
+
+def test_strict_embedding_dedup_planted_recall(spark):
+    """dedup_embedding_strict recovers planted clones at τ=0.9 with
+    recall ≥0.9 (theoretical floor for (16,11) at the worst planted
+    cosine 0.87 is 0.96; measured 25/25 at sf0.01) and emits nothing
+    else: random pairs never reach 0.9 (measured max all-pairs cosine
+    0.64 at sf0.1), so every output row is a planted pair."""
+    from dbt_project_spark.catalog import QUERIES, load_all
+    from dbt_project_spark.queries_dedup import (
+        EMB_STRICT_T,
+        PLANT_MOD,
+        PLANT_STRIDE,
+    )
+    from dbt_project_spark.sources import load_table
+
+    load_all()
+    sf_dir = "/root/testdata/sf0.01"
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in QUERIES["dedup_embedding_strict"](spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted_ids = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % PLANT_MOD == 0).collect()
+    ]
+    assert planted_ids, "smoke data has no planted ids?"
+    # every emitted pair is (orig, orig+STRIDE) above threshold
+    for (a, b), cos in got.items():
+        assert b == a + PLANT_STRIDE
+        assert cos >= EMB_STRICT_T
+    # recall vs brute force: clone cosine is >= 0.87 by construction;
+    # pairs in [0.87, 0.9) are legitimately excluded by the exact
+    # verify on both sides. Among above-τ planted pairs, LSH recall
+    # must clear 0.9 (misses are deterministic given the hyperplanes
+    # but individually possible at p^nbits ≈ 0.2 per table).
+    import math
+
+    base = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    above_tau = set()
+    for vid in planted_ids:
+        v = [float(x) for x in base[vid]]
+        p = [
+            x * (1.0 + ((vid * 31 + i + 1) % 11 - 5) * 0.125)
+            for i, x in enumerate(v)
+        ]
+        dot = sum(x * y for x, y in zip(v, p))
+        cos = dot / (
+            math.sqrt(sum(x * x for x in v))
+            * math.sqrt(sum(y * y for y in p))
+        )
+        if round(cos, 6) >= EMB_STRICT_T:
+            above_tau.add(vid)
+    found_as = {a for (a, _b) in got}
+    assert found_as <= above_tau  # no pair the brute force rejects
+    recall = len(found_as & above_tau) / len(above_tau)
+    assert recall >= 0.9, f"planted recall {recall} < 0.9"

@@ -102,6 +102,17 @@ def test_embedding_lsh_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_strict_no_cartesian_bounded_exchanges(spark):
+    """dedup_embedding_strict: planted-union corpus, 176-plane banding,
+    candidate equi-join on (tid, bv) — never a cartesian/BNL join, and
+    the band self-join must consume ONE persisted band projection
+    (exchange budget bounds the shuffle count)."""
+    plan = _plan(QUERIES["dedup_embedding_strict"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _exchanges(plan) <= 8
+
+
 def test_editdistance_equi_blocked(spark):
     """The blocked edit-distance join must be a pure equi-join on
     (pfx, band) — round 1's theta-join (substr equality inside the
