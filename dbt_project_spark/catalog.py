@@ -56,6 +56,9 @@ PRIORITY: list[str] = [
     "ivf_train_centroids",
     "dedup_incremental",
     "dedup_embedding_strict",
+    "table_diff_cdc",
+    "profile_table",
+    "zorder_locality",
     # --- changed this round — need fresh driver verdicts ---
     "ann_ivf_topk",  # centroids now k-means-trained, not first-K
     "dedup_editdistance",  # hot (prefix, band) block cap
@@ -144,3 +147,4 @@ def load_all() -> None:
     import dbt_project_spark.queries_timeseries  # noqa: F401
     import dbt_project_spark.queries_product  # noqa: F401
     import dbt_project_spark.queries_graph  # noqa: F401
+    import dbt_project_spark.queries_layout  # noqa: F401

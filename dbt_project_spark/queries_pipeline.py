@@ -111,3 +111,148 @@ def pipeline_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = build_revenue_project(spark, sf_dir)
     proj.test(["stg_orders"])  # dbt-style gate before shipping the mart
     return proj.ref("mart_nation_revenue")
+
+
+@register(
+    "table_diff_cdc",
+    oracle="""
+    WITH old_snap AS (
+      SELECT o_orderkey AS order_id, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price100
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'),
+    new_snap AS (
+      SELECT o_orderkey AS order_id,
+             CASE WHEN o_orderkey % 29 = 0 THEN 'P' ELSE o_orderstatus END
+               AS status,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN (CAST(round(o_totalprice * 100, 0) AS BIGINT) * 11) // 10
+                  ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+             END AS price100
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 97 <> 0),
+    j AS (
+      SELECT COALESCE(o.order_id, n.order_id) AS order_id,
+             CASE WHEN o.order_id IS NULL THEN 'I'
+                  WHEN n.order_id IS NULL THEN 'D' ELSE 'U' END AS op,
+             o.status AS status_old, n.status AS status_new,
+             o.price100 AS price100_old, n.price100 AS price100_new
+      FROM old_snap o FULL OUTER JOIN new_snap n ON o.order_id = n.order_id),
+    d AS (
+      SELECT order_id, op,
+             CASE WHEN op = 'U' THEN concat_ws(',',
+                  CASE WHEN status_old IS DISTINCT FROM status_new
+                       THEN 'status' END,
+                  CASE WHEN price100_old IS DISTINCT FROM price100_new
+                       THEN 'price100' END)
+             ELSE '' END AS changed,
+             status_old, status_new, price100_old, price100_new
+      FROM j)
+    SELECT order_id, op, changed,
+           status_old, status_new, price100_old, price100_new
+    FROM d WHERE op <> 'U' OR changed <> ''
+    """,
+)
+def table_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC): the dbt-snapshot / MERGE-source shape.
+
+    Two deterministic snapshots of `orders` (old = H1-1997 cutoff;
+    new = FY-1997 cutoff with planted deletes `%97`, price updates
+    `%13` in exact cents via integer `div`, and status updates `%29`)
+    are diffed by `operators/cdc.table_diff`: one full-outer shuffle
+    join on the key, null-safe column compares in codegen, changed-
+    column list via NULL-skipping concat_ws — identical semantics in
+    the DuckDB oracle. At 100 TB this is the incremental-load
+    contract: both sides hash-partition on the key; no broadcast, no
+    driver state."""
+    from dbt_project_spark.operators.cdc import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    price100 = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    old = orders.filter(
+        F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        price100.alias("price100"),
+    )
+    new = (
+        orders.filter(
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderkey") % 97 != 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.when(F.col("o_orderkey") % 29 == 0, F.lit("P"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.expr(
+                    "(cast(round(o_totalprice * 100, 0) as bigint) * 11)"
+                    " div 10"
+                ),
+            )
+            .otherwise(price100)
+            .alias("price100"),
+        )
+    )
+    return table_diff(old, new, ["order_id"], ["status", "price100"])
+
+
+_PROFILE_COLS = ["okey", "qty100", "ep100", "rflag", "ship_ym", "qty_sparse"]
+
+
+def _profile_oracle() -> str:
+    m_aggs, selects = [], []
+    for i, c in enumerate(_PROFILE_COLS):
+        m_aggs.append(
+            f"COUNT({c}) AS nn{i}, COUNT(DISTINCT {c}) AS nd{i}, "
+            f"MIN({c}) AS mn{i}, MAX({c}) AS mx{i}"
+        )
+        selects.append(
+            f"SELECT '{c}' AS col_name, n AS n_rows, n - nn{i} AS n_null, "
+            f"nd{i} AS n_distinct, CAST(mn{i} AS VARCHAR) AS min_value, "
+            f"CAST(mx{i} AS VARCHAR) AS max_value FROM m"
+        )
+    return f"""
+    WITH src AS (
+      SELECT l_orderkey AS okey,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS qty100,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ep100,
+             l_returnflag AS rflag,
+             strftime(l_shipdate, '%Y-%m') AS ship_ym,
+             CASE WHEN l_linenumber % 7 = 0 THEN NULL
+                  ELSE CAST(round(l_quantity * 100, 0) AS BIGINT)
+             END AS qty_sparse
+      FROM lineitem),
+    m AS (SELECT COUNT(*) AS n, {", ".join(m_aggs)} FROM src)
+    {" UNION ALL ".join(selects)}
+    """
+
+
+@register("profile_table", oracle=_profile_oracle())
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of lineitem in ONE pass (dbt-docs /
+    expectation-suite shape): per column row count, null count, exact
+    distinct count, min/max. All 24 aggregates + COUNT(*) run in a
+    single aggregation (one scan, one shuffle; see
+    operators/stats.profile_columns for the 100 TB approx swap).
+    Null density is planted deterministically (`l_linenumber % 7`) —
+    TPC-H data has no natural NULLs to count."""
+    from dbt_project_spark.operators.stats import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qty100 = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    src = li.select(
+        F.col("l_orderkey").alias("okey"),
+        qty100.alias("qty100"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("ep100"),
+        F.col("l_returnflag").alias("rflag"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_ym"),
+        F.when(F.col("l_linenumber") % 7 == 0, F.lit(None).cast("bigint"))
+        .otherwise(qty100)
+        .alias("qty_sparse"),
+    )
+    return profile_columns(src, _PROFILE_COLS)
