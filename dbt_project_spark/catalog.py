@@ -59,6 +59,8 @@ PRIORITY: list[str] = [
     "table_diff_cdc",
     "profile_table",
     "zorder_locality",
+    "ts_ewma_dyadic",
+    "ts_anomaly_sigma",
     # --- changed this round — need fresh driver verdicts ---
     "ann_ivf_topk",  # centroids now k-means-trained, not first-K
     "dedup_editdistance",  # hot (prefix, band) block cap

@@ -317,3 +317,150 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value"),
         )
     )
+
+
+EWMA_K = 8  # trailing points in the dyadic EWMA kernel
+
+
+def _ewma_oracle() -> str:
+    # weight of lag k is 2^(K-1-k): newest point heaviest; integer
+    # numerator/denominator, one final double division.
+    num = " + ".join(
+        f"COALESCE(lag(v100, {k}) OVER w * {2 ** (EWMA_K - 1 - k)}, 0)"
+        for k in range(EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(v100, {k}) OVER w IS NOT NULL"
+        f" THEN {2 ** (EWMA_K - 1 - k)} ELSE 0 END)"
+        for k in range(EWMA_K)
+    )
+    return f"""
+    WITH e AS (SELECT event_id, user_id, {_V100} AS v100, {_OKEY} AS okey
+               FROM events)
+    SELECT event_id, user_id,
+           ROUND(({num}) / (({den}) * 100.0), 6) AS ewma
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY okey)
+    """
+
+
+@register("ts_ewma_dyadic", oracle=_ewma_oracle())
+def ts_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average with EXACT dyadic
+    weights: an 8-point truncated EWMA kernel (α=1/2) whose weights
+    2^(K-1-k) are integers, so the running state is an integer
+    (numerator, denominator) pair and the only float op is the final
+    division — bit-identical across engines, unlike a recursive
+    s=αx+(1-α)s whose float error accumulates order-dependently.
+
+    Scale shape: one window (partition by user, order by time) with 8
+    lags — single shuffle, codegen'd, no self-joins. The truncation is
+    principled: with α=1/2 the dropped tail weight is 2^-8 < 0.4%."""
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "value100",
+        F.expr(
+            "concat(date_format(ts, 'yyyyMMddHHmmssSSS'), '000',"
+            " lpad(cast(event_id as string), 12, '0'))"
+        ).alias("okey"),
+    )
+    w = Window.partitionBy("user_id").orderBy("okey")
+    num = sum(
+        (
+            F.coalesce(
+                F.lag("value100", k).over(w) * F.lit(2 ** (EWMA_K - 1 - k)),
+                F.lit(0),
+            )
+            for k in range(EWMA_K)
+        ),
+        F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(
+                F.lag("value100", k).over(w).isNotNull(),
+                F.lit(2 ** (EWMA_K - 1 - k)),
+            ).otherwise(F.lit(0))
+            for k in range(EWMA_K)
+        ),
+        F.lit(0),
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(num / (den * F.lit(100.0)), 6).alias("ewma"),
+    )
+
+
+ANOM_WIN = 16  # trailing window (excluding current row)
+ANOM_MIN_N = 8  # minimum history before flagging
+ANOM_SIGMA2 = 4  # threshold: |x - mean| > 2*sigma, squared
+
+
+@register(
+    "ts_anomaly_sigma",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, {_V100} AS v100, {_OKEY} AS okey
+               FROM events),
+    stats AS (
+      SELECT event_id, user_id, v100,
+             COUNT(v100) OVER tw AS n,
+             CAST(SUM(v100) OVER tw AS BIGINT) AS sx,
+             CAST(SUM(v100 * v100) OVER tw AS BIGINT) AS sxx
+      FROM e
+      WINDOW tw AS (PARTITION BY user_id ORDER BY okey
+                    ROWS BETWEEN {ANOM_WIN} PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, v100 AS value100, n AS n_window,
+           (n >= {ANOM_MIN_N} AND
+            (v100 * n - sx) * (v100 * n - sx) >
+              {ANOM_SIGMA2} * (n * sxx - sx * sx)) AS is_anomaly
+    FROM stats
+    """,
+)
+def ts_anomaly_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag with ZERO floating point: the
+    classic |x−μ| > 2σ test over a trailing window, algebraically
+    cleared of divisions — (x·n − Σx)² > 4(n·Σx² − (Σx)²) is a pure
+    BIGINT inequality, so the flag is exact on every engine (no ulp
+    tie risk at the threshold, unlike a float z-score).
+
+    Scale shape: one window computes n/Σx/Σx² in a single pass
+    (running-frame aggregates, map-side sorted within user
+    partitions); the trailing frame EXCLUDES the current row so a
+    spike can't mask itself. Overflow-safe: |v100|≤~3e6 and n≤16
+    keep every term < 2^63."""
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "value100",
+        F.expr(
+            "concat(date_format(ts, 'yyyyMMddHHmmssSSS'), '000',"
+            " lpad(cast(event_id as string), 12, '0'))"
+        ).alias("okey"),
+    )
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("okey")
+        .rowsBetween(-ANOM_WIN, -1)
+    )
+    x, n = F.col("value100"), F.col("n")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    return (
+        e.withColumn("n", F.count("value100").over(tw))
+        .withColumn("sx", F.sum("value100").over(tw))
+        .withColumn("sxx", F.sum(x * x).over(tw))
+        .select(
+            "event_id",
+            "user_id",
+            "value100",
+            n.alias("n_window"),
+            (
+                (n >= ANOM_MIN_N)
+                & (
+                    (x * n - sx) * (x * n - sx)
+                    > F.lit(ANOM_SIGMA2) * (n * sxx - sx * sx)
+                )
+            ).alias("is_anomaly"),
+        )
+    )
