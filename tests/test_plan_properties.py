@@ -343,3 +343,32 @@ def test_pagerank_broadcast_is_conditional_on_node_count(spark):
         assert "SortMergeJoin" in unhinted or "ShuffledHashJoin" in unhinted
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dynamic_partition_pruning_through_join(spark, tmp_path):
+    """DPP: a selective filter on the DIM side must prune the
+    partitioned FACT scan at runtime via a dynamicpruning subquery —
+    the join-shaped analogue of static partition pruning, and the
+    feature that keeps star-join scans sub-linear at 100 TB (only
+    matching date partitions are read, without any literal fact
+    filter)."""
+    from dbt_project_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "fact_part")
+    ev.write.partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select("day")
+        .distinct()
+        .withColumn("is_hot", F.col("day") == "2024-01-05")
+    )
+    joined = fact.join(
+        F.broadcast(dim.filter("is_hot")), on="day"
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expected = ev.filter("day = '2024-01-05'").count()
+    assert joined.count() == expected and expected > 0

@@ -244,3 +244,44 @@ def test_stream_stream_interval_join_matches_batch(spark, events, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_static_join_matches_batch(spark, events, tmp_path):
+    """Stream–static (dimension-enrichment) join: each micro-batch
+    joins against a static dim — Spark re-broadcasts the small static
+    side per batch, no state store involved (unlike stream-stream).
+    Parity: streamed result == the same join run in batch."""
+    src = str(tmp_path / "ss_src")
+    out = str(tmp_path / "ss_out")
+    ckpt = str(tmp_path / "ss_ckpt")
+    events.write.parquet(src)
+
+    static_dim = (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .withColumn(
+            "type_class",
+            F.when(F.col("n_users") >= 10, "broad").otherwise("narrow"),
+        )
+    )
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = stream.join(F.broadcast(static_dim), on="event_type").select(
+        "event_id", "event_type", "type_class", "n_users"
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    want = events.join(F.broadcast(static_dim), on="event_type").select(
+        "event_id", "event_type", "type_class", "n_users"
+    )
+    assert got.count() == events.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
