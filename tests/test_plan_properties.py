@@ -38,7 +38,11 @@ def test_q6_pushdown_and_pruning(spark):
 def test_windowed_distribution_reads_two_columns(spark):
     plan = _plan(QUERIES["wt_windowed_distribution"](spark, SF_SMOKE))
     rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
-    assert "struct<ts:bigint,event_type:string>" in rs
+    # pruned to exactly (ts, event_type) — dtype of ts is whatever the
+    # generator emitted (bigint epoch in early testdata, timestamp now)
+    assert "event_type:string" in rs
+    assert rs.count(",") == 1, f"expected 2-column ReadSchema, got {rs}"
+    assert "value" not in rs and "props" not in rs and "user_id" not in rs
 
 
 def test_q5_broadcasts_dims(spark):
