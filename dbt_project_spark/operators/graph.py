@@ -165,3 +165,57 @@ def pagerank_fixedpoint(
             ).cast("bigint").alias("r"),
         )
     return ranks.select("node", "r")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: DataFrame | None = None,
+    iters: int = 8,
+    broadcast_threshold: int = 10_000_000,
+) -> DataFrame:
+    """Unrolled BFS shortest-hop counts over a directed edge list
+    (src, dst). ``source`` is a 1-row frame with column ``node``
+    (default: the minimum node id — deterministic). Returns
+    (node, hops) for every node reachable within ``iters`` hops.
+
+    The iteration count is FIXED and unrolled, mirroring an unrolled
+    SQL CTE chain exactly — no data-dependent convergence test, so
+    the result is reproducible plan-for-plan. Per round: join the
+    distances-so-far onto the edge list (edges never move — only the
+    nodes-sized distance table), extend each reached node's out-edges
+    by one hop, union with the previous distances, and min-aggregate
+    per node (map-side combinable). Same dataflow and broadcast
+    policy as ``pagerank_fixedpoint``: the distance table is
+    broadcast only while the graph is below ``broadcast_threshold``
+    nodes; past that the joins fall back to shuffle hash joins on the
+    equi-key and AQE re-promotes genuinely small frontiers.
+    """
+    from dbt_project_spark.caching import persist_tracked
+
+    edges = persist_tracked(edges.select("src", "dst"))
+    n_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .count()
+    )
+    small_graph = n_nodes <= broadcast_threshold
+
+    def _dist_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_graph else df
+
+    if source is None:
+        source = (
+            edges.select(F.col("src").alias("node"))
+            .unionAll(edges.select(F.col("dst").alias("node")))
+            .agg(F.min("node").alias("node"))
+        )
+    dist = source.select("node", F.lit(0).alias("hops"))
+    for _ in range(iters):
+        nxt = edges.join(
+            _dist_side(dist), edges.src == dist.node
+        ).select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+        dist = (
+            dist.unionAll(nxt).groupBy("node").agg(F.min("hops").alias("hops"))
+        )
+    return dist

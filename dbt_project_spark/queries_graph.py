@@ -135,9 +135,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tc(copurchase_edges(li))
 
 
-def _pr_oracle() -> str:
-    """Unrolled fixed-point PageRank CTE chain (see pagerank_trade)."""
-    head = f"""
+# Shared CTE prefix: the weighted nation trade graph, thresholded to
+# each source's top partners — used verbatim by the PageRank and BFS
+# oracles so both verify against the identical edge list.
+_TRADE_GRAPH_SQL = f"""
     WITH w AS MATERIALIZED (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
                       SUM({_W100}) AS w100
                FROM lineitem l
@@ -154,7 +155,41 @@ def _pr_oracle() -> str:
               WHERE rk <= {PR_TOP_PARTNERS}),
     nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
                 SELECT src AS node FROM edges
-                UNION ALL SELECT dst FROM edges)),
+                UNION ALL SELECT dst FROM edges))"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed nation trade edges (src, dst): supplier nation ships
+    to customer nation, each source keeping its top
+    ``PR_TOP_PARTNERS`` partners by traded volume. The Spark twin of
+    ``_TRADE_GRAPH_SQL``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    w = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(
+            F.sum(F.expr(_W100)).alias("w100"),
+        )
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("w100"), F.asc("dst"))
+    return (
+        w.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= PR_TOP_PARTNERS)
+        .select("src", "dst")
+    )
+
+
+def _pr_oracle() -> str:
+    """Unrolled fixed-point PageRank CTE chain (see pagerank_trade)."""
+    head = _TRADE_GRAPH_SQL + f""",
     n AS (SELECT COUNT(*) AS n FROM nodes),
     outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
     r0 AS (SELECT node, CAST({PR_SCALE} // (SELECT n FROM n) AS BIGINT) AS r
@@ -203,33 +238,56 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dbt_project_spark.operators.graph import pagerank_fixedpoint
 
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    w = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(
-            F.sum(F.expr(_W100)).alias("w100"),
-        )
-    )
-    wk = Window.partitionBy("src").orderBy(F.desc("w100"), F.asc("dst"))
-    edges = (
-        w.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= PR_TOP_PARTNERS)
-        .select("src", "dst")
-    )
     ranks = pagerank_fixedpoint(
-        edges, iters=PR_ITERS, scale=PR_SCALE, damping_pct=85
+        _trade_edges(spark, sf_dir), iters=PR_ITERS, scale=PR_SCALE, damping_pct=85
     )
     return ranks.select(
         F.col("node").alias("nationkey"),
         F.col("r").alias("rank_scaled"),
         (F.col("r") / F.lit(float(PR_SCALE))).alias("rank"),
+    )
+
+
+BFS_ITERS = 8  # > trade-graph diameter; unrolled in both engines
+
+
+def _bfs_oracle() -> str:
+    """Unrolled BFS CTE chain over the shared trade graph."""
+    parts = [
+        _TRADE_GRAPH_SQL,
+        """,
+    src0 AS (SELECT MIN(node) AS s FROM nodes),
+    d0 AS (SELECT (SELECT s FROM src0) AS node, 0 AS hops)""",
+    ]
+    for i in range(1, BFS_ITERS + 1):
+        parts.append(f""",
+    d{i} AS (SELECT node, MIN(hops) AS hops FROM (
+        SELECT node, hops FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.hops + 1 AS hops
+        FROM d{i - 1} d JOIN edges e ON e.src = d.node) GROUP BY node)""")
+    parts.append(f"""
+    SELECT node AS nationkey, CAST(hops AS BIGINT) AS hops FROM d{BFS_ITERS}
+    """)
+    return "".join(parts)
+
+
+@register("bfs_hops_trade", oracle=_bfs_oracle())
+def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop count from the minimum nation to every reachable
+    nation over the trade graph — unrolled BFS (``BFS_ITERS`` fixed
+    rounds, > graph diameter), the third graph primitive next to
+    PageRank and connected components.
+
+    Scale shape (see operators/graph.py:bfs_hops): edges never move;
+    each round joins the nodes-sized distance table onto the edge
+    list and min-aggregates with map-side combine. The distance table
+    is broadcast only under the node-count threshold — past it the
+    rounds become plain shuffle equi-joins, same as PageRank.
+    """
+    from dbt_project_spark.operators.graph import bfs_hops
+
+    dist = bfs_hops(_trade_edges(spark, sf_dir), iters=BFS_ITERS)
+    return dist.select(
+        F.col("node").alias("nationkey"), F.col("hops").cast("bigint").alias("hops")
     )

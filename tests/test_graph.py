@@ -136,3 +136,46 @@ def test_pagerank_chain_matches_hand_computation(spark):
         ).collect()
     }
     assert got == r
+
+
+def _dedges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(s), int(d)) for s, d in pairs], "src bigint, dst bigint"
+    )
+
+
+def test_bfs_path_hops(spark):
+    from dbt_project_spark.operators.graph import bfs_hops
+
+    path = _dedges(spark, [(0, 1), (1, 2), (2, 3)])
+    got = dict(bfs_hops(path, iters=4).collect())
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_unreachable_and_shortcut(spark):
+    from dbt_project_spark.operators.graph import bfs_hops
+
+    # 0->1->2->3 with shortcut 0->3; 4->0 points INTO the source, so 4
+    # is unreachable and must be absent from the result.
+    g = _dedges(spark, [(0, 1), (1, 2), (2, 3), (0, 3), (4, 0)])
+    got = dict(bfs_hops(g, iters=8).collect())
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1}
+
+
+def test_bfs_iteration_cap_truncates(spark):
+    from dbt_project_spark.operators.graph import bfs_hops
+
+    chain = _dedges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    got = dict(bfs_hops(chain, iters=2).collect())
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_custom_source_on_shuffle_path(spark):
+    from dbt_project_spark.operators.graph import bfs_hops
+
+    g = _dedges(spark, [(5, 6), (6, 7), (1, 5)])
+    src = spark.createDataFrame([(6,)], "node bigint")
+    # broadcast_threshold=0 forces the large-graph shuffle-join path;
+    # results must be identical to the broadcast regime.
+    got = dict(bfs_hops(g, source=src, iters=4, broadcast_threshold=0).collect())
+    assert got == {6: 0, 7: 1}
