@@ -52,6 +52,16 @@ def register(name: str, oracle: str | None = None):
 # registration order.
 PRIORITY: list[str] = [
     # --- new queries this round (r03) — no driver verdict yet ---
+    "rfm_segmentation",
+    "abc_parts_by_brand",
+    "basket_rules",
+    "part_skyline",
+    "inverted_index",
+    "cms_heavy_hitters",
+    "weekday_seasonality",
+    "user_journey_path",
+    "user_profile_variant",
+    "bfs_hops_trade",
     "theta_set_ops",
     "ivf_train_centroids",
     "dedup_incremental",
@@ -150,3 +160,5 @@ def load_all() -> None:
     import dbt_project_spark.queries_product  # noqa: F401
     import dbt_project_spark.queries_graph  # noqa: F401
     import dbt_project_spark.queries_layout  # noqa: F401
+    import dbt_project_spark.queries_retail  # noqa: F401
+    import dbt_project_spark.queries_mining  # noqa: F401

@@ -106,3 +106,60 @@ def two_level_rollup(
             F.sum("val_sum").alias("value_sum"),
         )
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    bucket: Column,
+    order_cols: Sequence[Column],
+    out_col: str,
+) -> DataFrame:
+    """NTILE(n) over a GLOBAL ordering without a single-partition
+    window over the data.
+
+    A bare ``ntile(n) over (order by ...)`` pulls every row into ONE
+    task — the classic global-window scale killer. This is the
+    two-phase form (same shape as seq_pack's distributed prefix sum):
+
+    1. ``bucket`` must be a coarse integer expression MONOTONE in the
+       sort order (e.g. the leading sort key, or its negation for a
+       descending sort). Per-bucket row counts (tiny: one row per
+       distinct bucket value) get a driver-free cumulative sum and are
+       broadcast back as rank offsets.
+    2. The data needs only a bucket-PARTITIONED row_number; the global
+       rank is offset + local rank, and the tile comes from the exact
+       NTILE formula (first n%k tiles get one extra row).
+
+    Caller contract: bucket(a) <= bucket(b) whenever a precedes b in
+    ``order_cols`` order, and the bucket domain is bounded (dates,
+    small counts, coarse value ranges). Result matches
+    ``NTILE(n) OVER (ORDER BY ...)`` bit-for-bit.
+    """
+    k = n_tiles
+    tagged = df.withColumn("__bkt", bucket.cast("bigint"))
+    counts = tagged.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__bn"))
+    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "__off", F.coalesce(F.sum("__bn").over(wb), F.lit(0))
+    ).select("__bkt", "__off")
+    total = counts.agg(F.sum("__bn").cast("bigint").alias("__n"))
+    wr = Window.partitionBy("__bkt").orderBy(*order_cols)
+    ranked = (
+        tagged.join(F.broadcast(offs), "__bkt")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__r", (F.col("__off") + F.row_number().over(wr)).cast("bigint"))
+    )
+    # NTILE semantics: q = n div k rows per tile, the first n % k
+    # tiles hold q+1. (q+1 is never 0, and the q==0 branch is fully
+    # covered by the first arm, so the div-by-zero arm is dead.)
+    tile = F.when(
+        F.col("__r") <= (F.col("__n") % k) * (F.expr(f"__n div {k}") + 1),
+        F.expr(f"(__r - 1) div (__n div {k} + 1) + 1"),
+    ).otherwise(
+        F.col("__n") % k
+        + F.expr(f"(__r - 1 - (__n % {k}) * (__n div {k} + 1)) div (__n div {k}) + 1")
+    )
+    return ranked.withColumn(out_col, tile.cast("int")).drop(
+        "__bkt", "__off", "__n", "__r"
+    )

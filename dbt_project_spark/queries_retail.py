@@ -1,0 +1,335 @@
+"""Retail / merchandising analytics family (round 3): RFM customer
+segmentation, ABC (Pareto) classification per brand, market-basket
+association rules, and a price/size skyline — the canonical
+merchandising questions a warehouse answers over the TPC-H-ish
+orders/lineitem/part tables.
+
+Determinism: money runs in ×100 fixed point; the only float ops are
+single final divisions (ROUND(...,6) on both sides). Quantile scores
+use exact NTILE semantics via the two-phase distributed rank
+(operators/windows.py:distributed_ntile), so no global single-
+partition window touches customer-sized data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.operators.windows import distributed_ntile
+from dbt_project_spark.sources import load_table
+
+_TP100 = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+_EP100 = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+_Q100 = "CAST(round(l_quantity * 100, 0) AS BIGINT)"
+_PP100 = "CAST(round(p_retailprice * 100, 0) AS BIGINT)"
+
+RFM_TILES = 5
+# Coarse monetary bucket for the distributed-ntile phase-1 key:
+# $1000 buckets bound the offset table by the price domain, not the
+# customer count.
+RFM_MON_BUCKET = 100_000
+ABC_A_PCT = 70  # cumulative-revenue cutoffs for class A / B
+ABC_B_PCT = 90
+MB_MAX_BASKET = 8  # per-order basket cap (same bound as copurchase)
+MB_MIN_PAIR = 3  # minimum co-occurrence support for a rule
+
+
+@register(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS rec_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM({_TP100}) AS BIGINT) AS mon100
+      FROM orders GROUP BY o_custkey),
+    s AS (
+      SELECT o_custkey, rec_days, freq, mon100,
+             NTILE({RFM_TILES}) OVER (ORDER BY rec_days, o_custkey) AS r_q,
+             NTILE({RFM_TILES}) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+             NTILE({RFM_TILES}) OVER (ORDER BY mon100 DESC, o_custkey) AS m_q
+      FROM cust)
+    SELECT o_custkey, CAST(rec_days AS BIGINT) AS rec_days, freq,
+           mon100 / 100.0 AS monetary, r_q, f_q, m_q,
+           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+               || CAST(m_q AS VARCHAR) AS segment
+    FROM s
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, days since last order
+    (recency), order count (frequency), and lifetime spend (monetary),
+    each quintile-scored; the three digits concatenate into the
+    classic segment code ("111" = best on all axes ... note r_q=1
+    means MOST recent here, matching NTILE ascending on rec_days).
+
+    Scale shape: one shuffle aggregates orders per customer; the three
+    quintile scores use ``distributed_ntile`` — NO global
+    single-partition window over the customer table. Each score's
+    phase-1 offset table is bounded by its bucket domain (distinct
+    recency days / distinct order counts / $1000 spend buckets), and
+    the big table only ever sees bucket-partitioned windows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("__ref"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.expr(_TP100)).alias("mon100"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn("rec_days", F.datediff("__ref", "__last").cast("bigint"))
+        .drop("__ref", "__last")
+    )
+    cust = distributed_ntile(
+        cust, RFM_TILES, F.col("rec_days"),
+        [F.col("rec_days").asc(), F.col("o_custkey").asc()], "r_q",
+    )
+    cust = distributed_ntile(
+        cust, RFM_TILES, -F.col("freq"),
+        [F.col("freq").desc(), F.col("o_custkey").asc()], "f_q",
+    )
+    cust = distributed_ntile(
+        cust, RFM_TILES, -F.expr(f"mon100 div {RFM_MON_BUCKET}"),
+        [F.col("mon100").desc(), F.col("o_custkey").asc()], "m_q",
+    )
+    return cust.select(
+        "o_custkey",
+        "rec_days",
+        "freq",
+        (F.col("mon100") / 100.0).alias("monetary"),
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat_ws("", "r_q", "f_q", "m_q").alias("segment"),
+    )
+
+
+@register(
+    "abc_parts_by_brand",
+    oracle=f"""
+    WITH pr AS (
+      SELECT p.p_brand, p.p_partkey, CAST(SUM({_EP100}) AS BIGINT) AS rev100
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_partkey),
+    c AS (
+      SELECT p_brand, p_partkey, rev100,
+             CAST(SUM(rev100) OVER (PARTITION BY p_brand
+                  ORDER BY rev100 DESC, p_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum100,
+             CAST(SUM(rev100) OVER (PARTITION BY p_brand) AS BIGINT) AS tot100,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY rev100 DESC, p_partkey) AS brand_rank
+      FROM pr)
+    SELECT p_brand, p_partkey, rev100 / 100.0 AS revenue,
+           CAST(brand_rank AS BIGINT) AS brand_rank,
+           CASE WHEN cum100 * 100 <= tot100 * {ABC_A_PCT} THEN 'A'
+                WHEN cum100 * 100 <= tot100 * {ABC_B_PCT} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def abc_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification within each brand: rank parts by
+    revenue, classify the head covering ≤70% of cumulative brand
+    revenue as A, ≤90% as B, the tail as C. The 80/20 question every
+    merchandiser asks, answered with exact integer share comparisons
+    (cum*100 ≤ tot*pct — no float thresholds to tie-break).
+
+    Scale shape: one shuffle aggregates (brand, part) revenue; both
+    windows (running sum + brand total) share the SAME brand
+    partitioning — one window exchange, bounded per-brand state. No
+    global ordering anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pr = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(F.expr(_EP100)).alias("rev100"))
+    )
+    wo = Window.partitionBy("p_brand").orderBy(
+        F.desc("rev100"), F.asc("p_partkey")
+    )
+    wt = Window.partitionBy("p_brand")
+    c = (
+        pr.withColumn(
+            "cum100",
+            F.sum("rev100").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("tot100", F.sum("rev100").over(wt))
+        .withColumn("brand_rank", F.row_number().over(wo).cast("bigint"))
+    )
+    return c.select(
+        "p_brand",
+        "p_partkey",
+        (F.col("rev100") / 100.0).alias("revenue"),
+        "brand_rank",
+        F.when(F.col("cum100") * 100 <= F.col("tot100") * ABC_A_PCT, "A")
+        .when(F.col("cum100") * 100 <= F.col("tot100") * ABC_B_PCT, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@register(
+    "basket_rules",
+    oracle=f"""
+    WITH bp AS MATERIALIZED (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY SUM({_Q100}) DESC, l_partkey) AS rk
+        FROM lineitem GROUP BY l_orderkey, l_partkey)
+      WHERE rk <= {MB_MAX_BASKET}),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM bp),
+    item AS MATERIALIZED (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM bp GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS pc
+      FROM bp a JOIN bp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {MB_MIN_PAIR}),
+    rules AS (
+      SELECT u AS antecedent, v AS consequent, pc FROM pair
+      UNION ALL
+      SELECT v, u, pc FROM pair)
+    SELECT r.antecedent, r.consequent, r.pc AS support_n,
+           ROUND(r.pc / (ia.cnt * 1.0), 6) AS confidence,
+           ROUND((r.pc * (SELECT n_orders FROM n))
+                 / (ia.cnt * 1.0 * ic.cnt), 6) AS lift
+    FROM rules r
+    JOIN item ia ON ia.l_partkey = r.antecedent
+    JOIN item ic ON ic.l_partkey = r.consequent
+    """,
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for part
+    pairs co-occurring in ≥ MB_MIN_PAIR orders, emit both directed
+    rules with support, confidence = P(consequent|antecedent), and
+    lift = P(pair)/(P(a)·P(b)). All counts are exact integers; the
+    two ratios are single double divisions ROUNDed on both sides.
+
+    Scale shape: baskets are capped at MB_MAX_BASKET parts per order
+    (top-quantity, deterministic tiebreak) BEFORE the self-join, so
+    per-order pair generation is O(cap²) regardless of input — the
+    same bound the co-purchase graph uses. The pair aggregate is one
+    shuffle on (u, v); item counts broadcast onto the rule list.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    per_part = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.sum(F.expr(_Q100)).alias("q100")
+    )
+    wq = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("q100"), F.asc("l_partkey")
+    )
+    bp = (
+        per_part.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= MB_MAX_BASKET)
+        .select("l_orderkey", "l_partkey")
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    bp = persist_tracked(bp)
+    n_orders = bp.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    item = bp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = bp.alias("a"), bp.alias("b")
+    pair = (
+        a.join(
+            b,
+            on=(F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .filter(F.col("pc") >= MB_MIN_PAIR)
+    )
+    rules = pair.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "pc"
+    ).unionAll(
+        pair.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "pc"
+        )
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("antecedent"), F.col("cnt").alias("cnt_a")
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("consequent"), F.col("cnt").alias("cnt_c")
+    )
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("pc").alias("support_n"),
+            F.round(F.col("pc") / (F.col("cnt_a") * 1.0), 6).alias("confidence"),
+            F.round(
+                (F.col("pc") * F.col("n_orders"))
+                / (F.col("cnt_a") * 1.0 * F.col("cnt_c")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "part_skyline",
+    oracle=f"""
+    WITH p AS (SELECT p_partkey, {_PP100} AS price100, p_size FROM part)
+    SELECT a.p_partkey, a.price100 / 100.0 AS retail_price,
+           CAST(a.p_size AS BIGINT) AS p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price100 <= a.price100 AND b.p_size <= a.p_size
+        AND (b.price100 < a.price100 OR b.p_size < a.p_size))
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) of parts on (retail price ↓, size ↓):
+    a part survives iff no other part is at least as cheap AND at
+    least as small with one strict improvement. The oracle states the
+    textbook NOT EXISTS definition; the Spark plan computes it
+    without any all-pairs comparison:
+
+    1. hash-aggregate min size per distinct price point (distributed,
+       the only pass over the part table),
+    2. one tiny window over the DISTINCT-PRICE table (bounded by the
+       price domain, not the part count) keeps prices whose min size
+       undercuts every cheaper price's running min,
+    3. equi-join winners back to parts (ties at the same (price, min
+       size) are all skyline points — duplicates dominate nothing).
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.expr(_PP100).alias("price100"), "p_size"
+    )
+    pm = p.groupBy("price100").agg(F.min("p_size").alias("msize"))
+    w = Window.orderBy("price100").rowsBetween(Window.unboundedPreceding, -1)
+    sky = (
+        pm.withColumn("prev_min", F.min("msize").over(w))
+        .filter(F.col("prev_min").isNull() | (F.col("msize") < F.col("prev_min")))
+        .select("price100", F.col("msize").alias("p_size"))
+    )
+    return p.join(F.broadcast(sky), ["price100", "p_size"]).select(
+        "p_partkey",
+        (F.col("price100") / 100.0).alias("retail_price"),
+        F.col("p_size").cast("bigint"),
+    )

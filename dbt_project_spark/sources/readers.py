@@ -110,6 +110,38 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=No
     writer.orc(path)
 
 
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", **options
+) -> DataFrame:
+    """XML reader (Spark 4 built-in spark-xml): one row per ``row_tag``
+    element, schema inferred or supplied. The B2B/legacy-feed
+    ingestion path — at scale the same splittable-file story as JSON
+    lines does NOT hold for one giant document (a single XML document
+    parses on one task), so land many medium files, not one huge one."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    row_tag: str = "row",
+    root_tag: str = "rows",
+):
+    """XML writer (Spark 4 built-in): one file per partition, each a
+    ``root_tag`` document of ``row_tag`` elements."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )
+
+
 def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
     """Raw text reader: one row per line (or per file) in a `value`
     column — the ingestion path for crawl dumps before any parsing.

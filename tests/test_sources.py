@@ -102,3 +102,16 @@ def test_binary_file_reader(spark, tmp_path):
     assert set(rows) == {"a.bin", "b.bin"}
     assert rows["a.bin"]["length"] == 4
     assert bytes(rows["b.bin"]["content"]) == b"\xff" * 10
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from dbt_project_spark.sources.readers import read_xml, write_xml
+
+    df = load_table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_xml")
+    write_xml(df, path, row_tag="nation", root_tag="nations")
+    back = read_xml(spark, path, row_tag="nation")
+    assert back.count() == df.count()
+    a = sorted((r.n_nationkey, r.n_name) for r in df.collect())
+    b = sorted((r.n_nationkey, r.n_name) for r in back.collect())
+    assert a == b
