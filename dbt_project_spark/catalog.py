@@ -53,6 +53,10 @@ def register(name: str, oracle: str | None = None):
 PRIORITY: list[str] = [
     # --- new queries this round (r03) — no driver verdict yet ---
     "rfm_segmentation",
+    "attribution_last_touch",
+    "interval_coverage",
+    "scd2_point_in_time",
+    "equidepth_histogram",
     "abc_parts_by_brand",
     "basket_rules",
     "part_skyline",
@@ -162,3 +166,4 @@ def load_all() -> None:
     import dbt_project_spark.queries_layout  # noqa: F401
     import dbt_project_spark.queries_retail  # noqa: F401
     import dbt_project_spark.queries_mining  # noqa: F401
+    import dbt_project_spark.queries_temporal  # noqa: F401

@@ -312,3 +312,53 @@ def user_profile_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(v, '$.types[0].t', 'string')").alias("first_type"),
         F.expr("variant_get(v, '$.types[0].n', 'bigint')").alias("first_n"),
     )
+
+
+EQD_TILES = 10  # equi-depth histogram buckets
+# $10 value buckets bound the distributed-ntile offset table by the
+# value domain (value <= ~500), not the event count.
+EQD_BUCKET = 1000
+
+
+@register(
+    "equidepth_histogram",
+    oracle=f"""
+    WITH e AS (SELECT event_id, {_V100} AS v100 FROM events),
+    t AS (SELECT v100,
+                 NTILE({EQD_TILES}) OVER (ORDER BY v100, event_id) AS tile
+          FROM e)
+    SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v100) / 100.0 AS lo, MAX(v100) / 100.0 AS hi,
+           CAST(SUM(v100) AS BIGINT) / 100.0 AS total
+    FROM t GROUP BY tile
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of event values: EQD_TILES buckets with
+    equal row counts and data-driven boundaries — the histogram an
+    optimizer keeps (equi-WIDTH is wt_value_histogram). Exact NTILE
+    semantics, bucket edges emitted as [lo, hi].
+
+    Scale shape: ``distributed_ntile`` again — the global rank comes
+    from $10-coarse value-bucket offsets (bounded by the value
+    domain), the data only sees bucket-partitioned windows, and the
+    final aggregate is EQD_TILES rows.
+    """
+    from dbt_project_spark.operators.windows import distributed_ntile
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr(_V100).alias("v100")
+    )
+    t = distributed_ntile(
+        e,
+        EQD_TILES,
+        F.expr(f"v100 div {EQD_BUCKET}"),
+        [F.col("v100").asc(), F.col("event_id").asc()],
+        "tile",
+    )
+    return t.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.min("v100") / 100.0).alias("lo"),
+        (F.max("v100") / 100.0).alias("hi"),
+        (F.sum("v100").cast("bigint") / 100.0).alias("total"),
+    )

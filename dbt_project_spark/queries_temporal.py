@@ -1,0 +1,256 @@
+"""Temporal-join family (round 3): last-touch attribution, interval
+merge/coverage, and a point-in-time join against the SCD2 tier
+history — the event-time operations between plain windows and a full
+bitemporal store.
+
+Determinism: all interval math is integer µs / epoch-day; windows
+have total orders via the (ts, event_id) composite key; the single
+float op anywhere is a final division.
+
+Scale shapes: every window partitions by user_id (bounded per-user
+state); the point-in-time join is an equi-join on user_id with an
+interval filter — per-user version counts are small, so the filter
+prunes a few rows per key, never a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.queries_product import TIER_LOW_MAX, TIER_MID_MAX
+from dbt_project_spark.sources import load_table
+
+_EU = "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+_EP = "CAST(floor(epoch(ts)) AS BIGINT)"
+_V100 = "CAST(round(value * 100, 0) AS BIGINT)"
+# Zero-padded lexicographic == (ts, event_id) numeric order.
+_OKEY_DUCK = (
+    "strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H%M%S%f')"
+    " || lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+_OKEY_SPARK = (
+    "concat(date_format(ts, 'yyyyMMddHHmmssSSS'), '000',"
+    " lpad(cast(event_id as string), 12, '0'))"
+)
+
+COVER_SPAN_S = 300  # engagement half-open interval per event: 5 min
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, {_EU} AS eu,
+                      {_OKEY_DUCK} AS okey
+               FROM events),
+    a AS (SELECT event_id, user_id, event_type, eu,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS) OVER w
+                     AS touch_type,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN eu END IGNORE NULLS) OVER w AS touch_eu
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY okey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id,
+           COALESCE(touch_type, 'none') AS attributed_type,
+           CAST((eu - touch_eu) // 1000000 AS BIGINT) AS seconds_since_touch
+    FROM a WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent non-purchase event strictly before it (the marketing
+    'what drove this conversion' question), with the touch→purchase
+    latency in whole seconds. First-session purchases attribute to
+    'none'.
+
+    Scale shape: ONE user-partitioned window pass computes both the
+    attributed type and its timestamp (two IGNORE NULLS running lasts
+    over the same sort — one exchange, one sort); the purchase filter
+    happens after, so no self-join and no per-purchase lookback scan.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("eu"),
+        F.expr(_OKEY_SPARK).alias("okey"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_eu = F.when(F.col("event_type") != "purchase", F.col("eu"))
+    a = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "eu",
+        F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_eu, ignorenulls=True).over(w).alias("touch_eu"),
+    )
+    return a.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.coalesce("touch_type", F.lit("none")).alias("attributed_type"),
+        F.expr("(eu - touch_eu) div 1000000")
+        .cast("bigint")
+        .alias("seconds_since_touch"),
+    )
+
+
+@register(
+    "interval_coverage",
+    oracle=f"""
+    WITH e AS (SELECT user_id, {_EU} AS s,
+                      {_EU} + {COVER_SPAN_S} * 1000000 AS f,
+                      {_OKEY_DUCK} AS okey
+               FROM events),
+    g AS (SELECT user_id, s, f, okey,
+                 CASE WHEN max(f) OVER wp IS NULL
+                        OR s > max(f) OVER wp THEN 1 ELSE 0 END AS new_island
+          FROM e
+          WINDOW wp AS (PARTITION BY user_id ORDER BY okey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    i AS (SELECT user_id, s, f,
+                 SUM(new_island) OVER (PARTITION BY user_id ORDER BY okey
+                     ROWS UNBOUNDED PRECEDING) AS island
+          FROM g),
+    m AS (SELECT user_id, island,
+                 CAST(MAX(f) - MIN(s) AS BIGINT) AS span_us
+          FROM i GROUP BY user_id, island)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(span_us) // 1000000 AS BIGINT) AS covered_sec
+    FROM m GROUP BY user_id
+    """,
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user: every event opens a COVER_SPAN_S
+    engagement interval; overlapping/touching intervals merge, and
+    the query reports merged-island count and total covered seconds —
+    the classic 'union of intervals' problem (naive per-second
+    explode would be 300× the rows; a self-join would be quadratic).
+
+    Scale shape: the merged islands come from the gaps-and-islands
+    pattern — running max(end) over everything strictly before flags
+    island starts, a prefix sum numbers them — two window passes over
+    ONE user_id partitioning, then a users×islands aggregate. Sorting
+    by event time makes starts monotone, so running-max-of-end is
+    exactly interval merging.
+    """
+    span_us = COVER_SPAN_S * 1_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + span_us).alias("f"),
+        F.expr(_OKEY_SPARK).alias("okey"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_f = F.max("f").over(wp)
+    g = e.withColumn(
+        "new_island",
+        F.when(prev_max_f.isNull() | (F.col("s") > prev_max_f), 1).otherwise(0),
+    )
+    wi = (
+        Window.partitionBy("user_id")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    i = g.withColumn("island", F.sum("new_island").over(wi))
+    m = i.groupBy("user_id", "island").agg(
+        (F.max("f") - F.min("s")).cast("bigint").alias("span_us")
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.expr("sum(span_us) div 1000000").cast("bigint").alias("covered_sec"),
+    )
+
+
+@register(
+    "scd2_point_in_time",
+    oracle=f"""
+    WITH d AS (SELECT user_id, {_EP} // 86400 AS ed, SUM({_V100}) AS v100
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT user_id, ed,
+                 CASE WHEN v100 < {TIER_LOW_MAX} THEN 'Low'
+                      WHEN v100 < {TIER_MID_MAX} THEN 'Mid'
+                      ELSE 'High' END AS tier
+          FROM d),
+    g AS (SELECT user_id, ed, tier,
+                 CASE WHEN tier = LAG(tier) OVER w THEN 0 ELSE 1 END AS chg
+          FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ed)),
+    i AS (SELECT user_id, ed, tier,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ed
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM g),
+    iv AS (SELECT user_id, tier, CAST(island AS BIGINT) AS version,
+                  MIN(ed) AS ed_from, MAX(ed) AS ed_to
+           FROM i GROUP BY user_id, tier, island),
+    e AS (SELECT user_id, {_EP} // 86400 AS ed, {_V100} AS v100 FROM events)
+    SELECT e.user_id, iv.version, iv.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(e.v100) AS BIGINT) / 100.0 AS total_value
+    FROM e JOIN iv ON iv.user_id = e.user_id
+                  AND e.ed BETWEEN iv.ed_from AND iv.ed_to
+    GROUP BY e.user_id, iv.version, iv.tier
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 tier history
+    (scd2_user_tier's islands, kept in epoch-day space): every event
+    joins to the tier version VALID AT its event day — the 'which
+    dimension version was true then' join that makes type-2
+    dimensions useful — then rolls up to (user, version, tier).
+
+    Scale shape: the interval table is users×versions (small); the
+    join is an equi-join on user_id with an interval filter, so each
+    event compares against only its own user's few versions — never a
+    range cross product. The SCD2 build itself reuses the one-
+    partitioning islands pass (see queries_product.scd2_user_tier).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ed", F.expr("unix_timestamp(ts) div 86400").cast("bigint"))
+        .withColumn("v100", F.round(F.col("value") * 100, 0).cast("bigint"))
+    )
+    d = ev.groupBy("user_id", "ed").agg(F.sum("v100").alias("dv100"))
+    t = d.withColumn(
+        "tier",
+        F.when(F.col("dv100") < TIER_LOW_MAX, "Low")
+        .when(F.col("dv100") < TIER_MID_MAX, "Mid")
+        .otherwise("High"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ed")
+    g = t.withColumn(
+        "chg", F.when(F.col("tier") == F.lag("tier").over(w), 0).otherwise(1)
+    )
+    i = g.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = i.groupBy("user_id", "tier", "island").agg(
+        F.min("ed").alias("ed_from"), F.max("ed").alias("ed_to")
+    )
+    e = ev.select("user_id", "ed", "v100")
+    joined = e.join(
+        iv,
+        on=[
+            e.user_id == iv.user_id,
+            e.ed >= iv.ed_from,
+            e.ed <= iv.ed_to,
+        ],
+    )
+    return joined.groupBy(
+        e.user_id, F.col("island").cast("bigint").alias("version"), "tier"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("v100").cast("bigint") / 100.0).alias("total_value"),
+    )

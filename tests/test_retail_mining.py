@@ -111,3 +111,50 @@ def test_cms_overcount_nonnegative(spark):
     rows = QUERIES["cms_heavy_hitters"](spark, SF_SMOKE).collect()
     assert len(rows) > 0
     assert all(r.overcount >= 0 for r in rows)
+
+
+def test_interval_merge_planted(spark):
+    """Hand-checkable interval union: [0,10],[5,15] merge; [30,40]
+    separate; touching [40,50] merges with it."""
+    import dbt_project_spark.queries_temporal  # noqa: F401
+    from pyspark.sql import Window
+
+    rows = [(1, 0, 10), (1, 5, 15), (1, 30, 40), (1, 40, 50), (2, 100, 110)]
+    e = spark.createDataFrame(rows, "user_id int, s bigint, f bigint")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "f")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.max("f").over(wp)
+    g = e.withColumn(
+        "ni", F.when(prev.isNull() | (F.col("s") > prev), 1).otherwise(0)
+    )
+    wi = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "f")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = (
+        g.withColumn("island", F.sum("ni").over(wi))
+        .groupBy("user_id", "island")
+        .agg((F.max("f") - F.min("s")).alias("span"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_islands"), F.sum("span").alias("covered"))
+    )
+    got = {r.user_id: (r.n_islands, r.covered) for r in m.collect()}
+    assert got == {1: (2, 35), 2: (1, 10)}
+
+
+def test_attribution_purchases_covered(spark):
+    from dbt_project_spark.catalog import QUERIES
+
+    rows = QUERIES["attribution_last_touch"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert all(
+        (r.attributed_type == "none") == (r.seconds_since_touch is None)
+        for r in rows
+    )
+    assert all(
+        r.seconds_since_touch is None or r.seconds_since_touch >= 0 for r in rows
+    )
