@@ -78,6 +78,13 @@ HEADLINE = [
     "theta_set_ops",
     "dedup_incremental",
     "dedup_embedding_strict",
+    # round 3, session 2: retail / mining / temporal additions
+    "rfm_segmentation",
+    "basket_rules",
+    "inverted_index",
+    "cms_heavy_hitters",
+    "interval_coverage",
+    "scd2_point_in_time",
 ]
 
 # The 10 most expensive headline queries per BENCH_r02, cheapest first
