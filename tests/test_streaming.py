@@ -232,7 +232,7 @@ def test_stream_stream_interval_join_matches_batch(spark, events, tmp_path):
     q.awaitTermination()
     got = spark.table("iv_join")
 
-    batch = spark.read.parquet(src)
+    batch = spark.read.parquet(src).filter("event_id < 10000000")
     clicks_b = prep(batch, "c").filter(F.col("event_type") == "click").drop(
         "event_type"
     )
@@ -285,3 +285,119 @@ def test_stream_static_join_matches_batch(spark, events, tmp_path):
     assert got.count() == events.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, events, tmp_path):
+    """Stream-stream LEFT OUTER interval join: purchases with no click
+    in the preceding 30 minutes must still emit (null click columns)
+    once the watermark passes their event time — the state-eviction
+    semantics that make outer stream joins possible. Parity is
+    watermark-aware: matched rows equal the batch inner join exactly;
+    null-extended rows appear for every purchase comfortably below
+    the final watermark minus the join interval (Spark's left-side
+    eviction bound is conservative by the interval length; rows in
+    that boundary band are excluded from the must-emit assertion).
+    """
+    src = str(tmp_path / "lo_src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def prep(df, prefix):
+        return df.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("event_id").alias(f"{prefix}_id"),
+            "event_type",
+        )
+
+    cond = (
+        "p_user = c_user AND c_ts <= p_ts "
+        "AND c_ts >= p_ts - INTERVAL 30 MINUTES"
+    )
+
+    raw = spark.readStream.schema(schema).parquet(src)
+    clicks_s = (
+        prep(raw, "c").filter(F.col("event_type") == "click")
+        .drop("event_type").withWatermark("c_ts", "10 minutes")
+    )
+    purch_s = (
+        prep(raw, "p").filter(F.col("event_type") == "purchase")
+        .drop("event_type").withWatermark("p_ts", "10 minutes")
+    )
+    def run_stream():
+        raw_s = spark.readStream.schema(schema).parquet(src)
+        c_s = (
+            prep(raw_s, "c").filter(F.col("event_type") == "click")
+            .drop("event_type").withWatermark("c_ts", "10 minutes")
+        )
+        p_s = (
+            prep(raw_s, "p").filter(F.col("event_type") == "purchase")
+            .drop("event_type").withWatermark("p_ts", "10 minutes")
+        )
+        q = (
+            p_s.join(c_s, F.expr(cond), "leftOuter")
+            .select("p_user", "p_id", "p_ts", "c_id")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "lo_out"))
+            .option("checkpointLocation", str(tmp_path / "lo_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+
+    # availableNow never runs a batch AFTER the last data batch, so
+    # outer state younger than the penultimate watermark is still
+    # buffered when the query stops. Nudge the watermark: append one
+    # far-future click for a nonexistent user and RESUME from the
+    # checkpoint — the second run's watermark evicts and emits every
+    # remaining unmatched purchase.
+    batch0 = spark.read.parquet(src)
+    far = batch0.agg(
+        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts")
+    ).collect()[0].ts
+    # one nudge per side: the join watermark is min(left, right), so
+    # BOTH event-time columns must advance for full eviction
+    nudge = spark.createDataFrame(
+        [
+            (10_000_000, far, -1, "click", 0.0, "{}"),
+            (10_000_001, far, -1, "purchase", 0.0, "{}"),
+        ],
+        schema,
+    )
+    nudge.write.mode("append").parquet(src)
+    run_stream()
+    got = spark.read.parquet(str(tmp_path / "lo_out")).filter(
+        "p_id < 10000000"
+    )
+
+    batch = spark.read.parquet(src).filter("event_id < 10000000")
+    clicks_b = prep(batch, "c").filter(F.col("event_type") == "click").drop(
+        "event_type"
+    )
+    purch_b = prep(batch, "p").filter(F.col("event_type") == "purchase").drop(
+        "event_type"
+    )
+    want = purch_b.join(clicks_b, F.expr(cond), "leftOuter").select(
+        "p_user", "p_id", "p_ts", "c_id"
+    )
+
+    # matched rows: exact parity with the batch join
+    got_m = got.filter(F.col("c_id").isNotNull())
+    want_m = want.filter(F.col("c_id").isNotNull())
+    assert got_m.count() == want_m.count() > 0
+    assert got_m.exceptAll(want_m).count() == 0
+
+    # null-extension rows: after the watermark nudge, exactly the
+    # batch left-join nulls must have emitted
+    got_nulls = {
+        (r.p_user, r.p_id) for r in got.filter(F.col("c_id").isNull()).collect()
+    }
+    want_nulls_all = {
+        (r.p_user, r.p_id)
+        for r in want.filter(F.col("c_id").isNull()).collect()
+    }
+    assert got_nulls == want_nulls_all
+    assert len(got_nulls) > 0
