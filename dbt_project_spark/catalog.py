@@ -53,6 +53,8 @@ def register(name: str, oracle: str | None = None):
 PRIORITY: list[str] = [
     # --- new queries this round (r03) — no driver verdict yet ---
     "rfm_segmentation",
+    "bloom_semijoin_orders",
+    "pct_of_parent_revenue",
     "attribution_last_touch",
     "interval_coverage",
     "scd2_point_in_time",

@@ -119,3 +119,81 @@ def write_bucketed(
         .sortBy(bucket_col)
         .saveAsTable(table)
     )
+
+
+def bloom_filter_build(
+    keys: DataFrame, key_col: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """Build a Bloom-filter bitmap over ``keys[key_col]`` as ONE row
+    holding an array<bigint> of ``m_bits/64`` words — the runtime-
+    filter pattern: condense a selective build side into KBs that
+    broadcast to every scan task, so the probe side is pre-filtered
+    BEFORE it shuffles (at 100 TB the shuffle saved is the win; the
+    few false positives are removed by the exact join afterwards).
+
+    Hash i of key = md5-prefix integer of "i:key" mod m_bits (the
+    repo's cross-engine-deterministic hash, functions/expressions.py),
+    so an oracle can reproduce membership exactly as position-set
+    containment without bit arithmetic.
+    """
+    from dbt_project_spark.functions.expressions import md5_int
+
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        md5_int(
+                            F.concat(
+                                F.lit(f"{i}:"), F.col(key_col).cast("string")
+                            )
+                        )
+                        % m_bits
+                    ).alias(f"p{i}")
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = pos.select(
+        F.expr("pos div 64").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+    ).groupBy("w").agg(F.expr("bit_or(m)").alias("v"))
+    dense = (
+        keys.sparkSession.range(m_bits // 64)
+        .select(F.col("id").alias("w"))
+        .join(words, "w", "left")
+        .select("w", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    return dense.agg(
+        F.expr("transform(array_sort(collect_list(struct(w, v))), x -> x.v)")
+        .alias("bitmap")
+    )
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """Filter ``probe`` to rows whose key MIGHT be in the Bloom
+    bitmap (no false negatives; false-positive rate set by m/n and
+    k). The 1-row bitmap is broadcast — the filter evaluates as pure
+    JVM bit arithmetic in the scan stage, no shuffle."""
+    from dbt_project_spark.functions.expressions import md5_int
+
+    out = probe.crossJoin(F.broadcast(bitmap))
+    cond = F.lit(True)
+    for i in range(k_hashes):
+        p = md5_int(F.concat(F.lit(f"{i}:"), F.col(key_col).cast("string"))) % m_bits
+        out = out.withColumn(f"__p{i}", p)
+        cond = cond & F.expr(
+            f"(shiftrightunsigned(element_at(bitmap, "
+            f"CAST(__p{i} div 64 AS INT) + 1), CAST(__p{i} % 64 AS INT)) & 1) = 1"
+        )
+    drops = ["bitmap"] + [f"__p{i}" for i in range(k_hashes)]
+    return out.filter(cond).drop(*drops)

@@ -333,3 +333,145 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("price100") / 100.0).alias("retail_price"),
         F.col("p_size").cast("bigint"),
     )
+
+
+BLOOM_M = 131_072  # bitmap bits (2 KB of longs — broadcast-trivial)
+BLOOM_K = 3  # hashes per key
+BLOOM_MIN_TOTAL = 450_000  # build-side predicate: high-value orders
+
+_BLOOM_POS = (
+    "(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||"
+    " CAST({key} AS VARCHAR)), 1, 8))::BIGINT) % " + str(BLOOM_M)
+)
+
+
+@register(
+    "bloom_semijoin_orders",
+    oracle=f"""
+    WITH keys AS (SELECT o_orderkey AS okey FROM orders
+                  WHERE o_totalprice > {BLOOM_MIN_TOTAL}),
+    hs AS (SELECT unnest(range(0, {BLOOM_K})) AS i),
+    bpos AS (SELECT DISTINCT {_BLOOM_POS.format(key="okey")} AS pos
+             FROM keys, hs),
+    probe AS (SELECT DISTINCT l_orderkey AS pk FROM lineitem),
+    ppos AS (SELECT pk, i, {_BLOOM_POS.format(key="pk")} AS pos
+             FROM probe, hs),
+    cand AS (SELECT pk FROM ppos JOIN bpos USING (pos)
+             GROUP BY pk HAVING COUNT(*) = {BLOOM_K}),
+    cand_rows AS (SELECT l.l_orderkey FROM lineitem l
+                  JOIN cand ON cand.pk = l.l_orderkey),
+    exact_rows AS (SELECT l.l_orderkey,
+                          CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                              AS ep100
+                   FROM lineitem l
+                   WHERE l.l_orderkey IN (SELECT okey FROM keys))
+    SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_build_keys,
+           CAST((SELECT COUNT(*) FROM cand_rows) AS BIGINT) AS n_candidate_rows,
+           CAST((SELECT COUNT(*) FROM exact_rows) AS BIGINT) AS n_exact_rows,
+           CAST((SELECT SUM(ep100) FROM exact_rows) AS BIGINT) / 100.0
+               AS exact_revenue
+    """,
+)
+def bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime semi-join: high-value order keys condense
+    into a BLOOM_M-bit bitmap (one broadcastable row of longs);
+    lineitem is pre-filtered by pure bit arithmetic in its scan
+    stage, and the exact semi-join then removes the false positives.
+    Emits build/candidate/exact counts so the FP rate is part of the
+    verified result — and the oracle reproduces the EXACT bitmap
+    semantics as position-set containment (same md5 hash family), so
+    even the false-positive count hash-gates.
+
+    Scale shape: this is Spark's own runtime-filter/DPP pattern made
+    explicit — at 100 TB the probe side never shuffles non-candidate
+    rows; the bitmap is KBs regardless of build-side row count (size
+    m/n/k for the FP budget; 2 KB here holds ~10% fill at sf0.1).
+    """
+    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_might_contain,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr(_EP100).alias("ep100")
+    )
+    keys = persist_tracked(
+        o.filter(F.col("o_totalprice") > BLOOM_MIN_TOTAL).select("o_orderkey")
+    )
+    bitmap = bloom_filter_build(keys, "o_orderkey", BLOOM_M, BLOOM_K)
+    cand = persist_tracked(
+        bloom_might_contain(li, "l_orderkey", bitmap, BLOOM_M, BLOOM_K)
+    )
+    exact = persist_tracked(
+        cand.join(
+            keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "l_orderkey",
+            "leftsemi",
+        )
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).alias("n_build_keys"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_rows"))
+    n_exact = exact.agg(
+        F.count(F.lit(1)).alias("n_exact_rows"),
+        (F.sum("ep100").cast("bigint") / 100.0).alias("exact_revenue"),
+    )
+    return (
+        n_keys.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_exact))
+        .select("n_build_keys", "n_candidate_rows", "n_exact_rows", "exact_revenue")
+    )
+
+
+@register(
+    "pct_of_parent_revenue",
+    oracle=f"""
+    WITH nr AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM({_EP100}) AS BIGINT) AS rev100
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation, rev100 / 100.0 AS revenue,
+           ROUND(rev100 / (1.0 * CAST(SUM(rev100) OVER
+               (PARTITION BY region) AS BIGINT)), 6) AS pct_of_region,
+           ROUND(rev100 / (1.0 * CAST(SUM(rev100) OVER () AS BIGINT)), 6)
+               AS pct_of_total
+    FROM nr
+    """,
+)
+def pct_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent: supplier-nation revenue with
+    each nation's share of its region and of the world — the drill-
+    down ratio every BI hierarchy needs, computed as two window
+    shares over the 25-row nation aggregate (the events-sized scan
+    aggregates FIRST; the unpartitioned total window touches only the
+    tiny aggregate, never the fact table).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nr = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.expr(_EP100)).alias("rev100"))
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return nr.select(
+        "region",
+        "nation",
+        (F.col("rev100") / 100.0).alias("revenue"),
+        F.round(
+            F.col("rev100") / (1.0 * F.sum("rev100").over(wr).cast("bigint")), 6
+        ).alias("pct_of_region"),
+        F.round(
+            F.col("rev100") / (1.0 * F.sum("rev100").over(wt).cast("bigint")), 6
+        ).alias("pct_of_total"),
+    )

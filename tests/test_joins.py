@@ -73,3 +73,30 @@ def test_bucketed_tables_join_without_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan  # co-located: layout replaced the shuffle
     assert j.count() == li.count()
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    from dbt_project_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.createDataFrame([(i,) for i in range(0, 200, 2)], "k bigint")
+    probe = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+    bm = bloom_filter_build(keys, "k", m_bits=4096, k_hashes=3)
+    got = {r.k for r in bloom_might_contain(probe, "k", bm, 4096, 3).collect()}
+    members = set(range(0, 200, 2))
+    # every member passes (no false negatives); non-members may leak
+    # through but never the other way around
+    assert members <= got
+    fp = got - members
+    assert len(fp) < 20  # 100 keys in 4096 bits, k=3: FP rate ~1e-3
+
+
+def test_bloom_bitmap_is_broadcast_single_row(spark):
+    from dbt_project_spark.operators.joins import bloom_filter_build
+
+    keys = spark.createDataFrame([(i,) for i in range(50)], "k bigint")
+    rows = bloom_filter_build(keys, "k", m_bits=1024, k_hashes=2).collect()
+    assert len(rows) == 1
+    assert len(rows[0].bitmap) == 1024 // 64
