@@ -53,6 +53,8 @@ def register(name: str, oracle: str | None = None):
 PRIORITY: list[str] = [
     # --- new queries this round (r03) — no driver verdict yet ---
     "rfm_segmentation",
+    "drift_psi_value",
+    "chi2_type_weekday",
     "bloom_semijoin_orders",
     "pct_of_parent_revenue",
     "attribution_last_touch",
@@ -169,3 +171,4 @@ def load_all() -> None:
     import dbt_project_spark.queries_retail  # noqa: F401
     import dbt_project_spark.queries_mining  # noqa: F401
     import dbt_project_spark.queries_temporal  # noqa: F401
+    import dbt_project_spark.queries_quality  # noqa: F401

@@ -1,0 +1,200 @@
+"""Data-quality statistics family (round 3): population-stability
+(PSI) drift detection and a chi-square independence test — the
+monitoring layer a production training-data pipeline runs on every
+ingest batch.
+
+Float determinism: both statistics are SUMS of per-bucket float
+terms, and float addition is order-dependent — so each term is
+computed as ONE double expression (identical shape in both engines →
+identical bits), scaled to a ×1e9 BIGINT, and summed in integer
+space (associative, partitioning-independent); the final value is a
+single division ROUNDed at 6. This is the repo's fixed-point-sum
+convention applied to irrational (ln) terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.sources import load_table
+
+_V100 = "CAST(round(value * 100, 0) AS BIGINT)"
+
+PSI_BUCKET = 5_000  # $50 fixed-width value buckets (bounded domain)
+
+
+@register(
+    "drift_psi_value",
+    oracle=f"""
+    WITH e AS (SELECT event_type, {_V100} // {PSI_BUCKET} AS bkt,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+               FROM events),
+    mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS m FROM e),
+    c AS (SELECT event_type, bkt,
+                 CAST(SUM(CASE WHEN ep < (SELECT m FROM mid)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+                 CAST(SUM(CASE WHEN ep >= (SELECT m FROM mid)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+          FROM e GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(SUM(ref_n) AS BIGINT) AS ref_t,
+                 CAST(SUM(cur_n) AS BIGINT) AS cur_t
+          FROM c GROUP BY 1),
+    terms AS (
+      SELECT c.event_type,
+             CAST(round(
+               ((c.ref_n * 1.0 / t.ref_t) - (c.cur_n * 1.0 / t.cur_t))
+               * ln((c.ref_n * 1.0 / t.ref_t) / (c.cur_n * 1.0 / t.cur_t))
+               * 1000000000) AS BIGINT) AS term9
+      FROM c JOIN t ON t.event_type = c.event_type
+      WHERE c.ref_n > 0 AND c.cur_n > 0)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(CAST(SUM(term9) AS BIGINT) / 1000000000.0, 6) AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution per event
+    type, first half of the time range (reference) vs second half
+    (current): PSI = Σ (p−q)·ln(p/q) over fixed $50 buckets present
+    in both periods (the standard 'ignore empty buckets' form; <0.1
+    is stable, >0.25 drifted). One scan builds both period counts as
+    conditional sums — no self-join of the two halves.
+
+    Scale shape: one events-sized shuffle on (type, bucket) — the
+    bucket domain is bounded by the value range, so everything after
+    the first aggregate is tiny. Per-bucket ln terms go through the
+    ×1e9 integer-sum convention (see module docstring) so the
+    statistic is bit-stable under any partitioning.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"{_V100} div {PSI_BUCKET}").alias("bkt"),
+        F.unix_timestamp("ts").alias("ep"),
+    )
+    mid = e.agg(
+        F.expr("(min(ep) + max(ep)) div 2").cast("bigint").alias("m")
+    )
+    c = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "bkt")
+        .agg(
+            F.sum(F.when(F.col("ep") < F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ref_n"),
+            F.sum(F.when(F.col("ep") >= F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cur_n"),
+        )
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("ref_n").cast("bigint").alias("ref_t"),
+        F.sum("cur_n").cast("bigint").alias("cur_t"),
+    )
+    terms = (
+        c.join(F.broadcast(t), "event_type")
+        .filter((F.col("ref_n") > 0) & (F.col("cur_n") > 0))
+        .select(
+            "event_type",
+            F.round(
+                (
+                    (F.col("ref_n") * 1.0 / F.col("ref_t"))
+                    - (F.col("cur_n") * 1.0 / F.col("cur_t"))
+                )
+                * F.log(
+                    (F.col("ref_n") * 1.0 / F.col("ref_t"))
+                    / (F.col("cur_n") * 1.0 / F.col("cur_t"))
+                )
+                * 1_000_000_000
+            )
+            .cast("bigint")
+            .alias("term9"),
+        )
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.sum("term9").cast("bigint") / 1_000_000_000.0, 6).alias("psi"),
+    )
+
+
+@register(
+    "chi2_type_weekday",
+    oracle="""
+    WITH o AS (SELECT event_type, isodow(CAST(ts AS TIMESTAMP)) AS dow,
+                      CAST(COUNT(*) AS BIGINT) AS obs
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+    col AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nt FROM o),
+    terms AS (
+      SELECT CAST(round(
+               ((o.obs * n.nt - r.rt * col.ct) * 1.0
+                * (o.obs * n.nt - r.rt * col.ct))
+               / (1.0 * n.nt * r.rt * col.ct) * 1000000000) AS BIGINT) AS term9
+      FROM o JOIN r ON r.event_type = o.event_type
+             JOIN col ON col.dow = o.dow
+             CROSS JOIN n)
+    SELECT CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM col) AS BIGINT) AS n_cols,
+           CAST(((SELECT COUNT(*) FROM r) - 1)
+                * ((SELECT COUNT(*) FROM col) - 1) AS BIGINT) AS dof,
+           ROUND(CAST(SUM(term9) AS BIGINT) / 1000000000.0, 6) AS chi2
+    FROM terms
+    """,
+)
+def chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the event_type × ISO-weekday
+    contingency table — 'does traffic mix depend on the weekday'.
+    Each cell term uses the algebraically-cleared form
+    (O·N − R·C)² / (N·R·C): numerator products stay in exact BIGINT,
+    one double division per cell, then the ×1e9 integer-sum
+    convention for the order-independent total.
+
+    Scale shape: the contingency table is types×7 rows after one
+    events-sized aggregate; everything else is arithmetic on a few
+    dozen rows. (O·N and R·C fit BIGINT while total events < ~3e9×
+    cell counts — at 100 TB shift both into DECIMAL(38,0) as
+    linreg_value_trend does.)
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.expr("weekday(ts)") + 1).alias("dow")
+    )
+    o = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    r = o.groupBy("event_type").agg(F.sum("obs").cast("bigint").alias("rt"))
+    c = o.groupBy("dow").agg(F.sum("obs").cast("bigint").alias("ct"))
+    n = o.agg(F.sum("obs").cast("bigint").alias("nt"))
+    num = F.col("obs") * F.col("nt") - F.col("rt") * F.col("ct")
+    terms = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(
+                (num * 1.0 * num)
+                / (1.0 * F.col("nt") * F.col("rt") * F.col("ct"))
+                * 1_000_000_000
+            )
+            .cast("bigint")
+            .alias("term9")
+        )
+    )
+    nr = r.agg(F.count(F.lit(1)).alias("n_rows"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_cols"))
+    tot = terms.agg(
+        F.round(F.sum("term9").cast("bigint") / 1_000_000_000.0, 6).alias("chi2")
+    )
+    return (
+        nr.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_rows",
+            "n_cols",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "chi2",
+        )
+    )
