@@ -441,23 +441,36 @@ def incremental_minhash_pairs(
     return pairs
 
 
+# Truncate CC label lineage every N rounds (lazy localCheckpoint —
+# materialized by the round's own signature aggregate).
+_CC_CHECKPOINT_EVERY = 4
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation:
-    (node, component_id=min node id in component).
+    """Connected components by min-label propagation WITH pointer
+    jumping: (node, component_id=min node id in component).
 
-    The standard distributed CC loop (label propagation over the
-    symmetrized edge list, converging in O(diameter) rounds — dup
-    clusters are near-cliques, so 2-3 rounds in practice). Each round
-    is one shuffle join + one groupBy-min with map-side partials;
-    labels persist round-over-round (at cluster scale: checkpoint
-    every few rounds to truncate lineage). Deterministic: the
-    fixpoint (min reachable id per node) is independent of iteration
-    or partition order."""
+    Each round does (a) one-hop propagation over the symmetrized
+    edge list (shuffle join + groupBy-min with map-side partials)
+    and (b) a pointer-jump — every node adopts its label's label,
+    halving remaining label-tree depth. (a) alone converges in
+    O(diameter) rounds, which a path graph turns into O(n); with (b)
+    the loop is O(log diameter) — the Hash-to-Min shape, the
+    difference between 30 rounds and 5 on a 30-node chain, and
+    between hundreds and ~10 at 100 TB.
+
+    Labels are localCheckpoint'ed every ``_CC_CHECKPOINT_EVERY``
+    rounds: persistence alone does NOT truncate the logical plan, and
+    the per-round lineage growth otherwise makes driver-side plan
+    processing (UI/AQE descriptions) quadratic — measured as a
+    driver OOM on deep graphs. Deterministic: the fixpoint (min
+    reachable id per node) is independent of iteration or partition
+    order."""
     from dbt_project_spark.caching import persist_tracked
 
     # Persist the raw edge list BEFORE symmetrizing: the union has two
@@ -487,15 +500,24 @@ def connected_components(
         ).collect()[0]["s"]
 
     prev_sig = _sig(labels)
-    for _ in range(max_iter):
+    for i in range(max_iter):
         prop = sym.join(labels, sym.u == labels.node).select(
             F.col("v").alias("node"), "lab"
         )
-        new = persist_tracked(
+        hop = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
         )
+        # pointer jump: adopt the label's own label (always <= lab,
+        # same component) — halves remaining label-tree depth
+        jump = hop.select(F.col("node").alias("jn"), F.col("lab").alias("jl"))
+        new = hop.join(jump, hop.lab == jump.jn).select(
+            "node", F.col("jl").alias("lab")
+        )
+        if (i + 1) % _CC_CHECKPOINT_EVERY == 0:
+            new = new.localCheckpoint(eager=False)
+        new = persist_tracked(new)
         new_sig = _sig(new)
         labels.unpersist()
         labels = new

@@ -158,3 +158,13 @@ def test_attribution_purchases_covered(spark):
     assert all(
         r.seconds_since_touch is None or r.seconds_since_touch >= 0 for r in rows
     )
+
+
+def test_bloom_semijoin_plan_all_broadcast(spark):
+    # the 1-row bitmap and scalar aggregates must broadcast; any
+    # SortMergeJoin or CartesianProduct means the runtime-filter
+    # pattern collapsed into a real shuffle join.
+    plan = _plan(QUERIES["bloom_semijoin_orders"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
