@@ -80,6 +80,8 @@ PRIORITY: list[str] = [
     "ts_ewma_dyadic",
     "ts_anomaly_sigma",
     # --- changed this round — need fresh driver verdicts ---
+    "dedup_clusters",  # CC rewritten: pointer jumping + checkpoints
+    "corpus_keep_list",  # consumes CC clusters — re-verify with it
     "ann_ivf_topk",  # centroids now k-means-trained, not first-K
     "dedup_editdistance",  # hot (prefix, band) block cap
     "pagerank_trade",  # conditional rank broadcast
