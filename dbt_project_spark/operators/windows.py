@@ -136,8 +136,14 @@ def distributed_ntile(
     small counts, coarse value ranges). Result matches
     ``NTILE(n) OVER (ORDER BY ...)`` bit-for-bit.
     """
+    from dbt_project_spark.caching import persist_tracked
+
     k = n_tiles
-    tagged = df.withColumn("__bkt", bucket.cast("bigint"))
+    # Three branches (bucket counts, total, the ranked join) read the
+    # tagged input, and Spark does not dedup subtrees — uncached, a
+    # chained-ntile caller (RFM scores three metrics) would recompute
+    # the whole upstream aggregate once per branch per stage.
+    tagged = persist_tracked(df.withColumn("__bkt", bucket.cast("bigint")))
     counts = tagged.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__bn"))
     wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.withColumn(
