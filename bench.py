@@ -85,6 +85,8 @@ HEADLINE = [
     "cms_heavy_hitters",
     "interval_coverage",
     "scd2_point_in_time",
+    "bloom_semijoin_orders",
+    "drift_psi_value",
 ]
 
 # The 10 most expensive headline queries per BENCH_r02, cheapest first
