@@ -91,7 +91,6 @@ PRIORITY: list[str] = [
     # --- never driver-checked (judge-verified locally in r02) ---
     "mm_arrow_byte_stats",
     "hll_sketch_rollup",
-    "corpus_keep_list",
     "wt_value_histogram",
     "wt_daily_type_pivot",
     "users_purchase_no_error",

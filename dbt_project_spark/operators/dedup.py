@@ -451,18 +451,29 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    jump_from: int = 2,
 ) -> DataFrame:
     """Connected components by min-label propagation WITH pointer
     jumping: (node, component_id=min node id in component).
 
     Each round does (a) one-hop propagation over the symmetrized
     edge list (shuffle join + groupBy-min with map-side partials)
-    and (b) a pointer-jump — every node adopts its label's label,
-    halving remaining label-tree depth. (a) alone converges in
-    O(diameter) rounds, which a path graph turns into O(n); with (b)
-    the loop is O(log diameter) — the Hash-to-Min shape, the
-    difference between 30 rounds and 5 on a 30-node chain, and
-    between hundreds and ~10 at 100 TB.
+    and — from round ``jump_from`` on — (b) a pointer-jump: every
+    node adopts its label's label, halving remaining label-tree
+    depth. (a) alone converges in O(diameter) rounds, which a path
+    graph turns into O(n); with (b) the loop is O(log diameter) —
+    the Hash-to-Min shape, the difference between 30 rounds and 5 on
+    a 30-node chain, and between hundreds and ~10 at 100 TB.
+
+    The jump is DEFERRED (``jump_from=2``, r04): it costs an extra
+    nodes-sized self-join per round, and real dedup graphs are
+    near-diameter-≤3 (small near-duplicate clusters) — they converge
+    before a jump would ever fire, so the shallow common case pays
+    r02's plain-propagation price (the r03 always-jump loop measured
+    +57% on dedup_clusters at sf0.1) while deep/chain graphs — the
+    r03 driver-OOM case — still engage the jump from round 3 and
+    keep the O(log diameter) bound. The fixpoint itself is
+    jump-independent (min reachable id per node).
 
     Labels are localCheckpoint'ed every ``_CC_CHECKPOINT_EVERY``
     rounds: persistence alone does NOT truncate the logical plan, and
@@ -509,12 +520,22 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
         )
-        # pointer jump: adopt the label's own label (always <= lab,
-        # same component) — halves remaining label-tree depth
-        jump = hop.select(F.col("node").alias("jn"), F.col("lab").alias("jl"))
-        new = hop.join(jump, hop.lab == jump.jn).select(
-            "node", F.col("jl").alias("lab")
-        )
+        if i >= jump_from:
+            # pointer jump: adopt the label's own label (always <= lab,
+            # same component) — halves remaining label-tree depth. hop
+            # appears on both sides, but its expensive half (the
+            # aggregate's exchange) is a byte-identical subtree in both
+            # branches, so ReuseExchange shares it — only the cheap
+            # reduce-side HashAggregate runs twice (measured:
+            # materializing hop instead is strictly slower).
+            jump = hop.select(
+                F.col("node").alias("jn"), F.col("lab").alias("jl")
+            )
+            new = hop.join(jump, hop.lab == jump.jn).select(
+                "node", F.col("jl").alias("lab")
+            )
+        else:
+            new = hop
         if (i + 1) % _CC_CHECKPOINT_EVERY == 0:
             new = new.localCheckpoint(eager=False)
         new = persist_tracked(new)

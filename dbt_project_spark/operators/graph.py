@@ -167,6 +167,11 @@ def pagerank_fixedpoint(
     return ranks.select("node", "r")
 
 
+# Truncate BFS distance-table lineage every N rounds (matches
+# _CC_CHECKPOINT_EVERY in operators/dedup.py).
+_BFS_CHECKPOINT_EVERY = 4
+
+
 def bfs_hops(
     edges: DataFrame,
     source: DataFrame | None = None,
@@ -189,6 +194,16 @@ def bfs_hops(
     broadcast only while the graph is below ``broadcast_threshold``
     nodes; past that the joins fall back to shuffle hash joins on the
     equi-key and AQE re-promotes genuinely small frontiers.
+
+    Unlike pagerank (each rank table feeds exactly ONE downstream
+    join), every round here references ``dist`` TWICE (edge join +
+    union) — uncached, plan size and recomputation double per round
+    (2^iters subtrees by round 8). So each round's dist is persisted
+    and materialized, the previous round's cache is dropped eagerly,
+    and lineage is truncated by a localCheckpoint every
+    ``_BFS_CHECKPOINT_EVERY`` rounds — the same convention as
+    ``connected_components`` (see dedup.py: persistence alone does
+    not truncate the logical plan).
     """
     from dbt_project_spark.caching import persist_tracked
 
@@ -211,11 +226,20 @@ def bfs_hops(
             .agg(F.min("node").alias("node"))
         )
     dist = source.select("node", F.lit(0).alias("hops"))
-    for _ in range(iters):
+    prev: DataFrame | None = None
+    for i in range(iters):
         nxt = edges.join(
             _dist_side(dist), edges.src == dist.node
         ).select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
-        dist = (
+        new = (
             dist.unionAll(nxt).groupBy("node").agg(F.min("hops").alias("hops"))
         )
+        if (i + 1) % _BFS_CHECKPOINT_EVERY == 0:
+            new = new.localCheckpoint(eager=False)
+        new = persist_tracked(new)
+        new.count()  # materialize before the next round's double ref
+        if prev is not None:
+            prev.unpersist()
+        prev = new
+        dist = new
     return dist

@@ -13,6 +13,8 @@ import sys
 
 import duckdb
 
+from pyspark.sql.types import ArrayType, MapType, StructType
+
 from dbt_project_spark.sources.registry import TABLES
 
 
@@ -50,6 +52,15 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def check_query(spark, sf_dir: str, name: str, query_fn, oracle: str | None):
     """Returns dict with rows/cols/match info; oracle=None → rows-only."""
     sdf = query_fn(spark, sf_dir)
+    # Scalar-schema contract: the driver's hash gate canonicalizes rows
+    # in pandas, where array/map/struct cells are unhashable (r03:
+    # inverted_index err). Every catalog query must emit scalars only —
+    # string-encode lists (concat_ws / array_to_string) on both sides.
+    nested = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
     srows = sdf.collect()
     scols = sdf.columns
     result = {
@@ -58,6 +69,10 @@ def check_query(spark, sf_dir: str, name: str, query_fn, oracle: str | None):
         "spark_cols": sorted(scols),
         "oracle": oracle is not None,
     }
+    if nested:
+        result["nested_cols"] = nested
+        result["ok"] = False
+        return result
     if oracle is None:
         result["ok"] = True
         return result

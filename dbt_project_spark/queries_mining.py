@@ -48,7 +48,8 @@ CMS_TOPK = 20  # heavy hitters reported
     dp AS (SELECT DISTINCT doc_id, term FROM tok),
     s AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
                  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
-                 (list_sort(list(doc_id)))[1:{POST_HEAD}] AS postings_head
+                 array_to_string((list_sort(list(doc_id)))[1:{POST_HEAD}], ',')
+                     AS postings_head
           FROM dp GROUP BY term)
     SELECT s.term, tf.tf, s.df, s.min_doc, s.max_doc, s.postings_head
     FROM s JOIN tf ON tf.term = s.term
@@ -83,7 +84,15 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         dp.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= POST_HEAD)
         .groupBy("term")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("postings_head"))
+        # String-encoded: the driver's hash gate canonicalizes rows in
+        # pandas, where array cells are unhashable — every catalog
+        # query must emit scalar columns only (see test_catalog.py's
+        # scalar-schema contract test).
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("doc_id"))
+            ).alias("postings_head")
+        )
     )
     return stats.join(head, "term").join(tf, "term").select(
         "term", "tf", "df", "min_doc", "max_doc", "postings_head"

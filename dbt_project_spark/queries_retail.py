@@ -335,7 +335,7 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BLOOM_M = 131_072  # bitmap bits (2 KB of longs — broadcast-trivial)
+BLOOM_M = 131_072  # bitmap bits (2048 longs = 16 KB — broadcast-trivial)
 BLOOM_K = 3  # hashes per key
 BLOOM_MIN_TOTAL = 450_000  # build-side predicate: high-value orders
 
@@ -385,7 +385,7 @@ def bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: this is Spark's own runtime-filter/DPP pattern made
     explicit — at 100 TB the probe side never shuffles non-candidate
     rows; the bitmap is KBs regardless of build-side row count (size
-    m/n/k for the FP budget; 2 KB here holds ~10% fill at sf0.1).
+    m/n/k for the FP budget; 16 KB here holds ~10% fill at sf0.1).
     """
     from dbt_project_spark.caching import persist_tracked
     from dbt_project_spark.operators.joins import (

@@ -75,7 +75,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.unix_micros("ts").alias("eu"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("eu"),
         F.expr(_OKEY_SPARK).alias("okey"),
     )
     w = (
@@ -145,8 +145,8 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     span_us = COVER_SPAN_S * 1_000_000
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
-        F.unix_micros("ts").alias("s"),
-        (F.unix_micros("ts") + span_us).alias("f"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + span_us).alias("f"),
         F.expr(_OKEY_SPARK).alias("okey"),
     )
     wp = (

@@ -116,7 +116,7 @@ def twa_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir).select(
         "event_type",
         F.to_date("ts").alias("day"),
-        F.unix_micros("ts").alias("eu"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("eu"),
         "value100",
         "ts",
         "event_id",
@@ -162,7 +162,10 @@ def win_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partitioned by user_id — bounded state per user, no global sort.
     """
     e = _events(spark, sf_dir).select(
-        "event_id", "user_id", F.unix_micros("ts").alias("eu"), "value100"
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("eu"),
+        "value100",
     )
     tw = (
         Window.partitionBy("user_id")

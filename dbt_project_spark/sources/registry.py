@@ -42,6 +42,12 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet micros with isAdjustedToUTC=false read as TIMESTAMP_NTZ
+    # under Spark 4 defaults; type-strict functions (unix_micros) then
+    # fail to resolve. Read them as session-TZ TIMESTAMP (we pin UTC
+    # above, so the instant is identical) — the driver's vanilla
+    # session relies on getting this conf HERE, not from session.py.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

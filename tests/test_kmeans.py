@@ -165,3 +165,41 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     assert cent.count() == 4  # all K survive
     asg = assign_clusters(iv, cent)
     assert asg.select("cid").distinct().count() <= 2
+
+
+def test_ivf_params_scales_with_corpus_size():
+    """r04: K/nprobe derive from corpus size (≈√n, power of two,
+    clamped) — the parameter must GROW with the corpus, and the
+    DuckDB derivation (_KP_SQL) must agree exactly with the Python
+    one on real corpora."""
+    import duckdb
+
+    from dbt_project_spark.operators.kmeans import ivf_params
+    from dbt_project_spark.queries_vectors import _KP_SQL
+
+    # ≈√n shape + clamps at both ends
+    assert ivf_params(0) == (16, 2)
+    assert ivf_params(500) == (32, 2)       # sf0.01 corpus
+    assert ivf_params(2000) == (64, 2)      # sf0.1 corpus — grows
+    assert ivf_params(100_000) == (512, 16)
+    assert ivf_params(10**12) == (1024, 32)  # key-headroom clamp
+    for n in [1, 255, 256, 257, 1023, 1024, 1025, 10**6]:
+        k, np_ = ivf_params(n)
+        assert k & (k - 1) == 0 and 16 <= k <= 1024
+        assert (k * k >= n or k == 1024) and np_ == max(k // 32, 2)
+
+    # SQL twin parity at two real corpus sizes (different derived K)
+    ks = {}
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]:
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        k_sql, np_sql = con.execute(
+            f"WITH {_KP_SQL} SELECT k, np FROM kp"
+        ).fetchone()
+        n = con.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+        assert (k_sql, np_sql) == ivf_params(n), (sf, n)
+        ks[sf] = k_sql
+    assert len(set(ks.values())) == 2, ks  # genuinely different scales
