@@ -87,6 +87,9 @@ HEADLINE = [
     "scd2_point_in_time",
     "bloom_semijoin_orders",
     "drift_psi_value",
+    # round 4: retrieval family
+    "bm25_topk",
+    "rrf_hybrid_topk",
 ]
 
 # The 10 most expensive headline queries per BENCH_r02, cheapest first

@@ -51,61 +51,26 @@ def register(name: str, oracle: str | None = None):
 # emitted first (in this order); everything else follows in
 # registration order.
 PRIORITY: list[str] = [
-    # --- new queries this round (r03) — no driver verdict yet ---
-    "rfm_segmentation",
-    "drift_psi_value",
-    "chi2_type_weekday",
-    "bloom_semijoin_orders",
-    "pct_of_parent_revenue",
-    "attribution_last_touch",
-    "interval_coverage",
-    "scd2_point_in_time",
-    "equidepth_histogram",
-    "abc_parts_by_brand",
-    "basket_rules",
-    "part_skyline",
-    "inverted_index",
-    "cms_heavy_hitters",
-    "weekday_seasonality",
-    "user_journey_path",
-    "user_profile_variant",
-    "bfs_hops_trade",
-    "theta_set_ops",
-    "ivf_train_centroids",
-    "dedup_incremental",
-    "dedup_embedding_strict",
-    "table_diff_cdc",
-    "profile_table",
-    "zorder_locality",
-    "ts_ewma_dyadic",
-    "ts_anomaly_sigma",
+    # --- new queries this round (r04) — no driver verdict yet ---
+    "bm25_topk",
+    "tfidf_top_terms",
+    "rrf_hybrid_topk",
+    "skew_key_histogram",
+    # --- erred in the r03 driver run — fixed this round ---
+    "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
+    "interval_coverage",  # same NTZ fix
+    "inverted_index",  # postings_head now a scalar string column
     # --- changed this round — need fresh driver verdicts ---
-    "dedup_clusters",  # CC rewritten: pointer jumping + checkpoints
+    "twa_by_type_day",  # NTZ-proofed unix_micros (latent r03 failure)
+    "win_time_range_avg",  # same NTZ-proofing
+    "dedup_clusters",  # CC pointer jump deferred to round 3
     "corpus_keep_list",  # consumes CC clusters — re-verify with it
-    "ann_ivf_topk",  # centroids now k-means-trained, not first-K
-    "dedup_editdistance",  # hot (prefix, band) block cap
-    "pagerank_trade",  # conditional rank broadcast
-    "triangle_count",  # per-order basket cap
-    "approx_percentiles_by_type",  # p50/p90 rounded both sides
-    "percentiles_by_type",  # same rounding fix
-    # --- never driver-checked (judge-verified locally in r02) ---
-    "mm_arrow_byte_stats",
-    "hll_sketch_rollup",
-    "wt_value_histogram",
-    "wt_daily_type_pivot",
-    "users_purchase_no_error",
-    "wt_gap_filled_series",
-    "distinct_users_daily",
-    # --- r01 driver-green, unchanged since: stalest verdicts fill the
-    # remaining window slots for a refresh ---
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "pipeline_nation_revenue",
-    "mm_binary_features",
-    "text_tokens",
+    "bfs_hops_trade",  # per-round dist persist + lineage checkpoints
+    "ann_ivf_topk",  # K/nprobe now data-derived (ivf_params)
+    "ivf_train_centroids",  # K now data-derived (ivf_params)
+    # --- r01 driver-green, never since: stalest verdicts fill the
+    # remaining window slots for a refresh (r03 refreshed the dedup/
+    # ann/text_tokens block; this round refreshes wt_*/text_*/tpch) ---
     "text_quality",
     "text_langid",
     "text_fingerprint",
@@ -133,10 +98,18 @@ PRIORITY: list[str] = [
     "tpch_q9",
     "tpch_q10",
     "tpch_q11",
-    # Overflow (driver-green r02 or freshly re-verified r01, all
-    # re-verified locally each round): remaining tpch_q*, the win_*/
-    # analytics/corpus/training/timeseries/product/graph families
-    # follow in registration order.
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    # Overflow (driver-green r02/r03, all re-verified locally each
+    # round): everything else follows in registration order; tpch_q22
+    # heads the r05 refresh.
 ]
 
 
@@ -173,3 +146,4 @@ def load_all() -> None:
     import dbt_project_spark.queries_mining  # noqa: F401
     import dbt_project_spark.queries_temporal  # noqa: F401
     import dbt_project_spark.queries_quality  # noqa: F401
+    import dbt_project_spark.queries_retrieval  # noqa: F401

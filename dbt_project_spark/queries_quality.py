@@ -198,3 +198,62 @@ def chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+@register(
+    "skew_key_histogram",
+    oracle="""
+    WITH k AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM orders GROUP BY o_custkey),
+    b AS (SELECT CAST(length(bin(cnt)) AS INT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 CAST(MAX(cnt) AS BIGINT) AS max_cnt
+          FROM k GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM b)
+    SELECT bucket, n_keys, n_rows, max_cnt,
+           ROUND(n_rows * 1.0 / total, 6) AS rows_share
+    FROM b CROSS JOIN t
+    """,
+)
+def skew_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over orders.o_custkey (the
+    customer⋈orders join key — the most dispersed key in the corpus,
+    5 occupied buckets at sf0.01): the per-key
+    frequency distribution collapsed into log2 buckets (bucket =
+    bit-length of the key's row count, so bucket b holds keys with
+    2^(b-1) ≤ cnt < 2^b), with each bucket's key count, row mass, max
+    key, and share of total rows. A heavy tail bucket = the keys that
+    will stall a shuffle join — this is the pre-flight check that
+    decides between a plain join, AQE skew splitting, and salting
+    (see skew_salted_join for the remediation).
+
+    Scale shape: per-key counts are a map-side-combinable aggregate
+    (the shuffle carries one (key, partial) pair per map task);
+    the histogram is a second tiny aggregate over keys; the total is
+    a 1-row broadcast. No global sort, no window — the whole
+    diagnostic costs one pass regardless of key cardinality. The
+    bucket id uses bit-length (`bin()` string length), NOT
+    floor(log2(·)): libm log2 of an exact power of two can land a
+    hair below the integer and bucket the key off-by-one differently
+    per engine.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    k = o.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    b = k.groupBy(
+        F.length(F.expr("bin(cnt)")).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    t = b.agg(F.sum("n_rows").cast("bigint").alias("total"))
+    return b.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.round(F.col("n_rows") * 1.0 / F.col("total"), 6).alias("rows_share"),
+    )

@@ -1,0 +1,243 @@
+"""Retrieval family over `documents` + `embeddings` (round 4): BM25
+keyword ranking, per-document TF-IDF key terms, and hybrid
+lexical+vector fusion (reciprocal-rank fusion) — the retrieval stack a
+RAG / training-data pipeline runs next to dedup and ANN.
+
+Determinism: every float is created at a documented rounding point
+(6 dp) from deterministic inputs; rankings order by the ROUNDED score
+with an id tiebreak, so rank assignment is stable across engines and
+partitionings (the residual risk is the repo-wide ≤1-ulp `ln`
+divergence, see SCALE.md).
+
+Reference scope note: the reference repo has no retrieval surface —
+this family is part of the beyond-reference LLM-pipeline mandate
+(brief: dedup / similarity / text analysis as first-class components;
+hybrid retrieval is the consumer of those indexes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.functions.expressions import cosine_similarity
+from dbt_project_spark.operators.dedup import tokens_col
+from dbt_project_spark.operators.retrieval import bm25_oracle_cte, bm25_scored
+from dbt_project_spark.sources import load_table
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# The keyword query: one discriminative term (df ≈ 5% of docs) + two
+# mid-frequency terms — exercises the idf spread.
+BM25_TERMS = ("dup", "vector", "merge")
+BM25_TOPK = 25
+RRF_C = 60  # the standard RRF dampening constant
+RRF_CAND = 50  # per-ranker candidate depth
+RRF_TOPK = 10
+RRF_QUERY_VEC = 0  # stand-in query embedding: vec_id 0
+TFIDF_TOP = 3
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH {bm25_oracle_cte(BM25_TERMS, _TOKS)}
+    SELECT rank, doc_id, bm25 FROM (
+        SELECT doc_id, bm25,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                   AS rank
+        FROM bm)
+    WHERE rank <= {BM25_TOPK}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{K}: rank documents for a fixed keyword query.
+
+    Scale shape (see operators/retrieval.py): per-doc tf/dl come from
+    one array pass (no token explode), corpus stats (N, Σdl, df) are a
+    single 1-row map-side aggregate broadcast back, and the top-k is
+    orderBy().limit() — TakeOrderedAndProject per-partition heaps, not
+    a global sort. Two scans + a K-row result at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scored(docs, BM25_TERMS)
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOPK)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "doc_id", "bm25"
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    sc AS (SELECT tf.doc_id, tf.term,
+                  round(tf.tf * round(ln(CAST(n AS DOUBLE) / df), 6), 6)
+                      AS tfidf
+           FROM tf JOIN dfq ON dfq.term = tf.term CROSS JOIN nn),
+    rk AS (SELECT doc_id, term, tfidf,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rn
+           FROM sc)
+    SELECT doc_id,
+           string_agg(term, ',' ORDER BY rn) AS top_terms,
+           MAX(tfidf) AS top_score
+    FROM rk WHERE rn <= {TFIDF_TOP}
+    GROUP BY doc_id
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_TOP} TF-IDF terms (the 'what is this
+    document about' keywords), emitted as a comma string (scalar-
+    schema contract) plus the top score.
+
+    Scale shape: tf is a (doc, term) map-side-combinable aggregate;
+    df reuses tf's output (terms-sized, AQE broadcasts it when small);
+    the per-doc top-3 is a doc-partitioned window — bounded state per
+    document, no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    sc = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.round(F.expr("ln(CAST(n AS DOUBLE) / df)"), 6),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    rk = sc.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TFIDF_TOP
+    )
+    return rk.groupBy("doc_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "term"))),
+                lambda s: s["term"],
+            ),
+        ).alias("top_terms"),
+        F.max("tfidf").alias("top_score"),
+    )
+
+
+@register(
+    "rrf_hybrid_topk",
+    oracle=f"""
+    WITH {bm25_oracle_cte(BM25_TERMS, _TOKS)},
+    lr AS (SELECT doc_id, lrank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lrank
+        FROM bm WHERE doc_id <> {RRF_QUERY_VEC})
+        WHERE lrank <= {RRF_CAND}),
+    qv AS (SELECT embedding AS qe FROM embeddings
+           WHERE vec_id = {RRF_QUERY_VEC}),
+    pr AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+                  unnest(q.qe)::DOUBLE AS y
+           FROM embeddings e CROSS JOIN qv q
+           WHERE e.vec_id <> {RRF_QUERY_VEC}),
+    vs AS (SELECT vec_id,
+                  ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6)
+                      AS cosine
+           FROM pr GROUP BY vec_id),
+    vr AS (SELECT doc_id, vrank FROM (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS vrank
+        FROM vs)
+        WHERE vrank <= {RRF_CAND}),
+    fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                     CAST(COALESCE(l.lrank, 0) AS BIGINT) AS lex_rank,
+                     CAST(COALESCE(v.vrank, 0) AS BIGINT) AS vec_rank,
+                     ROUND(COALESCE(1 / ({RRF_C}.0 + l.lrank), 0)
+                           + COALESCE(1 / ({RRF_C}.0 + v.vrank), 0), 6)
+                         AS rrf
+              FROM lr l FULL OUTER JOIN vr v ON v.doc_id = l.doc_id)
+    SELECT rank, doc_id, lex_rank, vec_rank, rrf FROM (
+        SELECT doc_id, lex_rank, vec_rank, rrf,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+                   AS rank
+        FROM fused)
+    WHERE rank <= {RRF_TOPK}
+    """,
+)
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 keyword ranking with a
+    brute-force cosine ranking (query = embedding {RRF_QUERY_VEC}, the
+    stand-in query vector; doc_id ↔ vec_id is the corpus's 1:1 id
+    space) via Reciprocal Rank Fusion: score = Σ 1/(C + rank_i),
+    C = {RRF_C}. Documents missing from one ranker's top-{RRF_CAND}
+    contribute nothing from that ranker and carry rank sentinel 0 in
+    the output.
+
+    Scale shape: each ranker produces a {RRF_CAND}-row candidate list
+    (TakeOrdered heaps over fully distributed scoring); the fusion
+    full-outer join touches ≤2·{RRF_CAND} rows — driver-trivial
+    regardless of corpus size. RRF itself needs no score calibration
+    between rankers (rank-only), which is exactly why it's the
+    production default for hybrid search.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = (
+        bm25_scored(docs, BM25_TERMS)
+        .filter(F.col("doc_id") != RRF_QUERY_VEC)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(RRF_CAND)
+    )
+    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    lr = lex.select(
+        "doc_id", F.row_number().over(wl).alias("lrank")
+    )
+
+    qv = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qe")
+    )
+    vs = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity("embedding", "qe"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(RRF_CAND)
+    )
+    wv = Window.orderBy(F.desc("cosine"), "doc_id")
+    vr = vs.select(
+        "doc_id", F.row_number().over(wv).alias("vrank")
+    )
+
+    fused = lr.join(vr, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("lrank", F.lit(0)).cast("bigint").alias("lex_rank"),
+        F.coalesce("vrank", F.lit(0)).cast("bigint").alias("vec_rank"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (RRF_C + F.col("lrank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (RRF_C + F.col("vrank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOPK)
+    wr = Window.orderBy(F.desc("rrf"), "doc_id")
+    return top.select(
+        F.row_number().over(wr).cast("int").alias("rank"),
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        "rrf",
+    )
