@@ -56,6 +56,8 @@ PRIORITY: list[str] = [
     "tfidf_top_terms",
     "rrf_hybrid_topk",
     "skew_key_histogram",
+    "asof_nearest_error",
+    "robust_value_stats",
     # --- erred in the r03 driver run — fixed this round ---
     "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
     "interval_coverage",  # same NTZ fix
@@ -105,11 +107,9 @@ PRIORITY: list[str] = [
     "tpch_q16",
     "tpch_q17",
     "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
     # Overflow (driver-green r02/r03, all re-verified locally each
-    # round): everything else follows in registration order; tpch_q22
-    # heads the r05 refresh.
+    # round): everything else follows in registration order;
+    # tpch_q20/q21/q22 head the r05 refresh.
 ]
 
 

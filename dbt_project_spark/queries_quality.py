@@ -257,3 +257,89 @@ def skew_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_cnt",
         F.round(F.col("n_rows") * 1.0 / F.col("total"), 6).alias("rows_share"),
     )
+
+
+@register(
+    "robust_value_stats",
+    oracle=f"""
+    WITH e AS (SELECT event_type, {_V100} AS v100 FROM events),
+    med AS (SELECT event_type,
+                   CAST(quantile_cont(2 * v100, 0.5) AS BIGINT) AS med200
+            FROM e GROUP BY event_type),
+    d AS (SELECT e.event_type, e.v100,
+                 ABS(2 * e.v100 - m.med200) AS dev200
+          FROM e JOIN med m ON m.event_type = e.event_type),
+    md AS (SELECT event_type,
+                  CAST(quantile_cont(2 * dev200, 0.5) AS BIGINT) AS mad400
+           FROM d GROUP BY event_type),
+    mo AS (SELECT event_type,
+                  max_by(v100, CAST(cnt AS BIGINT) * 100000 - v100) AS mode100
+           FROM (SELECT event_type, v100, COUNT(*) AS cnt
+                 FROM e GROUP BY event_type, v100)
+           GROUP BY event_type)
+    SELECT m.event_type,
+           ROUND(m.med200 / 200.0, 6) AS median_value,
+           ROUND(md.mad400 / 400.0, 6) AS mad_value,
+           ROUND(mo.mode100 / 100.0, 6) AS mode_value,
+           CAST((SELECT COUNT(*) FROM e x
+                 WHERE x.event_type = m.event_type) AS BIGINT) AS n
+    FROM med m JOIN md ON md.event_type = m.event_type
+               JOIN mo ON mo.event_type = m.event_type
+    """,
+)
+def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type value statistics: median, MAD (median absolute
+    deviation — the robust spread that outliers can't inflate, unlike
+    stddev), and mode — the outlier-resistant profile a data-quality
+    monitor wants next to PSI/chi-square.
+
+    Exactness trick: the interpolated median of INTEGERS is always a
+    multiple of 0.5, so 2·median is an exact BIGINT — deviations
+    |2·v − 2·med| stay integer, and the MAD (a median of those) is an
+    exact multiple of 0.25 → ×4 BIGINT. Both engines therefore
+    compare exact integers until the final rounded divisions. Mode
+    ties break toward the LOWEST value via the max_by integer key
+    (cnt·1e5 − v100; v100 < 1e5 by the bounded value domain).
+
+    Scale shape: two aggregation passes over (type, ·) — medians via
+    percentile partials, mode via a (type, value)-grouped count then
+    a types-sized max_by reduce; no windows, no sort, map-side
+    combinable throughout.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_V100).alias("v100")
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("CAST(percentile(2 * v100, 0.5) AS BIGINT)").alias("med200")
+    )
+    d = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "v100",
+        F.abs(2 * F.col("v100") - F.col("med200")).alias("dev200"),
+    )
+    md = d.groupBy("event_type").agg(
+        F.expr("CAST(percentile(2 * dev200, 0.5) AS BIGINT)").alias("mad400")
+    )
+    mo = (
+        e.groupBy("event_type", "v100")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(
+            F.max_by(
+                "v100", F.col("cnt").cast("bigint") * 100000 - F.col("v100")
+            ).alias("mode100")
+        )
+    )
+    n = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        med.join(md, "event_type")
+        .join(mo, "event_type")
+        .join(n, "event_type")
+        .select(
+            "event_type",
+            F.round(F.col("med200") / 200.0, 6).alias("median_value"),
+            F.round(F.col("mad400") / 400.0, 6).alias("mad_value"),
+            F.round(F.col("mode100") / 100.0, 6).alias("mode_value"),
+            "n",
+        )
+    )

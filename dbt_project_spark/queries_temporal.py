@@ -254,3 +254,141 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.sum("v100").cast("bigint") / 100.0).alias("total_value"),
     )
+
+
+ASOF_TOL_S = 600  # nearest-neighbor tolerance: ±10 min
+
+
+@register(
+    "asof_nearest_error",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, {_EU} AS eu,
+                      {_OKEY_DUCK} AS okey
+               FROM events WHERE event_type IN ('purchase', 'error')),
+    m AS (SELECT event_id, user_id, event_type, eu,
+                 last_value(CASE WHEN event_type = 'error'
+                                 THEN event_id END IGNORE NULLS) OVER wb
+                     AS b_id,
+                 last_value(CASE WHEN event_type = 'error'
+                                 THEN eu END IGNORE NULLS) OVER wb AS b_eu,
+                 first_value(CASE WHEN event_type = 'error'
+                                  THEN event_id END IGNORE NULLS) OVER wf
+                     AS f_id,
+                 first_value(CASE WHEN event_type = 'error'
+                                  THEN eu END IGNORE NULLS) OVER wf AS f_eu
+          FROM e
+          WINDOW wb AS (PARTITION BY user_id ORDER BY okey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 wf AS (PARTITION BY user_id ORDER BY okey
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+    p AS (SELECT event_id, user_id,
+                 CASE WHEN b_eu IS NOT NULL
+                           AND eu - b_eu <= {ASOF_TOL_S} * 1000000
+                           AND (f_eu IS NULL
+                                OR f_eu - eu > {ASOF_TOL_S} * 1000000
+                                OR eu - b_eu <= f_eu - eu)
+                      THEN 'before'
+                      WHEN f_eu IS NOT NULL
+                           AND f_eu - eu <= {ASOF_TOL_S} * 1000000
+                      THEN 'after'
+                      ELSE 'none' END AS side,
+                 b_id, b_eu, f_id, f_eu, eu
+          FROM m WHERE event_type = 'purchase')
+    SELECT event_id, user_id, side,
+           CASE side WHEN 'before' THEN b_id WHEN 'after' THEN f_id
+                     ELSE -1 END AS nearest_error_id,
+           CASE side WHEN 'before' THEN CAST((eu - b_eu) // 1000000 AS BIGINT)
+                     WHEN 'after' THEN CAST((f_eu - eu) // 1000000 AS BIGINT)
+                     ELSE CAST(-1 AS BIGINT) END AS delta_s
+    FROM p
+    """,
+)
+def asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join between two event streams: each
+    purchase finds the same user's NEAREST 'error' event within
+    ±ASOF_TOL_S (the 'did a failure surround this conversion'
+    diagnostic) — the merge_asof(direction='nearest', tolerance=...)
+    surface, completing the as-of ladder (asof_last_signup is
+    direction='backward').
+
+    Ties (equidistant before/after) resolve to 'before'; purchases
+    with no error in tolerance emit side='none' with -1 sentinels
+    (scalar schema, no nulls). Total order: the zero-padded
+    (ts, event_id) okey shared with the attribution queries.
+
+    Scale shape: ONE user-partitioned sort computes both directions —
+    a running IGNORE NULLS last over the preceding frame and first
+    over the following frame (one exchange, one sort, two frame
+    passes); the nearest choice is per-row arithmetic. No self-join,
+    no per-purchase lookback scan, bounded per-user state.
+    """
+    tol_us = ASOF_TOL_S * 1_000_000
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("eu"),
+            F.expr(_OKEY_SPARK).alias("okey"),
+        )
+    )
+    err_id = F.when(F.col("event_type") == "error", F.col("event_id"))
+    err_eu = F.when(F.col("event_type") == "error", F.col("eu"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("okey")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    m = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "eu",
+        F.last(err_id, ignorenulls=True).over(wb).alias("b_id"),
+        F.last(err_eu, ignorenulls=True).over(wb).alias("b_eu"),
+        F.first(err_id, ignorenulls=True).over(wf).alias("f_id"),
+        F.first(err_eu, ignorenulls=True).over(wf).alias("f_eu"),
+    ).filter(F.col("event_type") == "purchase")
+    b_ok = F.col("b_eu").isNotNull() & (
+        (F.col("eu") - F.col("b_eu")) <= tol_us
+    )
+    f_ok = F.col("f_eu").isNotNull() & (
+        (F.col("f_eu") - F.col("eu")) <= tol_us
+    )
+    side = (
+        F.when(
+            b_ok
+            & (
+                ~f_ok
+                | ((F.col("eu") - F.col("b_eu")) <= (F.col("f_eu") - F.col("eu")))
+            ),
+            "before",
+        )
+        .when(f_ok, "after")
+        .otherwise("none")
+    )
+    p = m.withColumn("side", side)
+    return p.select(
+        "event_id",
+        "user_id",
+        "side",
+        F.when(F.col("side") == "before", F.col("b_id"))
+        .when(F.col("side") == "after", F.col("f_id"))
+        .otherwise(-1)
+        .alias("nearest_error_id"),
+        F.when(
+            F.col("side") == "before",
+            F.expr("(eu - b_eu) div 1000000"),
+        )
+        .when(F.col("side") == "after", F.expr("(f_eu - eu) div 1000000"))
+        .otherwise(-1)
+        .cast("bigint")
+        .alias("delta_s"),
+    )
