@@ -243,3 +243,59 @@ def bfs_hops(
         prev = new
         dist = new
     return dist
+
+
+# Truncate peeling lineage every N rounds (same convention as BFS/CC).
+_KCORE_CHECKPOINT_EVERY = 4
+
+
+def kcore(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
+    """Iterative k-core peeling over an undirected edge list (u, v),
+    u < v: repeatedly drop nodes of degree < k (and their edges) for a
+    FIXED ``iters`` rounds, then return (node, core_deg) for nodes
+    whose final degree is ≥ k. With enough rounds this is exactly the
+    k-core; the unrolled count mirrors an unrolled SQL CTE chain, so
+    an unconverged run is still bit-identical across engines
+    (convergence at the chosen k/iters is asserted by tests).
+
+    Scale shape: each round is one degree aggregation (map-side
+    combinable) plus two semi-joins of the edge list against the
+    nodes-sized alive set — edges shrink monotonically, and nothing
+    is ever broadcast except what AQE promotes. Every round
+    references the current edge list twice (degree + filter), so each
+    round's edges are persisted and materialized, the previous
+    round's cache is dropped eagerly, and lineage is truncated by a
+    localCheckpoint every ``_KCORE_CHECKPOINT_EVERY`` rounds — the
+    bfs_hops/connected_components convention.
+    """
+    from dbt_project_spark.caching import persist_tracked
+
+    e = persist_tracked(edges.select("u", "v"))
+    e.count()
+    prev: DataFrame | None = None
+    for i in range(iters):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select("node")
+        ne = e.join(
+            alive.withColumnRenamed("node", "u"), "u", "leftsemi"
+        ).join(alive.withColumnRenamed("node", "v"), "v", "leftsemi")
+        if (i + 1) % _KCORE_CHECKPOINT_EVERY == 0:
+            ne = ne.localCheckpoint(eager=False)
+        ne = persist_tracked(ne)
+        ne.count()  # materialize before next round's double reference
+        if prev is not None:
+            prev.unpersist()
+        prev = ne
+        e = ne
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+    )

@@ -291,3 +291,174 @@ def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("node").alias("nationkey"), F.col("hops").cast("bigint").alias("hops")
     )
+
+
+KCORE_K = 65  # co-purchase degree threshold (non-trivial at every SF)
+KCORE_ITERS = 8  # fixed unrolled peeling rounds (converges at all SFs)
+
+# Shared CTE: the basket-capped part co-purchase edge list — identical
+# text to the triangle_count oracle's bp/e stages so every co-purchase
+# query verifies against the same graph.
+_COPURCHASE_SQL = f"""bp AS MATERIALIZED (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY SUM({_Q100}) DESC, l_partkey) AS rk
+        FROM lineitem GROUP BY l_orderkey, l_partkey)
+      WHERE rk <= {TC_MAX_BASKET}),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM bp a JOIN bp b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey)"""
+
+
+def _kcore_oracle() -> str:
+    """Unrolled k-core peeling CTE chain over the co-purchase graph."""
+    parts = [f"WITH {_COPURCHASE_SQL}"]
+    for i in range(1, KCORE_ITERS + 1):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+              SELECT u AS node FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1})
+            GROUP BY node),
+    a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {KCORE_K}),
+    e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{i - 1} e
+               JOIN a{i} x ON x.node = e.u
+               JOIN a{i} y ON y.node = e.v)""")
+    parts.append(f"""
+    SELECT node AS partkey, CAST(d AS BIGINT) AS core_deg
+    FROM (SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e{KCORE_ITERS}
+            UNION ALL SELECT v FROM e{KCORE_ITERS})
+          GROUP BY node)
+    WHERE d >= {KCORE_K}
+    """)
+    return "".join(parts)
+
+
+@register("kcore_parts", oracle=_kcore_oracle())
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KCORE_K-core of the part co-purchase graph: the maximal
+    subgraph where every part still co-occurs with ≥ K other parts —
+    the dense 'always bought together' backbone that survives after
+    peripheral parts are peeled away (the fourth graph primitive next
+    to triangles, PageRank, and connected components; k-cores are the
+    standard seed for community/influence analysis).
+
+    Fixed KCORE_ITERS peeling rounds, unrolled identically in the
+    DuckDB oracle's CTE chain — an unconverged run would still be
+    bit-identical across engines; convergence at this K is asserted
+    by the planted-graph tests and holds at every shipped SF.
+
+    Scale shape (see operators/graph.kcore): per round one map-side-
+    combinable degree aggregate + two semi-joins against the alive
+    set; the edge list only ever shrinks, each round is persisted
+    with eager release of the previous round, and lineage is
+    checkpoint-truncated — the CC/BFS iteration convention.
+    """
+    from dbt_project_spark.operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    core = kcore(copurchase_edges(li), k=KCORE_K, iters=KCORE_ITERS)
+    return core.select(F.col("node").alias("partkey"), "core_deg")
+
+
+COOC_TOP_K = 20  # strongest co-purchase affinities kept
+
+
+@register(
+    "item_cooc_similarity",
+    oracle=f"""
+    WITH {_COPURCHASE_SQL},
+    pc AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+                  CAST(COUNT(*) AS BIGINT) AS nab
+           FROM bp a JOIN bp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    na AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+           FROM bp GROUP BY 1),
+    s AS (SELECT pc.u, pc.v, pc.nab, x.n AS n_u, y.n AS n_v,
+                 CAST(pc.nab * pc.nab * 1000000 // (x.n * y.n) AS BIGINT)
+                     AS sim2_micro
+          FROM pc JOIN na x ON x.l_partkey = pc.u
+                  JOIN na y ON y.l_partkey = pc.v),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY sim2_micro DESC, u, v) AS rk
+          FROM s)
+    SELECT u AS part_a, v AS part_b, nab AS n_cooc, n_u AS n_a, n_v AS n_b,
+           sim2_micro
+    FROM r WHERE rk <= {COOC_TOP_K}
+    """,
+)
+def item_cooc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering affinities: the COOC_TOP_K
+    strongest part pairs by squared cosine over order co-occurrence —
+    sim²(a,b) = n_ab² / (n_a·n_b), the 'customers who bought X also
+    bought Y' primitive. Baskets are capped at TC_MAX_BASKET like
+    every co-purchase query (mirrored in the oracle), so pair
+    generation is bounded per order.
+
+    Exactness: the squared cosine avoids sqrt entirely — emitted as
+    truncating integer micro-units (nab²·1e6 div n_a·n_b), so ranking
+    and values hash-gate bit-for-bit; ties break on (part_a, part_b).
+
+    Scale shape: pair counts are the basket self-join (bounded by the
+    cap) followed by one (u,v) aggregate; the per-part order counts
+    are a parts-sized aggregate joined back twice (AQE broadcasts
+    them); the global top-k is a TakeOrderedAndProject heap — no
+    single-partition window over the pairs table.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    per_part = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.sum(F.expr(_Q100)).alias("q100")
+    )
+    wb = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("q100"), F.asc("l_partkey")
+    )
+    bp = (
+        per_part.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= TC_MAX_BASKET)
+        .select("l_orderkey", "l_partkey")
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    bp = persist_tracked(bp)
+    a = bp.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = bp.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pc = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+    )
+    na = bp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    s = (
+        pc.join(na.select(F.col("l_partkey").alias("u"), F.col("n").alias("n_u")), "u")
+        .join(na.select(F.col("l_partkey").alias("v"), F.col("n").alias("n_v")), "v")
+        .select(
+            "u",
+            "v",
+            "nab",
+            "n_u",
+            "n_v",
+            F.expr(
+                "CAST((nab * nab * 1000000) div (n_u * n_v) AS BIGINT)"
+            ).alias("sim2_micro"),
+        )
+    )
+    return (
+        s.orderBy(F.desc("sim2_micro"), F.asc("u"), F.asc("v"))
+        .limit(COOC_TOP_K)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("nab").alias("n_cooc"),
+            F.col("n_u").alias("n_a"),
+            F.col("n_v").alias("n_b"),
+            "sim2_micro",
+        )
+    )

@@ -14,7 +14,7 @@ convention applied to irrational (ln) terms.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_project_spark.catalog import register
@@ -342,4 +342,209 @@ def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mode100") / 100.0, 6).alias("mode_value"),
             "n",
         )
+    )
+
+
+_EP = "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)"
+
+# Shared CTE: per-(type, value) counts split at the time midpoint —
+# the same reference/current halving drift_psi_value uses, reused by
+# both two-sample tests so they compare the identical samples.
+_HALF_COUNTS_SQL = f"""
+    e AS (SELECT event_type, {_V100} AS v100, {_EP} AS ep FROM events),
+    mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS m FROM e),
+    c AS (SELECT event_type, v100,
+                 CAST(SUM(CASE WHEN ep < (SELECT m FROM mid)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+                 CAST(SUM(CASE WHEN ep >= (SELECT m FROM mid)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+          FROM e GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(SUM(ref_n) AS BIGINT) AS n1,
+                 CAST(SUM(cur_n) AS BIGINT) AS n2
+          FROM c GROUP BY 1)"""
+
+
+def _half_counts(spark: SparkSession, sf_dir: str):
+    """Spark twin of ``_HALF_COUNTS_SQL``: per-(type, v100) counts for
+    the first (ref) and second (cur) half of the time range, plus the
+    per-type totals. Returns (c, t)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(_V100).alias("v100"),
+        F.unix_timestamp("ts").alias("ep"),
+    )
+    mid = e.agg(F.expr("(min(ep) + max(ep)) div 2").cast("bigint").alias("m"))
+    c = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "v100")
+        .agg(
+            F.sum(F.when(F.col("ep") < F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ref_n"),
+            F.sum(F.when(F.col("ep") >= F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cur_n"),
+        )
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("ref_n").cast("bigint").alias("n1"),
+        F.sum("cur_n").cast("bigint").alias("n2"),
+    )
+    return c, t
+
+
+@register(
+    "ks_test_value",
+    oracle=f"""
+    WITH {_HALF_COUNTS_SQL},
+    w AS (SELECT event_type, v100,
+                 SUM(ref_n) OVER (PARTITION BY event_type ORDER BY v100
+                                  ROWS UNBOUNDED PRECEDING) AS cum1,
+                 SUM(cur_n) OVER (PARTITION BY event_type ORDER BY v100
+                                  ROWS UNBOUNDED PRECEDING) AS cum2
+          FROM c),
+    d AS (SELECT w.event_type, w.v100, t.n1, t.n2,
+                 ABS(w.cum1 * t.n2 - w.cum2 * t.n1) AS num
+          FROM w JOIN t ON t.event_type = w.event_type),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY num DESC, v100) AS rk
+          FROM d)
+    SELECT event_type, n1 AS n_ref, n2 AS n_cur,
+           ROUND(num * 1.0 / (n1 * n2), 6) AS ks_d,
+           CAST(v100 AS BIGINT) AS at_value100
+    FROM r WHERE rk = 1
+    """,
+)
+def ks_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test of the value distribution,
+    first half of the time range vs second half, per event type — the
+    distribution-free companion to drift_psi_value (PSI needs a bucket
+    width; KS does not, and catches shape drift PSI's $50 buckets can
+    smear away). Emits the exact D statistic and the value (cents)
+    where the ECDF gap peaks.
+
+    Exactness: D = max |F1 − F2| is evaluated as the INTEGER
+    numerator |cum1·n2 − cum2·n1| over the common denominator n1·n2 —
+    the max in integer space has no float comparisons, so the argmax
+    row (tie → lowest value) is engine-independent; the single
+    division happens once on the winning row. (Products stay in
+    BIGINT while per-type rows < ~3e9; at extreme scale lift into
+    DECIMAL(38,0) as linreg_value_trend does.)
+
+    Scale shape: one events-sized shuffle on (type, v100), then
+    windows over the distinct-value table (bounded by the value
+    domain, not the corpus) on ONE (type)-partitioning — the
+    cumulative counts and the argmax rank share it. No self-join of
+    the two halves: both ECDFs come from conditional sums in the same
+    pass.
+    """
+    c, t = _half_counts(spark, sf_dir)
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("v100")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = c.select(
+        "event_type",
+        "v100",
+        F.sum("ref_n").over(wv).alias("cum1"),
+        F.sum("cur_n").over(wv).alias("cum2"),
+    )
+    d = w.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "v100",
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
+            "num"
+        ),
+    )
+    rk = Window.partitionBy("event_type").orderBy(F.desc("num"), F.asc("v100"))
+    return (
+        d.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n1").alias("n_ref"),
+            F.col("n2").alias("n_cur"),
+            F.round(F.col("num") * 1.0 / (F.col("n1") * F.col("n2")), 6).alias(
+                "ks_d"
+            ),
+            F.col("v100").cast("bigint").alias("at_value100"),
+        )
+    )
+
+
+@register(
+    "mannwhitney_value",
+    oracle=f"""
+    WITH {_HALF_COUNTS_SQL},
+    g AS (SELECT event_type, v100, ref_n, ref_n + cur_n AS tot FROM c),
+    w AS (SELECT event_type, ref_n, tot,
+                 COALESCE(SUM(tot) OVER (PARTITION BY event_type
+                                         ORDER BY v100
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS cb
+          FROM g),
+    s AS (SELECT event_type,
+                 CAST(SUM(ref_n * (2 * cb + tot + 1)) AS BIGINT) AS r1x2
+          FROM w GROUP BY 1)
+    SELECT t.event_type, t.n1 AS n_ref, t.n2 AS n_cur,
+           CAST(s.r1x2 - t.n1 * (t.n1 + 1) AS BIGINT) AS u_x2,
+           ROUND((s.r1x2 - t.n1 * (t.n1 + 1)) / (2.0 * t.n1 * t.n2), 6)
+               AS cl_effect
+    FROM s JOIN t ON t.event_type = s.event_type
+    """,
+)
+def mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test, first vs second half per event
+    type — the rank-based location test next to KS's shape test: did
+    values systematically shift up/down, robust to outliers. Emits
+    2·U exactly and the common-language effect size U/(n1·n2)
+    (0.5 = no shift).
+
+    Exactness: midranks over ties are half-integers, so the whole
+    computation runs in DOUBLED rank space — for a tie group spanning
+    ranks [cb+1, cb+tot], min_rank+max_rank = 2·cb+tot+1 is the
+    doubled midrank, the ref sample's doubled rank sum is one integer
+    aggregate, and 2·U = Σ − n1(n1+1) is an exact BIGINT. The effect
+    size is one double division, same shape both engines.
+
+    Scale shape: identical to ks_test_value — one (type, v100)
+    aggregate then one window over the bounded distinct-value table;
+    the rank-sum needs no global sort because ranks come from the
+    cumulative count, not row_number over raw events.
+    """
+    c, t = _half_counts(spark, sf_dir)
+    g = c.select(
+        "event_type",
+        "v100",
+        "ref_n",
+        (F.col("ref_n") + F.col("cur_n")).alias("tot"),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("v100")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = g.select(
+        "event_type",
+        "ref_n",
+        "tot",
+        F.coalesce(F.sum("tot").over(wb), F.lit(0)).alias("cb"),
+    )
+    s = w.groupBy("event_type").agg(
+        F.sum(
+            F.col("ref_n") * (2 * F.col("cb") + F.col("tot") + 1)
+        )
+        .cast("bigint")
+        .alias("r1x2")
+    )
+    u_x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    return s.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        F.col("n1").alias("n_ref"),
+        F.col("n2").alias("n_cur"),
+        u_x2.cast("bigint").alias("u_x2"),
+        F.round(u_x2 / (2.0 * F.col("n1") * F.col("n2")), 6).alias("cl_effect"),
     )

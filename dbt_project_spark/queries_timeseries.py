@@ -467,3 +467,226 @@ def ts_anomaly_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomaly"),
         )
     )
+
+
+ACF_MAX_LAG = 6  # hourly autocorrelation lags 1..6
+
+
+@register(
+    "ts_acf_hourly",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(floor(min(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT)
+                 AS lo,
+             CAST(floor(max(epoch(CAST(ts AS TIMESTAMP))) / 3600) AS BIGINT)
+                 AS hi
+      FROM events),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS h FROM bounds),
+    agg AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+                       AS h,
+                   CAST(SUM({_V100}) AS BIGINT) AS x
+            FROM events GROUP BY 1),
+    s AS MATERIALIZED (SELECT g.h, CAST(COALESCE(a.x, 0) AS BIGINT) AS x
+          FROM grid g LEFT JOIN agg a ON a.h = g.h),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+            FROM s),
+    d AS MATERIALIZED (SELECT s.h, CAST(tot.n * s.x - tot.sx AS HUGEINT) AS dev
+         FROM s CROSS JOIN tot),
+    den AS (SELECT SUM(dev * dev) AS den FROM d),
+    lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6)) l(k)),
+    num AS (SELECT l.k, SUM(d1.dev * d2.dev) AS num,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM lags l JOIN d d1 ON 1 = 1
+                        JOIN d d2 ON d2.h = d1.h + l.k
+            GROUP BY l.k)
+    SELECT CAST(num.k AS BIGINT) AS lag, num.n_pairs,
+           CAST(CASE WHEN num.num < 0 THEN -1 ELSE 1 END
+                * ((abs(num.num) * 1000000) // den.den) AS BIGINT) AS acf_micro
+    FROM num CROSS JOIN den
+    """,
+)
+def ts_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly total-value series at
+    lags 1..ACF_MAX_LAG — the seasonality/persistence diagnostic a
+    forecasting pipeline runs before choosing model order (a daily
+    cycle shows as a lag-24 peak; here 1..6 capture short-range
+    persistence). The series is the gap-filled hourly grid (missing
+    hours are real zeros — skipping them would splice non-adjacent
+    hours together and corrupt every lag).
+
+    Exactness: deviations are n-scaled (dev = n·x − Σx, an exact
+    BIGINT), products and sums run in HUGEINT/DECIMAL(38,0), and the
+    ratio is emitted as truncating integer micro-units
+    (sign·(|num|·1e6 div den)) — verified both engines truncate
+    toward zero at these magnitudes, so the statistic hash-gates
+    bit-for-bit with no float summation anywhere.
+
+    Scale shape: the events-sized work is ONE hourly aggregation; the
+    grid/deviation/lag-join stages run over the hours table, whose
+    size is bounded by the time range (~10^4 rows for a year), not
+    the corpus. The lag join is an equi-join on hour+k fanned out by
+    a 6-row lag dimension.
+    """
+    from dbt_project_spark.caching import persist_tracked
+
+    ev = _events(spark, sf_dir).withColumn(
+        "h", F.expr("unix_timestamp(ts) div 3600").cast("bigint")
+    )
+    bounds = ev.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(F.explode(F.sequence("lo", "hi")).alias("h"))
+    agg = ev.groupBy("h").agg(F.sum("value100").cast("bigint").alias("x"))
+    s = grid.join(agg, on="h", how="left").select(
+        "h", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    d = persist_tracked(
+        s.crossJoin(F.broadcast(tot)).select(
+            "h",
+            (F.col("n") * F.col("x") - F.col("sx"))
+            .cast("decimal(38,0)")
+            .alias("dev"),
+        )
+    )
+    den = d.agg(F.sum(F.col("dev") * F.col("dev")).alias("den"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
+    d2 = d.select(F.col("h").alias("h2"), F.col("dev").alias("dev2"))
+    num = (
+        d.crossJoin(F.broadcast(lags))
+        .join(d2, F.col("h2") == F.col("h") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("dev") * F.col("dev2")).alias("num"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("k").cast("bigint").alias("lag"),
+        "n_pairs",
+        F.expr(
+            "CAST(IF(num < 0, -1, 1)"
+            " * ((abs(num) * 1000000) div den) AS BIGINT)"
+        ).alias("acf_micro"),
+    )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(floor(min(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+                 AS lo,
+             CAST(floor(max(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT)
+                 AS hi
+      FROM events),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS ed FROM bounds),
+    agg AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                       AS ed,
+                   CAST(SUM({_V100}) AS BIGINT) AS x
+            FROM events GROUP BY 1),
+    s AS MATERIALIZED (SELECT g.ed, CAST(COALESCE(a.x, 0) AS BIGINT) AS x
+          FROM grid g LEFT JOIN agg a ON a.ed = g.ed),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+            FROM s),
+    c AS (SELECT s.ed, s.x, tot.n, tot.sx,
+                 SUM(tot.n * s.x - tot.sx)
+                     OVER (ORDER BY s.ed ROWS UNBOUNDED PRECEDING) AS cum
+          FROM s CROSS JOIN tot),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY abs(cum) DESC, ed) AS rk
+          FROM c),
+    cp AS (SELECT ed, n, abs(cum) AS peak FROM r WHERE rk = 1),
+    sides AS (SELECT CAST(SUM(CASE WHEN s.ed <= cp.ed THEN s.x END) AS BIGINT)
+                         AS xb,
+                     CAST(SUM(CASE WHEN s.ed <= cp.ed THEN 1 END) AS BIGINT)
+                         AS nb,
+                     CAST(SUM(CASE WHEN s.ed > cp.ed THEN s.x END) AS BIGINT)
+                         AS xa,
+                     CAST(SUM(CASE WHEN s.ed > cp.ed THEN 1 END) AS BIGINT)
+                         AS na
+              FROM s CROSS JOIN cp)
+    SELECT strftime(make_timestamp(cp.ed * 86400 * 1000000), '%Y-%m-%d')
+               AS cp_day,
+           cp.n AS n_days,
+           CAST(cp.peak AS BIGINT) AS peak_x_n,
+           ROUND(sides.xb * 1.0 / (100.0 * sides.nb), 6) AS mean_before,
+           ROUND(sides.xa * 1.0 / (100.0 * sides.na), 6) AS mean_after
+    FROM cp CROSS JOIN sides
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily total-value series:
+    the cumulative sum of mean-deviations peaks (in absolute value)
+    at the most likely single shift point in the series mean — the
+    standard offline CUSUM estimator. Emits the changepoint day, the
+    peak statistic, and the before/after daily means.
+
+    Exactness: deviations are n-scaled (n·x − Σx) so the prefix sums
+    are exact BIGINTs (days × daily cents·n stays far under 2^63 for
+    any calendar span) and the argmax (tie → earliest day) is an
+    integer comparison; the two final mean divisions are single
+    double ops of identical shape in both engines.
+
+    Scale shape: one events-sized daily aggregation; everything after
+    runs on the days table (365 rows/year — bounded by the calendar,
+    so the unpartitioned prefix-sum window is over a provably tiny
+    series, not a data-sized one). The last-touch is two broadcast
+    1-row joins.
+    """
+    ev = _events(spark, sf_dir).withColumn(
+        "ed", F.expr("unix_timestamp(ts) div 86400").cast("bigint")
+    )
+    bounds = ev.agg(F.min("ed").alias("lo"), F.max("ed").alias("hi"))
+    grid = bounds.select(F.explode(F.sequence("lo", "hi")).alias("ed"))
+    agg = ev.groupBy("ed").agg(F.sum("value100").cast("bigint").alias("x"))
+    s = grid.join(agg, on="ed", how="left").select(
+        "ed", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    wcum = Window.orderBy("ed").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = s.crossJoin(F.broadcast(tot)).withColumn(
+        "cum",
+        F.sum(F.col("n") * F.col("x") - F.col("sx")).over(wcum),
+    )
+    rk = Window.orderBy(F.desc(F.abs(F.col("cum"))), F.asc("ed"))
+    cp = (
+        c.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("ed", "n", F.abs("cum").alias("peak"))
+    )
+    cp_b = cp.select(F.col("ed").alias("cp_ed"), "n", "peak")
+    sides = s.crossJoin(F.broadcast(cp_b.select("cp_ed"))).agg(
+        F.sum(F.when(F.col("ed") <= F.col("cp_ed"), F.col("x")))
+        .cast("bigint")
+        .alias("xb"),
+        F.sum(F.when(F.col("ed") <= F.col("cp_ed"), 1))
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("ed") > F.col("cp_ed"), F.col("x")))
+        .cast("bigint")
+        .alias("xa"),
+        F.sum(F.when(F.col("ed") > F.col("cp_ed"), 1))
+        .cast("bigint")
+        .alias("na"),
+    )
+    return cp_b.crossJoin(F.broadcast(sides)).select(
+        F.date_format(
+            F.timestamp_seconds(F.col("cp_ed") * 86400), "yyyy-MM-dd"
+        ).alias("cp_day"),
+        F.col("n").alias("n_days"),
+        F.col("peak").cast("bigint").alias("peak_x_n"),
+        F.round(F.col("xb") * 1.0 / (100.0 * F.col("nb")), 6).alias(
+            "mean_before"
+        ),
+        F.round(F.col("xa") * 1.0 / (100.0 * F.col("na")), 6).alias(
+            "mean_after"
+        ),
+    )

@@ -179,3 +179,52 @@ def test_bfs_custom_source_on_shuffle_path(spark):
     # results must be identical to the broadcast regime.
     got = dict(bfs_hops(g, source=src, iters=4, broadcast_threshold=0).collect())
     assert got == {6: 0, 7: 1}
+
+
+def test_kcore_k4_with_pendant(spark):
+    # K4 plus a pendant node 5 hanging off node 4: the 3-core is
+    # exactly the K4 (every K4 node has degree 3 inside it); the
+    # pendant (degree 1) and its edge peel away in round one.
+    from dbt_project_spark.operators.graph import kcore
+
+    g = _edges(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    )
+    rows = sorted(map(tuple, kcore(g, k=3, iters=4).collect()))
+    assert rows == [(1, 3), (2, 3), (3, 3), (4, 3)]
+
+
+def test_kcore_chain_cascade(spark):
+    # A chain 1-2-3-4-5: 2-core is empty, but only after CASCADING
+    # peels (endpoints first, then the new endpoints...). Verifies
+    # the iteration actually propagates, not just one round.
+    from dbt_project_spark.operators.graph import kcore
+
+    chain = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert kcore(chain, k=2, iters=4).count() == 0
+    # one round is NOT enough on this graph — guards against a future
+    # "optimization" collapsing the loop
+    assert kcore(chain, k=2, iters=1).count() > 0
+
+
+def test_kcore_converged_at_catalog_params(spark):
+    # At the catalog's K/ITERS the peel must be a fixpoint on real
+    # data: one extra round changes nothing (the unrolled oracle and
+    # the Spark loop agree by construction; this pins the SEMANTIC
+    # claim that the result is the true k-core, not a truncated peel).
+    from dbt_project_spark.operators.graph import kcore
+    from dbt_project_spark.queries_graph import (
+        KCORE_ITERS,
+        KCORE_K,
+        copurchase_edges,
+    )
+    from dbt_project_spark.sources import load_table
+
+    from tests.conftest import SF_SMOKE as sf_dir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    a = kcore(copurchase_edges(li), k=KCORE_K, iters=KCORE_ITERS)
+    b = kcore(copurchase_edges(li), k=KCORE_K, iters=KCORE_ITERS + 1)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

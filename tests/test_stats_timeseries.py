@@ -1,0 +1,110 @@
+"""Independent (numpy/pandas) reference checks for the two-sample
+statistics (KS, Mann-Whitney) and time-series diagnostics (ACF,
+CUSUM) — a third implementation next to Spark and the DuckDB oracle,
+so a shared-misconception bug in the SQL twins can't self-confirm."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from tests.conftest import SF_SMOKE
+
+
+def _events_pdf() -> pd.DataFrame:
+    pdf = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    ts = pdf["ts"]
+    if ts.dtype.kind == "M":  # datetime64 at parquet-declared resolution
+        unit = np.datetime_data(ts.dtype)[0]
+        div = {"ns": 1_000_000_000, "us": 1_000_000, "ms": 1_000, "s": 1}[unit]
+    else:  # raw int64 nanos (nanosAsLong layout)
+        div = 1_000_000_000
+    ep = ts.astype("int64") // div
+    out = pdf[["event_type", "value"]].copy()
+    out["ep"] = ep.values
+    out["v100"] = np.rint(pdf["value"].values * 100).astype("int64")
+    return out
+
+
+def test_ks_matches_numpy(spark):
+    from dbt_project_spark.queries_quality import ks_test_value
+
+    got = {
+        r["event_type"]: r
+        for r in ks_test_value(spark, SF_SMOKE).collect()
+    }
+    pdf = _events_pdf()
+    mid = (pdf.ep.min() + pdf.ep.max()) // 2
+    for et, g in pdf.groupby("event_type"):
+        a = np.sort(g.loc[g.ep < mid, "v100"].values)
+        b = np.sort(g.loc[g.ep >= mid, "v100"].values)
+        xs = np.unique(np.concatenate([a, b]))
+        ca = np.searchsorted(a, xs, side="right")
+        cb = np.searchsorted(b, xs, side="right")
+        d = np.max(np.abs(ca / len(a) - cb / len(b)))
+        r = got[et]
+        assert r["n_ref"] == len(a) and r["n_cur"] == len(b)
+        assert abs(r["ks_d"] - d) < 2e-6, (et, r["ks_d"], d)
+
+
+def test_mannwhitney_matches_pandas_ranks(spark):
+    from dbt_project_spark.queries_quality import mannwhitney_value
+
+    got = {
+        r["event_type"]: r
+        for r in mannwhitney_value(spark, SF_SMOKE).collect()
+    }
+    pdf = _events_pdf()
+    mid = (pdf.ep.min() + pdf.ep.max()) // 2
+    for et, g in pdf.groupby("event_type"):
+        a = g.loc[g.ep < mid, "v100"].values
+        b = g.loc[g.ep >= mid, "v100"].values
+        allv = pd.Series(np.concatenate([a, b]))
+        ranks = allv.rank(method="average").values  # midranks
+        r1 = ranks[: len(a)].sum()
+        u1 = r1 - len(a) * (len(a) + 1) / 2
+        r = got[et]
+        assert r["u_x2"] == int(round(2 * u1)), (et, r["u_x2"], u1)
+        assert abs(r["cl_effect"] - u1 / (len(a) * len(b))) < 2e-6
+
+
+def _hourly_series(pdf: pd.DataFrame) -> np.ndarray:
+    h = pdf.ep.values // 3600
+    lo, hi = h.min(), h.max()
+    x = np.zeros(hi - lo + 1, dtype="int64")
+    np.add.at(x, h - lo, pdf.v100.values)
+    return x
+
+
+def test_acf_matches_numpy(spark):
+    from dbt_project_spark.queries_timeseries import ts_acf_hourly
+
+    got = {r["lag"]: r for r in ts_acf_hourly(spark, SF_SMOKE).collect()}
+    x = _hourly_series(_events_pdf()).astype("float64")
+    d = x - x.mean()
+    den = (d * d).sum()
+    for k in range(1, 7):
+        num = (d[:-k] * d[k:]).sum()
+        r = got[k]
+        assert r["n_pairs"] == len(x) - k
+        assert abs(r["acf_micro"] / 1e6 - num / den) < 3e-6, (k,)
+
+
+def test_cusum_matches_numpy(spark):
+    from dbt_project_spark.queries_timeseries import ts_cusum_changepoint
+
+    row = ts_cusum_changepoint(spark, SF_SMOKE).collect()[0]
+    pdf = _events_pdf()
+    ed = pdf.ep.values // 86400
+    lo, hi = ed.min(), ed.max()
+    x = np.zeros(hi - lo + 1, dtype="int64")
+    np.add.at(x, ed - lo, pdf.v100.values)
+    n, s = len(x), x.sum()
+    cum = np.cumsum(n * x - s)  # exact int64 n-scaled CUSUM
+    i = int(np.argmax(np.abs(cum)))  # np.argmax returns FIRST max = tie->earliest
+    assert row["n_days"] == n
+    assert row["peak_x_n"] == abs(int(cum[i]))
+    expect_day = pd.Timestamp((lo + i) * 86400, unit="s").strftime("%Y-%m-%d")
+    assert row["cp_day"] == expect_day
+    before, after = x[: i + 1], x[i + 1 :]
+    assert abs(row["mean_before"] - before.mean() / 100) < 1e-6
+    assert abs(row["mean_after"] - after.mean() / 100) < 1e-6
