@@ -257,3 +257,224 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Train fraction for the group-aware split: md5-bucket < 8 of 10.
+SPLIT_TRAIN_OF_10 = 8
+
+
+def _split_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    labels AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+               FROM reach GROUP BY node),
+    assign AS (
+      SELECT d.doc_id,
+             COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+             CASE WHEN ('0x' || substr(md5(CAST(COALESCE(l.cluster_id,
+                             d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 10
+                       < {SPLIT_TRAIN_OF_10}
+                  THEN 'train' ELSE 'val' END AS split,
+             CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+    leak AS (SELECT CAST(COUNT(*) AS BIGINT) AS leak_pairs
+             FROM pairs p
+             JOIN assign x ON x.doc_id = p.doc_a
+             JOIN assign y ON y.doc_id = p.doc_b
+             WHERE x.split <> y.split)
+    SELECT a.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(a.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+           leak.leak_pairs
+    FROM assign a CROSS JOIN leak
+    GROUP BY a.split, leak.leak_pairs
+    """
+
+
+@register("split_group_aware", oracle=_split_oracle())
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/validation split: every document is assigned
+    train/val by hashing its near-dup CLUSTER id (MinHash-LSH pairs →
+    connected components; singletons hash their own id), so near-
+    duplicates can never straddle the split — the leakage mode that
+    inflates eval scores when a val doc's twin sits in train. The
+    leak_pairs column COUNTS straddling near-dup pairs and is
+    structurally zero; it rides in the output so the oracle (and any
+    production run) verifies the invariant rather than assuming it.
+
+    Scale shape: all pair work happened in the bucketed LSH stage;
+    the split itself is one hash projection over the corpus plus a
+    left join against the (near-dup-sized) label table — the same
+    overlay cost as corpus_keep_list. The leak check joins the pairs
+    table (near-dup-sized, not corpus-sized) against the assignment
+    twice on doc_id equi-keys.
+    """
+    from dbt_project_spark.functions import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", 0.8)
+    from dbt_project_spark.caching import persist_tracked
+
+    pairs = persist_tracked(pairs)
+    labels = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
+    assign = persist_tracked(
+        docs.select("doc_id", "text")
+        .join(labels, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                md5_int(F.col("cluster_id").cast("string")) % 10
+                < SPLIT_TRAIN_OF_10,
+                "train",
+            ).otherwise("val"),
+        )
+    )
+    xa = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    xb = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    leak = (
+        pairs.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leak_pairs"))
+    )
+    return (
+        assign.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_tokens", "n_clusters", "leak_pairs")
+    )
+
+
+@register(
+    "bigram_lm_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    big AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM t WHERE len(t) >= 2),
+    occ AS (SELECT doc_id, w1, bg, CAST(COUNT(*) AS BIGINT) AS occ
+            FROM big GROUP BY 1, 2, 3),
+    uni AS (SELECT unnest(t) AS w FROM t),
+    c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+    bgc AS (SELECT bg, CAST(SUM(occ) AS BIGINT) AS c12 FROM occ GROUP BY 1),
+    terms AS (SELECT o.doc_id, o.occ,
+                     CAST(round(ln((bgc.c12 + 1) * 1.0 / (c1.c + vv.v))
+                                * 1000000000) AS BIGINT) AS term9
+              FROM occ o JOIN bgc ON bgc.bg = o.bg
+                         JOIN c1 ON c1.w = o.w1
+                         CROSS JOIN vv)
+    SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(occ * term9) / (1000000000.0 * SUM(occ)), 6)
+               AS avg_logprob
+    FROM terms GROUP BY doc_id
+    """,
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring: train an add-one-smoothed
+    bigram language model ON the corpus itself and score every
+    document by its mean bigram log-probability — the classic
+    perplexity-style quality filter (word-salad and boilerplate
+    score low; text matching corpus statistics scores high) that
+    production pipelines run with KenLM; the dataflow here is the
+    same, only the model is simpler. P(w2|w1) = (c(w1w2)+1)/(c(w1)+V).
+
+    Float determinism: each bigram TYPE's ln term is one double
+    expression ×1e9 → BIGINT (the PSI convention); a document's score
+    is an integer occurrence-weighted sum with ONE final rounded
+    division, so scores hash-gate exactly.
+
+    Scale shape: two token-sized shuffles build the model (unigram
+    and bigram counts, both map-side combinable — a stop-bigram hot
+    key partials down like any word-count); scoring joins the
+    per-(doc, bigram) occurrence table against the model on bigram
+    and on w1 equi-keys, V rides along as a 1-row broadcast. Nothing
+    is ever per-pair or corpus×corpus.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias(
+                "t"
+            ),
+        )
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    toks = persist_tracked(toks)
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1,"
+                    " concat(t[i-1], ' ', t[i]) AS bg))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", F.col("x.w1").alias("w1"), F.col("x.bg").alias("bg"))
+    )
+    occ = persist_tracked(
+        big.groupBy("doc_id", "w1", "bg").agg(
+            F.count(F.lit(1)).cast("bigint").alias("occ")
+        )
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    c1 = persist_tracked(c1)
+    vv = c1.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    bgc = occ.groupBy("bg").agg(F.sum("occ").cast("bigint").alias("c12"))
+    terms = (
+        occ.join(bgc, "bg")
+        .join(c1.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            "occ",
+            F.round(
+                F.log((F.col("c12") + 1) * 1.0 / (F.col("c") + F.col("v")))
+                * 1_000_000_000
+            )
+            .cast("bigint")
+            .alias("term9"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("occ").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("occ") * F.col("term9"))
+            / (1_000_000_000.0 * F.sum("occ")),
+            6,
+        ).alias("avg_logprob"),
+    )

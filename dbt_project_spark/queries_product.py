@@ -355,3 +355,101 @@ def linreg_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_day_den"
         ),
     )
+
+
+FUNNEL_SPAN_S = 86400  # windowed funnel: chain must complete in 24 h
+
+
+@register(
+    "funnel_windowed",
+    oracle=f"""
+    WITH v AS (SELECT user_id, MIN({_EP}) AS t1
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN({_EP}) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND {_EP} > v.t1
+            AND {_EP} <= v.t1 + {FUNNEL_SPAN_S}
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN({_EP}) AS t3
+          FROM events e JOIN c ON c.user_id = e.user_id
+                        JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND {_EP} > c.t2
+            AND {_EP} <= v.t1 + {FUNNEL_SPAN_S}
+          GROUP BY e.user_id),
+    stages AS (
+      SELECT '1_view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+      UNION ALL SELECT '2_click', (SELECT COUNT(*) FROM c)
+      UNION ALL SELECT '3_purchase', (SELECT COUNT(*) FROM p))
+    SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users * 10000 // (SELECT n_users FROM stages
+                                    WHERE stage = '1_view') AS BIGINT)
+               / 100.0 AS pct_of_top
+    FROM stages
+    """,
+)
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion funnel (the ClickHouse windowFunnel /
+    Amplitude 'conversion window' semantics): view → click → purchase
+    counts only when the WHOLE chain completes within FUNNEL_SPAN_S
+    of the user's first view — funnel_conversion without the window
+    credits a purchase three weeks after the view, which overstates
+    campaign conversion. Each later stage is bounded by the chain
+    anchor t1 + span, not by its own predecessor's time alone.
+
+    Scale shape: same monotonically-shrinking user-keyed stage joins
+    as funnel_conversion — the span predicate is applied in the join
+    filter, so no extra pass; the purchase stage carries both t1 (for
+    the window bound) and t2 (for ordering) via two shrinking joins.
+    """
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("epoch") > F.col("t1"))
+            & (F.col("epoch") <= F.col("t1") + FUNNEL_SPAN_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .join(v, "user_id")
+        .filter(
+            (F.col("epoch") > F.col("t2"))
+            & (F.col("epoch") <= F.col("t1") + FUNNEL_SPAN_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t3"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("1_view").alias("stage"), "n_users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("2_click").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("3_purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+    top = stages.filter(F.col("stage") == "1_view").select(
+        F.col("n_users").alias("top_users")
+    )
+    return stages.crossJoin(F.broadcast(top)).select(
+        "stage",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        (
+            F.expr("n_users * 10000 div top_users").cast("bigint")
+            / F.lit(100.0)
+        ).alias("pct_of_top"),
+    )
