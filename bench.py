@@ -90,6 +90,12 @@ HEADLINE = [
     # round 4: retrieval family
     "bm25_topk",
     "rrf_hybrid_topk",
+    # round 4, session 2: statistics / graph / corpus additions
+    "ks_test_value",
+    "kcore_parts",
+    "item_cooc_similarity",
+    "split_group_aware",
+    "bigram_lm_quality",
 ]
 
 # The 10 most expensive headline queries per BENCH_r02, cheapest first

@@ -58,6 +58,18 @@ PRIORITY: list[str] = [
     "skew_key_histogram",
     "asof_nearest_error",
     "robust_value_stats",
+    "ks_test_value",
+    "mannwhitney_value",
+    "ts_acf_hourly",
+    "ts_cusum_changepoint",
+    "kcore_parts",
+    "item_cooc_similarity",
+    "funnel_windowed",
+    "split_group_aware",
+    "bigram_lm_quality",
+    "ann_recall_lsh",
+    "winsorized_stats",
+    "bpe_pair_counts",
     # --- erred in the r03 driver run — fixed this round ---
     "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
     "interval_coverage",  # same NTZ fix
@@ -95,21 +107,9 @@ PRIORITY: list[str] = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
     # Overflow (driver-green r02/r03, all re-verified locally each
     # round): everything else follows in registration order;
-    # tpch_q20/q21/q22 head the r05 refresh.
+    # tpch_q7..q22 head the r05 refresh.
 ]
 
 

@@ -478,3 +478,63 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_logprob"),
     )
+
+
+BPE_TOP_PAIRS = 20  # strongest adjacent-character pairs kept
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS t FROM documents),
+    w AS (SELECT unnest(t) AS w FROM t),
+    wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM w GROUP BY w),
+    p AS (SELECT unnest(list_transform(range(1, length(w)),
+                                       i -> substring(w, i, 2))) AS pair,
+                 f
+          FROM wf WHERE length(w) >= 2),
+    c AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS n FROM p GROUP BY pair),
+    r AS (SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk
+          FROM c)
+    SELECT pair, n FROM r WHERE rk <= {BPE_TOP_PAIRS}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-weighted
+    adjacent-character pair counts over the word vocabulary, top
+    BPE_TOP_PAIRS — the pair the first merge would create, and the
+    exact dataflow (vocab-weighted pair counting, argmax, re-segment,
+    repeat) a from-scratch tokenizer trainer loops over. One
+    iteration is the catalog-sized demonstrator; the loop repeats
+    this query on a re-segmented vocabulary.
+
+    Scale shape: pair counting runs over the DISTINCT word vocabulary
+    weighted by word frequency — NOT over raw token occurrences
+    (the vocabulary is orders of magnitude smaller than the corpus;
+    this is why real BPE trainers build a word-count table first).
+    Two map-side-combinable aggregates + a TakeOrdered heap.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w")
+    )
+    wf = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    p = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "f",
+        )
+    )
+    c = p.groupBy("pair").agg(F.sum("f").cast("bigint").alias("n"))
+    return (
+        c.orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+        .select("pair", "n")
+    )

@@ -548,3 +548,92 @@ def mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         u_x2.cast("bigint").alias("u_x2"),
         F.round(u_x2 / (2.0 * F.col("n1") * F.col("n2")), 6).alias("cl_effect"),
     )
+
+
+@register(
+    "winsorized_stats",
+    oracle=f"""
+    WITH e AS (SELECT event_type, {_V100} AS v100 FROM events),
+    b AS (SELECT event_type,
+                 CAST(round(quantile_cont(20 * v100, 0.05)) AS BIGINT) AS lo20,
+                 CAST(round(quantile_cont(20 * v100, 0.95)) AS BIGINT) AS hi20,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY event_type),
+    c AS (SELECT e.event_type, b.lo20, b.hi20, b.n,
+                 CASE WHEN 20 * e.v100 < b.lo20 THEN b.lo20
+                      WHEN 20 * e.v100 > b.hi20 THEN b.hi20
+                      ELSE 20 * e.v100 END AS w20,
+                 CASE WHEN 20 * e.v100 >= b.lo20 AND 20 * e.v100 <= b.hi20
+                      THEN 20 * e.v100 END AS t20
+          FROM e JOIN b ON b.event_type = e.event_type)
+    SELECT event_type, n,
+           ROUND(lo20 / 2000.0, 6) AS p05,
+           ROUND(hi20 / 2000.0, 6) AS p95,
+           ROUND(SUM(w20) / (2000.0 * n), 6) AS winsorized_mean,
+           ROUND(SUM(t20) / (2000.0 * COUNT(t20)), 6) AS trimmed_mean,
+           CAST(COUNT(t20) AS BIGINT) AS n_kept
+    FROM c GROUP BY event_type, n, lo20, hi20
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust means per event type: the 5%-winsorized mean
+    (values clipped into [p05, p95]) and the 5%-trimmed mean (values
+    outside dropped) — what a metrics pipeline reports when a few
+    fat-finger values would otherwise swing the plain mean.
+
+    Exactness: interpolated percentiles of INTEGERS at q = k/20 have
+    interpolation fractions that are multiples of 0.05, so
+    quantile_cont(20·v, q) is an EXACT integer — the clip bounds,
+    clipped values, and their sums all stay in BIGINT; each output is
+    one final rounded division (the robust_value_stats ×2 trick,
+    generalized to the quantile's denominator).
+
+    Scale shape: one percentile aggregate (GK partials, map-side
+    combinable) broadcast back onto the scan, then one conditional-
+    sum aggregate — two passes, no window, no sort.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_V100).alias("v100")
+    )
+    b = e.groupBy("event_type").agg(
+        F.expr("CAST(round(percentile(20 * v100, 0.05)) AS BIGINT)").alias(
+            "lo20"
+        ),
+        F.expr("CAST(round(percentile(20 * v100, 0.95)) AS BIGINT)").alias(
+            "hi20"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    x20 = 20 * F.col("v100")
+    c = e.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        "lo20",
+        "hi20",
+        "n",
+        F.when(x20 < F.col("lo20"), F.col("lo20"))
+        .when(x20 > F.col("hi20"), F.col("hi20"))
+        .otherwise(x20)
+        .alias("w20"),
+        F.when((x20 >= F.col("lo20")) & (x20 <= F.col("hi20")), x20).alias(
+            "t20"
+        ),
+    )
+    return c.groupBy("event_type", "n", "lo20", "hi20").agg(
+        F.round(F.col("lo20") / 2000.0, 6).alias("p05"),
+        F.round(F.col("hi20") / 2000.0, 6).alias("p95"),
+        F.round(F.sum("w20") / (2000.0 * F.col("n")), 6).alias(
+            "winsorized_mean"
+        ),
+        F.round(F.sum("t20") / (2000.0 * F.count("t20")), 6).alias(
+            "trimmed_mean"
+        ),
+        F.count("t20").cast("bigint").alias("n_kept"),
+    ).select(
+        "event_type",
+        "n",
+        "p05",
+        "p95",
+        "winsorized_mean",
+        "trimmed_mean",
+        "n_kept",
+    )

@@ -376,3 +376,55 @@ def test_dynamic_partition_pruning_through_join(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     expected = ev.filter("day = '2024-01-05'").count()
     assert joined.count() == expected and expected > 0
+
+
+def test_item_cooc_top_k_is_heap_not_global_sort(spark):
+    # the global top-k must be a TakeOrderedAndProject (distributed
+    # heap), never a full Sort of the pairs table
+    plan = _plan(QUERIES["item_cooc_similarity"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_counts_heap_and_no_cartesian(spark):
+    plan = _plan(QUERIES["bpe_pair_counts"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorized_bounds_broadcast_back(spark):
+    # the per-type percentile bounds join back onto the scan as a
+    # broadcast — a shuffle join here would re-shuffle the fact table
+    plan = _plan(QUERIES["winsorized_stats"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_two_sample_tests_prune_and_no_cartesian(spark):
+    for name in ("ks_test_value", "mannwhitney_value"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "props" not in rs and "user_id" not in rs, name
+
+
+def test_bigram_lm_joins_are_keyed(spark):
+    # model joins (bigram, w1) are equi-joins; the only nested-loop
+    # join allowed is the 1-row V broadcast
+    plan = _plan(QUERIES["bigram_lm_quality"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") // 2 <= 1
+
+
+def test_acf_no_cartesian_beyond_lag_dim(spark):
+    # every nested-loop join must be a broadcast of a bounded side:
+    # the 1-row totals (appearing twice in plan TEXT because the
+    # persisted deviation table feeds both den and num branches — the
+    # cache dedups execution, not the printed tree), the 6-row lag
+    # dimension, and the 1-row denominator. The data-sized joins
+    # (grid, shifted self-join) are equi-keyed hash joins.
+    plan = _plan(QUERIES["ts_acf_hourly"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") // 2 <= 4
+    assert "BroadcastHashJoin" in plan  # grid + lag-shift equi-joins
