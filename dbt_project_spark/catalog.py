@@ -70,6 +70,7 @@ PRIORITY: list[str] = [
     "ann_recall_lsh",
     "winsorized_stats",
     "bpe_pair_counts",
+    "rolling_distinct_users_7d",
     # --- erred in the r03 driver run — fixed this round ---
     "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
     "interval_coverage",  # same NTZ fix
@@ -106,10 +107,9 @@ PRIORITY: list[str] = [
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
-    "tpch_q6",
     # Overflow (driver-green r02/r03, all re-verified locally each
     # round): everything else follows in registration order;
-    # tpch_q7..q22 head the r05 refresh.
+    # tpch_q6..q22 head the r05 refresh.
 ]
 
 

@@ -271,7 +271,7 @@ def kcore(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
     from dbt_project_spark.caching import persist_tracked
 
     e = persist_tracked(edges.select("u", "v"))
-    e.count()
+    n_edges = e.count()
     prev: DataFrame | None = None
     for i in range(iters):
         deg = (
@@ -287,11 +287,23 @@ def kcore(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
         if (i + 1) % _KCORE_CHECKPOINT_EVERY == 0:
             ne = ne.localCheckpoint(eager=False)
         ne = persist_tracked(ne)
-        ne.count()  # materialize before next round's double reference
+        n_new = ne.count()  # materialize before next round's double ref
         if prev is not None:
             prev.unpersist()
         prev = ne
         e = ne
+        # Fixpoint short-circuit: an unchanged edge COUNT means no edge
+        # was removed this round, so every remaining endpoint has
+        # degree ≥ k and all later rounds are no-ops — the result is
+        # bit-identical to running the full unroll (and to the
+        # oracle's fixed CTE chain). Zero-edge nodes can't break this:
+        # they never appear in the degree table. The scalar count is
+        # already materialized above, so the check is free; it turns
+        # the common case (peel converges in 2-3 rounds) from
+        # iters×(agg + 2 semi-joins) into convergence+1 rounds.
+        if n_new == n_edges:
+            break
+        n_edges = n_new
     return (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

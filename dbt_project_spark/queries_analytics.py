@@ -1081,3 +1081,83 @@ def theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_purchase") + F.col("exact_error") - F.col("exact_inter"),
         ).alias("union_within_5pct"),
     )
+
+
+ROLLING_WINDOW_DAYS = 7  # trailing-window distinct horizon
+
+
+@register(
+    "rolling_distinct_users_7d",
+    oracle=f"""
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                            AS BIGINT) AS ed
+                FROM events),
+    b AS (SELECT MIN(ed) AS mind, MAX(ed) AS maxd FROM ud),
+    offs AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) o(k)),
+    fan AS (SELECT DISTINCT ud.user_id, ud.ed + offs.k AS rd
+            FROM ud JOIN offs ON 1 = 1),
+    r AS (SELECT rd, CAST(COUNT(*) AS BIGINT) AS n_users_7d
+          FROM fan CROSS JOIN b
+          WHERE rd BETWEEN b.mind AND b.maxd
+          GROUP BY rd),
+    d1 AS (SELECT ed AS rd, CAST(COUNT(*) AS BIGINT) AS n_users_1d
+           FROM ud GROUP BY ed)
+    SELECT strftime(make_timestamp(r.rd * 86400 * 1000000), '%Y-%m-%d')
+               AS day,
+           r.n_users_7d, COALESCE(d1.n_users_1d, 0) AS n_users_1d
+    FROM r LEFT JOIN d1 ON d1.rd = r.rd
+    """,
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (the WAU curve
+    reported daily), next to the same day's 1-day distinct. A
+    COUNT(DISTINCT) over a sliding RANGE frame doesn't exist in Spark
+    windows (distinct is not frame-mergeable) — the scalable
+    formulation fans each (user, active-day) pair out to the
+    ROLLING_WINDOW_DAYS report days it contributes to, dedups, and
+    counts per report day.
+
+    Scale shape: events collapse to DISTINCT (user, day) FIRST (the
+    corpus-sized shuffle, map-side combinable); the 7× fan-out runs
+    over that much smaller table via a 7-row broadcast dimension, and
+    the per-report-day distinct is a second (user, day)-keyed
+    aggregate. Early report days (fewer than 7 prior days of data)
+    report over the partial window, clipped to the observed range —
+    identical clip in both engines.
+    """
+    ud = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.expr("unix_timestamp(ts) div 86400").cast("bigint").alias("ed"),
+        )
+        .distinct()
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    ud = persist_tracked(ud)
+    b = ud.agg(
+        F.min("ed").alias("mind"), F.max("ed").alias("maxd")
+    )
+    offs = spark.range(ROLLING_WINDOW_DAYS).select(F.col("id").alias("k"))
+    fan = (
+        ud.crossJoin(F.broadcast(offs))
+        .select("user_id", (F.col("ed") + F.col("k")).alias("rd"))
+        .distinct()
+    )
+    r = (
+        fan.crossJoin(F.broadcast(b))
+        .filter((F.col("rd") >= F.col("mind")) & (F.col("rd") <= F.col("maxd")))
+        .groupBy("rd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_7d"))
+    )
+    d1 = ud.groupBy(F.col("ed").alias("rd")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_1d")
+    )
+    return r.join(d1, on="rd", how="left").select(
+        F.date_format(F.timestamp_seconds(F.col("rd") * 86400), "yyyy-MM-dd")
+        .alias("day"),
+        "n_users_7d",
+        F.coalesce("n_users_1d", F.lit(0)).alias("n_users_1d"),
+    )

@@ -108,3 +108,31 @@ def test_cusum_matches_numpy(spark):
     before, after = x[: i + 1], x[i + 1 :]
     assert abs(row["mean_before"] - before.mean() / 100) < 1e-6
     assert abs(row["mean_after"] - after.mean() / 100) < 1e-6
+
+
+def test_rolling_distinct_matches_pandas(spark):
+    from dbt_project_spark.queries_analytics import (
+        rolling_distinct_users_7d,
+    )
+
+    got = {
+        r["day"]: (r["n_users_7d"], r["n_users_1d"])
+        for r in rolling_distinct_users_7d(spark, SF_SMOKE).collect()
+    }
+    pdf = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    ts = pdf["ts"]
+    if ts.dtype.kind == "M":
+        unit = np.datetime_data(ts.dtype)[0]
+        div = {"ns": 1_000_000_000, "us": 1_000_000, "ms": 1_000, "s": 1}[unit]
+    else:
+        div = 1_000_000_000
+    ed = ts.astype("int64") // div // 86400
+    pairs = set(zip(pdf["user_id"].values, ed.values))
+    days = sorted({d for _, d in pairs})
+    lo, hi = days[0], days[-1]
+    assert len(got) == hi - lo + 1  # gap-filled over fan-out range
+    for d in range(lo, hi + 1):
+        users7 = {u for (u, dd) in pairs if d - 6 <= dd <= d}
+        users1 = {u for (u, dd) in pairs if dd == d}
+        day = pd.Timestamp(d * 86400, unit="s").strftime("%Y-%m-%d")
+        assert got[day] == (len(users7), len(users1)), day
