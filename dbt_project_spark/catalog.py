@@ -71,6 +71,8 @@ PRIORITY: list[str] = [
     "winsorized_stats",
     "bpe_pair_counts",
     "rolling_distinct_users_7d",
+    "gini_user_value",
+    "entropy_type_daily",
     # --- erred in the r03 driver run — fixed this round ---
     "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
     "interval_coverage",  # same NTZ fix
@@ -106,10 +108,9 @@ PRIORITY: list[str] = [
     "tpch_q2",
     "tpch_q3",
     "tpch_q4",
-    "tpch_q5",
     # Overflow (driver-green r02/r03, all re-verified locally each
     # round): everything else follows in registration order;
-    # tpch_q6..q22 head the r05 refresh.
+    # tpch_q5..q22 head the r05 refresh.
 ]
 
 

@@ -637,3 +637,125 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trimmed_mean",
         "n_kept",
     )
+
+
+@register(
+    "gini_user_value",
+    oracle=f"""
+    WITH u AS (SELECT user_id, CAST(SUM({_V100}) AS BIGINT) AS v
+               FROM events GROUP BY user_id),
+    g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY v),
+    w AS (SELECT v, c,
+                 COALESCE(SUM(c) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS cb
+          FROM g),
+    s AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(v * c) AS BIGINT) AS sv,
+                 CAST(SUM(v * (2 * c * cb + c * (c + 1))) AS BIGINT) AS two_riv
+          FROM w)
+    SELECT n AS n_users,
+           ROUND((two_riv - (n + 1) * sv) * 1.0 / (n * sv), 6) AS gini
+    FROM s
+    """,
+)
+def gini_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user total spend — the concentration
+    metric behind 'whale' analysis (0 = everyone equal, →1 = one user
+    carries all value). G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted user totals.
+
+    Exactness: ties collapse by VALUE first, so the rank-weighted sum
+    needs no per-row ranks — a value v holding ranks cb+1..cb+c
+    contributes v·(2·c·cb + c(c+1)) to 2Σi·x_(i), an exact BIGINT;
+    the statistic is one final double division. (At extreme scale the
+    v·rank products move to DECIMAL(38,0), the linreg convention.)
+
+    Scale shape: one events-sized shuffle (per-user totals), one
+    users-sized aggregate onto the DISTINCT-total table, one
+    cumulative window over that table ordered by value. The distinct-
+    total domain is bounded by the value grid (cents), not by user
+    count — the same bounded-domain trick as ks_test_value; a truly
+    unbounded domain would call for the two-phase distributed rank
+    (see operators/ntile.distributed_ntile).
+    """
+    u = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.sum(F.expr(_V100)).cast("bigint").alias("v")
+    )
+    g = u.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w = g.select(
+        "v", "c", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cb")
+    )
+    s = w.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("bigint").alias("sv"),
+        F.sum(
+            F.col("v")
+            * (2 * F.col("c") * F.col("cb") + F.col("c") * (F.col("c") + 1))
+        )
+        .cast("bigint")
+        .alias("two_riv"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(
+            (F.col("two_riv") - (F.col("n") + 1) * F.col("sv"))
+            * 1.0
+            / (F.col("n") * F.col("sv")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "entropy_type_daily",
+    oracle=f"""
+    WITH c AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                      event_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT day, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY day),
+    terms AS (SELECT c.day,
+                     CAST(round((c.n * 1.0 / t.nt)
+                                * ln(c.n * 1.0 / t.nt)
+                                * -1000000000) AS BIGINT) AS term9
+              FROM c JOIN t ON t.day = c.day),
+    k AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_types FROM c GROUP BY day)
+    SELECT terms.day, k.n_types,
+           ROUND(SUM(term9) / 1000000000.0, 6) AS entropy_nats
+    FROM terms JOIN k ON k.day = terms.day
+    GROUP BY terms.day, k.n_types
+    """,
+)
+def entropy_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the event-type mix per day — the
+    one-number 'is today's traffic composition unusual' monitor (a
+    bot flood collapses entropy; uniform mix maximizes it at
+    ln(n_types)). Each −p·ln(p) term is one double expression ×1e9 →
+    BIGINT via the PSI convention, so the order of the per-day sum
+    can't change the result.
+
+    Scale shape: one events-sized (day, type) aggregate; everything
+    after runs on days×types rows. The day totals join is
+    days-sized — AQE broadcasts it.
+    """
+    c = load_table(spark, sf_dir, "events").groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.groupBy("day").agg(F.sum("n").cast("bigint").alias("nt"))
+    terms = c.join(F.broadcast(t), "day").select(
+        "day",
+        F.round(
+            (F.col("n") * 1.0 / F.col("nt"))
+            * F.log(F.col("n") * 1.0 / F.col("nt"))
+            * -1_000_000_000
+        )
+        .cast("bigint")
+        .alias("term9"),
+    )
+    k = c.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    return (
+        terms.groupBy("day")
+        .agg(F.round(F.sum("term9") / 1_000_000_000.0, 6).alias("entropy_nats"))
+        .join(k, "day")
+        .select("day", "n_types", "entropy_nats")
+    )

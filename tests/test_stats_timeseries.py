@@ -136,3 +136,47 @@ def test_rolling_distinct_matches_pandas(spark):
         users1 = {u for (u, dd) in pairs if dd == d}
         day = pd.Timestamp(d * 86400, unit="s").strftime("%Y-%m-%d")
         assert got[day] == (len(users7), len(users1)), day
+
+
+def test_gini_matches_numpy(spark):
+    from dbt_project_spark.queries_quality import gini_user_value
+
+    row = gini_user_value(spark, SF_SMOKE).collect()[0]
+    pdf = _events_pdf()
+    raw = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    totals = (
+        pd.DataFrame({"u": raw["user_id"].values, "v": pdf["v100"].values})
+        .groupby("u")["v"]
+        .sum()
+        .values
+    )
+    x = np.sort(totals).astype("float64")
+    n = len(x)
+    gini = (2 * np.sum(np.arange(1, n + 1) * x)) / (n * x.sum()) - (n + 1) / n
+    assert row["n_users"] == n
+    assert abs(row["gini"] - gini) < 2e-6
+
+
+def test_entropy_matches_numpy(spark):
+    from dbt_project_spark.queries_quality import entropy_type_daily
+
+    got = {
+        r["day"]: (r["n_types"], r["entropy_nats"])
+        for r in entropy_type_daily(spark, SF_SMOKE).collect()
+    }
+    pdf = _events_pdf()
+    raw = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    df = pd.DataFrame(
+        {
+            "day": pd.to_datetime(pdf["ep"].values * 10**9).strftime(
+                "%Y-%m-%d"
+            ),
+            "t": raw["event_type"].values,
+        }
+    )
+    for day, g in df.groupby("day"):
+        p = g["t"].value_counts(normalize=True).values
+        ent = float(-(p * np.log(p)).sum())
+        n_types, got_ent = got[day]
+        assert n_types == len(p)
+        assert abs(got_ent - ent) < 2e-6, day
