@@ -73,6 +73,8 @@ PRIORITY: list[str] = [
     "rolling_distinct_users_7d",
     "gini_user_value",
     "entropy_type_daily",
+    "benford_first_digit",
+    "ab_test_conversion",
     # --- erred in the r03 driver run — fixed this round ---
     "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
     "interval_coverage",  # same NTZ fix
@@ -105,12 +107,9 @@ PRIORITY: list[str] = [
     "wt_stream_batch_compare",
     "wt_compare_categories",
     "wt_compare_engagement",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
     # Overflow (driver-green r02/r03, all re-verified locally each
     # round): everything else follows in registration order;
-    # tpch_q5..q22 head the r05 refresh.
+    # tpch_q2..q22 head the r05 refresh.
 ]
 
 

@@ -453,3 +453,126 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("pct_of_top"),
     )
+
+
+AB_CONV_SPEND100 = 330_000  # "high-value user": total spend >= $3,300
+
+
+@register(
+    "ab_test_conversion",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1, 8))::BIGINT % 2 = 0
+                           THEN 'A' ELSE 'B' END AS arm,
+                      CAST(CASE WHEN SUM(CAST(round(value * 100, 0) AS BIGINT))
+                                     >= 330000
+                           THEN 1 ELSE 0 END AS BIGINT) AS conv
+               FROM events GROUP BY user_id),
+    a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(conv) AS BIGINT) AS n_conv
+          FROM u GROUP BY arm),
+    w AS (SELECT MAX(CASE WHEN arm = 'A' THEN n_conv END) AS a1,
+                 MAX(CASE WHEN arm = 'A' THEN n_users - n_conv END) AS a0,
+                 MAX(CASE WHEN arm = 'B' THEN n_conv END) AS b1,
+                 MAX(CASE WHEN arm = 'B' THEN n_users - n_conv END) AS b0
+          FROM a),
+    c AS (SELECT CASE WHEN (a1 + b1) = 0 OR (a0 + b0) = 0 THEN 0.0
+                 ELSE ROUND(CAST((a1 + a0 + b1 + b0)
+                            * CAST((a1 * b0 - a0 * b1) AS HUGEINT)
+                            * (a1 * b0 - a0 * b1) AS DOUBLE)
+                       / CAST(CAST((a1 + a0) AS HUGEINT) * (b1 + b0)
+                              * (a1 + b1) * (a0 + b0) AS DOUBLE), 6) END
+                     AS chi2
+          FROM w)
+    SELECT a.arm, a.n_users, a.n_conv,
+           ROUND(a.n_conv * 1.0 / a.n_users, 6) AS conv_rate,
+           c.chi2
+    FROM a CROSS JOIN c
+    """,
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-assigned A/B experiment readout: users are deterministically
+    split into two arms by md5(user_id) (the reproducible assignment a
+    real experiment platform uses — no RNG, so retries and reruns see
+    identical arms), each arm reports its high-value conversion rate
+    (total spend ≥ AB_CONV_SPEND100 — the raw has-a-purchase flag
+    saturates at 100% on this corpus), and the 2×2 chi-square
+    statistic (≡ z² for two proportions) rides along — under a null
+    A/A split like this one it should be small, which makes the query
+    double as an SRM/assignment-bias health check. Degenerate margins
+    (all-converted or none) emit chi2 = 0 identically in both
+    engines.
+
+    Exactness: the chi-square uses the cleared form
+    N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — numerator and denominator are
+    exact HUGEINT/DECIMAL(38,0) integers, converted once to double for
+    a single rounded division.
+
+    Scale shape: one events-sized per-user aggregate (map-side
+    combinable MAX), one arms-sized rollup, constant-size arithmetic
+    after; the chi2 is a 1-row broadcast onto 2 rows.
+    """
+    from dbt_project_spark.functions import md5_int
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)"))
+                >= AB_CONV_SPEND100,
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("conv")
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                md5_int(F.col("user_id").cast("string")) % 2 == 0, "A"
+            ).otherwise("B"),
+        )
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    w = a.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_conv"))).alias("a1"),
+        F.max(
+            F.when(F.col("arm") == "A", F.col("n_users") - F.col("n_conv"))
+        ).alias("a0"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_conv"))).alias("b1"),
+        F.max(
+            F.when(F.col("arm") == "B", F.col("n_users") - F.col("n_conv"))
+        ).alias("b0"),
+    )
+    c = w.select(
+        F.when((F.col("a1") + F.col("b1") == 0) | (F.col("a0") + F.col("b0") == 0), 0.0)
+        .otherwise(
+            F.round(
+                F.expr(
+                    "CAST((a1 + a0 + b1 + b0)"
+                    " * CAST((a1 * b0 - a0 * b1) AS DECIMAL(38,0))"
+                    " * (a1 * b0 - a0 * b1) AS DOUBLE)"
+                )
+                / F.expr(
+                    "CAST(CAST((a1 + a0) AS DECIMAL(38,0)) * (b1 + b0)"
+                    " * (a1 + b1) * (a0 + b0) AS DOUBLE)"
+                ),
+                6,
+            )
+        )
+        .alias("chi2")
+    )
+    return a.crossJoin(F.broadcast(c)).select(
+        "arm",
+        "n_users",
+        "n_conv",
+        F.round(F.col("n_conv") * 1.0 / F.col("n_users"), 6).alias(
+            "conv_rate"
+        ),
+        "chi2",
+    )

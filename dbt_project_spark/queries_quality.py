@@ -759,3 +759,78 @@ def entropy_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(k, "day")
         .select("day", "n_types", "entropy_nats")
     )
+
+
+# Benford first-digit probabilities log10(1+1/d), embedded as full-
+# precision literals so both engines use bit-identical expected values.
+# CAST AS DOUBLE: bare decimal literals parse as DECIMAL in Spark
+# (the SCALE.md pitfall) — decimal arithmetic truncates at scale 6
+# and diverges from DuckDB's double path.
+_BENFORD_CASE = "CAST(CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514 END AS DOUBLE)"
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    WITH e AS (SELECT CAST(substring(CAST({_V100} AS VARCHAR), 1, 1)
+                          AS BIGINT) AS digit
+               FROM events WHERE {_V100} > 0),
+    o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM e GROUP BY digit),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM o),
+    x AS (SELECT o.digit, o.n_obs, t.n, {_BENFORD_CASE} AS p
+          FROM o CROSS JOIN t),
+    terms AS (SELECT digit, n_obs, n, p,
+                     CAST(round(((n_obs - n * p) * (n_obs - n * p))
+                                / (n * p) * 1000000000) AS BIGINT) AS term9
+              FROM x),
+    c AS (SELECT CAST(SUM(term9) AS BIGINT) AS chi9 FROM terms)
+    SELECT terms.digit, terms.n_obs,
+           ROUND(terms.n * terms.p, 6) AS expected,
+           CAST(c.chi9 // 1000 AS BIGINT) AS chi2_micro
+    FROM terms CROSS JOIN c
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of the value column: observed vs
+    expected first-significant-digit counts (P(d) = log10(1+1/d)) and
+    the chi-square conformance statistic — the classic fabricated-
+    data / instrumentation-bug detector for financial-style columns.
+    Digits come from the ×100 integer's decimal string (no float log
+    for digit extraction); expected probabilities are full-precision
+    literals identical in both engines; per-digit chi-square terms go
+    through the ×1e9 integer-sum convention.
+
+    Scale shape: one events-sized aggregate onto ≤9 digit rows;
+    everything after is constant-size arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(f"CAST(substring(CAST({_V100} AS STRING), 1, 1) AS BIGINT)").alias(
+            "digit"
+        ),
+        F.expr(_V100).alias("v100"),
+    ).filter(F.col("v100") > 0).select("digit")
+    o = e.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    t = o.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    x = o.crossJoin(F.broadcast(t)).withColumn("p", F.expr(_BENFORD_CASE))
+    terms = x.withColumn(
+        "term9",
+        F.round(
+            ((F.col("n_obs") - F.col("n") * F.col("p"))
+             * (F.col("n_obs") - F.col("n") * F.col("p")))
+            / (F.col("n") * F.col("p"))
+            * 1_000_000_000
+        ).cast("bigint"),
+    )
+    c = terms.agg(F.sum("term9").cast("bigint").alias("chi9"))
+    return terms.crossJoin(F.broadcast(c)).select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n") * F.col("p"), 6).alias("expected"),
+        # chi2 in exact micro-units: ROUND(chi9/1e9, 6) hit a real
+        # half-boundary mismatch (Spark rounds the double's SHORTEST
+        # STRING repr via BigDecimal HALF_UP; DuckDB rounds the
+        # actual binary value) — truncating integer division of the
+        # integer term sum is boundary-free in both engines.
+        F.expr("CAST(chi9 div 1000 AS BIGINT)").alias("chi2_micro"),
+    )
