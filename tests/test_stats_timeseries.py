@@ -180,3 +180,60 @@ def test_entropy_matches_numpy(spark):
         n_types, got_ent = got[day]
         assert n_types == len(p)
         assert abs(got_ent - ent) < 2e-6, day
+
+
+def test_benford_matches_numpy(spark):
+    import math
+
+    from dbt_project_spark.queries_quality import benford_first_digit
+
+    rows = benford_first_digit(spark, SF_SMOKE).collect()
+    pdf = _events_pdf()
+    v = pdf["v100"].values
+    v = v[v > 0]
+    digits = np.array([int(str(x)[0]) for x in v])
+    n = len(digits)
+    chi2 = 0.0
+    for r in rows:
+        d = r["digit"]
+        obs = int((digits == d).sum())
+        p = math.log10(1 + 1 / d)
+        assert r["n_obs"] == obs, d
+        assert abs(r["expected"] - n * p) < 1e-4
+        chi2 += (obs - n * p) ** 2 / (n * p)
+    # micro-units are a truncation of the x1e9 term sum; allow the
+    # accumulated rounding slack of 9 terms
+    assert abs(rows[0]["chi2_micro"] / 1e6 - chi2) < 1e-4
+
+
+def test_ab_test_arms_and_chi2(spark):
+    from dbt_project_spark.queries_product import (
+        AB_CONV_SPEND100,
+        ab_test_conversion,
+    )
+
+    rows = {r["arm"]: r for r in ab_test_conversion(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"A", "B"}
+    import hashlib
+
+    raw = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    pdf = _events_pdf()
+    df = pd.DataFrame({"u": raw["user_id"].values, "v": pdf["v100"].values})
+    totals = df.groupby("u")["v"].sum()
+    arms = {"A": [0, 0], "B": [0, 0]}  # [users, converted]
+    for u, v in totals.items():
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+        arm = "A" if h % 2 == 0 else "B"
+        arms[arm][0] += 1
+        arms[arm][1] += int(v >= AB_CONV_SPEND100)
+    for arm in ("A", "B"):
+        assert rows[arm]["n_users"] == arms[arm][0], arm
+        assert rows[arm]["n_conv"] == arms[arm][1], arm
+    a1, a0 = arms["A"][1], arms["A"][0] - arms["A"][1]
+    b1, b0 = arms["B"][1], arms["B"][0] - arms["B"][1]
+    if (a1 + b1) and (a0 + b0):
+        nt = a1 + a0 + b1 + b0
+        chi2 = nt * (a1 * b0 - a0 * b1) ** 2 / (
+            (a1 + a0) * (b1 + b0) * (a1 + b1) * (a0 + b0)
+        )
+        assert abs(rows["A"]["chi2"] - chi2) < 1e-5
