@@ -96,6 +96,8 @@ HEADLINE = [
     "item_cooc_similarity",
     "split_group_aware",
     "bigram_lm_quality",
+    "rolling_distinct_users_7d",
+    "gini_user_value",
 ]
 
 # The 10 most expensive headline queries per BENCH_r02, cheapest first
@@ -116,6 +118,11 @@ SF1_QUERIES = [
     "dedup_embedding_strict",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    # r04s2: the two new >10s-at-sf0.1 queries join the 10× section —
+    # k-core's early-exit and the split's LSH+CC stack are exactly the
+    # constants that could hide at sf0.1
+    "split_group_aware",
+    "kcore_parts",
     "triangle_count",
 ]
 
