@@ -1,0 +1,179 @@
+"""Planted-semantics tests for the statistics family: tiny synthetic
+events tables where each statistic has a KNOWN closed-form answer
+(uniform → zero Gini, single-type day → zero entropy, step series →
+CUSUM at the step, alternating series → negative lag-1 ACF...). These
+pin the MEANING of each statistic; the oracle gate only pins
+cross-engine agreement."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, ts_epoch_s, user_id, event_type, value)"""
+    df = spark.createDataFrame(
+        [
+            (int(e), float(ts), int(u), t, float(v), "{}")
+            for e, ts, u, t, v in rows
+        ],
+        "event_id bigint, __ep double, user_id bigint, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("__ep")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    out = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+DAY = 86400
+T0 = 1_700_000_000 - (1_700_000_000 % DAY)  # midnight anchor
+
+
+def test_gini_uniform_is_zero_and_concentrated_is_high(spark, tmp_path):
+    from dbt_project_spark.queries_quality import gini_user_value
+
+    # 10 users, each spends exactly 100 → Gini 0
+    rows = [(i, T0 + i, i % 10, "view", 100.0) for i in range(10)]
+    sf = _write_events(spark, tmp_path / "u", rows)
+    assert gini_user_value(spark, sf).collect()[0]["gini"] == 0.0
+
+    # one whale holds everything except epsilon shares
+    rows = [(0, T0, 0, "view", 10000.0)] + [
+        (i, T0 + i, i, "view", 0.01) for i in range(1, 10)
+    ]
+    sf = _write_events(spark, tmp_path / "w", rows)
+    g = gini_user_value(spark, sf).collect()[0]["gini"]
+    assert g > 0.85  # → (n-1)/n = 0.9 as epsilon → 0
+
+
+def test_entropy_single_type_zero_uniform_lnk(spark, tmp_path):
+    from dbt_project_spark.queries_quality import entropy_type_daily
+
+    # day 1: all 'view' → entropy 0; day 2: 4 types × equal → ln 4
+    rows = [(i, T0 + i, 1, "view", 1.0) for i in range(8)]
+    rows += [
+        (100 + i, T0 + DAY + i, 1, t, 1.0)
+        for i, t in enumerate(
+            ["view", "click", "purchase", "error"] * 2
+        )
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["day"]: r for r in entropy_type_daily(spark, sf).collect()}
+    days = sorted(got)
+    assert got[days[0]]["entropy_nats"] == 0.0
+    assert abs(got[days[1]]["entropy_nats"] - math.log(4)) < 1e-6
+    assert got[days[1]]["n_types"] == 4
+
+
+def test_cusum_finds_planted_step(spark, tmp_path):
+    from dbt_project_spark.queries_timeseries import ts_cusum_changepoint
+
+    # 10 days at $100/day then 10 days at $200/day → cp at day 10
+    rows = [(i, T0 + i * DAY + 10, 1, "view", 100.0) for i in range(10)]
+    rows += [
+        (100 + i, T0 + (10 + i) * DAY + 10, 1, "view", 200.0)
+        for i in range(10)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    row = ts_cusum_changepoint(spark, sf).collect()[0]
+    assert row["n_days"] == 20
+    assert row["mean_before"] == 100.0 and row["mean_after"] == 200.0
+    import datetime as dt
+
+    cp = dt.datetime.strptime(row["cp_day"], "%Y-%m-%d")
+    lo = dt.datetime.utcfromtimestamp(T0)
+    assert (cp - lo).days == 9  # last day of the low regime
+
+
+def test_acf_alternating_series_signs(spark, tmp_path):
+    from dbt_project_spark.queries_timeseries import ts_acf_hourly
+
+    # hourly values alternating 100/300 → lag-1 ACF ≈ -1, lag-2 ≈ +1
+    rows = [
+        (i, T0 + i * 3600 + 5, 1, "view", 100.0 if i % 2 == 0 else 300.0)
+        for i in range(48)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["lag"]: r["acf_micro"] / 1e6 for r in ts_acf_hourly(spark, sf).collect()}
+    assert got[1] < -0.9 and got[3] < -0.9
+    assert got[2] > 0.9 and got[4] > 0.9
+
+
+def test_ks_identical_halves_zero_shifted_high(spark, tmp_path):
+    from dbt_project_spark.queries_quality import ks_test_value
+
+    # halves drawn identically → D = 0
+    vals = [10.0, 20.0, 30.0, 40.0] * 5
+    rows = [(i, T0 + i, 1, "view", v) for i, v in enumerate(vals)]
+    rows += [
+        (100 + i, T0 + DAY + i, 1, "view", v) for i, v in enumerate(vals)
+    ]
+    sf = _write_events(spark, tmp_path / "same", rows)
+    r = ks_test_value(spark, sf).collect()[0]
+    assert r["ks_d"] == 0.0
+
+    # disjoint supports → D = 1
+    rows = [(i, T0 + i, 1, "view", 10.0) for i in range(20)]
+    rows += [(100 + i, T0 + DAY + i, 1, "view", 99.0) for i in range(20)]
+    sf = _write_events(spark, tmp_path / "disj", rows)
+    r = ks_test_value(spark, sf).collect()[0]
+    assert r["ks_d"] == 1.0
+
+
+def test_mannwhitney_no_shift_half_effect(spark, tmp_path):
+    from dbt_project_spark.queries_quality import mannwhitney_value
+
+    # identical halves → U = n1*n2/2 → common-language effect 0.5
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0] * 4
+    rows = [(i, T0 + i, 1, "view", v) for i, v in enumerate(vals)]
+    rows += [
+        (100 + i, T0 + DAY + i, 1, "view", v) for i, v in enumerate(vals)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = mannwhitney_value(spark, sf).collect()[0]
+    assert r["cl_effect"] == 0.5
+    # every cur value above every ref value → effect 0 (ref loses)
+    rows = [(i, T0 + i, 1, "view", 10.0) for i in range(10)]
+    rows += [(100 + i, T0 + DAY + i, 1, "view", 99.0) for i in range(10)]
+    sf2 = _write_events(spark, tmp_path / "shift", rows)
+    r = mannwhitney_value(spark, sf2).collect()[0]
+    assert r["cl_effect"] == 0.0
+
+
+def test_winsorized_clips_outlier(spark, tmp_path):
+    from dbt_project_spark.queries_quality import winsorized_stats
+
+    # 19 values of 100 and one 10000: trimmed mean stays at 100,
+    # the plain mean would be 595
+    rows = [(i, T0 + i, 1, "view", 100.0) for i in range(19)]
+    rows.append((99, T0 + 99, 1, "view", 10000.0))
+    sf = _write_events(spark, tmp_path, rows)
+    r = winsorized_stats(spark, sf).collect()[0]
+    assert r["trimmed_mean"] == 100.0
+    assert r["winsorized_mean"] < 130.0  # clipped at p95, far below 595
+    assert r["n_kept"] == 19
+
+
+def test_rolling_distinct_windows(spark, tmp_path):
+    from dbt_project_spark.queries_analytics import rolling_distinct_users_7d
+
+    # user u active only on day u (u = 0..9): day d sees users
+    # max(0, d-6)..d → counts ramp 1..7 then stay 7
+    rows = [(u, T0 + u * DAY + 30, u, "view", 1.0) for u in range(10)]
+    sf = _write_events(spark, tmp_path, rows)
+    rows_out = sorted(
+        rolling_distinct_users_7d(spark, sf).collect(),
+        key=lambda r: r["day"],
+    )
+    counts = [r["n_users_7d"] for r in rows_out]
+    assert counts == [1, 2, 3, 4, 5, 6, 7, 7, 7, 7]
+    assert all(r["n_users_1d"] == 1 for r in rows_out)
