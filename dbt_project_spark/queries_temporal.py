@@ -392,3 +392,98 @@ def asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("delta_s"),
     )
+
+
+TT_CUTOFF = "1998-07-01"  # AS OF reconstruction point
+TT_UPD_MOD = 7  # orders getting a price correction (+$100, day +10)
+TT_DEL_MOD = 13  # orders cancelled (delete op, day +20)
+_P100 = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+
+
+@register(
+    "time_travel_asof",
+    oracle=f"""
+    WITH log AS (
+      SELECT o_orderkey AS k, 'I' AS op, o_orderdate AS od,
+             {_P100} AS p100, o_orderstatus AS st
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'U', o_orderdate + INTERVAL 10 DAY,
+             {_P100} + 10000, o_orderstatus
+      FROM orders WHERE o_orderkey % {TT_UPD_MOD} = 0
+      UNION ALL
+      SELECT o_orderkey, 'D', o_orderdate + INTERVAL 20 DAY,
+             NULL, o_orderstatus
+      FROM orders WHERE o_orderkey % {TT_DEL_MOD} = 0),
+    vis AS (SELECT * FROM log
+            WHERE od <= TIMESTAMP '{TT_CUTOFF} 00:00:00'),
+    latest AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                      ORDER BY od DESC, op DESC) AS rn
+        FROM vis) WHERE rn = 1),
+    state AS (SELECT * FROM latest WHERE op <> 'D')
+    SELECT st AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p100) AS BIGINT) / 100.0 AS total_price
+    FROM state GROUP BY st
+    """,
+)
+def time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse-style time travel WITHOUT a lakehouse: reconstruct
+    the orders table AS OF TT_CUTOFF from an append-only change log
+    (insert at order date; a deterministic slice of orders receives a
+    later price-correction UPDATE and another a cancelling DELETE),
+    by taking each key's LATEST visible operation — the general
+    latest-op-wins replay that backs CDC consumers, snapshot rollback,
+    and incremental MERGE sources (see table_diff_cdc for producing
+    such a log, plans/project.py merge for applying one forward).
+
+    Scale shape: the log union is three scans of the same table
+    (in production: one log scan); the replay is ONE key-partitioned
+    window over ops visible at the cutoff — state size is keys×ops,
+    and the cutoff filter prunes before the shuffle. The rollup is a
+    statuses-sized aggregate. No join against the base table at all:
+    the log is self-sufficient, which is exactly why CDC logs enable
+    time travel.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("od"),
+        F.expr(_P100).alias("p100"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    ins = o.select("k", F.lit("I").alias("op"), "od", "p100", "st")
+    upd = (
+        o.filter(F.col("k") % TT_UPD_MOD == 0)
+        .select(
+            "k",
+            F.lit("U").alias("op"),
+            F.expr("od + INTERVAL 10 DAY").alias("od"),
+            (F.col("p100") + 10000).alias("p100"),
+            "st",
+        )
+    )
+    dele = (
+        o.filter(F.col("k") % TT_DEL_MOD == 0)
+        .select(
+            "k",
+            F.lit("D").alias("op"),
+            F.expr("od + INTERVAL 20 DAY").alias("od"),
+            F.lit(None).cast("bigint").alias("p100"),
+            "st",
+        )
+    )
+    vis = (
+        ins.unionByName(upd)
+        .unionByName(dele)
+        .filter(F.col("od") <= F.lit(f"{TT_CUTOFF} 00:00:00").cast("timestamp"))
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("od"), F.desc("op"))
+    state = (
+        vis.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return state.groupBy(F.col("st").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum("p100").cast("bigint") / 100.0).alias("total_price"),
+    )
