@@ -46,6 +46,13 @@ _TS_QUERIES = [
     "wt_windowed_distribution",  # window() tumbling
     "ohlc_resample",  # window() + min_by/max_by
     "sessionization",  # lag over ts ordering
+    # r04s2 additions whose semantics lean on ts/interval/decimal
+    # behavior a vanilla session could change:
+    "ts_acf_hourly",  # decimal div micro-units + hour grid
+    "ts_cusum_changepoint",  # epoch-day grid + date_format
+    "time_travel_asof",  # timestamp INTERVAL arithmetic + cutoff literal
+    "rolling_distinct_users_7d",  # epoch-day fan-out + date_format
+    "ks_test_value",  # unix_timestamp half-split
 ]
 
 
