@@ -428,3 +428,27 @@ def test_acf_no_cartesian_beyond_lag_dim(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") // 2 <= 4
     assert "BroadcastHashJoin" in plan  # grid + lag-shift equi-joins
+
+
+def test_time_travel_replay_is_windowed_not_joined(spark):
+    # the AS OF replay must be one key-partitioned window over the
+    # log — never a self-join of log against base
+    plan = _plan(QUERIES["time_travel_asof"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_gini_bounded_exchanges_no_cartesian(spark):
+    plan = _plan(QUERIES["gini_user_value"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    n = _exchanges(plan)
+    # user totals, distinct-total counts, the bounded-domain window,
+    # final 1-row agg — anything beyond ~5 means a lost reuse
+    assert n <= 5, f"expected <=5 exchanges, got {n}"
+
+
+def test_entropy_day_totals_broadcast(spark):
+    plan = _plan(QUERIES["entropy_type_daily"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # days-sized totals join
