@@ -401,3 +401,114 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, events, tmp_path):
     }
     assert got_nulls == want_nulls_all
     assert len(got_nulls) > 0
+
+
+def test_stream_stream_full_outer_join_emits_both_sides(
+    spark, events, tmp_path
+):
+    """Stream-stream FULL OUTER interval join — completes the join-mode
+    matrix (inner / left outer / full outer): BOTH unmatched purchases
+    (no click in the preceding 30 min) and unmatched clicks (no
+    purchase in the following 30 min) must null-extend once the
+    watermark passes their eviction bound. Same two-run checkpoint-
+    resume watermark nudge as the left-outer test; parity target is
+    the batch full outer join on the same data.
+    """
+    src = str(tmp_path / "fo_src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def prep(df, prefix):
+        return df.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("event_id").alias(f"{prefix}_id"),
+            "event_type",
+        )
+
+    cond = (
+        "p_user = c_user AND c_ts <= p_ts "
+        "AND c_ts >= p_ts - INTERVAL 30 MINUTES"
+    )
+
+    def run_stream():
+        raw_s = spark.readStream.schema(schema).parquet(src)
+        c_s = (
+            prep(raw_s, "c").filter(F.col("event_type") == "click")
+            .drop("event_type").withWatermark("c_ts", "10 minutes")
+        )
+        p_s = (
+            prep(raw_s, "p").filter(F.col("event_type") == "purchase")
+            .drop("event_type").withWatermark("p_ts", "10 minutes")
+        )
+        q = (
+            p_s.join(c_s, F.expr(cond), "fullOuter")
+            .select("p_user", "p_id", "c_user", "c_id")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "fo_out"))
+            .option("checkpointLocation", str(tmp_path / "fo_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    batch0 = spark.read.parquet(src)
+    far = batch0.agg(
+        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts")
+    ).collect()[0].ts
+    nudge = spark.createDataFrame(
+        [
+            (10_000_000, far, -1, "click", 0.0, "{}"),
+            (10_000_001, far, -1, "purchase", 0.0, "{}"),
+        ],
+        schema,
+    )
+    nudge.write.mode("append").parquet(src)
+    run_stream()
+    got = spark.read.parquet(str(tmp_path / "fo_out")).filter(
+        "(p_id IS NULL OR p_id < 10000000)"
+        " AND (c_id IS NULL OR c_id < 10000000)"
+    )
+
+    batch = spark.read.parquet(src).filter("event_id < 10000000")
+    clicks_b = prep(batch, "c").filter(F.col("event_type") == "click").drop(
+        "event_type"
+    )
+    purch_b = prep(batch, "p").filter(F.col("event_type") == "purchase").drop(
+        "event_type"
+    )
+    want = purch_b.join(clicks_b, F.expr(cond), "fullOuter").select(
+        "p_user", "p_id", "c_user", "c_id"
+    )
+
+    # matched rows: exact parity
+    got_m = got.filter(F.col("p_id").isNotNull() & F.col("c_id").isNotNull())
+    want_m = want.filter(
+        F.col("p_id").isNotNull() & F.col("c_id").isNotNull()
+    )
+    assert got_m.count() == want_m.count() > 0
+    assert got_m.exceptAll(want_m).count() == 0
+
+    # purchase-side null extensions
+    got_p = {
+        (r.p_user, r.p_id)
+        for r in got.filter(F.col("c_id").isNull()).collect()
+    }
+    want_p = {
+        (r.p_user, r.p_id)
+        for r in want.filter(F.col("c_id").isNull()).collect()
+    }
+    assert got_p == want_p and len(got_p) > 0
+
+    # click-side null extensions — the half LEFT OUTER can't produce
+    got_c = {
+        (r.c_user, r.c_id)
+        for r in got.filter(F.col("p_id").isNull()).collect()
+    }
+    want_c = {
+        (r.c_user, r.c_id)
+        for r in want.filter(F.col("p_id").isNull()).collect()
+    }
+    assert got_c == want_c and len(got_c) > 0
