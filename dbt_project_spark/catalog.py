@@ -76,6 +76,7 @@ PRIORITY: list[str] = [
     "benford_first_digit",
     "ab_test_conversion",
     "time_travel_asof",
+    "dedup_pair_evidence",
     # --- erred in the r03 driver run — fixed this round ---
     "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
     "interval_coverage",  # same NTZ fix
@@ -106,10 +107,9 @@ PRIORITY: list[str] = [
     "wt_correlation",
     "wt_daily_rollup",
     "wt_stream_batch_compare",
-    "wt_compare_categories",
     # Overflow (driver-green r02/r03, all re-verified locally each
     # round): everything else follows in registration order;
-    # wt_compare_engagement + tpch_q2..q22 head the r05 refresh.
+    # wt_compare_categories/engagement + tpch_q2..q22 head the r05 refresh.
 ]
 
 

@@ -441,3 +441,105 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py:editdistance_pairs for the recall argument."""
     p = load_table(spark, sf_dir, "part").select("p_name").distinct()
     return editdistance_pairs(p, "p_name", max_dist=4, max_block=64)
+
+
+def _evidence_oracle() -> str:
+    from dbt_project_spark.queries_training import SPAN_N, _span_sql
+
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+    s AS (SELECT DISTINCT doc_id, md5(sp) AS h FROM (
+            SELECT doc_id, unnest({_span_sql(SPAN_N)}) AS sp
+            FROM t WHERE len(toks) > 0)),
+    na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY doc_id),
+    sh AS (SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+           FROM pairs p JOIN s sa ON sa.doc_id = p.doc_a
+                        JOIN s sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
+           GROUP BY p.doc_a, p.doc_b)
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           a.c AS n_spans_a, b.c AS n_spans_b,
+           COALESCE(sh.shared, 0) AS shared_spans,
+           ROUND(COALESCE(sh.shared, 0) * 1.0
+                 / (a.c + b.c - COALESCE(sh.shared, 0)), 6) AS span_jaccard
+    FROM pairs p JOIN na a ON a.doc_id = p.doc_a
+                 JOIN na b ON b.doc_id = p.doc_b
+                 LEFT JOIN sh ON sh.doc_a = p.doc_a AND sh.doc_b = p.doc_b
+    """
+
+
+@register("dedup_pair_evidence", oracle=_evidence_oracle())
+def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence layer for near-dup review: every MinHash-LSH doc pair
+    annotated with WHICH fraction of its fixed token spans actually
+    coincide (distinct-span Jaccard) — the 'show me why these two
+    matched' output a human (or an appeals process) reads before a
+    dedup decision deletes revenue-bearing content. Shingle-level
+    Jaccard (the match score) and span-level Jaccard (the evidence)
+    disagreeing is exactly the interesting case: high shingle overlap
+    with low span overlap means interleaved/reordered duplication.
+
+    Scale shape: the pair table is near-dup-sized, so both evidence
+    joins run pairs⋈spans on (doc, span-hash) equi-keys — the span
+    table shuffles once on doc_id (16-byte hashes, never text), and
+    per-doc span counts are a corpus-sized aggregate. Nothing here
+    revisits the n² space the LSH stage already avoided.
+    """
+    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.operators.dedup import tokens_col
+    from dbt_project_spark.queries_training import SPAN_N
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = persist_tracked(
+        minhash_lsh_pairs(docs, "doc_id", "text", JACCARD_T)
+    )
+    spans = persist_tracked(
+        docs.withColumn("toks", tokens_col("text"))
+        .filter(F.size("toks") > 0)
+        .withColumn(
+            "sp_arr",
+            F.expr(
+                f"transform(sequence(0,"
+                f" CAST(ceil(size(toks)/{SPAN_N}.0) AS INT) - 1),"
+                f" i -> array_join(slice(toks, i*{SPAN_N}+1, {SPAN_N}), ' '))"
+            ),
+        )
+        .select("doc_id", F.explode("sp_arr").alias("sp"))
+        .select("doc_id", F.md5("sp").alias("h"))
+        .distinct()
+    )
+    na = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    sa = spans.select(F.col("doc_id").alias("doc_a"), "h")
+    sb = spans.select(F.col("doc_id").alias("doc_b"), "h")
+    sh = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    return (
+        pairs.join(na.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("n_spans_a")), "doc_a")
+        .join(na.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("n_spans_b")), "doc_b")
+        .join(sh, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "n_spans_a",
+            "n_spans_b",
+            F.coalesce("shared", F.lit(0)).alias("shared_spans"),
+            F.round(
+                F.coalesce("shared", F.lit(0))
+                * 1.0
+                / (
+                    F.col("n_spans_a")
+                    + F.col("n_spans_b")
+                    - F.coalesce("shared", F.lit(0))
+                ),
+                6,
+            ).alias("span_jaccard"),
+        )
+    )
