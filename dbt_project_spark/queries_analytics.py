@@ -1161,3 +1161,101 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users_7d",
         F.coalesce("n_users_1d", F.lit(0)).alias("n_users_1d"),
     )
+
+
+@register(
+    "concurrent_sessions_timeline",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                       > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), event_id)),
+    s AS (
+      SELECT user_id, ep,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ep, event_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+      FROM g),
+    iv AS (SELECT user_id, session_id,
+                  MIN(ep) // 3600 AS sh, MAX(ep) // 3600 AS eh
+           FROM s GROUP BY user_id, session_id),
+    fan AS (SELECT user_id, session_id, sh,
+                   unnest(range(sh, eh + 1)) AS h
+            FROM iv),
+    act AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_active,
+                   CAST(SUM(CASE WHEN h = sh THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_started
+            FROM fan GROUP BY h),
+    b AS (SELECT MIN(sh) AS lo, MAX(eh) AS hi FROM iv),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS h FROM b)
+    SELECT strftime(make_timestamp(grid.h * 3600 * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(act.n_active, 0) AS n_active_sessions,
+           COALESCE(act.n_started, 0) AS n_started
+    FROM grid LEFT JOIN act ON act.h = grid.h
+    """,
+)
+def concurrent_sessions_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session capacity curve: for every hour, how many
+    gap-based sessions were ACTIVE (overlapping the hour) and how many
+    started — the load profile behind capacity planning and the
+    'peak concurrency' SLA number. Composes three catalog shapes:
+    gap sessionization (one user-partitioned window pass), interval
+    extraction (per-session min/max), and bounded interval stabbing
+    (each session fans out to the hours it spans — the
+    rolling-distinct trick with data-dependent but gap-bounded spans;
+    a 30-min inactivity gap caps a session's hour fan-out at its
+    actual activity span, so the fan-out table is O(session-hours),
+    never events × hours).
+
+    Scale shape: the only events-sized work is the sessionization
+    window (one user_id exchange); sessions, intervals, fan-out, and
+    the hour grid are all orders of magnitude smaller, and the final
+    aggregate groups by hour (calendar-bounded).
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("epoch") - F.lag("epoch").over(w) > SESSION_GAP_SEC, 1
+        ).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(ws).cast("bigint")
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.expr("min(epoch) div 3600").cast("bigint").alias("sh"),
+        F.expr("max(epoch) div 3600").cast("bigint").alias("eh"),
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    iv = persist_tracked(iv)
+    fan = iv.select(
+        "sh", F.explode(F.sequence("sh", "eh")).alias("h")
+    )
+    act = fan.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("h") == F.col("sh"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_started"),
+    )
+    b = iv.agg(F.min("sh").alias("lo"), F.max("eh").alias("hi"))
+    grid = b.select(F.explode(F.sequence("lo", "hi")).alias("h"))
+    return grid.join(act, on="h", how="left").select(
+        F.date_format(
+            F.timestamp_seconds(F.col("h") * 3600), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hour_start"),
+        F.coalesce("n_active", F.lit(0)).alias("n_active_sessions"),
+        F.coalesce("n_started", F.lit(0)).alias("n_started"),
+    )
