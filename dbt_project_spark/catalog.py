@@ -78,6 +78,7 @@ PRIORITY: list[str] = [
     "time_travel_asof",
     "dedup_pair_evidence",
     "concurrent_sessions_timeline",
+    "session_funnel",
     # --- erred in the r03 driver run — fixed this round ---
     "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
     "interval_coverage",  # same NTZ fix
@@ -106,10 +107,9 @@ PRIORITY: list[str] = [
     "wt_conversion_rate",
     "wt_hourly_patterns",
     "wt_correlation",
-    "wt_daily_rollup",
     # Overflow (driver-green r02/r03, all re-verified locally each
     # round): everything else follows in registration order;
-    # wt_stream_batch_compare/compare_* + tpch_q2..q22 head the r05 refresh.
+    # wt_daily_rollup/stream_batch/compare_* + tpch_q2..q22 head the r05 refresh.
 ]
 
 

@@ -1259,3 +1259,125 @@ def concurrent_sessions_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_active", F.lit(0)).alias("n_active_sessions"),
         F.coalesce("n_started", F.lit(0)).alias("n_started"),
     )
+
+
+@register(
+    "session_funnel",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                       > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), event_id)),
+    s AS (
+      SELECT user_id, event_type, ep,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ep, event_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+      FROM g),
+    t1s AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN ep END)
+                    OVER (PARTITION BY user_id, session_id) AS t1
+      FROM s),
+    t2s AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ep > t1 THEN ep END)
+                    OVER (PARTITION BY user_id, session_id) AS t2
+      FROM t1s),
+    t3s AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ep > t2 THEN ep END)
+                    OVER (PARTITION BY user_id, session_id) AS t3
+      FROM t2s),
+    per_sess AS (
+      SELECT user_id, session_id,
+             MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      FROM t3s GROUP BY user_id, session_id),
+    staged AS (
+      SELECT CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM per_sess)
+    SELECT CAST(stage AS BIGINT) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM staged GROUP BY stage
+    """,
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel scoped to a SINGLE session: a session counts for stage N
+    only if view → click → purchase happened in order WITHIN it —
+    the strictest conversion definition (funnel_conversion allows
+    cross-day chains; funnel_windowed allows 24 h; this requires one
+    sitting). Emits session counts per deepest stage reached,
+    including stage 0 (sessions that never even viewed).
+
+    Scale shape: sessionization plus the three staged minima are ALL
+    windows over the same (user_id[, session_id]) partitioning — the
+    session_id windows are subpartitions of the user exchange, so
+    Catalyst reuses one shuffle for the whole chain (the staged
+    minima can't be plain group aggregates because t2 depends on t1
+    row-wise; as windows they stay single-pass). The final rollup is
+    a 4-row aggregate.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("epoch") - F.lag("epoch").over(w) > SESSION_GAP_SEC, 1
+        ).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(ws).cast("bigint")
+    )
+    wp = Window.partitionBy("user_id", "session_id")
+    t1 = sess.withColumn(
+        "t1",
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("epoch"))
+        ).over(wp),
+    )
+    t2 = t1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("epoch") > F.col("t1")),
+                F.col("epoch"),
+            )
+        ).over(wp),
+    )
+    t3 = t2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("epoch") > F.col("t2")),
+                F.col("epoch"),
+            )
+        ).over(wp),
+    )
+    per_sess = t3.groupBy("user_id", "session_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    staged = per_sess.select(
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("stage")
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
