@@ -79,6 +79,7 @@ PRIORITY: list[str] = [
     "dedup_pair_evidence",
     "concurrent_sessions_timeline",
     "session_funnel",
+    "watermark_lateness_stats",
     # --- erred in the r03 driver run — fixed this round ---
     "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
     "interval_coverage",  # same NTZ fix
@@ -106,10 +107,9 @@ PRIORITY: list[str] = [
     "wt_bounce_rate",
     "wt_conversion_rate",
     "wt_hourly_patterns",
-    "wt_correlation",
     # Overflow (driver-green r02/r03, all re-verified locally each
     # round): everything else follows in registration order;
-    # wt_daily_rollup/stream_batch/compare_* + tpch_q2..q22 head the r05 refresh.
+    # wt_correlation/daily_rollup/stream_batch/compare_* + tpch refresh in r05.
 ]
 
 

@@ -834,3 +834,75 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer term sum is boundary-free in both engines.
         F.expr("CAST(chi9 div 1000 AS BIGINT)").alias("chi2_micro"),
     )
+
+
+@register(
+    "watermark_lateness_stats",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, {_EP} AS ep FROM events),
+    r AS (SELECT user_id, ep,
+                 MAX(ep) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS hw
+          FROM e),
+    l AS (SELECT CASE WHEN hw IS NULL OR ep >= hw THEN 0
+                      ELSE hw - ep END AS late_s
+          FROM r)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           ROUND(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)
+                 / (COUNT(*) * 1.0), 6) AS late_frac,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s,
+           CAST(round(quantile_cont(20 * late_s, 0.95)) AS BIGINT)
+               AS p95_late_s_x20
+    FROM l
+    """,
+)
+def watermark_lateness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-ness profile: treating event_id as the ARRIVAL
+    order (the generation sequence) and ts as event time, how late do
+    events arrive behind their user's event-time high-water mark?
+    This is the number that picks a Structured Streaming watermark —
+    `withWatermark(ts, H)` drops exactly the events this query counts
+    at late_s > H, so H is read off the p95/max here instead of
+    guessed (the streaming family's 10-minute horizons came from this
+    shape).
+
+    Exactness: lateness is an integer second delta off a per-user
+    running max (one user-partitioned window, arrival-ordered); the
+    p95 uses the ×20 interpolation-exactness trick (quantile_cont of
+    ints at q = k/20 is an exact integer in 20× space).
+
+    Scale shape: ONE events-sized exchange on user_id for the
+    running-max window, then a 1-row global aggregate with map-side
+    partials. No self-join of events against its own history.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ep")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = e.withColumn("hw", F.max("ep").over(w))
+    late = F.when(
+        F.col("hw").isNull() | (F.col("ep") >= F.col("hw")), 0
+    ).otherwise(F.col("hw") - F.col("ep"))
+    l = r.select(late.alias("late_s"))
+    return l.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.round(
+            F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+            / (F.count(F.lit(1)) * 1.0),
+            6,
+        ).alias("late_frac"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+        F.expr("CAST(round(percentile(20 * late_s, 0.95)) AS BIGINT)").alias(
+            "p95_late_s_x20"
+        ),
+    )
