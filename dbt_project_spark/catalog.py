@@ -80,6 +80,8 @@ PRIORITY: list[str] = [
     "concurrent_sessions_timeline",
     "session_funnel",
     "watermark_lateness_stats",
+    "cohort_revenue_retention",
+    "dedup_cluster_histogram",
     # --- erred in the r03 driver run — fixed this round ---
     "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
     "interval_coverage",  # same NTZ fix
@@ -105,8 +107,6 @@ PRIORITY: list[str] = [
     "wt_engagement_scores",
     "wt_quarterly_trend",
     "wt_bounce_rate",
-    "wt_conversion_rate",
-    "wt_hourly_patterns",
     # Overflow (driver-green r02/r03, all re-verified locally each
     # round): everything else follows in registration order;
     # wt_correlation/daily_rollup/stream_batch/compare_* + tpch refresh in r05.

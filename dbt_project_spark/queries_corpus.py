@@ -538,3 +538,70 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BPE_TOP_PAIRS)
         .select("pair", "n")
     )
+
+
+def _cluster_hist_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    labels AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+               FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM labels GROUP BY cluster_id),
+    t AS (SELECT CAST(SUM(sz) AS BIGINT) AS docs_in_clusters FROM sizes)
+    SELECT sizes.sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * sizes.sz AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * (sizes.sz - 1) AS BIGINT) AS n_removable,
+           t.docs_in_clusters
+    FROM sizes CROSS JOIN t
+    GROUP BY sizes.sz, t.docs_in_clusters
+    """
+
+
+@register("dedup_cluster_histogram", oracle=_cluster_hist_oracle())
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield report: the near-dup cluster SIZE distribution,
+    with per-size cluster counts, covered docs, and the removable-doc
+    count (size − 1 per cluster keeps one representative) — the
+    one-screen answer to 'how much will dedup shrink the corpus, and
+    is it dominated by pairs or by mega-clusters' (a fat tail here
+    usually means boilerplate, not true duplication, and argues for
+    span-level handling instead of whole-doc removal).
+
+    Scale shape: reuses the MinHash-LSH → connected-components stack;
+    everything after the labels table is cluster-sized aggregates.
+    """
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", 0.8
+    )
+    labels = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    t = sizes.agg(F.sum("sz").cast("bigint").alias("docs_in_clusters"))
+    return (
+        sizes.crossJoin(F.broadcast(t))
+        .groupBy(F.col("sz").alias("cluster_size"), "docs_in_clusters")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("bigint")
+            .alias("n_docs"),
+            (F.col("n_clusters") * (F.col("cluster_size") - 1))
+            .cast("bigint")
+            .alias("n_removable"),
+            "docs_in_clusters",
+        )
+    )

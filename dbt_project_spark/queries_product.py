@@ -576,3 +576,59 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "chi2",
     )
+
+
+@register(
+    "cohort_revenue_retention",
+    oracle=f"""
+    WITH e AS (SELECT user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) // 2592000 AS em,
+                      {_V100} AS v100
+               FROM events),
+    c AS (SELECT user_id, MIN(em) AS cohort_m FROM e GROUP BY user_id),
+    m AS (SELECT c.cohort_m, e.em - c.cohort_m AS offset_m,
+                 CAST(SUM(e.v100) AS BIGINT) AS rev100
+          FROM e JOIN c ON c.user_id = e.user_id
+          GROUP BY c.cohort_m, e.em - c.cohort_m),
+    base AS (SELECT cohort_m, rev100 AS base100 FROM m WHERE offset_m = 0)
+    SELECT m.cohort_m, m.offset_m,
+           m.rev100 / 100.0 AS revenue,
+           ROUND(m.rev100 * 1.0 / b.base100, 6) AS ndr
+    FROM m JOIN base b ON b.cohort_m = m.cohort_m
+    """,
+)
+def cohort_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-dollar-retention curve: users grouped by first-active
+    30-day cohort window, each cohort's revenue at month offset m as
+    a fraction of its month-0 revenue — the revenue twin of
+    cohort_retention's user counts (users can churn while survivors
+    expand spend; NDR > 1 is the expansion signal user retention
+    can't show). Month buckets are fixed 30-day epoch windows so the
+    arithmetic stays integer (calendar months would drag in timezone
+    and month-length noise).
+
+    Scale shape: per-user cohort assignment is one aggregate joined
+    back (AQE broadcasts the users-sized cohort map or shuffles on
+    user_id); the cohort×offset matrix is tiny, and base revenue
+    joins it on cohort_m. One events-sized shuffle total.
+    """
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("epoch div 2592000").cast("bigint").alias("em"),
+        "value100",
+    )
+    c = ev.groupBy("user_id").agg(F.min("em").alias("cohort_m"))
+    m = (
+        ev.join(c, "user_id")
+        .groupBy("cohort_m", (F.col("em") - F.col("cohort_m")).alias("offset_m"))
+        .agg(F.sum("value100").cast("bigint").alias("rev100"))
+    )
+    base = m.filter(F.col("offset_m") == 0).select(
+        "cohort_m", F.col("rev100").alias("base100")
+    )
+    return m.join(F.broadcast(base), "cohort_m").select(
+        "cohort_m",
+        "offset_m",
+        (F.col("rev100") / 100.0).alias("revenue"),
+        F.round(F.col("rev100") * 1.0 / F.col("base100"), 6).alias("ndr"),
+    )
