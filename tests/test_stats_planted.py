@@ -177,3 +177,46 @@ def test_rolling_distinct_windows(spark, tmp_path):
     counts = [r["n_users_7d"] for r in rows_out]
     assert counts == [1, 2, 3, 4, 5, 6, 7, 7, 7, 7]
     assert all(r["n_users_1d"] == 1 for r in rows_out)
+
+
+def test_time_travel_planted_log(spark, tmp_path):
+    """Planted CDC semantics: 4 orders — one plain, one updated before
+    the cutoff, one deleted before the cutoff, one inserted after it.
+    AS OF must show: plain at original price, updated at +$100,
+    deleted absent, future absent."""
+    from dbt_project_spark.queries_temporal import (
+        TT_CUTOFF,
+        TT_DEL_MOD,
+        TT_UPD_MOD,
+        time_travel_asof,
+    )
+
+    import datetime as dt
+
+    cutoff = dt.datetime.strptime(TT_CUTOFF, "%Y-%m-%d")
+    before = cutoff - dt.timedelta(days=40)
+    after = cutoff + dt.timedelta(days=5)
+    # keys chosen by residue: 1 plain, TT_UPD_MOD updated,
+    # TT_DEL_MOD deleted, 1 plain-but-future
+    rows = [
+        (1, 17, "O", 100.0, before, "P1"),
+        (TT_UPD_MOD, 17, "O", 100.0, before, "P1"),
+        (TT_DEL_MOD, 17, "O", 100.0, before, "P1"),
+        (2, 17, "O", 100.0, after, "P1"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    got = time_travel_asof(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    # visible: key 1 ($100) + updated key ($200); deleted and future absent
+    assert r["o_orderstatus"] == "O"
+    assert r["n_orders"] == 2
+    assert r["total_price"] == 300.0
