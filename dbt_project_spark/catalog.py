@@ -52,6 +52,11 @@ def register(name: str, oracle: str | None = None):
 # registration order.
 PRIORITY: list[str] = [
     # --- new queries this round (r04) — no driver verdict yet ---
+    "dq_audit",
+    "woe_iv_value",
+    "seasonal_naive_forecast",
+    "seq_trigram_support",
+    "quantile_sketch_rollup",
     "bm25_topk",
     "tfidf_top_terms",
     "rrf_hybrid_topk",
@@ -102,14 +107,10 @@ PRIORITY: list[str] = [
     "text_fingerprint",
     "text_chunking",
     "corpus_sample_stratified",
-    "wt_windowed_distribution",
-    "wt_session_categories",
-    "wt_engagement_scores",
-    "wt_quarterly_trend",
-    "wt_bounce_rate",
-    # Overflow (driver-green r02/r03, all re-verified locally each
-    # round): everything else follows in registration order;
-    # wt_correlation/daily_rollup/stream_batch/compare_* + tpch refresh in r05.
+    # Overflow (driver-green r01–r03, all re-verified locally each
+    # round): everything else follows in registration order; the
+    # wt_* r01 refresh block moved to r05 to make window room for the
+    # five r04s3 governance queries.
 ]
 
 
@@ -147,3 +148,4 @@ def load_all() -> None:
     import dbt_project_spark.queries_temporal  # noqa: F401
     import dbt_project_spark.queries_quality  # noqa: F401
     import dbt_project_spark.queries_retrieval  # noqa: F401
+    import dbt_project_spark.queries_governance  # noqa: F401

@@ -1,0 +1,571 @@
+"""Governance / feature-engineering family (round 4, session 3):
+the checks and derived signals a warehouse team runs AROUND the
+analytics — a dbt-style data-quality audit (the "Dbt-project" in the
+reference's name ships schema tests; reference: Dbt-project README /
+models' schema.yml pattern), credit-scoring WOE/IV feature binning,
+a seasonal-naive forecast backtest, frequent event-sequence mining,
+and a mergeable bottom-k quantile sample rollup.
+
+Float determinism follows the repo conventions: money as ×100
+BIGINT fixed-point, irrational (ln / ratio) terms computed as ONE
+double expression scaled to ×1e9 BIGINT and summed in integer space,
+final division ROUNDed at 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.sources import load_table
+
+_V100 = "CAST(round(value * 100, 0) AS BIGINT)"
+
+# ---------------------------------------------------------------------------
+# dq_audit — dbt-style expectation suite as one auditable result set
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("view", "click", "purchase", "error", "signup")
+_ORDER_STATUSES = ("O", "F", "P")
+
+
+@register(
+    "dq_audit",
+    oracle=f"""
+    WITH o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+                      CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                                      OR o_orderstatus IS NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS status_viol,
+                      CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS price_viol
+               FROM orders),
+    ri AS (SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+           FROM orders WHERE o_custkey NOT IN
+                (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)),
+    l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                                 OR l_quantity > 50
+                               THEN 1 ELSE 0 END) AS BIGINT) AS qty_viol
+          FROM lineitem),
+    e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN event_type NOT IN
+                               ('view','click','purchase','error','signup')
+                                 OR event_type IS NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS type_viol,
+                 CAST(SUM(CASE WHEN value IS NULL OR value < 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS value_viol,
+                 CAST(SUM(CASE WHEN user_id IS NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS user_viol
+          FROM events),
+    d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS text_viol
+          FROM documents)
+    SELECT check_name, tbl, rows_checked, violations,
+           violations = 0 AS passed
+    FROM (
+      SELECT 'orders_orderkey_unique' AS check_name, 'orders' AS tbl,
+             n AS rows_checked, n - n_keys AS violations FROM o
+      UNION ALL
+      SELECT 'orders_custkey_ri_customer', 'orders', o.n, ri.orphans
+      FROM o, ri
+      UNION ALL
+      SELECT 'orders_status_accepted', 'orders', n, status_viol FROM o
+      UNION ALL
+      SELECT 'orders_totalprice_positive', 'orders', n, price_viol FROM o
+      UNION ALL
+      SELECT 'lineitem_quantity_range', 'lineitem', n, qty_viol FROM l
+      UNION ALL
+      SELECT 'events_type_accepted', 'events', n, type_viol FROM e
+      UNION ALL
+      SELECT 'events_value_nonnegative', 'events', n, value_viol FROM e
+      UNION ALL
+      SELECT 'events_user_not_null', 'events', n, user_viol FROM e
+      UNION ALL
+      SELECT 'documents_text_nonempty', 'documents', n, text_viol FROM d
+    ) checks
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style data-quality expectation suite over four tables:
+    uniqueness (orders.o_orderkey), referential integrity
+    (orders.o_custkey → customer), accepted-values (order status /
+    event type), range (l_quantity ∈ [1,50], value ≥ 0,
+    o_totalprice > 0), not-null (user_id), and non-empty text —
+    one auditable row per check with violation counts. This is the
+    reference's dbt schema-test surface re-expressed as a single
+    result set the warehouse can alert on per ingest batch.
+
+    Scale shape: ONE conditional-aggregate pass per table (map-side
+    combined — no per-check rescans), plus the RI check's left-anti
+    join on the key (shuffle hash join; at 100 TB neither side is
+    broadcastable and anti-join is the only shape that doesn't
+    materialize matches). The check rows themselves are 1-row
+    aggregates unioned driver-light.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin(*_ORDER_STATUSES)
+                | F.col("o_orderstatus").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("status_viol"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            ).otherwise(0)
+        ).alias("price_viol"),
+    )
+    ri = (
+        orders.join(
+            customer.select(F.col("c_custkey")).where(
+                F.col("c_custkey").isNotNull()
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    l = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            ).otherwise(0)
+        ).alias("qty_viol"),
+    )
+    e = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(*_EVENT_TYPES)
+                | F.col("event_type").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("type_viol"),
+        F.sum(
+            F.when(F.col("value").isNull() | (F.col("value") < 0), 1).otherwise(0)
+        ).alias("value_viol"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+            "user_viol"
+        ),
+    )
+    d = documents.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(
+                0
+            )
+        ).alias("text_viol"),
+    )
+
+    def row(src: DataFrame, check: str, tbl: str, viol):
+        return src.select(
+            F.lit(check).alias("check_name"),
+            F.lit(tbl).alias("tbl"),
+            F.col("n").cast("bigint").alias("rows_checked"),
+            viol.cast("bigint").alias("violations"),
+        )
+
+    checks = (
+        row(o, "orders_orderkey_unique", "orders", F.col("n") - F.col("n_keys"))
+        .unionByName(
+            row(
+                o.crossJoin(ri),
+                "orders_custkey_ri_customer",
+                "orders",
+                F.col("orphans"),
+            )
+        )
+        .unionByName(row(o, "orders_status_accepted", "orders", F.col("status_viol")))
+        .unionByName(
+            row(o, "orders_totalprice_positive", "orders", F.col("price_viol"))
+        )
+        .unionByName(row(l, "lineitem_quantity_range", "lineitem", F.col("qty_viol")))
+        .unionByName(row(e, "events_type_accepted", "events", F.col("type_viol")))
+        .unionByName(
+            row(e, "events_value_nonnegative", "events", F.col("value_viol"))
+        )
+        .unionByName(row(e, "events_user_not_null", "events", F.col("user_viol")))
+        .unionByName(
+            row(d, "documents_text_nonempty", "documents", F.col("text_viol"))
+        )
+    )
+    return checks.withColumn("passed", F.col("violations") == 0)
+
+
+# ---------------------------------------------------------------------------
+# woe_iv_value — WOE / Information Value feature binning
+# ---------------------------------------------------------------------------
+
+WOE_BUCKET = 5_000  # $50 fixed-width value buckets (same as PSI)
+
+
+@register(
+    "woe_iv_value",
+    oracle=f"""
+    WITH e AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+                      {_V100} // {WOE_BUCKET} AS bkt
+               FROM events),
+    c AS (SELECT bkt, CAST(SUM(conv) AS BIGINT) AS g,
+                 CAST(SUM(1 - conv) AS BIGINT) AS b
+          FROM e GROUP BY bkt),
+    t AS (SELECT CAST(SUM(g) AS BIGINT) AS gt, CAST(SUM(b) AS BIGINT) AS bt
+          FROM c),
+    terms AS (
+      SELECT c.bkt, c.g, c.b,
+             CAST(round(ln((c.g * 1.0 / t.gt) / (c.b * 1.0 / t.bt))
+                        * 1000000000) AS BIGINT) AS woe9,
+             CAST(round(((c.g * 1.0 / t.gt) - (c.b * 1.0 / t.bt))
+                        * ln((c.g * 1.0 / t.gt) / (c.b * 1.0 / t.bt))
+                        * 1000000000) AS BIGINT) AS term9
+      FROM c, t WHERE c.g > 0 AND c.b > 0)
+    SELECT bkt, g AS n_conv, b AS n_nonconv,
+           CAST(CASE WHEN woe9 < 0 THEN -(abs(woe9) // 1000)
+                     ELSE woe9 // 1000 END AS BIGINT) AS woe_micro,
+           CAST(SUM(term9) OVER () // 1000 AS BIGINT) AS iv_micro
+    FROM terms
+    """,
+)
+def woe_iv_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information Value of the value column
+    against purchase conversion (the credit-scoring feature-binning
+    classic): per $50 bucket, WOE = ln(share-of-converters /
+    share-of-non-converters); IV = Σ (g−b)·WOE quantifies the
+    feature's predictive power. Buckets with a zero class are skipped
+    (standard practice — WOE is undefined there).
+
+    Scale shape: one events pass → bucket aggregate (map-side
+    combined, bucket-count-sized shuffle); totals as a 1-row
+    broadcast; WOE/IV terms follow the ×1e9 integer-fixed-point sum
+    convention (see module docstring) so the statistic is bit-stable
+    across engines and partitionings. The IV window runs over the
+    bucket table (≤ value-domain/50 rows), not events.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+        F.expr(f"{_V100} div {WOE_BUCKET}").alias("bkt"),
+    )
+    c = e.groupBy("bkt").agg(
+        F.sum("conv").cast("bigint").alias("g"),
+        F.sum(F.lit(1) - F.col("conv")).cast("bigint").alias("b"),
+    )
+    t = c.agg(
+        F.sum("g").cast("bigint").alias("gt"),
+        F.sum("b").cast("bigint").alias("bt"),
+    )
+    terms = (
+        c.crossJoin(F.broadcast(t))
+        .where((F.col("g") > 0) & (F.col("b") > 0))
+        .select(
+            "bkt",
+            "g",
+            "b",
+            # CAST AS DOUBLE, not `* 1.0`: Spark parses bare decimal
+            # literals as DECIMAL and the decimal division truncates at
+            # ~1e-7 (measured — same pitfall benford_first_digit hit).
+            F.expr(
+                "CAST(round(ln((CAST(g AS DOUBLE) / gt)"
+                " / (CAST(b AS DOUBLE) / bt))"
+                " * 1000000000) AS BIGINT)"
+            ).alias("woe9"),
+            F.expr(
+                "CAST(round(((CAST(g AS DOUBLE) / gt)"
+                " - (CAST(b AS DOUBLE) / bt))"
+                " * ln((CAST(g AS DOUBLE) / gt)"
+                " / (CAST(b AS DOUBLE) / bt))"
+                " * 1000000000) AS BIGINT)"
+            ).alias("term9"),
+        )
+    )
+    w = Window.partitionBy()
+    # Truncating micro-unit output (woe9//1000 via an abs/sign split so
+    # Spark's toward-zero div and DuckDB's flooring // agree on negative
+    # WOE): a measured ROUND(.,6) half-boundary mismatch — same failure
+    # mode benford_first_digit hit — pushed this family onto the repo's
+    # truncation convention. IV terms are ≥0, so plain div suffices.
+    return terms.select(
+        "bkt",
+        F.col("g").alias("n_conv"),
+        F.col("b").alias("n_nonconv"),
+        F.expr(
+            "CAST(CASE WHEN woe9 < 0 THEN -(abs(woe9) div 1000)"
+            " ELSE woe9 div 1000 END AS BIGINT)"
+        ).alias("woe_micro"),
+        F.sum("term9").over(w).cast("bigint").alias("__iv9"),
+    ).select(
+        "bkt",
+        "n_conv",
+        "n_nonconv",
+        "woe_micro",
+        F.expr("CAST(__iv9 div 1000 AS BIGINT)").alias("iv_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# seasonal_naive_forecast — 7-day seasonal-naive backtest
+# ---------------------------------------------------------------------------
+
+SEASON_LAG_DAYS = 7
+
+
+@register(
+    "seasonal_naive_forecast",
+    oracle=f"""
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                          CAST(SUM({_V100}) AS BIGINT) AS tot
+                   FROM events GROUP BY 1, 2),
+    j AS (SELECT a.event_type, a.tot AS actual, b.tot AS fc
+          FROM daily a JOIN daily b
+            ON b.event_type = a.event_type
+           AND b.d = a.d - {SEASON_LAG_DAYS}),
+    terms AS (SELECT event_type, actual, fc,
+                     CAST(round(2000000000.0 * abs(actual - fc)
+                                / (actual + fc)) AS BIGINT) AS smape9
+              FROM j WHERE actual + fc > 0)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs(actual - fc)) AS BIGINT) AS mae_cents,
+           CAST(SUM(actual - fc) AS BIGINT) AS bias_cents,
+           ROUND((SUM(smape9) * 1.0 / COUNT(*)) / 1000000000.0, 6) AS smape
+    FROM terms GROUP BY event_type
+    """,
+)
+def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    revenue as the value exactly 7 days earlier (the baseline every
+    real forecasting system must beat), then score MAE, bias, and
+    sMAPE over the days where the lag exists. Joining on calendar
+    arithmetic (d−7), not LAG(7 rows), keeps the semantics correct on
+    sparse series — a missing day yields no forecast rather than a
+    silently shifted one.
+
+    Scale shape: events collapse to a (type × day) aggregate FIRST
+    (map-side combined), so the self-join and scoring run on a
+    days-sized table regardless of event volume. Daily totals are
+    exact ×100 BIGINTs; each sMAPE term is one double expression
+    ×2e9 → BIGINT, summed in integer space (module convention).
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        )
+        .agg(F.sum(F.expr(_V100)).cast("bigint").alias("tot"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    j = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") == F.date_sub(F.col("a.d"), SEASON_LAG_DAYS)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.tot").alias("actual"),
+        F.col("b.tot").alias("fc"),
+    )
+    terms = j.where(F.col("actual") + F.col("fc") > 0).withColumn(
+        "smape9",
+        # CAST AS DOUBLE: a bare 2000000000.0 literal would be DECIMAL
+        # in Spark SQL and silently change the division's precision.
+        F.expr(
+            "CAST(round(CAST(2000000000 AS DOUBLE) * abs(actual - fc)"
+            " / (actual + fc)) AS BIGINT)"
+        ),
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.abs(F.col("actual") - F.col("fc")))
+        .cast("bigint")
+        .alias("mae_cents"),
+        F.sum(F.col("actual") - F.col("fc")).cast("bigint").alias("bias_cents"),
+        F.round(
+            (F.sum("smape9") * F.lit(1.0) / F.count(F.lit(1)))
+            / 1000000000.0,
+            6,
+        ).alias("smape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# seq_trigram_support — frequent event-sequence (trigram) mining
+# ---------------------------------------------------------------------------
+
+SEQ_TOP_K = 20
+
+_OKEY_SPARK = (
+    "concat(date_format(ts, 'yyyyMMddHHmmssSSS'), '000',"
+    " lpad(cast(event_id as string), 12, '0'))"
+)
+_OKEY_DUCK = (
+    "strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H%M%S%f')"
+    " || lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+
+@register(
+    "seq_trigram_support",
+    oracle=f"""
+    WITH e AS (SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                      event_type, {_OKEY_DUCK} AS okey
+               FROM events),
+    g AS (SELECT event_type AS t1,
+                 lead(event_type, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS t3
+          FROM e WINDOW w AS (PARTITION BY user_id, day ORDER BY okey)),
+    tri AS (SELECT t1 || '>' || t2 || '>' || t3 AS trigram
+            FROM g WHERE t3 IS NOT NULL)
+    SELECT trigram, CAST(COUNT(*) AS BIGINT) AS support
+    FROM tri GROUP BY trigram
+    ORDER BY support DESC, trigram
+    LIMIT {SEQ_TOP_K}
+    """,
+)
+def seq_trigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavioral sequences: the top-{K} most common
+    3-event-type subsequences within per-(user, day) ordered paths —
+    the first iteration of sequential-pattern mining (PrefixSpan-
+    style support counting restricted to contiguous trigrams, which
+    is what funnels/recommenders actually consume). Trigrams never
+    span a day boundary (same rule both engines).
+
+    Scale shape: the lead() windows ride ONE (user, day)
+    partitioning (same exchange as the journey/sessionization
+    family); the trigram alphabet is |types|³ ≤ 125, so the support
+    aggregate is map-side combined into a tiny table and top-k is a
+    TakeOrderedAndProject (no global sort of data rows). Deterministic
+    tie-break: (support DESC, trigram ASC).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.expr(_OKEY_SPARK).alias("okey"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("okey")
+    g = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    tri = g.where(F.col("t3").isNotNull()).select(
+        F.concat_ws(">", "t1", "t2", "t3").alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .orderBy(F.desc("support"), F.asc("trigram"))
+        .limit(SEQ_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantile_sketch_rollup — mergeable bottom-k quantile sample
+# ---------------------------------------------------------------------------
+
+QSK_K = 1024  # bottom-k sample size (rank se at p50 ≈ 1.6%)
+QSK_SALTS = 16
+
+
+@register(
+    "quantile_sketch_rollup",
+    oracle=f"""
+    WITH s AS (SELECT {_V100} AS v100
+               FROM events
+               ORDER BY md5('qsk|' || CAST(event_id AS VARCHAR)), event_id
+               LIMIT {QSK_K}),
+    est AS (SELECT CAST(COUNT(*) AS BIGINT) AS sample_k,
+                   ROUND(quantile_cont(v100, 0.5) / 100.0, 6) AS est_p50,
+                   ROUND(quantile_cont(v100, 0.9) / 100.0, 6) AS est_p90
+            FROM s)
+    SELECT sample_k, est_p50, est_p90,
+           TRUE AS p50_in_rank_tol, TRUE AS p90_in_rank_tol
+    FROM est
+    """,
+)
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sample columns, the percentile twin of
+    hll_sketch_rollup: each day keeps the K events with the smallest
+    md5(event_id) — a deterministic uniform sample that MERGES by
+    'bottom-k of the union of bottom-ks' (every global bottom-k
+    element is in its own day's bottom-k, so the month sample equals
+    the global bottom-k with no second pass over raw events). Month
+    p50/p90 estimates come from the merged sample and are gated in
+    RANK space (must land inside exact p45..p55 / p86..p94 — ±5%/±4%
+    rank windows ≈ 3σ at K={QSK_K}; the sample is hash-deterministic,
+    so the gate is stable per dataset, not a per-run coin flip).
+
+    Scale shape: per-day bottom-k via two-phase windows — (day, salt)
+    partial bottom-k bounds every sort to a partition shard, then the
+    day-level pass sorts ≤ SALTS·K survivors, and the month merge
+    sorts ≤ days·K rows (sketch-sized, not data-sized). The estimate
+    itself hash-gates exactly: both engines interpolate the same
+    integer multiset. Oracle emits literal TRUE for the rank gates
+    (drift flips the boolean and fails the value hash), matching the
+    hll/approx sketch-entry convention.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.expr(_V100).alias("v100"),
+        # 'qsk|' salt: the synthetic generator derives `value` from a
+        # hash of event_id, so UNSALTED md5(event_id) correlates with
+        # value (measured: sample p50 at true rank 0.447, a 3.4σ bias).
+        # Salting re-keys the sample independently of the generator.
+        F.md5(F.concat(F.lit("qsk|"), F.col("event_id").cast("string"))).alias(
+            "h"
+        ),
+        F.pmod(F.col("event_id"), F.lit(QSK_SALTS)).alias("salt"),
+    )
+    w1 = Window.partitionBy("day", "salt").orderBy("h", "event_id")
+    w2 = Window.partitionBy("day").orderBy("h", "event_id")
+    w3 = Window.partitionBy().orderBy("h", "event_id")
+    daily = (
+        ev.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= QSK_K)
+        .withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") <= QSK_K)
+    )
+    sample = daily.withColumn("rn3", F.row_number().over(w3)).where(
+        F.col("rn3") <= QSK_K
+    )
+    est = sample.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sample_k"),
+        F.round(F.expr("percentile(v100, 0.5)") / 100.0, 6).alias("est_p50"),
+        F.round(F.expr("percentile(v100, 0.9)") / 100.0, 6).alias("est_p90"),
+        F.expr("percentile(v100, 0.5)").alias("__a50"),
+        F.expr("percentile(v100, 0.9)").alias("__a90"),
+    )
+    exact = load_table(spark, sf_dir, "events").agg(
+        F.expr(f"percentile({_V100}, 0.45)").alias("__lo50"),
+        F.expr(f"percentile({_V100}, 0.55)").alias("__hi50"),
+        F.expr(f"percentile({_V100}, 0.86)").alias("__lo90"),
+        F.expr(f"percentile({_V100}, 0.94)").alias("__hi90"),
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "sample_k",
+        "est_p50",
+        "est_p90",
+        (
+            (F.col("__a50") >= F.col("__lo50"))
+            & (F.col("__a50") <= F.col("__hi50"))
+        ).alias("p50_in_rank_tol"),
+        (
+            (F.col("__a90") >= F.col("__lo90"))
+            & (F.col("__a90") <= F.col("__hi90"))
+        ).alias("p90_in_rank_tol"),
+    )

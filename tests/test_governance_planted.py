@@ -1,0 +1,205 @@
+"""Planted-semantics tests for the governance family (r4s3): tiny
+synthetic tables where every output has a KNOWN closed-form answer —
+planted violations for each dq_audit check, symmetric classes → zero
+WOE/IV, constant series → zero forecast error, known paths → known
+trigram supports, sample ⊇ data → sketch estimate equals exact. These
+pin MEANING; the oracle gate pins cross-engine agreement."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+DAY = 86400
+T0 = 1_700_000_000 - (1_700_000_000 % DAY)  # midnight anchor
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts_epoch_s, user_id, event_type, value)"""
+    df = spark.createDataFrame(
+        [
+            (int(e), float(ts), None if u is None else int(u), t, float(v), "{}")
+            for e, ts, u, t, v in rows
+        ],
+        "event_id bigint, __ep double, user_id bigint, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("__ep")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+
+def _write(spark, path, name, data, schema):
+    spark.createDataFrame(data, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(path / f"{name}.parquet"))
+
+
+def test_dq_audit_planted_violations(spark, tmp_path):
+    from dbt_project_spark.queries_governance import dq_audit
+
+    # orders: dup key (1,1), orphan custkey 99, bad status 'X',
+    # totalprice 0 → one violation per orders check
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        [
+            (1, 10, "O", 100.0),
+            (1, 10, "F", 50.0),
+            (2, 99, "X", 0.0),
+            (3, 11, "P", 25.0),
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double",
+    )
+    _write(spark, tmp_path, "customer", [(10,), (11,)], "c_custkey bigint")
+    _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        [(1, 1.0), (2, 99.0), (3, 50.0)],
+        "l_orderkey bigint, l_quantity double",
+    )
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (0, T0, 1, "view", 1.0),
+            (1, T0 + 1, 2, "teleport", 2.0),  # bad type
+            (2, T0 + 2, None, "click", -5.0),  # null user AND negative value
+        ],
+    )
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        [(0, "hello", "en", "s", 5), (1, "", "en", "s", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    got = {
+        r["check_name"]: (r["rows_checked"], r["violations"], r["passed"])
+        for r in dq_audit(spark, str(tmp_path)).collect()
+    }
+    assert got["orders_orderkey_unique"] == (4, 1, False)
+    assert got["orders_custkey_ri_customer"] == (4, 1, False)
+    assert got["orders_status_accepted"] == (4, 1, False)
+    assert got["orders_totalprice_positive"] == (4, 1, False)
+    assert got["lineitem_quantity_range"] == (3, 1, False)
+    assert got["events_type_accepted"] == (3, 1, False)
+    assert got["events_value_nonnegative"] == (3, 1, False)
+    assert got["events_user_not_null"] == (3, 1, False)
+    assert got["documents_text_nonempty"] == (2, 1, False)
+
+
+def test_woe_symmetric_classes_zero(spark, tmp_path):
+    from dbt_project_spark.queries_governance import woe_iv_value
+
+    # Equal class shares in the single populated bucket → WOE = ln(1) = 0
+    rows = [
+        (0, T0, 1, "purchase", 10.0),
+        (1, T0 + 1, 1, "purchase", 11.0),
+        (2, T0 + 2, 2, "view", 12.0),
+        (3, T0 + 3, 2, "view", 13.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = woe_iv_value(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_conv"], r["n_nonconv"]) == (2, 2)
+    assert r["woe_micro"] == 0
+    assert r["iv_micro"] == 0
+
+
+def test_woe_sign_tracks_conversion_enrichment(spark, tmp_path):
+    from dbt_project_spark.queries_governance import woe_iv_value
+
+    # Bucket 0 ($0-50): conversion-rich; bucket 1 ($50-100): conversion-poor
+    rows = (
+        [(i, T0 + i, 1, "purchase", 10.0) for i in range(3)]
+        + [(10, T0 + 10, 2, "view", 10.0)]
+        + [(20, T0 + 20, 3, "purchase", 60.0)]
+        + [(30 + i, T0 + 30 + i, 4, "view", 60.0) for i in range(3)]
+    )
+    _write_events(spark, tmp_path, rows)
+    out = {r["bkt"]: r for r in woe_iv_value(spark, str(tmp_path)).collect()}
+    assert out[0]["woe_micro"] > 0  # conversion-enriched bucket
+    assert out[1]["woe_micro"] < 0  # conversion-depleted bucket
+    assert out[0]["iv_micro"] == out[1]["iv_micro"] > 0  # shared total
+
+
+def test_seasonal_naive_constant_series_zero_error(spark, tmp_path):
+    from dbt_project_spark.queries_governance import (
+        SEASON_LAG_DAYS,
+        seasonal_naive_forecast,
+    )
+
+    n_days = 12
+    rows = [(d, T0 + d * DAY, 1, "view", 50.0) for d in range(n_days)]
+    _write_events(spark, tmp_path, rows)
+    out = seasonal_naive_forecast(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == n_days - SEASON_LAG_DAYS
+    assert r["mae_cents"] == 0
+    assert r["bias_cents"] == 0
+    assert r["smape"] == 0.0
+
+
+def test_seasonal_naive_calendar_join_skips_gap_days(spark, tmp_path):
+    from dbt_project_spark.queries_governance import seasonal_naive_forecast
+
+    # 14 days, day 9 missing: day 9 has no actual, day 16 would need
+    # day 9 — a LAG(7 rows) would silently misalign; the calendar join
+    # must drop exactly the days whose d−7 is absent.
+    days = [d for d in range(14) if d != 9]
+    rows = [(d, T0 + d * DAY, 1, "view", 100.0 + d) for d in days]
+    _write_events(spark, tmp_path, rows)
+    r = seasonal_naive_forecast(spark, str(tmp_path)).collect()[0]
+    # backtest days: d in 7..13 with both d and d-7 present → 7,8,10,11,12,13
+    assert r["n_days"] == 6
+    # actual − forecast = (100+d) − (100+d−7) = 7 per day, ×100 cents
+    assert r["bias_cents"] == 6 * 700
+    assert r["mae_cents"] == 6 * 700
+
+
+def test_seq_trigram_counts_and_day_boundary(spark, tmp_path):
+    from dbt_project_spark.queries_governance import seq_trigram_support
+
+    # Two users run view>click>purchase>error on day 0; one event at
+    # day 1 would only extend a trigram ACROSS midnight → excluded.
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for i, t in enumerate(["view", "click", "purchase", "error"]):
+            rows.append((eid, T0 + u * 100 + i, u, t, 1.0))
+            eid += 1
+    rows.append((eid, T0 + DAY + 1, 1, "signup", 1.0))  # next day
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["trigram"]: r["support"]
+        for r in seq_trigram_support(spark, str(tmp_path)).collect()
+    }
+    assert got == {"view>click>purchase": 2, "click>purchase>error": 2}
+
+
+def test_quantile_sketch_small_corpus_equals_exact(spark, tmp_path):
+    from dbt_project_spark.queries_governance import quantile_sketch_rollup
+
+    # 100 events over 3 days, values 1..100 → n < K so the merged
+    # sample IS the corpus: estimates equal exact interpolated
+    # percentiles and the rank gates must hold.
+    rows = [
+        (i, T0 + (i % 3) * DAY + i, 1 + i % 5, "view", float(i + 1))
+        for i in range(100)
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = quantile_sketch_rollup(spark, str(tmp_path)).collect()[0]
+    assert r["sample_k"] == 100
+    assert r["est_p50"] == pytest.approx(50.5)  # percentile(v, .5) of 1..100
+    assert r["est_p90"] == pytest.approx(90.1)
+    assert r["p50_in_rank_tol"] and r["p90_in_rank_tol"]
