@@ -98,6 +98,12 @@ HEADLINE = [
     "bigram_lm_quality",
     "rolling_distinct_users_7d",
     "gini_user_value",
+    # round 4, session 3: governance / graph / eval additions
+    "dq_audit",
+    "quantile_sketch_rollup",
+    "sssp_weighted_trade",
+    "markov_next_event_backtest",
+    "incremental_rollup_merge",
 ]
 
 # The 10 most expensive headline queries per BENCH_r02, cheapest first

@@ -57,6 +57,10 @@ PRIORITY: list[str] = [
     "seasonal_naive_forecast",
     "seq_trigram_support",
     "quantile_sketch_rollup",
+    "sssp_weighted_trade",
+    "markov_next_event_backtest",
+    "join_size_sample_estimate",
+    "incremental_rollup_merge",
     "bm25_topk",
     "tfidf_top_terms",
     "rrf_hybrid_topk",
@@ -103,14 +107,10 @@ PRIORITY: list[str] = [
     # remaining window slots for a refresh (r03 refreshed the dedup/
     # ann/text_tokens block; this round refreshes wt_*/text_*/tpch) ---
     "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_chunking",
-    "corpus_sample_stratified",
     # Overflow (driver-green r01–r03, all re-verified locally each
     # round): everything else follows in registration order; the
-    # wt_* r01 refresh block moved to r05 to make window room for the
-    # five r04s3 governance queries.
+    # wt_*/text_* r01 refresh block moved to r05 to make window room
+    # for the nine r04s3 governance/graph/eval queries.
 ]
 
 

@@ -311,3 +311,69 @@ def kcore(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
         .filter(F.col("core_deg") >= k)
     )
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    iters: int = 8,
+    source: DataFrame | None = None,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Unrolled hop-bounded Bellman-Ford over a weighted directed edge
+    list (src, dst, cost): returns (node, cost) — the cheapest total
+    cost from ``source`` (default: minimum node id) reachable within
+    ``iters`` edges. Costs must be non-negative integers.
+
+    Like ``bfs_hops`` the round count is FIXED and unrolled (mirrors
+    an unrolled SQL CTE chain; no data-dependent convergence test).
+    With iters ≥ longest shortest-path edge count this is exact SSSP;
+    below that it is the hop-bounded variant (a max-hops constraint —
+    itself a common production semantics). Per round: join the
+    nodes-sized distance table onto the edges (edges never move),
+    relax, union, min-aggregate (map-side combinable). Broadcast /
+    persist / checkpoint discipline is identical to ``bfs_hops``:
+    dist is referenced twice per round, so each round persists,
+    materializes, drops the previous cache, and localCheckpoints
+    every ``_BFS_CHECKPOINT_EVERY`` rounds.
+    """
+    from dbt_project_spark.caching import persist_tracked
+
+    edges = persist_tracked(edges.select("src", "dst", "cost"))
+    n_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .count()
+    )
+    small_graph = n_nodes <= broadcast_threshold
+
+    def _dist_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_graph else df
+
+    if source is None:
+        source = (
+            edges.select(F.col("src").alias("node"))
+            .unionAll(edges.select(F.col("dst").alias("node")))
+            .agg(F.min("node").alias("node"))
+        )
+    dist = source.select("node", F.lit(0).cast("bigint").alias("cost"))
+    prev: DataFrame | None = None
+    for i in range(iters):
+        nxt = edges.join(
+            _dist_side(dist), edges.src == dist.node
+        ).select(
+            F.col("dst").alias("node"),
+            (dist["cost"] + edges["cost"]).alias("cost"),
+        )
+        new = (
+            dist.unionAll(nxt).groupBy("node").agg(F.min("cost").alias("cost"))
+        )
+        if (i + 1) % _BFS_CHECKPOINT_EVERY == 0:
+            new = new.localCheckpoint(eager=False)
+        new = persist_tracked(new)
+        new.count()  # materialize before the next round's double ref
+        if prev is not None:
+            prev.unpersist()
+        prev = new
+        dist = new
+    return dist

@@ -569,3 +569,185 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("__a90") <= F.col("__hi90"))
         ).alias("p90_in_rank_tol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_size_sample_estimate — optimizer-style join cardinality estimation
+# ---------------------------------------------------------------------------
+
+JSE_K = 512  # key-domain sample size
+
+
+@register(
+    "join_size_sample_estimate",
+    oracle=f"""
+    WITH fo AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+                FROM orders GROUP BY 1),
+    fe AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS f
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    dom AS (SELECT DISTINCT k FROM (SELECT k FROM fo UNION ALL SELECT k FROM fe)),
+    d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM dom),
+    samp AS (SELECT k FROM dom
+             ORDER BY md5('jse|' || CAST(k AS VARCHAR)), k
+             LIMIT {JSE_K}),
+    exact AS (SELECT CAST(COALESCE(SUM(fo.f * fe.f), 0) AS BIGINT) AS exact_rows
+              FROM fo JOIN fe ON fe.k = fo.k),
+    est AS (SELECT CAST(COUNT(*) AS BIGINT) AS sample_k,
+                   CAST(COALESCE(SUM(fo.f * fe.f), 0) AS BIGINT) AS s
+            FROM samp LEFT JOIN fo ON fo.k = samp.k
+                      LEFT JOIN fe ON fe.k = samp.k)
+    SELECT exact.exact_rows,
+           CAST(est.s * d.n_keys // est.sample_k AS BIGINT) AS est_rows,
+           d.n_keys, est.sample_k,
+           abs(est.s * d.n_keys // est.sample_k - exact.exact_rows) * 10
+             <= exact.exact_rows * 3 AS within_30pct
+    FROM exact, est, d
+    """,
+)
+def join_size_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT running the join — the
+    optimizer-statistics primitive: |orders ⋈ events ON custkey =
+    user_id| = Σ_k f_orders(k)·f_events(k), estimated from a
+    deterministic bottom-k-by-salted-md5 sample of the joint KEY
+    domain, scaled by domain-size/sample-size. The exact count (for
+    the gate) also comes from the frequency vectors — a keys-sized
+    aggregate join, never the row-level join itself.
+
+    Scale shape: each side collapses to its per-key frequency vector
+    first (map-side combined); the domain, sample, and estimate are
+    all keys-sized. The bottom-k sort rides the same two-phase
+    pattern as quantile_sketch_rollup at scale (here the domain is
+    small enough for TakeOrdered). All arithmetic is exact BIGINT
+    (truncating div), so the estimate itself hash-gates cross-engine;
+    the ±30% boolean is decided in integer space (×10 vs ×3).
+    """
+    from dbt_project_spark.caching import persist_tracked
+
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    # The keys-sized frequency vectors feed THREE consumers each
+    # (domain, exact, estimate) — persist them so the base tables are
+    # scanned exactly once (measured: uncached, orders and events are
+    # each scanned twice).
+    fo = persist_tracked(
+        orders.groupBy(F.col("o_custkey").alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("f")
+        )
+    )
+    fe = persist_tracked(
+        events.where(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    dom = (
+        fo.select("k").unionAll(fe.select("k")).distinct()
+    )
+    d = dom.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    samp = (
+        dom.withColumn(
+            "h", F.md5(F.concat(F.lit("jse|"), F.col("k").cast("string")))
+        )
+        .orderBy("h", "k")
+        .limit(JSE_K)
+        .select("k")
+    )
+    exact = (
+        fo.join(fe, "k")
+        .agg(
+            F.coalesce(F.sum(fo.f * fe.f), F.lit(0))
+            .cast("bigint")
+            .alias("exact_rows")
+        )
+    )
+    est = (
+        samp.join(fo, "k", "left")
+        .withColumnRenamed("f", "fo_f")
+        .join(fe, "k", "left")
+        .withColumnRenamed("f", "fe_f")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sample_k"),
+            F.coalesce(F.sum(F.col("fo_f") * F.col("fe_f")), F.lit(0))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(d))
+        .select(
+            "exact_rows",
+            F.expr("CAST(s * n_keys div sample_k AS BIGINT)").alias("est_rows"),
+            "n_keys",
+            "sample_k",
+            F.expr(
+                "abs(s * n_keys div sample_k - exact_rows) * 10"
+                " <= exact_rows * 3"
+            ).alias("within_30pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental_rollup_merge — algebraic partial-aggregate maintenance
+# ---------------------------------------------------------------------------
+
+ROLLUP_INCR_DAYS = 5  # trailing days treated as the "new" batch
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle=f"""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({_V100}) AS BIGINT) AS total_cents
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id, event_type
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the per-(user,
+    type) count/sum rollup is 'materialized' from all events older
+    than the trailing {ROLLUP_INCR_DAYS}-day batch, then the batch's
+    PARTIAL aggregate is MERGED in (union + re-aggregate of two
+    rollup-sized tables) — the algebraic-MV/dbt-incremental update
+    path. The oracle is the full recompute: the gate asserts the
+    incremental result is indistinguishable from rebuilding, which is
+    the entire contract of incremental materialization.
+
+    Scale shape: count/sum are algebraic, so the merge never touches
+    base rows — the daily job aggregates ONLY the new batch (O(batch))
+    and combines with the stored rollup (O(groups)). The split point
+    is data-derived (max ts − {ROLLUP_INCR_DAYS} days), mirroring a
+    watermark-driven incremental model.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("ep"),
+            F.expr(_V100).alias("v100"),
+        )
+    )
+    cutoff = ev.agg(
+        (F.max("ep") - F.lit(ROLLUP_INCR_DAYS * 86400)).alias("cut")
+    )
+    ev = ev.crossJoin(F.broadcast(cutoff))
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v100").cast("bigint").alias("total_cents"),
+        )
+
+    base = rollup(ev.where(F.col("ep") < F.col("cut")))  # the "stored" MV
+    delta = rollup(ev.where(F.col("ep") >= F.col("cut")))  # the new batch
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("total_cents").cast("bigint").alias("total_cents"),
+        )
+    )

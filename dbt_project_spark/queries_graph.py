@@ -462,3 +462,113 @@ def item_cooc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim2_micro",
         )
     )
+
+
+# --- hop-bounded weighted shortest path over the trade graph (r4s3) ---
+
+SSSP_ITERS = 8  # max relaxation rounds (= max path edge count)
+# Edge cost: "thin trade pipes cost more" — 1 + BIG/volume as an exact
+# integer (floor div both engines). The +1 keeps every hop strictly
+# positive even if a pair's volume exceeds BIG.
+SSSP_COST_BIG = 1_000_000_000_000_000
+
+_TRADE_GRAPH_W_SQL = f"""
+    WITH w AS MATERIALIZED (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                      SUM({_W100}) AS w100
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               WHERE s.s_nationkey <> c.c_nationkey
+               GROUP BY 1, 2),
+    wedges AS MATERIALIZED (SELECT src, dst,
+                      CAST(1 + {SSSP_COST_BIG} // w100 AS BIGINT) AS cost
+               FROM (
+                SELECT src, dst, w100,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY w100 DESC, dst) AS rk
+                FROM w)
+              WHERE rk <= {PR_TOP_PARTNERS}),
+    wnodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM wedges
+                UNION ALL SELECT dst FROM wedges))"""
+
+
+def _trade_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, cost) trade edges — the weighted twin of
+    ``_trade_edges`` (same volume ranking, same top-partner cap)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    w = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.sum(F.expr(_W100)).alias("w100"))
+    )
+    wk = Window.partitionBy("src").orderBy(F.desc("w100"), F.asc("dst"))
+    return (
+        w.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= PR_TOP_PARTNERS)
+        .select(
+            "src",
+            "dst",
+            F.expr(f"CAST(1 + {SSSP_COST_BIG} div w100 AS BIGINT)").alias(
+                "cost"
+            ),
+        )
+    )
+
+
+def _sssp_oracle() -> str:
+    """Unrolled Bellman-Ford CTE chain (see sssp_weighted_trade)."""
+    parts = [
+        _TRADE_GRAPH_W_SQL,
+        """,
+    wsrc0 AS (SELECT MIN(node) AS s FROM wnodes),
+    wd0 AS (SELECT (SELECT s FROM wsrc0) AS node, CAST(0 AS BIGINT) AS cost)""",
+    ]
+    for i in range(1, SSSP_ITERS + 1):
+        parts.append(f""",
+    wd{i} AS (SELECT node, MIN(cost) AS cost FROM (
+        SELECT node, cost FROM wd{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.cost + e.cost AS cost
+        FROM wd{i - 1} d JOIN wedges e ON e.src = d.node) GROUP BY node)""")
+    parts.append(f"""
+    SELECT node AS nationkey, CAST(cost AS BIGINT) AS cost FROM wd{SSSP_ITERS}
+    """)
+    return "".join(parts)
+
+
+@register("sssp_weighted_trade", oracle=_sssp_oracle())
+def sssp_weighted_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest trade route from the minimum nation to every nation
+    reachable within ``SSSP_ITERS`` hops, where an edge's cost is the
+    inverse of its traded volume (thin pipes cost more) — weighted
+    shortest path, the fourth graph primitive next to PageRank, CC,
+    and BFS. Fixed unrolled relaxation rounds ≡ the oracle's CTE
+    chain; with iters ≥ the longest shortest-path edge count this is
+    exact Bellman-Ford, and the hop bound itself is a common
+    production constraint (max-legs routing).
+
+    Scale shape (operators/graph.py:weighted_sssp): edges never move;
+    each round joins the nodes-sized distance table (broadcast under
+    the threshold) onto the edges, relaxes, and min-aggregates with
+    map-side combine; per-round persist + periodic localCheckpoint
+    bound lineage exactly like bfs_hops.
+    """
+    from dbt_project_spark.operators.graph import weighted_sssp
+
+    dist = weighted_sssp(
+        _trade_edges_weighted(spark, sf_dir), iters=SSSP_ITERS
+    )
+    return dist.select(
+        F.col("node").alias("nationkey"),
+        F.col("cost").cast("bigint").alias("cost"),
+    )

@@ -632,3 +632,101 @@ def cohort_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev100") / 100.0).alias("revenue"),
         F.round(F.col("rev100") * 1.0 / F.col("base100"), 6).alias("ndr"),
     )
+
+
+# --- Markov next-event prediction backtest (r4s3) ---
+
+
+@register(
+    "markov_next_event_backtest",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, event_id, {_EP} AS ep
+               FROM events),
+    mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS m FROM e),
+    p AS (SELECT event_type AS from_type,
+                 lead(event_type) OVER w AS to_type,
+                 ep
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+    train AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM p
+              WHERE to_type IS NOT NULL AND ep < (SELECT m FROM mid)
+              GROUP BY 1, 2),
+    pred AS (SELECT from_type, to_type AS predicted_next FROM (
+               SELECT from_type, to_type,
+                      ROW_NUMBER() OVER (PARTITION BY from_type
+                                         ORDER BY n DESC, to_type) AS rk
+               FROM train)
+             WHERE rk = 1),
+    test AS (SELECT from_type, to_type
+             FROM p
+             WHERE to_type IS NOT NULL AND ep >= (SELECT m FROM mid))
+    SELECT t.from_type, pr.predicted_next,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.to_type = pr.predicted_next
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN t.to_type = pr.predicted_next
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+               AS acc_micro
+    FROM test t JOIN pred pr ON pr.from_type = t.from_type
+    GROUP BY 1, 2
+    """,
+)
+def markov_next_event_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction backtest: train the first-order Markov
+    predictor (per current type, the most frequent next type) on the
+    FIRST half of the time range, score top-1 accuracy on the second
+    half — the time-split evaluation protocol every production
+    sequence model uses, run on the simplest possible model. A
+    transition pair belongs to a split by its LEADING event's
+    timestamp (boundary-crossing pairs train, both engines). Ties in
+    the argmax break to the lexicographically smallest type.
+
+    Scale shape: ONE user-partitioned lead() pass produces all pairs
+    (the event_transitions exchange); train/test are conditional
+    aggregates over the ≤|types|² pair grid; the predictor is a
+    types-sized broadcast join. Accuracy is exact integer micro-units
+    (count·1e6 div n — truncating division both engines).
+    """
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(
+        F.expr("(min(epoch) + max(epoch)) div 2").cast("bigint").alias("m")
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    p = (
+        ev.select("user_id", "event_type", "epoch", "event_id")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .crossJoin(F.broadcast(mid))
+    )
+    train = (
+        p.filter(F.col("epoch") < F.col("m"))
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wk = Window.partitionBy("from_type").orderBy(F.desc("n"), F.asc("to_type"))
+    pred = (
+        train.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("from_type", F.col("to_type").alias("predicted_next"))
+    )
+    test = p.filter(F.col("epoch") >= F.col("m")).select(
+        F.col("event_type").alias("from_type"), "to_type"
+    )
+    return (
+        test.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "predicted_next")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("to_type") == F.col("predicted_next"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .withColumn(
+            "acc_micro",
+            F.expr("CAST(n_correct * 1000000 div n_test AS BIGINT)"),
+        )
+    )

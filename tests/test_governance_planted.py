@@ -203,3 +203,109 @@ def test_quantile_sketch_small_corpus_equals_exact(spark, tmp_path):
     assert r["est_p50"] == pytest.approx(50.5)  # percentile(v, .5) of 1..100
     assert r["est_p90"] == pytest.approx(90.1)
     assert r["p50_in_rank_tol"] and r["p90_in_rank_tol"]
+
+
+def test_weighted_sssp_prefers_cheap_two_hop(spark):
+    from dbt_project_spark.operators.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 10), (1, 3, 100), (5, 6, 1)],
+        "src bigint, dst bigint, cost bigint",
+    )
+    got = {r["node"]: r["cost"] for r in weighted_sssp(edges, iters=4).collect()}
+    # source = min node (1); node 3 via the cheap 2-hop path; 5→6
+    # component unreachable from 1 → absent (5 itself only as source-side)
+    assert got[1] == 0
+    assert got[2] == 10
+    assert got[3] == 20
+    assert 6 not in got and 5 not in got
+
+
+def test_weighted_sssp_hop_bound_semantics(spark):
+    from dbt_project_spark.operators.graph import weighted_sssp
+
+    # chain 1→2→3→4, cheap; direct 1→4 expensive. iters=1 can only
+    # reach node 2 (and the expensive direct edge); iters=3 finds the
+    # cheap chain.
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 50)],
+        "src bigint, dst bigint, cost bigint",
+    )
+    one = {r["node"]: r["cost"] for r in weighted_sssp(edges, iters=1).collect()}
+    assert one == {1: 0, 2: 1, 4: 50}
+    three = {r["node"]: r["cost"] for r in weighted_sssp(edges, iters=3).collect()}
+    assert three == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_markov_backtest_time_split_and_accuracy(spark, tmp_path):
+    from dbt_project_spark.queries_governance import _V100  # noqa: F401
+    from dbt_project_spark.queries_product import markov_next_event_backtest
+
+    # user 1 (epochs 0..9, all in the first half): alternating
+    # view/click → trains view→click and click→view.
+    rows = [
+        (i, T0 + i, 1, "view" if i % 2 == 0 else "click", 1.0)
+        for i in range(10)
+    ]
+    # user 2 (epochs 100000..): the test half — path view,view,click,view
+    for j, t in enumerate(["view", "view", "click", "view"]):
+        rows.append((100 + j, T0 + 100_000 + j, 2, t, 1.0))
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["from_type"]: r
+        for r in markov_next_event_backtest(spark, str(tmp_path)).collect()
+    }
+    # test pairs: view→view (wrong), view→click (right), click→view (right)
+    assert got["view"]["predicted_next"] == "click"
+    assert (got["view"]["n_test"], got["view"]["n_correct"]) == (2, 1)
+    assert got["view"]["acc_micro"] == 500000
+    assert got["click"]["predicted_next"] == "view"
+    assert got["click"]["acc_micro"] == 1000000
+
+
+def test_join_size_estimate_exact_when_sample_covers_domain(spark, tmp_path):
+    from dbt_project_spark.queries_governance import join_size_sample_estimate
+
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        [(1, 1, "O", 1.0), (2, 1, "O", 1.0), (3, 2, "O", 1.0)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double",
+    )
+    _write_events(
+        spark,
+        tmp_path,
+        [(0, T0, 1, "view", 1.0), (1, T0 + 1, 2, "view", 1.0), (2, T0 + 2, 2, "click", 1.0)],
+    )
+    r = join_size_sample_estimate(spark, str(tmp_path)).collect()[0]
+    # f_orders = {1:2, 2:1}; f_events = {1:1, 2:2} → exact = 2·1 + 1·2 = 4
+    assert r["exact_rows"] == 4
+    assert r["n_keys"] == 2 and r["sample_k"] == 2  # sample ⊇ domain
+    assert r["est_rows"] == 4  # scaling factor 1 → estimate is exact
+    assert r["within_30pct"]
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    from dbt_project_spark.queries_governance import incremental_rollup_merge
+
+    # 12 days × 2 users × 2 types, values varying — split lands mid-data
+    rows = []
+    eid = 0
+    for d in range(12):
+        for u in (1, 2):
+            for k, t in enumerate(("view", "purchase")):
+                rows.append((eid, T0 + d * DAY + u, u, t, float(d + k + 1)))
+                eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_events"], r["total_cents"])
+        for r in incremental_rollup_merge(spark, str(tmp_path)).collect()
+    }
+    # full recompute, independently: each (u, t) has 12 events, one per
+    # day, value d + k + 1 → cents total = 100·Σ(d+k+1)
+    for u in (1, 2):
+        for k, t in enumerate(("view", "purchase")):
+            expected = 100 * sum(d + k + 1 for d in range(12))
+            assert got[(u, t)] == (12, expected)

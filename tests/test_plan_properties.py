@@ -452,3 +452,45 @@ def test_entropy_day_totals_broadcast(spark):
     plan = _plan(QUERIES["entropy_type_daily"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # days-sized totals join
+
+
+def test_dq_audit_single_events_pass(spark):
+    """All three events checks (type/value/user) must ride ONE scan —
+    a per-check rescan pattern would triple the dominant cost at
+    100 TB. (orders is legitimately read twice: wide agg + RI
+    anti-join.)"""
+    plan = _plan(QUERIES["dq_audit"](spark, SF_SMOKE))
+    assert plan.count("events.parquet") // 2 == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_governance_family_no_cartesian(spark):
+    for name in (
+        "woe_iv_value",
+        "seasonal_naive_forecast",
+        "seq_trigram_support",
+        "quantile_sketch_rollup",
+        "markov_next_event_backtest",
+        "incremental_rollup_merge",
+        "join_size_sample_estimate",
+        "sssp_weighted_trade",
+    ):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_seq_trigram_topk_is_take_ordered(spark):
+    """Top-20 trigrams must be a TakeOrderedAndProject over the
+    ≤|types|³ aggregate — never a global sort of data rows."""
+    plan = _plan(QUERIES["seq_trigram_support"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_join_size_estimate_frequency_vectors_cached(spark):
+    """fo/fe each feed three consumers (domain, exact, estimate): the
+    persisted keys-sized vectors must be reused so each base table is
+    scanned once, not once per consumer."""
+    plan = _plan(QUERIES["join_size_sample_estimate"](spark, SF_SMOKE))
+    assert "InMemoryTableScan" in plan
+    assert plan.count("orders.parquet") // 2 <= 1
+    assert plan.count("events.parquet") // 2 <= 1
