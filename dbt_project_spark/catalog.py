@@ -61,6 +61,7 @@ PRIORITY: list[str] = [
     "markov_next_event_backtest",
     "join_size_sample_estimate",
     "incremental_rollup_merge",
+    "attribution_u_shape",
     "bm25_topk",
     "tfidf_top_terms",
     "rrf_hybrid_topk",
@@ -106,7 +107,6 @@ PRIORITY: list[str] = [
     # --- r01 driver-green, never since: stalest verdicts fill the
     # remaining window slots for a refresh (r03 refreshed the dedup/
     # ann/text_tokens block; this round refreshes wt_*/text_*/tpch) ---
-    "text_quality",
     # Overflow (driver-green r01–r03, all re-verified locally each
     # round): everything else follows in registration order; the
     # wt_*/text_* r01 refresh block moved to r05 to make window room

@@ -487,3 +487,98 @@ def time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         (F.sum("p100").cast("bigint") / 100.0).alias("total_price"),
     )
+
+
+# --- U-shaped multi-touch attribution (r4s3) ---
+
+
+@register(
+    "attribution_u_shape",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, {_OKEY_DUCK} AS okey,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+               FROM events),
+    j AS (SELECT user_id, event_type, okey, is_p,
+                 COALESCE(SUM(is_p) OVER (PARTITION BY user_id ORDER BY okey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS jid
+          FROM e),
+    t AS (SELECT user_id, jid, event_type, okey FROM j WHERE is_p = 0),
+    p AS (SELECT DISTINCT user_id, jid FROM j WHERE is_p = 1),
+    s AS (SELECT user_id, jid, CAST(COUNT(*) AS BIGINT) AS n,
+                 MIN(okey) AS fk, MAX(okey) AS lk
+          FROM t GROUP BY 1, 2),
+    c AS (SELECT t.event_type,
+                 CASE WHEN s.n = 1 THEN 10000
+                      WHEN t.okey = s.fk THEN
+                        CASE WHEN s.n = 2 THEN 5000 ELSE 4000 END
+                      WHEN t.okey = s.lk THEN
+                        CASE WHEN s.n = 2 THEN 5000
+                             ELSE 4000 + 2000 - (2000 // (s.n - 2)) * (s.n - 2)
+                        END
+                      ELSE 2000 // (s.n - 2) END AS bp
+          FROM t
+          JOIN s ON s.user_id = t.user_id AND s.jid = t.jid
+          JOIN p ON p.user_id = t.user_id AND p.jid = t.jid)
+    SELECT event_type AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(bp) AS BIGINT) AS credit_bp
+    FROM c GROUP BY event_type
+    """,
+)
+def attribution_u_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) MULTI-touch attribution, the
+    fractional-credit companion to attribution_last_touch: each
+    purchase closes a journey (the touches since the previous
+    purchase), and its 10000 basis points split 40/20/40 — 4000 to
+    the first touch, 4000 to the last, 2000 spread over the middles
+    (1 touch → 10000, 2 touches → 5000/5000). Credits are exact
+    integers; the middle split's truncation remainder goes to the
+    last touch, so every journey's credits sum to exactly 10000 —
+    the auditability property float credit splits can't give.
+    Journeys with no closing purchase (touches after the user's last
+    purchase) earn nothing.
+
+    Scale shape: journey ids are a prefix sum over the ONE user
+    partitioning every attribution query here shares; journey stats
+    (n/first/last) are journey-sized aggregates equi-joined back on
+    (user, journey) — no per-purchase lookback scan, no self-join on
+    ranges.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(_OKEY_SPARK).alias("okey"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    wj = (
+        Window.partitionBy("user_id")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = e.withColumn("jid", F.coalesce(F.sum("is_p").over(wj), F.lit(0)))
+    t = j.filter(F.col("is_p") == 0).select("user_id", "jid", "event_type", "okey")
+    p = j.filter(F.col("is_p") == 1).select("user_id", "jid").distinct()
+    s = t.groupBy("user_id", "jid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("okey").alias("fk"),
+        F.max("okey").alias("lk"),
+    )
+    c = (
+        t.join(s, ["user_id", "jid"])
+        .join(p, ["user_id", "jid"], "left_semi")
+        .withColumn(
+            "bp",
+            F.expr(
+                "CASE WHEN n = 1 THEN 10000"
+                " WHEN okey = fk THEN CASE WHEN n = 2 THEN 5000 ELSE 4000 END"
+                " WHEN okey = lk THEN CASE WHEN n = 2 THEN 5000"
+                "   ELSE 4000 + 2000 - (2000 div (n - 2)) * (n - 2) END"
+                " ELSE 2000 div (n - 2) END"
+            ),
+        )
+    )
+    return c.groupBy(F.col("event_type").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("bp").cast("bigint").alias("credit_bp"),
+    )

@@ -309,3 +309,35 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
         for k, t in enumerate(("view", "purchase")):
             expected = 100 * sum(d + k + 1 for d in range(12))
             assert got[(u, t)] == (12, expected)
+
+
+def test_attribution_u_shape_credit_split(spark, tmp_path):
+    from dbt_project_spark.queries_temporal import attribution_u_shape
+
+    # user 1 journey: view, click, error, signup, view → purchase
+    # (n=5: first view 4000; last view 4000+rem, rem = 2000-666*3 = 2;
+    #  middles click/error/signup 666 each)
+    rows = []
+    for i, t in enumerate(["view", "click", "error", "signup", "view"]):
+        rows.append((i, T0 + i, 1, t, 1.0))
+    rows.append((5, T0 + 5, 1, "purchase", 9.0))
+    # user 2: single touch then purchase → 10000; then a trailing
+    # touch with NO closing purchase → zero credit, not counted
+    rows.append((10, T0 + 10, 2, "click", 1.0))
+    rows.append((11, T0 + 11, 2, "purchase", 9.0))
+    rows.append((12, T0 + 12, 2, "view", 1.0))
+    # user 3: two touches → 5000/5000
+    rows.append((20, T0 + 20, 3, "error", 1.0))
+    rows.append((21, T0 + 21, 3, "signup", 1.0))
+    rows.append((22, T0 + 22, 3, "purchase", 9.0))
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["touch_type"]: (r["n_touches"], r["credit_bp"])
+        for r in attribution_u_shape(spark, str(tmp_path)).collect()
+    }
+    # per journey the credits sum to exactly 10000
+    assert sum(v[1] for v in got.values()) == 3 * 10000
+    assert got["view"] == (2, 4000 + 4000 + 2)  # first + last(+rem) of journey 1
+    assert got["click"] == (2, 666 + 10000)  # middle of j1 + solo of user 2
+    assert got["error"] == (2, 666 + 5000)
+    assert got["signup"] == (2, 666 + 5000)

@@ -474,6 +474,7 @@ def test_governance_family_no_cartesian(spark):
         "incremental_rollup_merge",
         "join_size_sample_estimate",
         "sssp_weighted_trade",
+        "attribution_u_shape",
     ):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
