@@ -62,6 +62,8 @@ PRIORITY: list[str] = [
     "join_size_sample_estimate",
     "incremental_rollup_merge",
     "attribution_u_shape",
+    "dedup_containment",
+    "user_lifecycle_daily",
     "bm25_topk",
     "tfidf_top_terms",
     "rrf_hybrid_topk",
@@ -97,8 +99,10 @@ PRIORITY: list[str] = [
     "interval_coverage",  # same NTZ fix
     "inverted_index",  # postings_head now a scalar string column
     # --- changed this round — need fresh driver verdicts ---
-    "twa_by_type_day",  # NTZ-proofed unix_micros (latent r03 failure)
-    "win_time_range_avg",  # same NTZ-proofing
+    # (twa_by_type_day / win_time_range_avg — NTZ-proofing-only changes,
+    #  r02-green, covered by the vanilla-session pytest and the local
+    #  full gate — rotated to r05 to keep the window at 50 with the
+    #  r04s3 additions, which have never had ANY driver verdict.)
     "dedup_clusters",  # CC pointer jump deferred to round 3
     "corpus_keep_list",  # consumes CC clusters — re-verify with it
     "bfs_hops_trade",  # per-round dist persist + lineage checkpoints

@@ -633,3 +633,56 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT pairs: inter / |smaller shingle set| —
+    the quote/inclusion detector Jaccard structurally misses (a small
+    doc fully quoted inside a large one has containment 1.0 but
+    Jaccard ≈ |small|/|large| → 0). Same shared-shingle candidate
+    machinery, postings cache, and hot-shingle cap as
+    ``jaccard_pairs``; only the verification ratio differs. Both
+    metrics are emitted so the gap is visible per pair.
+    """
+    from dbt_project_spark.caching import persist_tracked
+
+    ex = persist_tracked(exploded_shingles(_with_tokens(df, text_col), id_col, n))
+    if max_bucket is not None:
+        hot = (
+            ex.groupBy("sg")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("sg")
+        )
+        ex = ex.join(F.broadcast(hot), on="sg", how="left_anti")
+    a = ex.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "sg")
+    b = ex.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "sg")
+    return (
+        a.join(b, on="sg")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("sz_a").alias("sa"),
+            F.max("sz_b").alias("sb"),
+        )
+        .withColumn(
+            "containment", F.col("inter") / F.least(F.col("sa"), F.col("sb"))
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "containment",
+            (F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )

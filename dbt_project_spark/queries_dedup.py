@@ -543,3 +543,47 @@ def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span_jaccard"),
         )
     )
+
+
+CONTAIN_T = 0.8  # containment threshold (quote/inclusion detection)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_EX_CTE},
+    capped AS (
+      SELECT doc, sz, sg FROM (
+        SELECT doc, sz, sg, COUNT(*) OVER (PARTITION BY sg) AS bn FROM ex)
+      WHERE bn <= {MAX_BUCKET}),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter,
+             MAX(a.sz) AS sa, MAX(b.sz) AS sb
+      FROM capped a JOIN capped b ON a.sg = b.sg AND a.doc < b.doc
+      GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b,
+           inter / least(sa, sb) AS containment,
+           inter / (sa + sb - inter) AS jaccard
+    FROM pairs WHERE inter / least(sa, sb) >= {CONTAIN_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (inter / |smaller shingle set|) near-dup pairs —
+    the QUOTE/INCLUSION detector: a small doc pasted inside a large
+    one scores containment 1.0 while its Jaccard collapses to
+    |small|/|large|, so a Jaccard-only dedup ships the duplicated
+    passage into training. Emits both metrics per pair; the planted
+    small-in-big test pins the asymmetry (tests/test_governance_
+    planted.py). Same shared-shingle candidates, postings cache, and
+    MAX_BUCKET stop-shingle cap as dedup_ngram_jaccard — the scale
+    story is identical, only the verification ratio differs.
+    """
+    from dbt_project_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        CONTAIN_T,
+        max_bucket=MAX_BUCKET,
+    )

@@ -730,3 +730,107 @@ def markov_next_event_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_correct * 1000000 div n_test AS BIGINT)"),
         )
     )
+
+
+# --- growth accounting: daily user lifecycle stages (r4s3) ---
+
+
+@register(
+    "user_lifecycle_daily",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+               FROM events WHERE user_id IS NOT NULL),
+    f AS (SELECT user_id, MIN(d) AS fd FROM a GROUP BY user_id),
+    mx AS (SELECT MAX(d) AS md FROM a),
+    cls AS (SELECT a.d,
+                   CASE WHEN a.d = f.fd THEN 'new'
+                        WHEN p.user_id IS NOT NULL THEN 'retained'
+                        ELSE 'resurrected' END AS stage
+            FROM a JOIN f ON f.user_id = a.user_id
+            LEFT JOIN a p ON p.user_id = a.user_id AND p.d = a.d - 1),
+    act AS (SELECT d, CAST(SUM(CASE WHEN stage = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                   CAST(SUM(CASE WHEN stage = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                   CAST(SUM(CASE WHEN stage = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+            FROM cls GROUP BY d),
+    ch AS (SELECT a.d + 1 AS d, CAST(COUNT(*) AS BIGINT) AS n_churned
+           FROM a LEFT JOIN a nx ON nx.user_id = a.user_id AND nx.d = a.d + 1
+           WHERE nx.user_id IS NULL AND a.d + 1 <= (SELECT md FROM mx)
+           GROUP BY a.d + 1)
+    SELECT strftime(COALESCE(act.d, ch.d), '%Y-%m-%d') AS day,
+           COALESCE(n_new, 0) AS n_new,
+           COALESCE(n_retained, 0) AS n_retained,
+           COALESCE(n_resurrected, 0) AS n_resurrected,
+           COALESCE(n_churned, 0) AS n_churned
+    FROM act FULL OUTER JOIN ch ON ch.d = act.d
+    """,
+)
+def user_lifecycle_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active (user, day) is exactly one of
+    new (first-ever day), retained (also active yesterday), or
+    resurrected (returning after a gap); churned counts, attributed
+    to the first absent day, are users active yesterday but not
+    today. The four curves decompose DAU change exactly —
+    DAU(d) − DAU(d−1) = new + resurrected − churned — which is the
+    growth-team identity a plain DAU chart can't show.
+
+    Scale shape: events collapse to distinct (user, day) FIRST (one
+    map-side-combined aggregate), so every later join (first-day,
+    yesterday, tomorrow) is an equi-join on (user, day) over
+    user-days, not events. The day-level result is days-sized.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    a = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    from dbt_project_spark.caching import persist_tracked
+
+    a = persist_tracked(a)  # feeds 4 consumers (cls, prev, churn, max)
+    f = a.groupBy("user_id").agg(F.min("d").alias("fd"))
+    mx = a.agg(F.max("d").alias("md"))
+    p = a.select("user_id", F.col("d").alias("pd"))
+    cls = (
+        a.join(f, "user_id")
+        .join(
+            p,
+            (p.user_id == a.user_id) & (F.col("pd") == F.date_sub(a.d, 1)),
+            "left",
+        )
+        .select(
+            a.d.alias("d"),
+            F.when(a.d == F.col("fd"), "new")
+            .when(F.col("pd").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("stage"),
+        )
+    )
+    act = cls.groupBy("d").agg(
+        F.sum(F.when(F.col("stage") == "new", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("stage") == "retained", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("stage") == "resurrected", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    nx = a.select("user_id", F.col("d").alias("nd"))
+    ch = (
+        a.join(
+            nx,
+            (nx.user_id == a.user_id) & (F.col("nd") == F.date_add(a.d, 1)),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.date_add(a.d, 1) <= F.col("md"))
+        .groupBy(F.date_add(a.d, 1).alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    merged = act.join(ch, "d", "full_outer")
+    return merged.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        F.coalesce("n_retained", F.lit(0)).cast("bigint").alias("n_retained"),
+        F.coalesce("n_resurrected", F.lit(0))
+        .cast("bigint")
+        .alias("n_resurrected"),
+        F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
+    )

@@ -341,3 +341,55 @@ def test_attribution_u_shape_credit_split(spark, tmp_path):
     assert got["click"] == (2, 666 + 10000)  # middle of j1 + solo of user 2
     assert got["error"] == (2, 666 + 5000)
     assert got["signup"] == (2, 666 + 5000)
+
+
+def test_containment_catches_small_doc_inside_big(spark, tmp_path):
+    from dbt_project_spark.queries_dedup import dedup_containment
+
+    words = [f"w{i}" for i in range(60)]
+    big = " ".join(words)
+    small = " ".join(words[:12])  # contiguous prefix → all shingles shared
+    other = " ".join(f"z{i}" for i in range(30))
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        [(1, big, "en", "s", len(big)), (2, small, "en", "s", len(small)),
+         (3, other, "en", "s", len(other))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    rows = dedup_containment(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment"] == 1.0  # the quote is fully contained
+    assert r["jaccard"] < 0.3  # ...but Jaccard-only dedup misses it
+
+
+def test_user_lifecycle_stage_decomposition(spark, tmp_path):
+    from dbt_project_spark.queries_product import user_lifecycle_daily
+
+    # u1 active days 0,1,3 → new@0, retained@1, churned@2, resurrected@3
+    # u2 active day 1 only → new@1, churned@2
+    rows = [
+        (0, T0, 1, "view", 1.0),
+        (1, T0 + DAY, 1, "view", 1.0),
+        (2, T0 + 3 * DAY, 1, "view", 1.0),
+        (3, T0 + DAY + 5, 2, "click", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["day"]: (r["n_new"], r["n_retained"], r["n_resurrected"], r["n_churned"])
+        for r in user_lifecycle_daily(spark, str(tmp_path)).collect()
+    }
+    days = sorted(got)
+    assert len(days) == 4
+    assert got[days[0]] == (1, 0, 0, 0)
+    assert got[days[1]] == (1, 1, 0, 0)
+    assert got[days[2]] == (0, 0, 0, 2)  # both users absent on day 2
+    assert got[days[3]] == (0, 0, 1, 0)  # u1 returns after the gap
+    # growth identity: DAU(d) − DAU(d−1) = new + res − churned
+    dau = {days[0]: 1, days[1]: 2, days[2]: 0, days[3]: 1}
+    for prev, cur in zip(days, days[1:]):
+        n, rt, rs, ch = got[cur]
+        assert dau[cur] - dau[prev] == n + rs - ch

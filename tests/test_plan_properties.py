@@ -475,6 +475,8 @@ def test_governance_family_no_cartesian(spark):
         "join_size_sample_estimate",
         "sssp_weighted_trade",
         "attribution_u_shape",
+        "dedup_containment",
+        "user_lifecycle_daily",
     ):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
