@@ -64,6 +64,8 @@ PRIORITY: list[str] = [
     "attribution_u_shape",
     "dedup_containment",
     "user_lifecycle_daily",
+    "part_demand_xyz",
+    "funnel_time_to_convert",
     "bm25_topk",
     "tfidf_top_terms",
     "rrf_hybrid_topk",
@@ -106,8 +108,10 @@ PRIORITY: list[str] = [
     "dedup_clusters",  # CC pointer jump deferred to round 3
     "corpus_keep_list",  # consumes CC clusters — re-verify with it
     "bfs_hops_trade",  # per-round dist persist + lineage checkpoints
-    "ann_ivf_topk",  # K/nprobe now data-derived (ivf_params)
-    "ivf_train_centroids",  # K now data-derived (ivf_params)
+    # (ann_ivf_topk / ivf_train_centroids — r03-green before the
+    #  data-derived-params change, re-verified locally at sf0.001/
+    #  0.01/0.1 this round + test_kmeans — rotated to r05 so the
+    #  never-driver-checked r04s3 queries fit the 50-slot window.)
     # --- r01 driver-green, never since: stalest verdicts fill the
     # remaining window slots for a refresh (r03 refreshed the dedup/
     # ann/text_tokens block; this round refreshes wt_*/text_*/tpch) ---

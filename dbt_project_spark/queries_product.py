@@ -834,3 +834,70 @@ def user_lifecycle_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_resurrected"),
         F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
     )
+
+
+# --- funnel time-to-convert latency (r4s3) ---
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle=f"""
+    WITH v AS (SELECT user_id, MIN({_EP}) AS t1
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN({_EP}) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND {_EP} > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN({_EP}) AS t3
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND {_EP} > c.t2
+          GROUP BY e.user_id),
+    lat AS (SELECT p.user_id, p.t3 - v.t1 AS sec
+            FROM p JOIN v ON v.user_id = p.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           ROUND(quantile_cont(sec, 0.5), 6) AS p50_latency_s,
+           ROUND(quantile_cont(sec, 0.9), 6) AS p90_latency_s,
+           ROUND(SUM(sec) / COUNT(*), 6) AS mean_latency_s
+    FROM lat
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user who completes the
+    view → click → purchase funnel (same strictly-after min-epoch
+    semantics as funnel_conversion), the latency from first view to
+    first qualifying purchase — the 'how long does conversion take'
+    number funnels alone don't give. Median/p90 are exact
+    interpolated percentiles of integer seconds; the mean is one
+    double division of exact integer sums.
+
+    Scale shape: identical shrinking user-keyed stage aggregates as
+    funnel_conversion (users-sized intermediates); the latency table
+    is converters-sized, and its percentile is a single aggregate.
+    """
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("epoch") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("epoch") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t3"))
+    )
+    lat = p.join(v, "user_id").select((F.col("t3") - F.col("t1")).alias("sec"))
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.round(F.expr("percentile(sec, 0.5)"), 6).alias("p50_latency_s"),
+        F.round(F.expr("percentile(sec, 0.9)"), 6).alias("p90_latency_s"),
+        F.round(F.sum("sec") / F.count(F.lit(1)), 6).alias("mean_latency_s"),
+    )

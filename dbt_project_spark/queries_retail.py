@@ -475,3 +475,91 @@ def pct_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev100") / (1.0 * F.sum("rev100").over(wt).cast("bigint")), 6
         ).alias("pct_of_total"),
     )
+
+
+# --- XYZ demand-variability classification (r4s3) ---
+
+# cv² thresholds in micro-units: X ≤ 0.25 (cv ≤ 0.5), Y ≤ 1.0 (cv ≤ 1).
+XYZ_X_MAX = 250_000
+XYZ_Y_MAX = 1_000_000
+_QTY1 = "CAST(round(l_quantity, 0) AS BIGINT)"  # integral units: keeps (Σq)²·1e6 in BIGINT
+
+
+@register(
+    "part_demand_xyz",
+    oracle=f"""
+    WITH d AS (SELECT l_partkey,
+                      CAST(floor(epoch(o_orderdate)) AS BIGINT) // 604800 AS wk,
+                      CAST(SUM({_QTY1}) AS BIGINT) AS q
+               FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+               GROUP BY 1, 2),
+    w AS (SELECT CAST(COUNT(DISTINCT wk) AS BIGINT) AS nw FROM d),
+    s AS (SELECT l_partkey,
+                 CAST(COUNT(*) AS BIGINT) AS weeks_active,
+                 CAST(SUM(q) AS BIGINT) AS sx,
+                 CAST(SUM(q * q) AS BIGINT) AS sxx
+          FROM d GROUP BY 1),
+    c AS (SELECT l_partkey, weeks_active,
+                 CAST((w.nw * s.sxx - s.sx * s.sx) * 1000000
+                      // (s.sx * s.sx) AS BIGINT) AS cv2_micro
+          FROM s, w)
+    SELECT l_partkey, weeks_active, cv2_micro,
+           CASE WHEN cv2_micro <= {XYZ_X_MAX} THEN 'X'
+                WHEN cv2_micro <= {XYZ_Y_MAX} THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM c
+    """,
+)
+def part_demand_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification (the inventory-planning
+    companion to ABC value ranking): per part, the squared
+    coefficient of variation of WEEKLY demand — steady movers (X,
+    cv ≤ 0.5) can run lean safety stock, erratic ones (Z) can't.
+    Weeks with zero demand count: n is the GLOBAL week count, so
+    absent weeks depress the mean and raise variance without any
+    zero-fill grid (their sums contribute nothing — the algebra does
+    the filling). cv² = (n·Σq² − (Σq)²)/(Σq)² in exact BIGINT
+    micro-units (truncating div), classified on integer thresholds.
+
+    Scale shape: lineitem⋈orders collapses to (part, week) partials
+    first (map-side combined); the stats and the 1-row week count
+    broadcast are parts-sized. Pairs with abc_parts_by_brand to give
+    the full ABC-XYZ planning matrix.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_partkey",
+            F.expr(
+                "CAST(floor(unix_timestamp(o_orderdate)) AS BIGINT) div 604800"
+            ).alias("wk"),
+        )
+        .agg(F.sum(F.expr(_QTY1)).cast("bigint").alias("q"))
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    d = persist_tracked(d)  # feeds the global week count AND the stats
+    w = d.agg(F.countDistinct("wk").cast("bigint").alias("nw"))
+    s = d.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("weeks_active"),
+        F.sum("q").cast("bigint").alias("sx"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sxx"),
+    )
+    c = s.crossJoin(F.broadcast(w)).select(
+        "l_partkey",
+        "weeks_active",
+        F.expr(
+            "CAST((nw * sxx - sx * sx) * 1000000 div (sx * sx) AS BIGINT)"
+        ).alias("cv2_micro"),
+    )
+    return c.select(
+        "l_partkey",
+        "weeks_active",
+        "cv2_micro",
+        F.when(F.col("cv2_micro") <= XYZ_X_MAX, "X")
+        .when(F.col("cv2_micro") <= XYZ_Y_MAX, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )

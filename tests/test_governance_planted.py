@@ -393,3 +393,65 @@ def test_user_lifecycle_stage_decomposition(spark, tmp_path):
     for prev, cur in zip(days, days[1:]):
         n, rt, rs, ch = got[cur]
         assert dau[cur] - dau[prev] == n + rs - ch
+
+
+def test_part_demand_xyz_classes(spark, tmp_path):
+    from dbt_project_spark.queries_retail import part_demand_xyz
+
+    # 4 global weeks. Part 1: constant 10/week → cv² = 0 → X.
+    # Part 2: one demand spike (40,0,0,0): mean 10, var = (4·1600−1600²/…)
+    #   cv² = (n·Σq²−(Σq)²)/(Σq)² = (4·1600−1600)/1600 = 3 → Z.
+    wk = 604800
+    rows = []
+    ok = 1
+    for w in range(4):
+        rows.append((ok, 1, w))  # (orderkey, partkey→1 qty 10) below
+        ok += 1
+    data_orders = [(k, 1, "O", 1.0, float(T0 + w * wk)) for k, w in
+                   [(1, 0), (2, 1), (3, 2), (4, 3), (5, 0)]]
+    df_o = spark.createDataFrame(
+        [(k, c, s, p, ts) for k, c, s, p, ts in data_orders],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, __ep double",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.timestamp_seconds(F.col("__ep")).alias("o_orderdate"),
+    )
+    df_o.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    li = [(k, 1, 10.0) for k in (1, 2, 3, 4)] + [(5, 2, 40.0)]
+    _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        li,
+        "l_orderkey bigint, l_partkey bigint, l_quantity double",
+    )
+    got = {
+        r["l_partkey"]: (r["weeks_active"], r["cv2_micro"], r["xyz_class"])
+        for r in part_demand_xyz(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (4, 0, "X")  # constant demand
+    assert got[2] == (1, 3_000_000, "Z")  # single spike, cv² = 3
+
+
+def test_funnel_time_to_convert_latency(spark, tmp_path):
+    from dbt_project_spark.queries_product import funnel_time_to_convert
+
+    # u1 converts in 100 s; u2 in 300 s; u3 never clicks → excluded
+    rows = [
+        (0, T0, 1, "view", 1.0),
+        (1, T0 + 40, 1, "click", 1.0),
+        (2, T0 + 100, 1, "purchase", 1.0),
+        (10, T0 + 1000, 2, "view", 1.0),
+        (11, T0 + 1100, 2, "click", 1.0),
+        (12, T0 + 1300, 2, "purchase", 1.0),
+        (20, T0 + 5000, 3, "view", 1.0),
+        (21, T0 + 5100, 3, "purchase", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = funnel_time_to_convert(spark, str(tmp_path)).collect()[0]
+    assert r["n_converters"] == 2
+    assert r["p50_latency_s"] == 200.0  # midpoint of {100, 300}
+    assert r["mean_latency_s"] == 200.0

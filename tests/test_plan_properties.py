@@ -477,6 +477,8 @@ def test_governance_family_no_cartesian(spark):
         "attribution_u_shape",
         "dedup_containment",
         "user_lifecycle_daily",
+        "part_demand_xyz",
+        "funnel_time_to_convert",
     ):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
