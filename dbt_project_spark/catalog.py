@@ -66,6 +66,7 @@ PRIORITY: list[str] = [
     "user_lifecycle_daily",
     "part_demand_xyz",
     "funnel_time_to_convert",
+    "trade_graph_diagnostics",
     "bm25_topk",
     "tfidf_top_terms",
     "rrf_hybrid_topk",
@@ -107,7 +108,9 @@ PRIORITY: list[str] = [
     #  r04s3 additions, which have never had ANY driver verdict.)
     "dedup_clusters",  # CC pointer jump deferred to round 3
     "corpus_keep_list",  # consumes CC clusters — re-verify with it
-    "bfs_hops_trade",  # per-round dist persist + lineage checkpoints
+    # (bfs_hops_trade — r03-green; the r04 change is persist/checkpoint
+    #  discipline only, value-identical, re-verified locally at 3 SFs —
+    #  rotated to r05 with the entries below.)
     # (ann_ivf_topk / ivf_train_centroids — r03-green before the
     #  data-derived-params change, re-verified locally at sf0.001/
     #  0.01/0.1 this round + test_kmeans — rotated to r05 so the

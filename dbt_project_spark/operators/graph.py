@@ -377,3 +377,57 @@ def weighted_sssp(
         prev = new
         dist = new
     return dist
+
+
+def graph_diagnostics(edges: DataFrame) -> DataFrame:
+    """Structural diagnostics over a directed edge list (src, dst):
+    node/edge counts, reciprocity (share of edges whose reverse edge
+    exists) in exact integer micro-units, and degree assortativity as
+    the exact rational pair (m·Σxy − ΣxΣy, (m·Σxx − Σx²)·(m·Σyy − Σy²))
+    in decimal strings — the linreg contract, since the final
+    sqrt+division is the only irrational step.
+
+    Degrees are a nodes-sized aggregate joined back onto the edges;
+    reciprocity is a self-semi-join on the reversed key — all
+    map-side-combinable, nothing quadratic.
+    """
+    from dbt_project_spark.caching import persist_tracked
+
+    edges = persist_tracked(edges.select("src", "dst"))
+    deg = persist_tracked(
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = edges.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_recip")
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    dt = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    dd = edges.join(ds, "src").join(dt, "dst")
+    s = dd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return (
+        s.crossJoin(F.broadcast(rec))
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            "n_nodes",
+            F.col("m").alias("n_edges"),
+            F.expr("CAST(n_recip * 1000000 div m AS BIGINT)").alias(
+                "reciprocity_micro"
+            ),
+            F.expr("CAST(m * sxy - sx * sy AS STRING)").alias("assort_num"),
+            F.expr(
+                "CAST((m * sxx - sx * sx) * (m * syy - sy * sy) AS STRING)"
+            ).alias("assort_den_sq"),
+        )
+    )

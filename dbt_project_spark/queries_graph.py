@@ -572,3 +572,55 @@ def sssp_weighted_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("nationkey"),
         F.col("cost").cast("bigint").alias("cost"),
     )
+
+
+# --- trade graph structural diagnostics (r4s3) ---
+
+
+@register(
+    "trade_graph_diagnostics",
+    oracle=_TRADE_GRAPH_SQL + """,
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+              SELECT src AS node FROM edges
+              UNION ALL SELECT dst FROM edges) GROUP BY node),
+    rec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+            FROM edges e WHERE EXISTS (SELECT 1 FROM edges r
+                                       WHERE r.src = e.dst AND r.dst = e.src)),
+    dd AS (SELECT ds.d AS x, dt.d AS y
+           FROM edges e JOIN deg ds ON ds.node = e.src
+                        JOIN deg dt ON dt.node = e.dst),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM dd)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           s.m AS n_edges,
+           CAST((SELECT n_recip FROM rec) * 1000000 // s.m AS BIGINT)
+               AS reciprocity_micro,
+           CAST((s.m * s.sxy - s.sx * s.sy) AS VARCHAR) AS assort_num,
+           CAST((s.m * s.sxx - s.sx * s.sx) * (s.m * s.syy - s.sy * s.sy)
+                AS VARCHAR) AS assort_den_sq
+    FROM s
+    """,
+)
+def trade_graph_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural diagnostics of the trade graph: reciprocity (share
+    of directed edges with a reverse edge — does trade flow both
+    ways?) and degree assortativity (Pearson correlation of endpoint
+    degrees over edges — do hubs trade with hubs?). Reciprocity is
+    exact integer micro-units; assortativity ships as the exact
+    rational pair (numerator, denominator²) in decimal strings — the
+    linreg_value_trend contract, because the final sqrt+division is
+    the only irrational step and differs across engines in the last
+    ulp.
+
+    Scale shape: degrees are a nodes-sized aggregate joined onto the
+    edge list (two equi-joins); reciprocity is a self-semi-join on
+    the reversed key — all map-side-combinable aggregates, nothing
+    quadratic.
+    """
+    from dbt_project_spark.operators.graph import graph_diagnostics
+
+    return graph_diagnostics(_trade_edges(spark, sf_dir))

@@ -455,3 +455,23 @@ def test_funnel_time_to_convert_latency(spark, tmp_path):
     assert r["n_converters"] == 2
     assert r["p50_latency_s"] == 200.0  # midpoint of {100, 300}
     assert r["mean_latency_s"] == 200.0
+
+
+def test_graph_diagnostics_closed_form(spark):
+    """Crafted graph with known closed-form diagnostics: 1↔2
+    (reciprocal pair) and 3→4 (one-way). Degrees {1:2, 2:2, 3:1, 4:1};
+    endpoint-degree pairs (2,2),(2,2),(1,1) → assortativity numerator
+    m·Σxy − ΣxΣy = 3·9 − 25 = 2 (positively assortative: hubs link
+    hubs); reciprocity = 2/3."""
+    from dbt_project_spark.operators.graph import graph_diagnostics
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4)], "src bigint, dst bigint"
+    )
+    r = graph_diagnostics(edges).collect()[0]
+    assert r["n_nodes"] == 4
+    assert r["n_edges"] == 3
+    assert r["reciprocity_micro"] == 2_000_000 // 3
+    assert r["assort_num"] == "2"
+    # den² = (3·9 − 25)·(3·9 − 25) = 4  (Σx² = 4+4+1 = 9)
+    assert r["assort_den_sq"] == "4"
