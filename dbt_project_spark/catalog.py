@@ -67,6 +67,8 @@ PRIORITY: list[str] = [
     "part_demand_xyz",
     "funnel_time_to_convert",
     "trade_graph_diagnostics",
+    "k_anonymity_audit",
+    "ts_decompose_daily",
     "bm25_topk",
     "tfidf_top_terms",
     "rrf_hybrid_topk",
@@ -101,13 +103,16 @@ PRIORITY: list[str] = [
     "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
     "interval_coverage",  # same NTZ fix
     "inverted_index",  # postings_head now a scalar string column
-    # --- changed this round — need fresh driver verdicts ---
-    # (twa_by_type_day / win_time_range_avg — NTZ-proofing-only changes,
-    #  r02-green, covered by the vanilla-session pytest and the local
-    #  full gate — rotated to r05 to keep the window at 50 with the
-    #  r04s3 additions, which have never had ANY driver verdict.)
-    "dedup_clusters",  # CC pointer jump deferred to round 3
-    "corpus_keep_list",  # consumes CC clusters — re-verify with it
+    # --- changed this round, r03-green, rotated BELOW the window ---
+    # The 50 slots above are exactly the 17 r04s3 + 30 r04s2 additions
+    # (never any driver verdict) + the 3 r03-erred fixes. Changed-but-
+    # previously-green queries (twa_by_type_day, win_time_range_avg,
+    # bfs_hops_trade, ann_ivf_topk, ivf_train_centroids, and the two
+    # below) were all re-verified locally in this session's FULL
+    # sf0.01 + sf0.1 sweeps (0 failures) and rotate into the r05
+    # window.
+    "dedup_clusters",  # CC jump-from-round-3 schedule (fixpoint-identical)
+    "corpus_keep_list",  # consumes CC clusters
     # (bfs_hops_trade — r03-green; the r04 change is persist/checkpoint
     #  discipline only, value-identical, re-verified locally at 3 SFs —
     #  rotated to r05 with the entries below.)

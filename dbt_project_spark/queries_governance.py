@@ -751,3 +751,72 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_cents").cast("bigint").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit — privacy/compliance risk profile
+# ---------------------------------------------------------------------------
+
+KANON_K = 5  # the standard "safe harbor" group-size floor
+KANON_VBUCKET = 500  # $5 quasi-identifier value buckets
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH q AS (SELECT event_type,
+                      {_V100} // {KANON_VBUCKET} AS vb,
+                      strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+               FROM events),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS sz
+          FROM q GROUP BY event_type, vb, day)
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(sz) AS BIGINT) AS k_min,
+           CAST(SUM(CASE WHEN sz < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_lt_k,
+           CAST(SUM(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_lt_k,
+           CAST(SUM(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) * 1000000
+                // SUM(sz) AS BIGINT) AS risky_micro
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk profile over the quasi-identifier tuple
+    (event_type, $5 value bucket, day): the minimum equivalence-class
+    size, how many classes fall below k=5 (KANON_K), and what fraction
+    of ROWS sit in those re-identifiable classes — the number a
+    privacy review needs before a dataset (or a training corpus with
+    user-derived features) ships. Release decisions key off
+    risky_micro, not k_min alone: one singleton in a billion rows is
+    a different situation than 10% of rows in small classes.
+
+    Scale shape: one map-side-combined aggregate to class sizes
+    (classes ≪ rows), then a classes-sized summary — the same
+    two-level aggregate any GROUP BY runs; nothing row-wise leaves
+    the first exchange. Exact integer output end-to-end.
+    """
+    q = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"{_V100} div {KANON_VBUCKET}").alias("vb"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    g = q.groupBy("event_type", "vb", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return g.agg(
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("sz").cast("bigint").alias("k_min"),
+        F.sum(F.when(F.col("sz") < KANON_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_lt_k"),
+        F.sum(F.when(F.col("sz") < KANON_K, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_lt_k"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) * 1000000"
+            " div SUM(sz) AS BIGINT)"
+        ).alias("risky_micro"),
+    )

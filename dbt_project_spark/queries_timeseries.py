@@ -690,3 +690,91 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_after"
         ),
     )
+
+
+# --- STL-lite additive decomposition of the daily series (r4s3) ---
+
+
+@register(
+    "ts_decompose_daily",
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(SUM({_V100}) AS BIGINT) AS total
+               FROM events GROUP BY 1),
+    t AS (SELECT day, total,
+                 CAST(SUM(total) OVER w AS BIGINT) AS s7,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n7,
+                 CAST(isodow(day) AS BIGINT) AS wd
+          FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                              AND 3 FOLLOWING)),
+    tr AS (SELECT day, total, wd, CAST(s7 // 7 AS BIGINT) AS trend
+           FROM t WHERE n7 = 7),
+    se AS (SELECT wd, CAST(CASE WHEN SUM(total - trend) < 0
+                                THEN -(abs(SUM(total - trend)) // COUNT(*))
+                                ELSE SUM(total - trend) // COUNT(*) END
+                           AS BIGINT) AS seasonal
+           FROM tr GROUP BY wd)
+    SELECT strftime(tr.day, '%Y-%m-%d') AS day, tr.total AS total_cents,
+           tr.trend AS trend_cents, se.seasonal AS seasonal_cents,
+           CAST(tr.total - tr.trend - se.seasonal AS BIGINT)
+               AS residual_cents
+    FROM tr JOIN se ON se.wd = tr.wd
+    """,
+)
+def ts_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of the daily revenue series:
+    trend = centered 7-day moving average (only days with the full
+    window), seasonal = mean detrended value per ISO weekday,
+    residual = total − trend − seasonal. The additive identity holds
+    EXACTLY by construction (residual is defined as the difference),
+    and every component is truncating integer cents — the
+    monitoring-friendly cousin of full STL (which needs loess).
+
+    Scale shape: events collapse to the days-sized daily series
+    first; the single-partition trend window and the 7-row weekday
+    aggregate both run on that aggregate, never on events — the
+    'window over the aggregate, not the data' rule this repo's
+    timeseries family follows throughout.
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.expr(_V100)).cast("bigint").alias("total"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day",
+        "total",
+        F.sum("total").over(w).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n7"),
+        F.expr("CAST(dayofweek(day) AS BIGINT)").alias("__dow"),
+    ).withColumn(
+        # ISO weekday (Mon=1..Sun=7) from Spark's dayofweek (Sun=1..Sat=7)
+        "wd",
+        F.expr("CAST(CASE WHEN __dow = 1 THEN 7 ELSE __dow - 1 END AS BIGINT)"),
+    )
+    tr = t.filter(F.col("n7") == 7).select(
+        "day", "total", "wd", F.expr("CAST(s7 div 7 AS BIGINT)").alias("trend")
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    tr = persist_tracked(tr)  # days-sized; feeds the seasonal agg AND output
+    # abs/sign split: detrended sums can be negative, and Spark div
+    # truncates toward zero while DuckDB // floors — the split makes
+    # both engines truncate identically (repo convention).
+    se = tr.groupBy("wd").agg(
+        F.expr(
+            "CAST(CASE WHEN SUM(total - trend) < 0"
+            " THEN -(abs(SUM(total - trend)) div COUNT(*))"
+            " ELSE SUM(total - trend) div COUNT(*) END AS BIGINT)"
+        ).alias("seasonal")
+    )
+    return tr.join(F.broadcast(se), "wd").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("total").alias("total_cents"),
+        F.col("trend").alias("trend_cents"),
+        F.col("seasonal").alias("seasonal_cents"),
+        F.expr("CAST(total - trend - seasonal AS BIGINT)").alias(
+            "residual_cents"
+        ),
+    )

@@ -475,3 +475,64 @@ def test_graph_diagnostics_closed_form(spark):
     assert r["assort_num"] == "2"
     # den² = (3·9 − 25)·(3·9 − 25) = 4  (Σx² = 4+4+1 = 9)
     assert r["assort_den_sq"] == "4"
+
+
+def test_k_anonymity_counts(spark, tmp_path):
+    from dbt_project_spark.queries_governance import k_anonymity_audit
+
+    # QI = (type, $5 bucket, day): 6 'view'@$1 same day (safe class),
+    # 1 'click'@$1 (singleton), 2 'error'@$7 (small class)
+    rows = (
+        [(i, T0 + i, 1, "view", 1.0) for i in range(6)]
+        + [(10, T0 + 10, 2, "click", 1.0)]
+        + [(20, T0 + 20, 3, "error", 7.0), (21, T0 + 21, 4, "error", 7.0)]
+    )
+    _write_events(spark, tmp_path, rows)
+    r = k_anonymity_audit(spark, str(tmp_path)).collect()[0]
+    assert r["n_rows"] == 9 and r["n_groups"] == 3
+    assert r["k_min"] == 1
+    assert r["groups_lt_k"] == 2 and r["rows_lt_k"] == 3
+    assert r["risky_micro"] == 3 * 1000000 // 9
+
+
+def test_ts_decompose_additive_identity_and_constant_series(spark, tmp_path):
+    from dbt_project_spark.queries_timeseries import ts_decompose_daily
+
+    # constant daily total → trend = total, seasonal = 0, residual = 0
+    rows = [(d, T0 + d * DAY, 1, "view", 70.0) for d in range(21)]
+    _write_events(spark, tmp_path, rows)
+    out = ts_decompose_daily(spark, str(tmp_path)).collect()
+    assert len(out) == 21 - 6  # days with the full centered 7-day window
+    for r in out:
+        assert r["trend_cents"] == 7000
+        assert r["seasonal_cents"] == 0
+        assert r["residual_cents"] == 0
+        assert (
+            r["total_cents"]
+            == r["trend_cents"] + r["seasonal_cents"] + r["residual_cents"]
+        )
+
+
+def test_ts_decompose_recovers_weekly_seasonality(spark, tmp_path):
+    from dbt_project_spark.queries_timeseries import ts_decompose_daily
+
+    # 28 days: base 100, +70 every 7th day → the weekly bump must land
+    # in the seasonal component, not the residual. Centered MA of a
+    # 7-periodic series is flat, so seasonal ≈ detrended exactly.
+    rows = [
+        (d, T0 + d * DAY, 1, "view", 100.0 + (70.0 if d % 7 == 0 else 0.0))
+        for d in range(28)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r["day"]: r for r in ts_decompose_daily(spark, str(tmp_path)).collect()}
+    for r in out.values():
+        # trend = (6·100 + 170)/7 = 110 exactly, every full-window day
+        assert r["trend_cents"] == 11000
+        assert (
+            r["total_cents"]
+            == r["trend_cents"] + r["seasonal_cents"] + r["residual_cents"]
+        )
+        if r["total_cents"] == 17000:  # bump day
+            assert r["seasonal_cents"] == 6000 and r["residual_cents"] == 0
+        else:
+            assert r["seasonal_cents"] == -1000 and r["residual_cents"] == 0

@@ -479,6 +479,8 @@ def test_governance_family_no_cartesian(spark):
         "user_lifecycle_daily",
         "part_demand_xyz",
         "funnel_time_to_convert",
+        "k_anonymity_audit",
+        "ts_decompose_daily",
     ):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
