@@ -51,6 +51,11 @@ def register(name: str, oracle: str | None = None):
 # emitted first (in this order); everything else follows in
 # registration order.
 PRIORITY: list[str] = [
+    # --- erred in the r03 driver run — fixed this round (these three
+    # MUST land in the window: they are the only red driver verdicts) ---
+    "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
+    "interval_coverage",  # same NTZ fix
+    "inverted_index",  # postings_head now a scalar string column
     # --- new queries this round (r04) — no driver verdict yet ---
     "dq_audit",
     "woe_iv_value",
@@ -69,6 +74,9 @@ PRIORITY: list[str] = [
     "trade_graph_diagnostics",
     "k_anonymity_audit",
     "ts_decompose_daily",
+    "stickiness_dau_mau",
+    "user_decay_score",
+    "revenue_hhi_nation",
     "bm25_topk",
     "tfidf_top_terms",
     "rrf_hybrid_topk",
@@ -99,14 +107,13 @@ PRIORITY: list[str] = [
     "watermark_lateness_stats",
     "cohort_revenue_retention",
     "dedup_cluster_histogram",
-    # --- erred in the r03 driver run — fixed this round ---
-    "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
-    "interval_coverage",  # same NTZ fix
-    "inverted_index",  # postings_head now a scalar string column
     # --- changed this round, r03-green, rotated BELOW the window ---
-    # The 50 slots above are exactly the 17 r04s3 + 30 r04s2 additions
-    # (never any driver verdict) + the 3 r03-erred fixes. Changed-but-
-    # previously-green queries (twa_by_type_day, win_time_range_avg,
+    # The window (first 50) = 3 r03-erred fixes + 20 r04s3 additions +
+    # the first 27 r04s2 additions; the last 3 r04s2 names above
+    # (cohort_revenue_retention, dedup_cluster_histogram, and
+    # watermark_lateness_stats) overflow to r05 — all are
+    # planted-tested and green in this session's full sf0.01 + sf0.1
+    # sweeps. Changed-but-previously-green queries (twa_by_type_day, win_time_range_avg,
     # bfs_hops_trade, ann_ivf_topk, ivf_train_centroids, and the two
     # below) were all re-verified locally in this session's FULL
     # sf0.01 + sf0.1 sweeps (0 failures) and rotate into the r05

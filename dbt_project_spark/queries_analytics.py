@@ -1381,3 +1381,140 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.groupBy("stage").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )
+
+
+MAU_WINDOW_DAYS = 30  # trailing MAU horizon
+DECAY_WEEKS = 5  # dyadic recency-decay horizon (2^0 .. 2^4 weights)
+
+
+@register(
+    "stickiness_dau_mau",
+    oracle=f"""
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                            AS BIGINT) AS ed
+                FROM events),
+    b AS (SELECT MIN(ed) AS mind, MAX(ed) AS maxd FROM ud),
+    offs AS (SELECT CAST(range AS BIGINT) AS k FROM range({MAU_WINDOW_DAYS})),
+    fan AS (SELECT DISTINCT ud.user_id, ud.ed + offs.k AS rd
+            FROM ud JOIN offs ON 1 = 1),
+    mau AS (SELECT rd, CAST(COUNT(*) AS BIGINT) AS n_mau
+            FROM fan CROSS JOIN b
+            WHERE rd BETWEEN b.mind AND b.maxd
+            GROUP BY rd),
+    dau AS (SELECT ed AS rd, CAST(COUNT(*) AS BIGINT) AS n_dau
+            FROM ud GROUP BY ed)
+    SELECT strftime(make_timestamp(mau.rd * 86400 * 1000000), '%Y-%m-%d')
+               AS day,
+           COALESCE(dau.n_dau, 0) AS n_dau, mau.n_mau,
+           CAST(COALESCE(dau.n_dau, 0) * 1000000 // mau.n_mau AS BIGINT)
+               AS stickiness_micro
+    FROM mau LEFT JOIN dau ON dau.rd = mau.rd
+    """,
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement-frequency ratio
+    (how much of the monthly audience shows up on a given day) that
+    growth teams track beside the lifecycle curves. MAU is the
+    trailing {MAU_WINDOW_DAYS}-day distinct; early days report over
+    the partial window (clipped to the observed range, identically in
+    both engines); the ratio is exact integer micro-units.
+
+    Scale shape: same fan-out formulation as
+    rolling_distinct_users_7d — sliding-window COUNT(DISTINCT) is not
+    frame-mergeable, so each (user, active-day) of the COLLAPSED
+    user-day table fans to the {MAU_WINDOW_DAYS} report days it
+    contributes to via a broadcast offsets dim, dedups, and counts.
+    Events are touched once; everything after is user-days sized.
+    """
+    ud = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.expr("unix_timestamp(ts) div 86400").cast("bigint").alias("ed"),
+        )
+        .distinct()
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    ud = persist_tracked(ud)
+    b = ud.agg(F.min("ed").alias("mind"), F.max("ed").alias("maxd"))
+    offs = spark.range(MAU_WINDOW_DAYS).select(F.col("id").alias("k"))
+    fan = (
+        ud.crossJoin(F.broadcast(offs))
+        .select("user_id", (F.col("ed") + F.col("k")).alias("rd"))
+        .distinct()
+    )
+    mau = (
+        fan.crossJoin(F.broadcast(b))
+        .filter((F.col("rd") >= F.col("mind")) & (F.col("rd") <= F.col("maxd")))
+        .groupBy("rd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_mau"))
+    )
+    dau = ud.groupBy(F.col("ed").alias("rd")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dau")
+    )
+    return mau.join(dau, "rd", "left").select(
+        F.date_format(F.timestamp_seconds(F.col("rd") * 86400), "yyyy-MM-dd")
+        .alias("day"),
+        F.coalesce("n_dau", F.lit(0)).cast("bigint").alias("n_dau"),
+        "n_mau",
+        F.expr(
+            "CAST(coalesce(n_dau, 0) * 1000000 div n_mau AS BIGINT)"
+        ).alias("stickiness_micro"),
+    )
+
+
+@register(
+    "user_decay_score",
+    oracle=f"""
+    WITH e AS (SELECT user_id, {_V100} AS v100,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                           AS BIGINT) AS ed
+               FROM events),
+    mx AS (SELECT MAX(ed) AS maxd FROM e),
+    w AS (SELECT user_id, v100,
+                 CASE WHEN (mx.maxd - e.ed) // 7 >= {DECAY_WEEKS} - 1 THEN 0
+                      ELSE {DECAY_WEEKS} - 1 - (mx.maxd - e.ed) // 7
+                 END AS sh,
+                 ed
+          FROM e, mx)
+    SELECT user_id,
+           CAST(SUM(v100 * (CAST(1 AS BIGINT) << sh)) AS BIGINT)
+               AS decay_score,
+           CAST(MAX(ed) AS BIGINT) AS last_active_ed
+    FROM w GROUP BY user_id
+    """,
+)
+def user_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score per user with EXACT dyadic
+    decay: an event's value is weighted 2^(W−1−age_weeks) (halving
+    per week of age, floor weight 1 past the horizon) — the
+    lead-scoring / re-engagement ranking signal. Powers of two keep
+    every weighted term an exact BIGINT (the ts_ewma_dyadic
+    convention): float exp-decay sums would be addition-order-
+    dependent and could never hash-gate.
+
+    Scale shape: one events pass with the 1-row max-day broadcast,
+    then a user-keyed sum — map-side combinable, users-sized output.
+    """
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "value100",
+        F.expr("unix_timestamp(ts) div 86400").cast("bigint").alias("ed"),
+    )
+    mx = e.agg(F.max("ed").alias("maxd"))
+    w = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "value100",
+        "ed",
+        F.expr(
+            f"CASE WHEN (maxd - ed) div 7 >= {DECAY_WEEKS} - 1 THEN 0"
+            f" ELSE {DECAY_WEEKS} - 1 - (maxd - ed) div 7 END"
+        ).alias("sh"),
+    )
+    return w.groupBy("user_id").agg(
+        F.expr("CAST(SUM(value100 * shiftleft(CAST(1 AS BIGINT), sh)) AS BIGINT)")
+        .alias("decay_score"),
+        F.max("ed").cast("bigint").alias("last_active_ed"),
+    )

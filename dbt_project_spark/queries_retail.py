@@ -563,3 +563,79 @@ def part_demand_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Z")
         .alias("xyz_class"),
     )
+
+
+# --- market concentration (HHI) of nation revenue (r4s3) ---
+
+
+@register(
+    "revenue_hhi_nation",
+    oracle=f"""
+    WITH r AS (SELECT c.c_nationkey AS nationkey,
+                      CAST(SUM({_EP100}) AS BIGINT) AS rev
+               FROM lineitem l
+               JOIN orders o ON o.o_orderkey = l.l_orderkey
+               JOIN customer c ON c.c_custkey = o.o_custkey
+               GROUP BY 1),
+    t AS (SELECT CAST(SUM(rev) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_groups,
+                 CAST(MAX(rev) AS BIGINT) AS max_rev
+          FROM r),
+    s AS (SELECT CAST(r.rev * 1000 // t.total AS BIGINT) AS share_milli
+          FROM r, t)
+    SELECT t.n_groups,
+           t.total AS total_cents,
+           CAST(t.max_rev * 1000000 // t.total AS BIGINT) AS top_share_micro,
+           (SELECT CAST(SUM(share_milli * share_milli) AS BIGINT) FROM s)
+               AS hhi_permille_sq
+    FROM t
+    """,
+)
+def revenue_hhi_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of revenue across
+    customer nations — the market-concentration number (10 000 ×
+    Σ share²; here in truncated permille² units, 0..1 000 000) an
+    antitrust or portfolio review asks of any segmented revenue
+    table. Shares are truncated to integer permille FIRST, so every
+    squared term is an exact bounded integer regardless of revenue
+    magnitude — squaring raw cent totals would overflow BIGINT at
+    warehouse scale (measured risk: nation revenue at sf0.1 is
+    already ~1e10 cents; its square is past 2^63).
+
+    Scale shape: lineitem⋈orders⋈customer collapses to a
+    nations-sized revenue table (map-side combined); the total is a
+    1-row broadcast and the HHI a 25-row aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.sum(F.expr(_EP100)).cast("bigint").alias("rev"))
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    r = persist_tracked(r)  # totals AND share terms consume it
+    t = r.agg(
+        F.sum("rev").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.max("rev").cast("bigint").alias("max_rev"),
+    )
+    s = r.crossJoin(F.broadcast(t)).select(
+        F.expr("CAST(rev * 1000 div total AS BIGINT)").alias("share_milli")
+    )
+    hhi = s.agg(
+        F.sum(F.col("share_milli") * F.col("share_milli"))
+        .cast("bigint")
+        .alias("hhi_permille_sq")
+    )
+    return t.crossJoin(F.broadcast(hhi)).select(
+        "n_groups",
+        F.col("total").alias("total_cents"),
+        F.expr("CAST(max_rev * 1000000 div total AS BIGINT)").alias(
+            "top_share_micro"
+        ),
+        "hhi_permille_sq",
+    )

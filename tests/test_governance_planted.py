@@ -536,3 +536,78 @@ def test_ts_decompose_recovers_weekly_seasonality(spark, tmp_path):
             assert r["seasonal_cents"] == 6000 and r["residual_cents"] == 0
         else:
             assert r["seasonal_cents"] == -1000 and r["residual_cents"] == 0
+
+
+def test_stickiness_partial_and_full_windows(spark, tmp_path):
+    from dbt_project_spark.queries_analytics import stickiness_dau_mau
+
+    # u1 active every day 0..4; u2 active only day 2
+    rows = [(d, T0 + d * DAY, 1, "view", 1.0) for d in range(5)]
+    rows.append((10, T0 + 2 * DAY + 5, 2, "view", 1.0))
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["day"]: (r["n_dau"], r["n_mau"], r["stickiness_micro"])
+        for r in stickiness_dau_mau(spark, str(tmp_path)).collect()
+    }
+    days = sorted(got)
+    assert got[days[0]] == (1, 1, 1000000)  # day 0: only u1 ever seen
+    assert got[days[2]] == (2, 2, 1000000)  # day 2: both active
+    # day 3: u1 active; MAU window covers u1+u2 → 1/2
+    assert got[days[3]] == (1, 2, 500000)
+
+
+def test_user_decay_score_dyadic_weights(spark, tmp_path):
+    from dbt_project_spark.queries_analytics import user_decay_score
+
+    # max day = day 28. Ages: 0w → weight 16, 2w → 4, ≥4w → 1.
+    rows = [
+        (0, T0 + 28 * DAY, 1, "view", 1.0),   # this week: 100¢ × 16
+        (1, T0 + 14 * DAY, 1, "view", 1.0),   # 2 weeks old: 100¢ × 4
+        (2, T0, 1, "view", 1.0),              # 4 weeks old: 100¢ × 1
+        (3, T0, 2, "view", 2.0),              # old-only user: 200¢ × 1
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: (r["decay_score"], r["last_active_ed"])
+        for r in user_decay_score(spark, str(tmp_path)).collect()
+    }
+    base_ed = T0 // DAY
+    assert got[1] == (100 * 16 + 100 * 4 + 100 * 1, base_ed + 28)
+    assert got[2] == (200, base_ed)
+
+
+def test_revenue_hhi_monopoly_vs_uniform(spark, tmp_path):
+    from dbt_project_spark.queries_retail import revenue_hhi_nation
+
+    def write_case(path, nations):
+        # one order + lineitem per (custkey, price); customer c in nation n
+        _write(
+            spark, path, "customer",
+            [(c, n) for c, n in enumerate(nations)],
+            "c_custkey bigint, c_nationkey bigint",
+        )
+        _write(
+            spark, path, "orders",
+            [(c, c) for c in range(len(nations))],
+            "o_orderkey bigint, o_custkey bigint",
+        )
+        _write(
+            spark, path, "lineitem",
+            [(c, 100.0) for c in range(len(nations))],
+            "l_orderkey bigint, l_extendedprice double",
+        )
+
+    # uniform across 4 nations → share 250‰ each → HHI = 4·250² = 250000
+    p1 = tmp_path / "uniform"; p1.mkdir()
+    write_case(p1, [0, 1, 2, 3])
+    r = revenue_hhi_nation(spark, str(p1)).collect()[0]
+    assert r["n_groups"] == 4
+    assert r["hhi_permille_sq"] == 4 * 250 * 250
+    assert r["top_share_micro"] == 250000
+
+    # monopoly → share 1000‰ → HHI = 1000000
+    p2 = tmp_path / "mono"; p2.mkdir()
+    write_case(p2, [0, 0, 0, 0])
+    r = revenue_hhi_nation(spark, str(p2)).collect()[0]
+    assert r["n_groups"] == 1
+    assert r["hhi_permille_sq"] == 1000000

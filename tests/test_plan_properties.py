@@ -481,6 +481,9 @@ def test_governance_family_no_cartesian(spark):
         "funnel_time_to_convert",
         "k_anonymity_audit",
         "ts_decompose_daily",
+        "stickiness_dau_mau",
+        "user_decay_score",
+        "revenue_hhi_nation",
     ):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name

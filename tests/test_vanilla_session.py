@@ -53,6 +53,13 @@ _TS_QUERIES = [
     "time_travel_asof",  # timestamp INTERVAL arithmetic + cutoff literal
     "rolling_distinct_users_7d",  # epoch-day fan-out + date_format
     "ks_test_value",  # unix_timestamp half-split
+    # r04s3 additions with their own ts access patterns:
+    "seasonal_naive_forecast",  # to_date + date_sub calendar join
+    "user_lifecycle_daily",  # to_date + date_add/date_sub + full outer
+    "part_demand_xyz",  # unix_timestamp(o_orderdate) week bucketing
+    "ts_decompose_daily",  # to_date + dayofweek (ISO mapping)
+    "attribution_u_shape",  # okey (date_format millis) journey windows
+    "markov_next_event_backtest",  # epoch half-split + lead ordering
 ]
 
 
