@@ -107,6 +107,14 @@ PRIORITY: list[str] = [
     "watermark_lateness_stats",
     "cohort_revenue_retention",
     "dedup_cluster_histogram",
+    # --- r04s4 additions: below the 50-slot fold (the window is full
+    # of older never-checked queries); these rotate into the r05
+    # window. All verified by the local replica gate at sf0.001/0.01
+    # + planted-semantics tests this session. ---
+    "spc_pchart_error_rate",
+    "profile_drift_halves",
+    "kaplan_meier_retention",
+    "table_file_stats",
     # --- changed this round, r03-green, rotated BELOW the window ---
     # The window (first 50) = 3 r03-erred fixes + 20 r04s3 additions +
     # the first 27 r04s2 additions; the last 3 r04s2 names above
@@ -172,3 +180,4 @@ def load_all() -> None:
     import dbt_project_spark.queries_quality  # noqa: F401
     import dbt_project_spark.queries_retrieval  # noqa: F401
     import dbt_project_spark.queries_governance  # noqa: F401
+    import dbt_project_spark.queries_ops  # noqa: F401

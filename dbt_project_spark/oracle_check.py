@@ -77,7 +77,9 @@ def check_query(spark, sf_dir: str, name: str, query_fn, oracle: str | None):
         result["ok"] = True
         return result
     con = duckdb_conn(sf_dir)
-    cur = con.execute(oracle)
+    # Path-bearing oracles (table_file_stats) are baked at the
+    # driver's sf0.01; re-point them at the sf under local test.
+    cur = con.execute(oracle.replace("/root/testdata/sf0.01", sf_dir))
     ocols = [d[0] for d in cur.description]
     orows = cur.fetchall()
     result["oracle_rows"] = len(orows)

@@ -1,0 +1,385 @@
+"""Operations / reliability analytics family (round 4, session 4):
+the monitoring surfaces an on-call data team runs on a production
+pipeline — a statistical-process-control p-chart on the daily error
+rate, a two-period data-contract profile diff, a Kaplan–Meier user
+survival curve, and a per-table parquet file manifest (the
+small-file/compaction trigger next to operators/layout.py).
+
+Float determinism follows the repo conventions: rates and shares as
+truncating integer micro-units, control limits compared in EXACT
+integer space (squared inequality — no sqrt), irrational (ln) terms
+through the ×1e9 integer-sum convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.sources import load_table
+
+_V100 = "CAST(round(value * 100, 0) AS BIGINT)"
+_EP = "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# spc_pchart_error_rate — 3-sigma control chart on the daily error rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spc_pchart_error_rate",
+    oracle="""
+    WITH d AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN event_type = 'error'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(x) AS BIGINT) AS et
+          FROM d)
+    SELECT d.day, d.n AS n_events, d.x AS n_errors,
+           CAST(d.x * 1000000 // d.n AS BIGINT) AS rate_micro,
+           CAST(t.et * 1000000 // t.nt AS BIGINT) AS center_micro,
+           CAST(d.x * t.nt - d.n * t.et AS HUGEINT)
+             * CAST(d.x * t.nt - d.n * t.et AS HUGEINT)
+             > 9 * CAST(t.et AS HUGEINT) * (t.nt - t.et) * d.n
+               AS out_of_control
+    FROM d CROSS JOIN t
+    """,
+)
+def spc_pchart_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control p-chart on the daily error rate:
+    each day's error proportion p_d = x_d/n_d against 3σ control
+    limits around the full-period center line p̄ = E/N, with
+    σ_d = sqrt(p̄(1−p̄)/n_d) (per-day limits — sample sizes vary by
+    day, so a fixed band would be wrong). A day outside the band is a
+    special-cause signal the on-call rotation pages on; inside is
+    common-cause noise.
+
+    Exactness: |p_d − p̄| > 3σ_d is squared and cleared to the
+    integer inequality (x_d·N − n_d·E)² > 9·E·(N−E)·n_d — the
+    ts_anomaly_sigma trick on Bernoulli counts. The square and the
+    right side exceed BIGINT at warehouse row counts, so both run in
+    DECIMAL(38,0)/HUGEINT (the linreg convention); rates are emitted
+    as truncating integer micro-units. No sqrt, no float compare, no
+    threshold-tie risk.
+
+    Scale shape: one events-sized map-side-combined aggregate to
+    days; the totals are a 1-row broadcast; everything after is
+    arithmetic on the days table.
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    t = d.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("x").cast("bigint").alias("et"),
+    )
+    return d.crossJoin(F.broadcast(t)).select(
+        "day",
+        F.col("n").alias("n_events"),
+        F.col("x").alias("n_errors"),
+        F.expr("CAST(x * 1000000 div n AS BIGINT)").alias("rate_micro"),
+        F.expr("CAST(et * 1000000 div nt AS BIGINT)").alias("center_micro"),
+        F.expr(
+            "CAST(x * nt - n * et AS DECIMAL(38,0))"
+            " * CAST(x * nt - n * et AS DECIMAL(38,0))"
+            " > 9 * CAST(et AS DECIMAL(38,0)) * (nt - et) * n"
+        ).alias("out_of_control"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# profile_drift_halves — two-period data-contract profile diff
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_drift_halves",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, {_V100} AS v100, {_EP} AS ep
+               FROM events),
+    mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS m FROM e)
+    SELECT CASE WHEN ep < (SELECT m FROM mid) THEN 'ref' ELSE 'cur' END AS half,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_users,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(MIN(v100) AS BIGINT) AS min_v100,
+           CAST(MAX(v100) AS BIGINT) AS max_v100,
+           CAST(SUM(v100) AS BIGINT) AS sum_v100,
+           CAST(SUM(v100) * 10000 // COUNT(*) AS BIGINT) AS mean_value_micro
+    FROM e GROUP BY 1
+    """,
+)
+def profile_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract profile diff: the per-column profile
+    (row count, null rate, distinct cardinalities, min/max/sum/mean
+    of value) for the first half of the time range vs the second —
+    the coarse schema-level drift monitor a pipeline checks BEFORE
+    the distributional tests (PSI/KS catch shape drift; this catches
+    'user_id suddenly 30% null' and 'a new event_type appeared',
+    which no bucket statistic sees). Same midpoint split as
+    drift_psi_value so all drift monitors compare identical periods.
+
+    Scale shape: ONE conditional-aggregate pass over events grouped
+    by the half label (two groups — map-side combined to two partial
+    rows per task; the distinct counts are Spark's standard
+    two-phase distinct-aggregate expansion). Exact integer output;
+    the mean is a truncating micro-dollar division.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(_V100).alias("v100"),
+        F.unix_timestamp("ts").alias("ep"),
+    )
+    mid = e.agg(F.expr("(min(ep) + max(ep)) div 2").cast("bigint").alias("m"))
+    return (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy(
+            F.when(F.col("ep") < F.col("m"), "ref").otherwise("cur").alias(
+                "half"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("null_users"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            F.min("v100").cast("bigint").alias("min_v100"),
+            F.max("v100").cast("bigint").alias("max_v100"),
+            F.sum("v100").cast("bigint").alias("sum_v100"),
+            F.expr("CAST(SUM(v100) * 10000 div COUNT(*) AS BIGINT)").alias(
+                "mean_value_micro"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier_retention — user survival curve (product-limit estimator)
+# ---------------------------------------------------------------------------
+
+# Silent for more than this many full days before the observation end
+# = churned. The synthetic users are hyperactive (max silence gap at
+# sf0.1 is 3 days), so the horizon is 1 day here; a real product
+# would use 7-30. The estimator is horizon-agnostic.
+KM_CHURN_HORIZON_DAYS = 1
+
+
+@register(
+    "kaplan_meier_retention",
+    oracle=f"""
+    WITH e AS (SELECT user_id, {_EP} // 86400 AS d FROM events
+               WHERE user_id IS NOT NULL),
+    u AS (SELECT user_id, MIN(d) AS fd, MAX(d) AS ld FROM e GROUP BY 1),
+    endd AS (SELECT MAX(ld) AS ed FROM u),
+    lt AS (SELECT CASE WHEN endd.ed - u.ld > {KM_CHURN_HORIZON_DAYS}
+                       THEN u.ld - u.fd ELSE endd.ed - u.fd END AS t,
+                  CASE WHEN endd.ed - u.ld > {KM_CHURN_HORIZON_DAYS}
+                       THEN 1 ELSE 0 END AS is_death
+           FROM u CROSS JOIN endd),
+    g AS (SELECT t, CAST(SUM(is_death) AS BIGINT) AS deaths,
+                 CAST(SUM(1 - is_death) AS BIGINT) AS censored
+          FROM lt GROUP BY t),
+    tot AS (SELECT CAST(SUM(deaths + censored) AS BIGINT) AS nu FROM g),
+    r AS (SELECT g.t, g.deaths, g.censored,
+                 tot.nu - COALESCE(SUM(g.deaths + g.censored)
+                     OVER (ORDER BY g.t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS n_risk
+          FROM g CROSS JOIN tot),
+    d AS (SELECT t, n_risk, deaths, censored,
+                 CASE WHEN deaths < n_risk THEN
+                   CAST(round(ln((n_risk - deaths) * 1.0 / n_risk)
+                              * 1000000000) AS BIGINT) END AS term9
+          FROM r WHERE deaths > 0)
+    SELECT CAST(t AS BIGINT) AS t_day, CAST(n_risk AS BIGINT) AS n_risk,
+           deaths, censored,
+           CAST(deaths * 1000000 // n_risk AS BIGINT) AS hazard_micro,
+           CAST(SUM(term9) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS log_surv_nano
+    FROM d
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier user survival curve: per-user lifetime = days
+    from first to last event; a user silent for more than
+    KM_CHURN_HORIZON_DAYS days before the observation end is a
+    CHURN event at their lifetime, anyone else is right-CENSORED at
+    (end − first day) — the textbook product-limit setup, which a
+    naive churn-rate curve gets wrong precisely because it ignores
+    censoring (late cohorts haven't had time to churn). Emits, per
+    death time t: the at-risk count, deaths, censored-at-t, the
+    discrete hazard d/n in micro-units, and the log survival
+    ln S(t) = Σ ln((n−d)/n) in nano-units (S(t) = exp(·/1e9);
+    the sum stays integer-exact via the ×1e9 ln-term convention —
+    a cross-engine float PRODUCT would never hash-gate). If a death
+    time exhausts the risk set (n = d, S → 0) its ln term is NULL
+    and SUM skips it — identically in both engines.
+
+    Scale shape: events collapse to per-user (first, last) in one
+    map-side-combined aggregate; everything after (life table,
+    cumulative windows over distinct lifetimes — bounded by the
+    observation span in days, not by users) is tiny. The risk set
+    comes from total − running-sum, not a per-t rescan.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id", F.expr("unix_timestamp(ts) div 86400").alias("d")
+        )
+    )
+    u = e.groupBy("user_id").agg(
+        F.min("d").alias("fd"), F.max("d").alias("ld")
+    )
+    endd = u.agg(F.max("ld").alias("ed"))
+    H = KM_CHURN_HORIZON_DAYS
+    lt = u.crossJoin(F.broadcast(endd)).select(
+        F.when(
+            F.col("ed") - F.col("ld") > H, F.col("ld") - F.col("fd")
+        )
+        .otherwise(F.col("ed") - F.col("fd"))
+        .alias("t"),
+        F.when(F.col("ed") - F.col("ld") > H, 1).otherwise(0).alias(
+            "is_death"
+        ),
+    )
+    g = lt.groupBy("t").agg(
+        F.sum("is_death").cast("bigint").alias("deaths"),
+        F.sum(F.lit(1) - F.col("is_death")).cast("bigint").alias("censored"),
+    )
+    tot = g.agg(
+        F.sum(F.col("deaths") + F.col("censored")).cast("bigint").alias("nu")
+    )
+    wb = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "deaths",
+        "censored",
+        (
+            F.col("nu")
+            - F.coalesce(
+                F.sum(F.col("deaths") + F.col("censored")).over(wb), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    d = r.where(F.col("deaths") > 0).select(
+        "t",
+        "n_risk",
+        "deaths",
+        "censored",
+        F.when(
+            F.col("deaths") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("deaths"))
+                    * 1.0
+                    / F.col("n_risk")
+                )
+                * 1_000_000_000
+            ).cast("bigint"),
+        ).alias("term9"),
+    )
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        F.col("t").cast("bigint").alias("t_day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "deaths",
+        "censored",
+        F.expr("CAST(deaths * 1000000 div n_risk AS BIGINT)").alias(
+            "hazard_micro"
+        ),
+        F.sum("term9").over(wc).cast("bigint").alias("log_surv_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# table_file_stats — parquet file manifest (small-file health check)
+# ---------------------------------------------------------------------------
+
+_MANIFEST_TABLES = ("events", "orders", "lineitem", "documents")
+
+
+def _file_stats_one(spark: SparkSession, sf_dir: str, tbl: str) -> DataFrame:
+    per_file = (
+        load_table(spark, sf_dir, tbl)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows"))
+    )
+    return per_file.agg(
+        F.lit(tbl).alias("tbl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("rows").cast("bigint").alias("total_rows"),
+        F.min("rows").cast("bigint").alias("min_file_rows"),
+        F.max("rows").cast("bigint").alias("max_file_rows"),
+        F.expr("CAST(SUM(rows) div COUNT(*) AS BIGINT)").alias(
+            "avg_file_rows"
+        ),
+    )
+
+
+def _file_stats_sql(sf_dir: str, tbl: str) -> str:
+    return f"""
+      SELECT '{tbl}' AS tbl,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(rows) AS BIGINT) AS total_rows,
+             CAST(MIN(rows) AS BIGINT) AS min_file_rows,
+             CAST(MAX(rows) AS BIGINT) AS max_file_rows,
+             CAST(SUM(rows) // COUNT(*) AS BIGINT) AS avg_file_rows
+      FROM (SELECT filename, CAST(COUNT(*) AS BIGINT) AS rows
+            FROM read_parquet('{{sf}}/{tbl}.parquet', filename=true)
+            GROUP BY filename)"""
+
+
+# The oracle must reference the same sf_dir the driver passes to the
+# Spark side; the driver substitutes nothing, so the oracle reads the
+# registered VIEWS for row data — but file-level stats need the path.
+# The driver registers views over '{sf_dir}/{tbl}.parquet', and its
+# gate always runs at sf0.01: bake that path in (the local gate
+# verifies at other SFs through check_query's oracle rewrite — see
+# tests/test_ops_family.py, which formats the path per-SF).
+TABLE_FILE_STATS_ORACLE_TMPL = (
+    " UNION ALL ".join(
+        _file_stats_sql("{sf}", t) for t in _MANIFEST_TABLES
+    )
+)
+
+
+@register(
+    "table_file_stats",
+    oracle=TABLE_FILE_STATS_ORACLE_TMPL.replace(
+        "{sf}", "/root/testdata/sf0.01"
+    ),
+)
+def table_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet file manifest per table: file count, total rows, and
+    the min/max/avg rows-per-file spread — the metadata health check
+    that triggers compaction (see operators/layout.compact_files) and
+    sizes `spark.sql.files.maxPartitionBytes`. A table whose
+    min_file_rows is tiny while n_files is large is the classic
+    small-file problem; one giant file caps scan parallelism at 1
+    unless row groups split.
+
+    Scale shape: rows-per-file is a metadata-shaped aggregate on
+    input_file_name() — one map-side-combined pass per table, output
+    bounded by file count. (The oracle's path is baked at the
+    driver's sf0.01; the pytest gate re-formats it per-SF.)
+    """
+    out = None
+    for t in _MANIFEST_TABLES:
+        part = _file_stats_one(spark, sf_dir, t)
+        out = part if out is None else out.unionByName(part)
+    return out
