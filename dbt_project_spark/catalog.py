@@ -115,6 +115,10 @@ PRIORITY: list[str] = [
     "profile_drift_halves",
     "kaplan_meier_retention",
     "table_file_stats",
+    "repurchase_intervals",
+    "price_elasticity_parts",
+    "user_item_recs",
+    "clustering_coefficient",
     # --- changed this round, r03-green, rotated BELOW the window ---
     # The window (first 50) = 3 r03-erred fixes + 20 r04s3 additions +
     # the first 27 r04s2 additions; the last 3 r04s2 names above

@@ -431,3 +431,41 @@ def graph_diagnostics(edges: DataFrame) -> DataFrame:
             ).alias("assort_den_sq"),
         )
     )
+
+
+def triangles_per_node(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (u, v),
+    u < v: the degree-oriented wedge join of ``triangle_count``, but
+    keeping each closed wedge's three corners (wedge source + both
+    endpoints) and aggregating corner hits per node. Returns
+    (node, tri) for nodes in ≥1 triangle. Same O(m^1.5) wedge bound —
+    orientation caps out-degree at O(sqrt(m)); the corner fan-out is
+    exactly 3× the triangle count."""
+    from dbt_project_spark.caching import persist_tracked
+
+    edges = persist_tracked(edges)
+    edges.count()
+    o = persist_tracked(orient_by_degree(edges))
+    e1 = o.alias("e1")
+    e2 = o.alias("e2")
+    wedge = e1.join(
+        e2,
+        on=(F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(
+        F.col("e1.src").alias("s"),
+        F.col("e1.dst").alias("a"),
+        F.col("e2.dst").alias("b"),
+    )
+    closing = o.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    tri = wedge.join(closing, on=["a", "b"], how="leftsemi")
+    corners = (
+        tri.select(F.col("s").alias("node"))
+        .unionAll(tri.select(F.col("a").alias("node")))
+        .unionAll(tri.select(F.col("b").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tri")
+    )

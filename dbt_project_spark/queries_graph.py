@@ -624,3 +624,273 @@ def trade_graph_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_project_spark.operators.graph import graph_diagnostics
 
     return graph_diagnostics(_trade_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# user_item_recs — personalized top-N from item-item affinities (r4s4)
+# ---------------------------------------------------------------------------
+
+REC_NEIGH_K = 5  # affinity neighbors kept per item (index cap)
+REC_TOP_N = 3  # recommendations emitted per customer
+REC_MIN_COOC = 2  # minimum pair support (drops nab=1 noise edges)
+
+
+@register(
+    "user_item_recs",
+    oracle=f"""
+    WITH {_COPURCHASE_SQL},
+    pc AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+                  CAST(COUNT(*) AS BIGINT) AS nab
+           FROM bp a JOIN bp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2
+           HAVING COUNT(*) >= {REC_MIN_COOC}),
+    na AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+           FROM bp GROUP BY 1),
+    ed AS (SELECT u AS src, v AS dst, nab FROM pc
+           UNION ALL SELECT v, u, nab FROM pc),
+    sc AS (SELECT e.src, e.dst,
+                  CAST(e.nab * e.nab * 1000000 // (ns.n * nd.n) AS BIGINT)
+                      AS score
+           FROM ed e JOIN na ns ON ns.l_partkey = e.src
+                     JOIN na nd ON nd.l_partkey = e.dst),
+    top AS MATERIALIZED (SELECT src, dst, score FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY score DESC, dst) AS rk
+             FROM sc) WHERE rk <= {REC_NEIGH_K}),
+    own AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    cand AS (SELECT own.c, t.dst, t.score
+             FROM own JOIN top t ON t.src = own.p),
+    agg AS (SELECT c, dst, CAST(SUM(score) AS BIGINT) AS score_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_paths
+            FROM cand
+            WHERE NOT EXISTS (SELECT 1 FROM own o2
+                              WHERE o2.c = cand.c AND o2.p = cand.dst)
+            GROUP BY c, dst),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c
+                                       ORDER BY score_sum DESC, dst) AS rk
+          FROM agg)
+    SELECT c AS custkey, dst AS rec_partkey, score_sum AS score_micro,
+           n_paths, CAST(rk AS BIGINT) AS rec_rank
+    FROM r WHERE rk <= {REC_TOP_N}
+    """,
+)
+def user_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized 'customers who bought X also bought Y' top-N:
+    each customer's owned parts fan out through a per-item capped
+    affinity index (squared-cosine co-purchase scores, the
+    item_cooc_similarity metric, top REC_NEIGH_K neighbors per item,
+    pair support ≥ REC_MIN_COOC), candidate scores sum per
+    (customer, candidate), already-owned parts are anti-joined away,
+    and the top REC_TOP_N per customer are emitted — the standard
+    item-based collaborative-filtering serving pipeline (Amazon-style
+    item-to-item CF) as one batch job.
+
+    Exactness: scores are the truncating-integer squared-cosine
+    micro-units (no sqrt); ranking ties break on part id at both the
+    index cap and the final top-N, so every rank is deterministic.
+
+    Scale shape: the affinity index is bounded at parts×NEIGH_K rows
+    no matter the order volume (the cap rides the same src
+    partitioning that built the scores); candidate generation is an
+    equi-join of the owned table against that index, so fan-out per
+    owned row is ≤ NEIGH_K; the anti-join and final top-N ride ONE
+    customer partitioning. Nothing is ever all-pairs over customers
+    or parts.
+    """
+    from dbt_project_spark.caching import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_part = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.sum(F.expr(_Q100)).alias("q100")
+    )
+    wb = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("q100"), F.asc("l_partkey")
+    )
+    bp = persist_tracked(
+        per_part.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= TC_MAX_BASKET)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = bp.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = bp.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pc = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+        .filter(F.col("nab") >= REC_MIN_COOC)
+    )
+    na = bp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ed = pc.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "nab"
+    ).unionAll(
+        pc.select(F.col("v").alias("src"), F.col("u").alias("dst"), "nab")
+    )
+    sc = (
+        ed.join(
+            na.select(F.col("l_partkey").alias("src"), F.col("n").alias("ns")),
+            "src",
+        )
+        .join(
+            na.select(F.col("l_partkey").alias("dst"), F.col("n").alias("nd")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.expr("CAST(nab * nab * 1000000 div (ns * nd) AS BIGINT)").alias(
+                "score"
+            ),
+        )
+    )
+    wt = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    top = (
+        sc.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= REC_NEIGH_K)
+        .select("src", "dst", "score")
+    )
+    own = persist_tracked(
+        orders.join(
+            li.select("l_orderkey", "l_partkey"),
+            orders.o_orderkey == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cand = own.join(top, own.p == top.src).select("c", "dst", "score")
+    own2 = own.select(F.col("c").alias("c2"), F.col("p").alias("p2"))
+    agg = (
+        cand.join(
+            own2,
+            (cand.c == own2.c2) & (cand.dst == own2.p2),
+            "left_anti",
+        )
+        .groupBy("c", "dst")
+        .agg(
+            F.sum("score").cast("bigint").alias("score_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+        )
+    )
+    wr = Window.partitionBy("c").orderBy(F.desc("score_sum"), F.asc("dst"))
+    return (
+        agg.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= REC_TOP_N)
+        .select(
+            F.col("c").alias("custkey"),
+            F.col("dst").alias("rec_partkey"),
+            F.col("score_sum").alias("score_micro"),
+            "n_paths",
+            F.col("rk").cast("bigint").alias("rec_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficient — local transitivity of the co-purchase graph (r4s4)
+# ---------------------------------------------------------------------------
+
+CLUST_TOP_K = 20  # most triangle-dense parts reported
+
+
+@register(
+    "clustering_coefficient",
+    oracle=f"""
+    WITH {_COPURCHASE_SQL},
+    deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+              SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+            GROUP BY node),
+    o AS MATERIALIZED (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+      FROM e0 e JOIN deg du ON du.node = e.u
+                JOIN deg dv ON dv.node = e.v),
+    wedge AS (SELECT e1.src AS s, e1.dst AS a, e2.dst AS b
+              FROM o e1 JOIN o e2
+                ON e1.src = e2.src AND e1.dst < e2.dst),
+    closing AS MATERIALIZED (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM o),
+    tri AS (SELECT w.s, w.a, w.b FROM wedge w
+            WHERE EXISTS (SELECT 1 FROM closing c
+                          WHERE c.a = w.a AND c.b = w.b)),
+    corners AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+                  SELECT s AS node FROM tri
+                  UNION ALL SELECT a FROM tri
+                  UNION ALL SELECT b FROM tri)
+                GROUP BY node),
+    cc AS (SELECT deg.node, deg.d, COALESCE(corners.tri, 0) AS tri,
+                  CAST(2 * COALESCE(corners.tri, 0) * 1000000
+                       // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_micro
+           FROM deg LEFT JOIN corners ON corners.node = deg.node
+           WHERE deg.d >= 2),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY tri DESC, node) AS rk
+          FROM cc)
+    SELECT node AS partkey, d AS degree, tri AS triangles, cc_micro
+    FROM r WHERE rk <= {CLUST_TOP_K}
+    """,
+)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of the part co-purchase graph:
+    for each part, cc = 2·T_v / (d_v·(d_v−1)) — how much of its
+    neighborhood buys together (1 = the part anchors a clique of
+    co-purchases, 0 = it bridges unrelated baskets). Reported for the
+    CLUST_TOP_K most triangle-dense parts (tie → lowest part id) —
+    the merchandising 'bundle detector' on top of the triangle
+    machinery.
+
+    Exactness: T and d are integers; cc is a truncating integer
+    micro-unit division — no floats anywhere.
+
+    Scale shape: per-node triangle counts reuse the degree-oriented
+    wedge join (operators/graph.triangles_per_node — out-degree
+    bounded at O(sqrt m), corner fan-out exactly 3T); degrees are a
+    nodes-sized aggregate; the top-k is a TakeOrderedAndProject heap.
+    Basket cap as in every co-purchase query, mirrored in the oracle.
+    """
+    from dbt_project_spark.operators.graph import triangles_per_node
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    edges = copurchase_edges(li)
+    from dbt_project_spark.caching import persist_tracked
+
+    edges = persist_tracked(edges)
+    tri = triangles_per_node(edges)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    cc = (
+        deg.join(tri, "node", "left")
+        .withColumn("tri", F.coalesce("tri", F.lit(0)))
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            "d",
+            "tri",
+            F.expr(
+                "CAST(2 * tri * 1000000 div (d * (d - 1)) AS BIGINT)"
+            ).alias("cc_micro"),
+        )
+    )
+    return (
+        cc.orderBy(F.desc("tri"), F.asc("node"))
+        .limit(CLUST_TOP_K)
+        .select(
+            F.col("node").alias("partkey"),
+            F.col("d").alias("degree"),
+            F.col("tri").alias("triangles"),
+            "cc_micro",
+        )
+    )

@@ -639,3 +639,177 @@ def revenue_hhi_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "hhi_permille_sq",
     )
+
+
+# ---------------------------------------------------------------------------
+# repurchase_intervals — inter-purchase time distribution (r4s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repurchase_intervals",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS c,
+                      CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ep,
+                      o_orderkey AS k
+               FROM orders),
+    g AS (SELECT c, (ep - LAG(ep) OVER (PARTITION BY c ORDER BY ep, k))
+                      // 86400 AS gap
+          FROM o)
+    SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT CASE WHEN gap IS NOT NULL THEN c END)
+                AS BIGINT) AS n_repeat_customers,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) * 1000000 // COUNT(gap) AS BIGINT)
+               AS mean_gap_micro,
+           ROUND(CAST(round(quantile_cont(20 * gap, 0.5)) AS BIGINT)
+                 / 20.0, 6) AS p50_gap_days,
+           ROUND(CAST(round(quantile_cont(20 * gap, 0.9)) AS BIGINT)
+                 / 20.0, 6) AS p90_gap_days
+    FROM g
+    """,
+)
+def repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: days between a customer's
+    consecutive orders — the replenishment-cycle number behind
+    reorder reminders, churn-risk windows ('2× the p90 gap with no
+    order' = at risk), and inventory cadence. Emits repeat-customer
+    counts, the mean gap in micro-days (truncating integer division),
+    and exact interpolated p50/p90 via the ×20 quantile-exactness
+    trick (interpolation fractions at k/20 are exact in 20× integer
+    space — the winsorized_stats convention).
+
+    Scale shape: ONE exchange on o_custkey carries the LAG window
+    (per-customer order chains are short); the summary is a 1-row
+    aggregate with map-side percentile partials. No self-join of
+    orders against its own history.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.unix_timestamp("o_orderdate").alias("ep"),
+        F.col("o_orderkey").alias("k"),
+    )
+    w = Window.partitionBy("c").orderBy("ep", "k")
+    g = o.select(
+        "c",
+        F.expr(
+            "CAST((ep - lag(ep) OVER (PARTITION BY c ORDER BY ep, k))"
+            " div 86400 AS BIGINT)"
+        ).alias("gap"),
+    )
+    return g.agg(
+        F.countDistinct("c").cast("bigint").alias("n_customers"),
+        F.countDistinct(
+            F.when(F.col("gap").isNotNull(), F.col("c"))
+        )
+        .cast("bigint")
+        .alias("n_repeat_customers"),
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.expr("CAST(SUM(gap) * 1000000 div COUNT(gap) AS BIGINT)").alias(
+            "mean_gap_micro"
+        ),
+        F.round(
+            F.expr("CAST(round(percentile(20 * gap, 0.5)) AS BIGINT)") / 20.0,
+            6,
+        ).alias("p50_gap_days"),
+        F.round(
+            F.expr("CAST(round(percentile(20 * gap, 0.9)) AS BIGINT)") / 20.0,
+            6,
+        ).alias("p90_gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# price_elasticity_parts — log-log demand regression (r4s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_elasticity_parts",
+    oracle=f"""
+    WITH d AS (SELECT l.l_partkey,
+                      CAST(round(SUM(l.l_quantity)) AS BIGINT) AS qty,
+                      {_PP100.replace('p_retailprice', 'MAX(p.p_retailprice)')}
+                          AS price100
+               FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+               GROUP BY l.l_partkey),
+    xy AS (SELECT CAST(round(ln(price100) * 1000000) AS BIGINT) AS x6,
+                  CAST(round(ln(qty) * 1000000) AS BIGINT) AS y6
+           FROM d WHERE qty > 0),
+    m AS (SELECT MIN(x6) AS x0, MIN(y6) AS y0 FROM xy),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xy.x6 - m.x0) AS BIGINT) AS sx,
+                 CAST(SUM(xy.y6 - m.y0) AS BIGINT) AS sy,
+                 CAST(SUM((xy.x6 - m.x0) * (xy.y6 - m.y0)) AS BIGINT) AS sxy,
+                 CAST(SUM((xy.x6 - m.x0) * (xy.x6 - m.x0)) AS BIGINT) AS sxx
+          FROM xy CROSS JOIN m)
+    SELECT n AS n_parts,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                AS VARCHAR) AS elasticity_num,
+           CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                AS VARCHAR) AS elasticity_den
+    FROM s
+    """,
+)
+def price_elasticity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand across parts: OLS slope of
+    ln(total quantity) on ln(retail price) — the log-log regression
+    whose slope IS the elasticity (−1 = unit-elastic; pricing teams
+    key markdown decisions off this). Per part, demand is the summed
+    order quantity and price the catalog retail price in cents.
+
+    Determinism: each ln is ONE double expression rounded to ×1e6
+    BIGINT (micro-log units — ×1e9 would overflow the per-row
+    products that the shifted-sum OLS needs in BIGINT); x/y are
+    shifted by their minima (linreg_value_trend convention) so row
+    products stay in BIGINT at any parts count, the combination runs
+    in DECIMAL(38,0)/HUGEINT, and the slope is emitted as an EXACT
+    rational string pair — the established cross-engine contract for
+    regression outputs.
+
+    Scale shape: one lineitem-sized aggregate to parts (map-side
+    combined) with the part table joined in (broadcast — dims stay
+    small), then 1-row min and sum aggregates. Nothing bigger than
+    the parts table after the first exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.expr(_PP100).alias("price100")
+    )
+    d = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.expr("CAST(round(SUM(l_quantity)) AS BIGINT)").alias("qty"),
+            F.max("price100").alias("price100"),
+        )
+    )
+    xy = d.where(F.col("qty") > 0).select(
+        F.expr("CAST(round(ln(price100) * 1000000) AS BIGINT)").alias("x6"),
+        F.expr("CAST(round(ln(qty) * 1000000) AS BIGINT)").alias("y6"),
+    )
+    m = xy.agg(F.min("x6").alias("x0"), F.min("y6").alias("y0"))
+    s = xy.crossJoin(F.broadcast(m)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x6") - F.col("x0")).cast("bigint").alias("sx"),
+        F.sum(F.col("y6") - F.col("y0")).cast("bigint").alias("sy"),
+        F.sum((F.col("x6") - F.col("x0")) * (F.col("y6") - F.col("y0")))
+        .cast("bigint")
+        .alias("sxy"),
+        F.sum((F.col("x6") - F.col("x0")) * (F.col("x6") - F.col("x0")))
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    dec = "CAST(n AS DECIMAL(38,0))"
+    sxdec = "CAST(sx AS DECIMAL(38,0))"
+    return s.select(
+        F.col("n").alias("n_parts"),
+        F.expr(f"CAST({dec} * sxy - {sxdec} * sy AS STRING)").alias(
+            "elasticity_num"
+        ),
+        F.expr(f"CAST({dec} * sxx - {sxdec} * sx AS STRING)").alias(
+            "elasticity_den"
+        ),
+    )
