@@ -119,6 +119,10 @@ PRIORITY: list[str] = [
     "price_elasticity_parts",
     "user_item_recs",
     "clustering_coefficient",
+    "collocation_pmi",
+    "zipf_vocab_fit",
+    "text_readability",
+    "priority_sample_weighted",
     # --- changed this round, r03-green, rotated BELOW the window ---
     # The window (first 50) = 3 r03-erred fixes + 20 r04s3 additions +
     # the first 27 r04s2 additions; the last 3 r04s2 names above

@@ -605,3 +605,222 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_in_clusters",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation_pmi — strongest word collocations by pointwise MI (r4s4)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR = 5  # minimum bigram support (PMI on rare pairs is noise)
+PMI_TOP_K = 20
+
+
+@register(
+    "collocation_pmi",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    big AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+                   unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+            FROM t WHERE len(t) >= 2),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM big GROUP BY 1, 2),
+    uni AS (SELECT unnest(t) AS w FROM t),
+    c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    tots AS (SELECT (SELECT CAST(SUM(c12) AS BIGINT) FROM bc) AS np,
+                    (SELECT CAST(SUM(c) AS BIGINT) FROM c1) AS wt),
+    terms AS (SELECT bc.w1, bc.w2, bc.c12,
+                     CAST(round(ln((CAST(bc.c12 AS DOUBLE) * tots.wt * tots.wt)
+                                   / (CAST(tots.np AS DOUBLE) * x.c * y.c))
+                                * 1000000000) AS BIGINT) AS pmi9
+              FROM bc JOIN c1 x ON x.w = bc.w1
+                      JOIN c1 y ON y.w = bc.w2
+                      CROSS JOIN tots
+              WHERE bc.c12 >= {PMI_MIN_PAIR}),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi9 DESC, w1, w2) AS rk
+          FROM terms)
+    SELECT w1, w2, c12 AS n_pair,
+           CAST(CASE WHEN pmi9 < 0 THEN -(abs(pmi9) // 1000)
+                     ELSE pmi9 // 1000 END AS BIGINT) AS pmi_micro
+    FROM r WHERE rk <= {PMI_TOP_K}
+    """,
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest word collocations in the corpus: adjacent-word pairs
+    ranked by pointwise mutual information, PMI = ln(P(xy) /
+    (P(x)·P(y))) — the classic phrase detector ('new york' scores
+    high, 'of the' doesn't) that tokenizer/phrase-merge pipelines run
+    before vocabulary induction. Pairs below PMI_MIN_PAIR support are
+    dropped (rare-pair PMI is pure noise — the standard filter).
+
+    Float determinism: each PMI is ONE double ln expression (written
+    with the identical multiplication shape in both engines) ×1e9 →
+    BIGINT; ranking happens on the integer, and the emitted value is
+    a sign-safe truncating micro-unit (the WOE convention — Spark div
+    truncates toward zero, DuckDB // floors, so negatives split on
+    abs).
+
+    Scale shape: the same two token-sized shuffles as
+    bigram_lm_quality (bigram + unigram counts, both map-side
+    combinable); totals ride a 1-row broadcast; the top-k is a
+    TakeOrderedAndProject heap on the integer key — no global sort of
+    the pair table.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("t"),
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    toks = persist_tracked(toks)
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("x")
+        )
+        .select(F.col("x.w1").alias("w1"), F.col("x.w2").alias("w2"))
+    )
+    bc = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    bc = persist_tracked(bc)
+    uni = toks.select(F.explode("t").alias("w"))
+    c1 = persist_tracked(
+        uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tots = (
+        bc.agg(F.sum("c12").cast("bigint").alias("np"))
+        .crossJoin(c1.agg(F.sum("c").cast("bigint").alias("wt")))
+    )
+    terms = (
+        bc.filter(F.col("c12") >= PMI_MIN_PAIR)
+        .join(c1.select(F.col("w").alias("w1"), F.col("c").alias("cx")), "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c").alias("cy")), "w2")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            # CAST AS DOUBLE, not `* 1.0`: Spark parses bare decimal
+            # literals as DECIMAL and the precision-capped decimal
+            # division diverges from DuckDB's double path (measured:
+            # last micro digit off by one — the SCALE.md pitfall).
+            F.expr(
+                "CAST(round(ln((CAST(c12 AS DOUBLE) * wt * wt)"
+                " / (CAST(np AS DOUBLE) * cx * cy))"
+                " * 1000000000) AS BIGINT)"
+            ).alias("pmi9"),
+        )
+    )
+    return (
+        terms.orderBy(F.desc("pmi9"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_K)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").alias("n_pair"),
+            F.expr(
+                "CAST(CASE WHEN pmi9 < 0 THEN -(abs(pmi9) div 1000)"
+                " ELSE pmi9 div 1000 END AS BIGINT)"
+            ).alias("pmi_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# zipf_vocab_fit — power-law fit of the word-frequency distribution (r4s4)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 200  # head of the frequency ranking used for the fit
+
+
+@register(
+    "zipf_vocab_fit",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS t FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM t),
+    wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM uni GROUP BY 1),
+    top AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rank
+            FROM wf ORDER BY f DESC, w LIMIT {ZIPF_TOP}),
+    xy AS (SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS x6,
+                  CAST(round(ln(f) * 1000000) AS BIGINT) AS y6
+           FROM top),
+    m AS (SELECT MIN(x6) AS x0, MIN(y6) AS y0 FROM xy),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xy.x6 - m.x0) AS BIGINT) AS sx,
+                 CAST(SUM(xy.y6 - m.y0) AS BIGINT) AS sy,
+                 CAST(SUM((xy.x6 - m.x0) * (xy.y6 - m.y0)) AS BIGINT) AS sxy,
+                 CAST(SUM((xy.x6 - m.x0) * (xy.x6 - m.x0)) AS BIGINT) AS sxx
+          FROM xy CROSS JOIN m)
+    SELECT n AS n_words,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                AS VARCHAR) AS zipf_num,
+           CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                AS VARCHAR) AS zipf_den
+    FROM s
+    """,
+)
+def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of ln(freq)
+    on ln(rank) over the top-ZIPF_TOP words — natural text sits near
+    −1; a slope far off flags boilerplate floods or synthetic text
+    (the corpus-health twin of benford_first_digit for language).
+
+    Determinism: ranks come from a deterministic (freq DESC, word)
+    ordering; ln terms are ×1e6 micro-log BIGINTs (the
+    price_elasticity_parts convention — row products must stay in
+    BIGINT for the shifted-sum OLS), combined in DECIMAL(38,0)/
+    HUGEINT, slope emitted as the exact rational string pair.
+
+    Scale shape: ONE token-sized word-count shuffle (map-side
+    combined), then a TakeOrdered head of {ZIPF_TOP} rows — the rank
+    window runs over that head only, never the full vocabulary, so an
+    unbounded vocab can't force a single-partition sort.
+    """
+    from pyspark.sql import Window
+
+    uni = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w")
+    )
+    wf = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    top = (
+        wf.orderBy(F.desc("f"), F.asc("w"))
+        .limit(ZIPF_TOP)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w"))),
+        )
+    )
+    xy = top.select(
+        F.expr("CAST(round(ln(rank) * 1000000) AS BIGINT)").alias("x6"),
+        F.expr("CAST(round(ln(f) * 1000000) AS BIGINT)").alias("y6"),
+    )
+    m = xy.agg(F.min("x6").alias("x0"), F.min("y6").alias("y0"))
+    s = xy.crossJoin(F.broadcast(m)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x6") - F.col("x0")).cast("bigint").alias("sx"),
+        F.sum(F.col("y6") - F.col("y0")).cast("bigint").alias("sy"),
+        F.sum((F.col("x6") - F.col("x0")) * (F.col("y6") - F.col("y0")))
+        .cast("bigint")
+        .alias("sxy"),
+        F.sum((F.col("x6") - F.col("x0")) * (F.col("x6") - F.col("x0")))
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    dec = "CAST(n AS DECIMAL(38,0))"
+    sxdec = "CAST(sx AS DECIMAL(38,0))"
+    return s.select(
+        F.col("n").alias("n_words"),
+        F.expr(f"CAST({dec} * sxy - {sxdec} * sy AS STRING)").alias(
+            "zipf_num"
+        ),
+        F.expr(f"CAST({dec} * sxx - {sxdec} * sx AS STRING)").alias(
+            "zipf_den"
+        ),
+    )

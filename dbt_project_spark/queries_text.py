@@ -199,3 +199,69 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.max("doc_id").cast("bigint").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_readability — Flesch reading-ease scoring (r4s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len({_TOKS}) AS BIGINT) AS w,
+                      CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')),
+                                    1) AS BIGINT) AS s,
+                      CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           AS BIGINT) AS syl
+               FROM documents)
+    SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+           CAST(206835000 - (1015000 * w // s) - (84600000 * syl // w)
+                AS BIGINT) AS flesch_micro
+    FROM t WHERE w > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per document: 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/word), with sentences
+    counted as [.!?]+ runs (floor 1) and syllables approximated by
+    vowel-group runs — the standard cheap proxy (real syllabifiers
+    need dictionaries; quality filters ship exactly this
+    approximation). Low scores flag academic/legalese sludge; scores
+    near 100 read like primary-school text — a corpus-curation signal
+    next to text_quality's length/stopword features.
+
+    Exactness: all three counts are integers from one regexp pass
+    each; the score is two truncating integer divisions in micro
+    units (each term ×1e6), identical in both engines — no float
+    anywhere.
+
+    Scale shape: a pure per-row projection (regexp_extract_all runs
+    inside codegen); no shuffle at all — the scan is the plan.
+    """
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+            " AS BIGINT)"
+        ).alias("w"),
+        F.expr(
+            "CAST(GREATEST(size(regexp_extract_all(text, '[.!?]+', 0)), 1)"
+            " AS BIGINT)"
+        ).alias("s"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+            " AS BIGINT)"
+        ).alias("syl"),
+    )
+    return t.where(F.col("w") > 0).select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("syl").alias("n_syllables"),
+        F.expr(
+            "CAST(206835000 - (1015000 * w div s) - (84600000 * syl div w)"
+            " AS BIGINT)"
+        ).alias("flesch_micro"),
+    )

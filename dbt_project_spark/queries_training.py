@@ -458,3 +458,76 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# priority_sample_weighted — deterministic weighted sampling (r4s4)
+# ---------------------------------------------------------------------------
+
+PSW_K = 100  # sample size
+
+
+@register(
+    "priority_sample_weighted",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(GREATEST(len(regexp_extract_all(lower(text),
+                                        '[a-z0-9]+')), 1) AS BIGINT) AS w,
+                      ('0x' || substr(md5('psw|' || CAST(doc_id AS VARCHAR)),
+                                      1, 8))::BIGINT AS u
+               FROM documents),
+    p AS (SELECT doc_id, w, CAST(u * 1000000 // w AS BIGINT) AS priority
+          FROM d)
+    SELECT doc_id, w AS weight, priority
+    FROM p ORDER BY priority, doc_id LIMIT {PSW_K}
+    """,
+)
+def priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority
+    sampling, Duffield–Lund–Thorup): each document gets priority
+    u/w — a hash-uniform u divided by its token-count weight — and
+    the PSW_K smallest priorities are the sample, so inclusion
+    probability grows with weight (long documents are kept
+    preferentially, the usual token-budget-aware corpus subsample).
+    Hash-keyed ⇒ reproducible across runs, engines, and partitionings
+    — no RNG state anywhere (the corpus_shard_shuffle convention).
+
+    Exactness: u is the md5-prefix 32-bit integer ('psw|' salt — the
+    quantile_sketch_rollup lesson: unsalted id hashes correlate with
+    generator-derived columns), and the priority is the exact integer
+    u·1e6 div w — bottom-k on (priority, doc_id) is fully ordered in
+    integer space.
+
+    Scale shape: one projection pass + a TakeOrderedAndProject heap
+    of K rows; no shuffle beyond the top-k reduce. At 100 TB the
+    same plan holds — each task keeps a K-heap and the driver merges
+    task heaps.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(GREATEST(size(regexp_extract_all(lower(text),"
+            " '[a-z0-9]+', 0)), 1) AS BIGINT)"
+        ).alias("w"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("psw|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    p = d.select(
+        "doc_id",
+        "w",
+        F.expr("CAST(u * 1000000 div w AS BIGINT)").alias("priority"),
+    )
+    return (
+        p.orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(PSW_K)
+        .select("doc_id", F.col("w").alias("weight"), "priority")
+    )

@@ -1,0 +1,105 @@
+"""Planted-semantics tests for the r4s4 text/corpus additions:
+PMI against a hand-built co-occurrence, an exact-Zipf frequency
+profile, a counted-by-hand Flesch score, and hashlib-replicated
+weighted sampling priorities."""
+
+import hashlib
+import math
+
+
+def _write_docs(spark, path, texts):
+    rows = [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(path / "documents.parquet")
+    )
+
+
+def _toks(text):
+    import re
+
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+def test_collocation_pmi_planted(spark, tmp_path):
+    """'north pole' occurs 6×; filler words dilute everything else —
+    the top collocation must be (north, pole) with the exact pipeline
+    PMI."""
+    from dbt_project_spark.queries_corpus import collocation_pmi
+
+    # filler bigrams are all distinct within a doc -> support 3 < 5,
+    # so only (north, pole) clears the min-support filter
+    texts = ["north pole north pole north pole"] * 2 + [
+        "aa bb cc dd ee ff gg hh ii jj"
+    ] * 3
+    _write_docs(spark, tmp_path, texts)
+    out = collocation_pmi(spark, str(tmp_path)).collect()
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("north", "pole")
+    # replicate: bigram/unigram counts over the corpus
+    bigs, unis = {}, {}
+    for t in texts:
+        ws = _toks(t)
+        for w in ws:
+            unis[w] = unis.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bigs[(a, b)] = bigs.get((a, b), 0) + 1
+    np = sum(bigs.values())
+    wt = sum(unis.values())
+    c12 = bigs[("north", "pole")]
+    pmi9 = round(
+        math.log((c12 * wt * wt) / (np * unis["north"] * unis["pole"])) * 1e9
+    )
+    exp_micro = -((-pmi9) // 1000) if pmi9 < 0 else pmi9 // 1000
+    assert top["n_pair"] == c12 == 6
+    assert top["pmi_micro"] == exp_micro
+
+
+def test_zipf_vocab_fit_exact_zipf(spark, tmp_path):
+    """freq ∝ 1/rank exactly → fitted slope ≈ −1."""
+    from dbt_project_spark.queries_corpus import zipf_vocab_fit
+
+    words = {"aa": 120, "bb": 60, "cc": 40, "dd": 30, "ee": 24}
+    text = " ".join(w for w, n in words.items() for _ in range(n))
+    _write_docs(spark, tmp_path, [text])
+    row = zipf_vocab_fit(spark, str(tmp_path)).collect()[0]
+    assert row["n_words"] == 5
+    slope = int(row["zipf_num"]) / int(row["zipf_den"])
+    assert abs(slope + 1.0) < 0.02
+
+
+def test_text_readability_counted_by_hand(spark, tmp_path):
+    from dbt_project_spark.queries_text import text_readability
+
+    _write_docs(spark, tmp_path, ["The cat sat. The dog ran!"])
+    r = text_readability(spark, str(tmp_path)).collect()[0]
+    assert r["n_words"] == 6
+    assert r["n_sentences"] == 2
+    assert r["n_syllables"] == 6  # e, a, a, e, o, a — one group per word
+    # 206.835 - 1.015*(6/2) - 84.6*(6/6), all divisions exact
+    assert r["flesch_micro"] == 206_835_000 - 1_015_000 * 3 - 84_600_000
+
+
+def test_priority_sample_hashlib_replication(spark, tmp_path):
+    """10 docs, K=100 ⇒ all selected; priorities must equal the
+    hashlib/python replication bit-for-bit, and a heavyweight doc must
+    outrank (smaller priority than) its unweighted twin."""
+    from dbt_project_spark.queries_training import priority_sample_weighted
+
+    texts = ["word " * (i + 1) for i in range(10)]
+    _write_docs(spark, tmp_path, texts)
+    out = priority_sample_weighted(spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    exp = {}
+    for i, t in enumerate(texts):
+        w = max(len(_toks(t)), 1)
+        u = int(hashlib.md5(f"psw|{i}".encode()).hexdigest()[:8], 16)
+        exp[i] = (w, u * 1_000_000 // w)
+    for r in out:
+        ew, ep = exp[r["doc_id"]]
+        assert (r["weight"], r["priority"]) == (ew, ep)
+    # ordering is ascending by priority
+    ps = [r["priority"] for r in out]
+    assert ps == sorted(ps)
