@@ -12,7 +12,7 @@ from the edges-sized data so only small tables are ever broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -469,3 +469,63 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("tri")
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label propagation over an undirected edge list
+    (u, v), u < v: labels start as node ids; each round every node
+    adopts the most frequent label among its NEIGHBORS, ties broken
+    toward the smallest label — the standard deterministic LPA
+    variant. A FIXED ``iters`` rounds, mirroring an unrolled SQL CTE
+    chain (sync LPA can oscillate on bipartite structure; a fixed
+    unroll is bit-identical across engines regardless). Isolated
+    nodes keep their previous label. Returns (node, lab).
+
+    Scale shape: per round, the nodes-sized label table joins onto
+    the edges twice (once per direction — edges never move), one
+    (node, label) count aggregate (map-side combinable), and the
+    arg-max rides a node-partitioned window. Labels are referenced
+    by both direction joins, so each round persists + materializes
+    and drops the previous cache; lineage is truncated on the BFS
+    checkpoint cadence.
+    """
+    from dbt_project_spark.caching import persist_tracked
+
+    edges = persist_tracked(edges.select("u", "v"))
+    nodes = persist_tracked(
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    nodes.count()
+    lab = nodes.select("node", F.col("node").alias("lab"))
+    prev: DataFrame | None = None
+    for i in range(iters):
+        lu = lab.select(F.col("node").alias("v"), F.col("lab").alias("nl"))
+        lv = lab.select(F.col("node").alias("u"), F.col("lab").alias("nl"))
+        nbr = (
+            edges.join(lu, "v").select(F.col("u").alias("node"), "nl")
+            .unionAll(edges.join(lv, "u").select(F.col("v").alias("node"), "nl"))
+        )
+        cnt = nbr.groupBy("node", "nl").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("nl"))
+        picked = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("nl").alias("new_lab"))
+        )
+        new = (
+            lab.join(picked, "node", "left")
+            .select(
+                "node", F.coalesce("new_lab", "lab").alias("lab")
+            )
+        )
+        if (i + 1) % _BFS_CHECKPOINT_EVERY == 0:
+            new = new.localCheckpoint(eager=False)
+        new = persist_tracked(new)
+        new.count()  # materialize before next round's double ref
+        if prev is not None:
+            prev.unpersist()
+        prev = new
+        lab = new
+    return lab

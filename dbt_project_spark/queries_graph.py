@@ -894,3 +894,78 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cc_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# lpa_communities — label-propagation community detection (r4s4)
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 4  # fixed synchronous rounds (unrolled in both engines)
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous-LPA CTE chain over the co-purchase graph,
+    mirroring operators/graph.label_propagation round for round."""
+    parts = [
+        f"WITH {_COPURCHASE_SQL}",
+        """nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+             SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)),
+           l0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes)""",
+    ]
+    for k in range(1, LPA_ITERS + 1):
+        parts.append(f"""
+           n{k} AS (SELECT e.u AS node, l.lab AS nl
+                    FROM e0 e JOIN l{k - 1} l ON l.node = e.v
+                    UNION ALL
+                    SELECT e.v, l.lab
+                    FROM e0 e JOIN l{k - 1} l ON l.node = e.u),
+           c{k} AS (SELECT node, nl, COUNT(*) AS c
+                    FROM n{k} GROUP BY 1, 2),
+           p{k} AS (SELECT node, nl FROM (
+                      SELECT node, nl,
+                             ROW_NUMBER() OVER (PARTITION BY node
+                                                ORDER BY c DESC, nl) AS rk
+                      FROM c{k}) WHERE rk = 1),
+           l{k} AS MATERIALIZED (
+             SELECT l.node, COALESCE(p.nl, l.lab) AS lab
+             FROM l{k - 1} l LEFT JOIN p{k} p ON p.node = l.node)""")
+    body = ",".join(parts)
+    return f"""{body}
+    SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(node) AS BIGINT) AS min_part,
+           CAST(MAX(node) AS BIGINT) AS max_part
+    FROM l{LPA_ITERS} GROUP BY lab"""
+
+
+@register("lpa_communities", oracle=_lpa_oracle())
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the part co-purchase graph by
+    synchronous label propagation (fixed LPA_ITERS rounds, ties to
+    the smallest label): the merchandising 'category discovery'
+    primitive — denser than connected components (which merge
+    everything touching), cheaper than modularity optimization.
+    Emits each discovered community's size and part-id range.
+
+    Determinism: sync LPA with a (count DESC, label ASC) arg-max is
+    fully deterministic; the FIXED unroll sidesteps oscillation-
+    convergence questions — both engines run the identical rounds
+    (the kcore/bfs convention).
+
+    Scale shape (operators/graph.label_propagation): edges never
+    move — each round joins the nodes-sized label table onto them
+    twice (once per direction), one map-side-combinable (node, label)
+    count, and an arg-max window on the node partitioning; per-round
+    persist + eager release + checkpoint cadence as BFS. Basket cap
+    bounds the edge build as in every co-purchase query.
+    """
+    from dbt_project_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    lab = label_propagation(copurchase_edges(li), iters=LPA_ITERS)
+    return lab.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").cast("bigint").alias("min_part"),
+        F.max("node").cast("bigint").alias("max_part"),
+    )

@@ -117,3 +117,83 @@ def mm_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_blob(load_table(spark, sf_dir, "documents"))
     return arrow_byte_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# mm_chunk_dedup — binary chunk-level dedup ratio (r4s4)
+# ---------------------------------------------------------------------------
+
+MM_CHUNK_BYTES = 64
+
+
+@register(
+    "mm_chunk_dedup",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, text,
+                      GREATEST((length(text) + {MM_CHUNK_BYTES} - 1)
+                               // {MM_CHUNK_BYTES}, 1) AS nch
+               FROM documents),
+    -- documents are pure ASCII: byte chunks == char chunks, and
+    -- DuckDB's md5(VARCHAR) hashes the UTF-8 bytes Spark hashes
+    c AS (SELECT doc_id,
+                 md5(substr(text, CAST(i * {MM_CHUNK_BYTES} + 1 AS BIGINT),
+                            {MM_CHUNK_BYTES})) AS h
+          FROM b, unnest(range(0, nch)) AS t(i))
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS dup_chunks,
+           CAST(COUNT(DISTINCT h) * 1000000 // COUNT(*) AS BIGINT)
+               AS unique_ratio_micro
+    FROM c
+    """,
+)
+def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level binary deduplication ratio: every payload is split
+    into fixed {MM_CHUNK_BYTES}-byte blocks, each block fingerprinted,
+    and the corpus-wide distinct/total chunk ratio reported — the
+    storage-dedup primitive (Venti/backup-store shape) that tells a
+    multimodal lake how much block-level redundancy full-file hashing
+    (dedup_exact) misses. Production systems use content-defined
+    chunking (gear/rolling hash) so insertions don't shift block
+    boundaries; that needs per-byte state → a mapInArrow kernel, while
+    this fixed-block variant stays ENTIRELY inside JVM codegen:
+    substring on the binary column + md5 per block, exploded from a
+    sequence — no Python boundary at all.
+
+    Scale shape: one scan, per-row fan-out = payload/{MM_CHUNK_BYTES}
+    rows carrying 32-byte hashes (not the payload bytes); the distinct
+    count is Spark's standard two-phase distinct aggregate on the hash
+    — the only shuffle, and it moves hashes, never content.
+    """
+    from pyspark.sql import functions as F
+
+    b = attach_blob(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "content",
+        F.expr(
+            f"GREATEST((length(content) + {MM_CHUNK_BYTES} - 1)"
+            f" div {MM_CHUNK_BYTES}, 1)"
+        ).alias("nch"),
+    )
+    c = b.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, nch - 1),"
+                f" i -> md5(substring(content,"
+                f" CAST(i * {MM_CHUNK_BYTES} + 1 AS INT), {MM_CHUNK_BYTES})))"
+            )
+        ).alias("h"),
+    )
+    return c.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct_chunks"),
+        (F.count(F.lit(1)) - F.countDistinct("h"))
+        .cast("bigint")
+        .alias("dup_chunks"),
+        F.expr(
+            "CAST(COUNT(DISTINCT h) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("unique_ratio_micro"),
+    )
