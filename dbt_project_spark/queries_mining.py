@@ -371,3 +371,98 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("v100") / 100.0).alias("hi"),
         (F.sum("v100").cast("bigint") / 100.0).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# activity_bitmask_stats — bitmap-index activity analytics (r4s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "activity_bitmask_stats",
+    oracle="""
+    WITH e AS (SELECT user_id,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                        // 86400 AS d
+               FROM events WHERE user_id IS NOT NULL),
+    base AS (SELECT MIN(d) AS d0 FROM e),
+    ud AS (SELECT DISTINCT user_id, d - (SELECT d0 FROM base) AS off
+           FROM e),
+    m AS (SELECT user_id,
+                 CAST(bit_or(CAST(1 AS BIGINT) << off) AS BIGINT) AS mask,
+                 CAST(COUNT(*) AS BIGINT) AS active_days
+          FROM ud WHERE off BETWEEN 0 AND 62 GROUP BY user_id),
+    isl AS (SELECT user_id,
+                   off - ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY off) AS grp
+            FROM ud WHERE off BETWEEN 0 AND 62),
+    runs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS run_len
+             FROM isl GROUP BY user_id, grp),
+    s AS (SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS longest_streak
+          FROM runs GROUP BY user_id)
+    SELECT m.user_id, m.mask, m.active_days,
+           CAST(bit_count(m.mask) AS BIGINT) AS active_days_bits,
+           s.longest_streak
+    FROM m JOIN s ON s.user_id = m.user_id
+    """,
+)
+def activity_bitmask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index activity analytics: each user's month of activity
+    packed into ONE BIGINT (bit k = active on day k from the corpus
+    start, bit_or-aggregated) — the roaring-bitmap/audience-engine
+    representation that makes segment intersections single AND
+    instructions at serving time. Emits the mask, the day count both
+    ways (COUNT over distinct days and bit_count over the mask — the
+    gate proves the bitmap encodes exactly the activity set), and the
+    longest consecutive-day streak via the gaps-and-islands
+    (day − row_number) trick on the same user partitioning.
+
+    Exactness: pure integer bit arithmetic; offsets are clamped to
+    [0, 62] so the shift never touches the sign bit (a >63-day range
+    would shard into multiple mask words — the roaring container
+    structure — noted for scale).
+
+    Scale shape: events collapse to distinct (user, day) first (one
+    map-side-combined aggregate); the bit_or aggregate and the
+    islands window both ride the user partitioning; output is
+    users-sized.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id", F.expr("unix_timestamp(ts) div 86400").alias("d")
+        )
+    )
+    base = e.agg(F.min("d").alias("d0"))
+    ud = (
+        e.crossJoin(F.broadcast(base))
+        .select("user_id", (F.col("d") - F.col("d0")).alias("off"))
+        .distinct()
+        .where((F.col("off") >= 0) & (F.col("off") <= 62))
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    ud = persist_tracked(ud)
+    m = ud.groupBy("user_id").agg(
+        F.expr("CAST(bit_or(shiftleft(CAST(1 AS BIGINT), off)) AS BIGINT)")
+        .alias("mask"),
+        F.count(F.lit(1)).cast("bigint").alias("active_days"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("off")
+    isl = ud.select(
+        "user_id", (F.col("off") - F.row_number().over(wi)).alias("grp")
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    s = runs.groupBy("user_id").agg(
+        F.max("run_len").cast("bigint").alias("longest_streak")
+    )
+    return m.join(s, "user_id").select(
+        "user_id",
+        "mask",
+        "active_days",
+        F.expr("CAST(bit_count(mask) AS BIGINT)").alias("active_days_bits"),
+        "longest_streak",
+    )

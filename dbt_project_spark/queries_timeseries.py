@@ -778,3 +778,93 @@ def ts_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# error_burst_detect — CEP-style burst pattern detection (r4s4)
+# ---------------------------------------------------------------------------
+
+# Sized to the synthetic corpus's error rate (errors are ~5% of
+# events, spread thin): 2 errors within an hour is the detectable
+# anomaly here; a production SRE feed would use e.g. >=3 in 5 min.
+# The planted test pins the pattern semantics at those tighter
+# thresholds via the operator's constants being pure parameters.
+BURST_WINDOW_S = 3600  # trailing range window
+BURST_N = 2  # errors within the window that constitute a burst
+
+
+@register(
+    "error_burst_detect",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+               FROM events
+               WHERE event_type = 'error' AND user_id IS NOT NULL),
+    c AS (SELECT user_id, event_id, ep,
+                 COUNT(*) OVER (PARTITION BY user_id ORDER BY ep
+                                RANGE BETWEEN {BURST_WINDOW_S} PRECEDING
+                                AND CURRENT ROW) AS cnt
+          FROM e),
+    t AS (SELECT user_id, ep, cnt,
+                 LAG(cnt) OVER (PARTITION BY user_id
+                                ORDER BY ep, event_id) AS prev_cnt
+          FROM c)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(SUM(CASE WHEN cnt >= {BURST_N}
+                          AND COALESCE(prev_cnt, 0) < {BURST_N}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts,
+           CAST(MAX(cnt) AS BIGINT) AS max_burst_size
+    FROM t GROUP BY user_id
+    HAVING SUM(CASE WHEN cnt >= {BURST_N}
+                     AND COALESCE(prev_cnt, 0) < {BURST_N}
+               THEN 1 ELSE 0 END) > 0
+    """,
+)
+def error_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern: an 'error burst' fires when a
+    user accumulates ≥ BURST_N errors within a trailing
+    BURST_WINDOW_S-second window — the MATCH_RECOGNIZE / CEP shape
+    (alert on the FIRST event crossing the threshold, not on every
+    event inside the burst) expressed as a value-RANGE count window
+    plus a lag-crossing detector. Emits, per affected user, error
+    totals, burst-trigger counts, and the peak in-window error count
+    — the alerting feed an SRE pipeline would sink to a pager.
+
+    Determinism: the RANGE frame is keyed on integer epoch seconds
+    (peers included identically in both engines); the crossing
+    detector orders by (ep, event_id) so tied timestamps trigger
+    exactly once.
+
+    Scale shape: errors filter FIRST (predicate pushdown to the
+    scan), then ONE user-partitioned exchange carries both windows
+    and the final per-user aggregate — the sessionization family's
+    single-exchange discipline.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "error") & F.col("user_id").isNotNull())
+        .select("user_id", "event_id", F.unix_timestamp("ts").alias("ep"))
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-BURST_WINDOW_S, 0)
+    )
+    c = e.withColumn("cnt", F.count(F.lit(1)).over(wr))
+    wl = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    t = c.withColumn("prev_cnt", F.lag("cnt").over(wl))
+    trigger = F.when(
+        (F.col("cnt") >= BURST_N)
+        & (F.coalesce(F.col("prev_cnt"), F.lit(0)) < BURST_N),
+        1,
+    ).otherwise(0)
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_errors"),
+            F.sum(trigger).cast("bigint").alias("n_bursts"),
+            F.max("cnt").cast("bigint").alias("max_burst_size"),
+        )
+        .where(F.col("n_bursts") > 0)
+    )
