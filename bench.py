@@ -104,6 +104,12 @@ HEADLINE = [
     "sssp_weighted_trade",
     "markov_next_event_backtest",
     "incremental_rollup_merge",
+    # round 4, session 4: recsys / graph / corpus / multimodal additions
+    "lpa_communities",
+    "user_item_recs",
+    "clustering_coefficient",
+    "collocation_pmi",
+    "mm_chunk_dedup",
 ]
 
 # The 10 most expensive headline queries per BENCH_r02, cheapest first

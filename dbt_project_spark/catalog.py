@@ -127,6 +127,9 @@ PRIORITY: list[str] = [
     "mm_chunk_dedup",
     "error_burst_detect",
     "activity_bitmask_stats",
+    "cumulative_reach_daily",
+    "cuped_variance_reduction",
+    "minhash_estimate_error",
     # --- changed this round, r03-green, rotated BELOW the window ---
     # The window (first 50) = 3 r03-erred fixes + 20 r04s3 additions +
     # the first 27 r04s2 additions; the last 3 r04s2 names above

@@ -1518,3 +1518,64 @@ def user_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decay_score"),
         F.max("ed").cast("bigint").alias("last_active_ed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cumulative_reach_daily — users-seen-to-date curve (r4s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_reach_daily",
+    oracle="""
+    WITH f AS (SELECT user_id,
+                      MIN(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS d0
+               FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    n AS (SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+          FROM f GROUP BY d0),
+    t AS (SELECT CAST(SUM(new_users) AS BIGINT) AS total FROM n)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+           CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                * 1000000 // t.total AS BIGINT) AS reach_micro
+    FROM n CROSS JOIN t
+    """,
+)
+def cumulative_reach_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative audience reach: distinct users seen up to and
+    including each day — the launch/campaign saturation curve. An
+    EXPANDING-window COUNT(DISTINCT) is not frame-computable, but
+    'users seen to date' ≡ cumulative sum of FIRST-appearance counts:
+    collapse each user to their first day (one aggregate), count new
+    users per day, prefix-sum over the days table. Reach share is the
+    truncating micro-unit against the final total.
+
+    Scale shape: one events-sized aggregate to users (map-side
+    combined min), one users-sized aggregate to days; the windows run
+    over the days table only (bounded by the time range). Compare
+    rolling_distinct_users_7d, whose bounded window needs the fan-out
+    formulation — the expanding case is strictly cheaper because
+    first-appearance is a function of the user alone.
+    """
+    f = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(F.date_format("ts", "yyyy-MM-dd")).alias("d0"))
+    )
+    n = f.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    t = n.agg(F.sum("new_users").cast("bigint").alias("total"))
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return n.crossJoin(F.broadcast(t)).select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(wc).cast("bigint").alias("cum_users"),
+        F.expr(
+            "CAST(SUM(new_users) OVER (ORDER BY day"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " * 1000000 div total AS BIGINT)"
+        ).alias("reach_micro"),
+    )

@@ -587,3 +587,175 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         CONTAIN_T,
         max_bucket=MAX_BUCKET,
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash_estimate_error — MinHash index calibration monitor (r4s4)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_calib_oracle() -> str:
+    """LSH candidates with BOTH the exact Jaccard (shingle join) and
+    the 16-component signature-agreement estimate, summarized into
+    one calibration row — mirrors the Spark pipeline CTE for CTE."""
+    k = len(MINHASH_A)
+    r = k // 4
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    bands = ",\n           ".join(
+        _MD5INT.format(
+            x=" || ',' || ".join(f"mh{bnd * r + j}" for j in range(r))
+        )
+        + f" AS band{bnd}"
+        for bnd in range(4)
+    )
+    stack = " UNION ALL ".join(
+        f"SELECT doc, {bnd} AS bid, band{bnd} AS bv FROM bands"
+        for bnd in range(4)
+    )
+    matches = " + ".join(
+        f"CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+    WITH {_EX_CTE},
+    hashed AS (SELECT doc, sz, {_MD5INT.format(x='sg')} AS h FROM ex),
+    sigs AS (SELECT doc, {mins} FROM hashed GROUP BY doc),
+    bands AS (SELECT doc, {bands} FROM sigs),
+    stack AS ({stack}),
+    cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+             FROM stack a JOIN stack b
+               ON a.bid = b.bid AND a.bv = b.bv AND a.doc < b.doc),
+    ver AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter,
+                   CAST(MAX(ea.sz) AS BIGINT) AS sa,
+                   CAST(MAX(eb.sz) AS BIGINT) AS sb
+            FROM cand c JOIN ex ea ON ea.doc = c.doc_a
+                        JOIN ex eb ON eb.doc = c.doc_b AND eb.sg = ea.sg
+            GROUP BY c.doc_a, c.doc_b),
+    est AS (SELECT v.doc_a, v.doc_b, v.inter, v.sa + v.sb - v.inter AS un,
+                   CAST({matches} AS BIGINT) AS m
+            FROM ver v JOIN sigs x ON x.doc = v.doc_a
+                       JOIN sigs y ON y.doc = v.doc_b),
+    err AS (SELECT m, inter, un,
+                   CAST(abs(m * un - {k} * inter) * 1000000
+                        // ({k} * un) AS BIGINT) AS err_micro
+            FROM est)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(err_micro) // COUNT(*) AS BIGINT) AS mean_abs_err_micro,
+           CAST(MAX(err_micro) AS BIGINT) AS max_abs_err_micro,
+           CAST(SUM(m * 1000000 // {k}) // COUNT(*) AS BIGINT)
+               AS mean_est_micro,
+           CAST(SUM(inter * 1000000 // un) // COUNT(*) AS BIGINT)
+               AS mean_true_micro
+    FROM err
+    """
+
+
+@register("minhash_estimate_error", oracle=_minhash_calib_oracle())
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash index CALIBRATION: over every LSH candidate pair,
+    compare the signature-agreement estimate (matching components /
+    16 — what the index believes) against the exact shingle Jaccard
+    (what verification computes) — the monitoring number that says
+    whether 16 permutations are enough, and whether the LSH threshold
+    can be trusted without the exact-verify pass. Theoretical se at
+    J=0.8 is sqrt(J(1−J)/16) ≈ 0.10; a drifting mean error means the
+    shingle distribution broke an assumption (e.g. tiny docs).
+
+    Exactness: the estimate is an integer match count; the error
+    |m·union − 16·inter| / (16·union) and all summary means are
+    truncating integer micro-units — no float anywhere. Pairs whose
+    exact intersection is empty (possible only via hash collision)
+    drop out of the shingle join on BOTH sides identically.
+
+    Scale shape: reuses the production index dataflow — persisted
+    shingle postings feed the signature aggregate AND both verify
+    sides; candidates come from the banded self-join (never all
+    pairs); the signature compare joins the pairs table (LSH-bounded)
+    against the docs-sized signature table twice.
+    """
+    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.operators.dedup import (
+        _with_tokens,
+        exploded_shingles,
+        minhash_band_stack,
+        minhash_signatures,
+    )
+
+    k = len(MINHASH_A)
+    docs = load_table(spark, sf_dir, "documents")
+    postings = persist_tracked(
+        exploded_shingles(_with_tokens(docs, "text"), "doc_id", 3)
+    )
+    sig = persist_tracked(
+        minhash_signatures(docs, "doc_id", "text", 3, postings=postings)
+    )
+    stacked = minhash_band_stack(sig, 4)
+    a = stacked.select(F.col("doc").alias("doc_a"), "bid", "bv")
+    b = stacked.select(F.col("doc").alias("doc_b"), "bid", "bv")
+    cand = (
+        a.join(b, on=["bid", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ea = postings.select(
+        F.col("doc").alias("doc_a"), F.col("sz").alias("sza"), "sg"
+    )
+    eb = postings.select(
+        F.col("doc").alias("doc_b"), F.col("sz").alias("szb"), "sg"
+    )
+    ver = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "sg"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("inter"),
+            F.max("sza").cast("bigint").alias("sa"),
+            F.max("szb").cast("bigint").alias("sb"),
+        )
+    )
+    sx = sig.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"xa{i}") for i in range(k)],
+    )
+    sy = sig.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"yb{i}") for i in range(k)],
+    )
+    matches = None
+    for i in range(k):
+        ind = F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+        matches = ind if matches is None else matches + ind
+    est = (
+        ver.join(sx, "doc_a")
+        .join(sy, "doc_b")
+        .select(
+            "inter",
+            (F.col("sa") + F.col("sb") - F.col("inter")).alias("un"),
+            matches.cast("bigint").alias("m"),
+        )
+    )
+    err = est.select(
+        "m",
+        "inter",
+        "un",
+        F.expr(
+            f"CAST(abs(m * un - {k} * inter) * 1000000"
+            f" div ({k} * un) AS BIGINT)"
+        ).alias("err_micro"),
+    )
+    return err.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("CAST(SUM(err_micro) div COUNT(*) AS BIGINT)").alias(
+            "mean_abs_err_micro"
+        ),
+        F.max("err_micro").cast("bigint").alias("max_abs_err_micro"),
+        F.expr(
+            f"CAST(SUM(m * 1000000 div {k}) div COUNT(*) AS BIGINT)"
+        ).alias("mean_est_micro"),
+        F.expr(
+            "CAST(SUM(inter * 1000000 div un) div COUNT(*) AS BIGINT)"
+        ).alias("mean_true_micro"),
+    )

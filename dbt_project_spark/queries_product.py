@@ -901,3 +901,132 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(sec, 0.9)"), 6).alias("p90_latency_s"),
         F.round(F.sum("sec") / F.count(F.lit(1)), 6).alias("mean_latency_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cuped_variance_reduction — experimentation covariate adjustment (r4s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle=f"""
+    WITH e AS (SELECT user_id, {_V100} AS v100,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+               FROM events WHERE user_id IS NOT NULL),
+    mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS m FROM e),
+    u AS (SELECT user_id,
+                 CAST(SUM(CASE WHEN ep < (SELECT m FROM mid)
+                               THEN v100 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN ep >= (SELECT m FROM mid)
+                               THEN v100 ELSE 0 END) AS BIGINT) AS y
+          FROM e GROUP BY user_id),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM u),
+    c AS (SELECT n, sx, sy,
+                 CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS a,
+                 CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS b,
+                 CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS cc
+          FROM s),
+    d AS (SELECT n, a, b,
+                 abs(a) // 1000 AS aa, b // 1000 AS b2, cc // 1000 AS c2
+          FROM c)
+    SELECT n AS n_users,
+           CAST(a AS VARCHAR) AS theta_num,
+           CAST(b AS VARCHAR) AS theta_den,
+           CAST((aa * aa * 1000000) // (b2 * c2) AS BIGINT) AS corr2_micro,
+           CAST(1000000 - (aa * aa * 1000000) // (b2 * c2) AS BIGINT)
+               AS residual_var_micro
+    FROM d
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED pre-experiment covariate adjustment (Deng et al.): per
+    user, X = pre-period spend (first half of the time range) and
+    Y = experiment-period spend (second half); θ = cov(X,Y)/var(X)
+    is the adjustment coefficient and corr²(X,Y) is EXACTLY the
+    variance fraction CUPED removes from the Y metric — the number
+    that tells an experimentation platform how much smaller its
+    confidence intervals get (and whether running CUPED is worth it)
+    BEFORE any experiment ships.
+
+    Exactness: with A = nΣxy−ΣxΣy, B = nΣxx−(Σx)², C = nΣyy−(Σy)²,
+    θ = A/B is emitted as the exact rational string pair (the linreg
+    contract) and corr² = A²/(B·C) as truncating integer micro-units
+    — per-user sums are exact cents, the cleared-form products run in
+    HUGEINT/DECIMAL(38,0), and no float enters anywhere.
+
+    Scale shape: one events-sized conditional-sum aggregate to users
+    (both periods in the same pass — no self-join of halves, the
+    drift_psi convention), then a 1-row moment aggregate. The
+    midpoint rides a broadcast.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr(_V100).alias("v100"),
+            F.unix_timestamp("ts").alias("ep"),
+        )
+    )
+    mid = e.agg(F.expr("(min(ep) + max(ep)) div 2").cast("bigint").alias("m"))
+    u = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ep") < F.col("m"), F.col("v100")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("ep") >= F.col("m"), F.col("v100")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    dec = "CAST(n AS DECIMAL(38,0))"
+    c = s.select(
+        "n",
+        F.expr(f"{dec} * sxy - CAST(sx AS DECIMAL(38,0)) * sy").alias("a"),
+        F.expr(f"{dec} * sxx - CAST(sx AS DECIMAL(38,0)) * sx").alias("b"),
+        F.expr(f"{dec} * syy - CAST(sy AS DECIMAL(38,0)) * sy").alias("cc"),
+    )
+    # Pre-shift by 1e3 before squaring: a² · 1e6 at warehouse sums
+    # overflows DECIMAL(38)/HUGEINT. |a| makes Spark's toward-zero div
+    # and DuckDB's flooring // agree (a can be negative; b, cc cannot);
+    # the shift costs ~1e-14 relative precision and both engines
+    # truncate identically, so the integer output still hash-gates.
+    d = c.select(
+        "n",
+        "a",
+        "b",
+        F.expr("abs(a) div 1000").alias("aa"),
+        F.expr("b div 1000").alias("b2"),
+        F.expr("cc div 1000").alias("c2"),
+    )
+    return d.select(
+        F.col("n").alias("n_users"),
+        F.expr("CAST(a AS STRING)").alias("theta_num"),
+        F.expr("CAST(b AS STRING)").alias("theta_den"),
+        F.expr(
+            "CAST((CAST(aa AS DECIMAL(38,0)) * aa * 1000000)"
+            " div (CAST(b2 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+        ).alias("corr2_micro"),
+        F.expr(
+            "CAST(1000000 - (CAST(aa AS DECIMAL(38,0)) * aa * 1000000)"
+            " div (CAST(b2 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+        ).alias("residual_var_micro"),
+    )
