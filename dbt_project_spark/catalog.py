@@ -130,6 +130,7 @@ PRIORITY: list[str] = [
     "cumulative_reach_daily",
     "cuped_variance_reduction",
     "minhash_estimate_error",
+    "ann_recall_quantized",
     # --- changed this round, r03-green, rotated BELOW the window ---
     # The window (first 50) = 3 r03-erred fixes + 20 r04s3 additions +
     # the first 27 r04s2 additions; the last 3 r04s2 names above

@@ -178,3 +178,141 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matched",
         F.round(F.col("n_matched") * 1.0 / TOPK, 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_quantized — int8 quantization quality monitor (r4s4)
+# ---------------------------------------------------------------------------
+
+_QMAX = 127
+
+
+@register(
+    "ann_recall_quantized",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {NQUERIES}),
+    pairs_bf AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                        q.qe, e.embedding AS ce
+                 FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+    {_cos_ranked_sql('pairs_bf', '_bf', TOPK)},
+    codes AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(round(
+                       x::DOUBLE / list_max(list_transform(embedding,
+                                            y -> abs(y::DOUBLE))) * {_QMAX})
+                       AS BIGINT)) AS code
+              FROM embeddings),
+    pairs_q AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       a.code AS qa, b.code AS qb
+                FROM codes a JOIN codes b ON b.vec_id != a.vec_id
+                WHERE a.vec_id < {NQUERIES}),
+    flat_q AS (SELECT query_id, neighbor_id,
+                      unnest(qa) AS x, unnest(qb) AS y
+               FROM pairs_q),
+    idot AS (SELECT query_id, neighbor_id,
+                    CAST(SUM(x * y) AS BIGINT) AS d
+             FROM flat_q GROUP BY query_id, neighbor_id),
+    top_q AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d DESC, neighbor_id) AS rank
+                FROM idot)
+              WHERE rank <= {TOPK}),
+    m AS (SELECT t.query_id, CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_matched
+          FROM top_bf t LEFT JOIN top_q l
+            ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+          GROUP BY t.query_id)
+    SELECT query_id, CAST({TOPK} AS BIGINT) AS k, n_matched,
+           ROUND(n_matched * 1.0 / {TOPK}, 6) AS recall
+    FROM m
+    """,
+)
+def ann_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of int8-QUANTIZED retrieval against the exact float
+    ranking — the quality check that licenses the 4× storage /
+    SIMD-bandwidth win of vec_quantize_int8 for actual search:
+    candidates are ranked by the INTEGER dot product of per-vector
+    absmax int8 codes (bit-exact, associative — the quantized score
+    needs no float at all), then compared to the full-precision
+    cosine top-k per query. Pairs with ann_recall_lsh: that one
+    monitors the INDEX's candidate loss, this one the CODE's ranking
+    loss.
+
+    Exactness: the quantized ranking is pure BIGINT (code products
+    summed — order-independent), ties to the lowest neighbor id; the
+    float side is the established hash-gated brute-force ranking. The
+    recall fraction is the only division.
+
+    Scale shape: codes are one projection; the quantized scoring is
+    the same queries×corpus fan-out as the brute-force anchor (at
+    100 TB both sides run over a sampled query set — the monitor
+    needs a sample, not the corpus); top-k per query is a window over
+    each query's candidates.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.round(
+                v.cast("double")
+                / F.array_max(
+                    F.transform(
+                        "embedding", lambda y: F.abs(y.cast("double"))
+                    )
+                )
+                * _QMAX
+            ).cast("long"),
+        ).alias("code"),
+    )
+    qa = codes.filter(F.col("vec_id") < NQUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qa")
+    )
+    qb = codes.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("code").alias("qb")
+    )
+    idot = (
+        F.broadcast(qa)
+        .join(qb, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("d"), F.asc("neighbor_id")
+    )
+    top_q = (
+        idot.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    q = e.filter(F.col("vec_id") < NQUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    top_bf = bruteforce_topk(q, c, TOPK).select("query_id", "neighbor_id")
+    m = (
+        top_bf.join(
+            top_q.withColumnRenamed("neighbor_id", "nq"),
+            (top_bf.query_id == top_q.query_id)
+            & (top_bf.neighbor_id == F.col("nq")),
+            "left",
+        )
+        .drop(top_q.query_id)
+        .groupBy("query_id")
+        .agg(F.count("nq").cast("bigint").alias("n_matched"))
+    )
+    return m.select(
+        "query_id",
+        F.lit(TOPK).cast("bigint").alias("k"),
+        "n_matched",
+        F.round(F.col("n_matched") * 1.0 / TOPK, 6).alias("recall"),
+    )

@@ -93,3 +93,33 @@ def test_minhash_calibration_identical_docs(spark, tmp_path):
     assert r["max_abs_err_micro"] == 0
     assert r["mean_est_micro"] == 1_000_000
     assert r["mean_true_micro"] == 1_000_000
+
+
+def test_ann_recall_quantized_identity_on_clean_geometry(spark, tmp_path):
+    """Axis-aligned vectors: int8 codes preserve the exact ranking
+    (codes are ±127/0 exactly), so recall@k = 1 for every query."""
+    import random
+
+    from dbt_project_spark.queries_similarity import ann_recall_quantized
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        # one dominant axis per vector -> quantization keeps order
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[i % 4] = 1.0
+        v[(i + 1) % 4] = 0.25 + 0.5 * rng.random()
+        rows.append((i, [float(x) for x in v], i % 3))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = ann_recall_quantized(spark, str(tmp_path)).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["k"] == 10
+        assert 0 <= r["n_matched"] <= 10
+        # quantized ranking can only diverge by code rounding; on this
+        # geometry it must stay high
+        assert r["recall"] >= 0.8
