@@ -868,3 +868,80 @@ def error_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_bursts") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# interarrival_stats — arrival-process burstiness diagnostic (r4s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interarrival_stats",
+    oracle="""
+    WITH e AS (SELECT event_type, event_id,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+               FROM events),
+    g AS (SELECT event_type,
+                 ep - LAG(ep) OVER (PARTITION BY event_type
+                                    ORDER BY ep, event_id) AS gap
+          FROM e),
+    s AS (SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n,
+                 CAST(SUM(gap) AS BIGINT) AS sg,
+                 CAST(SUM(gap * gap) AS BIGINT) AS sgg
+          FROM g GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(sg * 1000000 // n AS BIGINT) AS mean_gap_micro_s,
+           CAST((CAST(n AS HUGEINT) * sgg - CAST(sg AS HUGEINT) * sg)
+                * 1000000 // (CAST(sg AS HUGEINT) * sg) AS BIGINT)
+               AS cv2_micro
+    FROM s
+    """,
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process diagnostic per event type: mean inter-arrival
+    gap and the squared coefficient of variation cv² = var/mean² of
+    the gaps — the one-number burstiness test (a Poisson process has
+    cv² = 1; cv² ≫ 1 means bursty arrivals that size streaming state
+    and autoscaling very differently from the mean rate; cv² ≪ 1
+    means metronome traffic, usually a bot). Pairs with
+    error_burst_detect: this says WHETHER arrivals are bursty, that
+    one finds the bursts.
+
+    Exactness: gaps are integer seconds off one lag window;
+    cv² = (n·Σg² − (Σg)²) / (Σg)² is emitted as a truncating integer
+    micro-unit from exact sums (population variance, cleared
+    denominator — numerator and denominator are both ≥ 0, so Spark
+    div ≡ DuckDB //); the moment products run in DECIMAL(38,0)/
+    HUGEINT because n·Σg²·1e6 clears BIGINT already at sf0.1 gap
+    sums (the linreg convention).
+
+    Scale shape: ONE exchange on event_type carries the lag window
+    and the moment aggregate (map-side combinable partials).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_timestamp("ts").alias("ep")
+    )
+    w = Window.partitionBy("event_type").orderBy("ep", "event_id")
+    g = e.select(
+        "event_type", (F.col("ep") - F.lag("ep").over(w)).alias("gap")
+    )
+    s = g.groupBy("event_type").agg(
+        F.count("gap").cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sgg"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.expr("CAST(sg * 1000000 div n AS BIGINT)").alias(
+            "mean_gap_micro_s"
+        ),
+        # DECIMAL(38,0)/HUGEINT: n·Σg²·1e6 clears BIGINT already at
+        # sf0.1-scale gap sums (measured ~1.4e19) — the linreg
+        # convention applied preemptively.
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * sgg"
+            " - CAST(sg AS DECIMAL(38,0)) * sg)"
+            " * 1000000 div (CAST(sg AS DECIMAL(38,0)) * sg) AS BIGINT)"
+        ).alias("cv2_micro"),
+    )
