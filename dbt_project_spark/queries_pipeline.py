@@ -256,3 +256,76 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qty_sparse"),
     )
     return profile_columns(src, _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# fd_profile — functional-dependency discovery profile (r4s4)
+# ---------------------------------------------------------------------------
+
+# Candidate dependencies lhs -> rhs probed per table. The profiler
+# REPORTS holds/violations — it does not assume; the list is the
+# probe set a schema-inference tool would enumerate.
+FD_CANDIDATES = (
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("events", "user_id", "event_type"),
+)
+
+
+def _fd_sql(tbl: str, lhs: str, rhs: str) -> str:
+    return f"""
+      SELECT '{tbl}' AS tbl, '{lhs}' AS lhs, '{rhs}' AS rhs,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS viol_keys,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+                  // COUNT(*) AS BIGINT) AS viol_micro,
+             CAST(MAX(nd) AS BIGINT) AS max_distinct_rhs
+      FROM (SELECT {lhs}, CAST(COUNT(DISTINCT {rhs}) AS BIGINT) AS nd
+            FROM {tbl} WHERE {lhs} IS NOT NULL GROUP BY {lhs})"""
+
+
+@register(
+    "fd_profile",
+    oracle=" UNION ALL ".join(_fd_sql(t, l, r) for t, l, r in FD_CANDIDATES),
+)
+def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (Metanome/profiling shape):
+    for each candidate lhs → rhs, how many lhs keys map to more than
+    one rhs value — viol_micro = 0 means the FD HOLDS on this data
+    (a normalization / data-contract fact worth enforcing), large
+    values mean the column pair is independent. Schema-inference and
+    dbt-test-suggestion tools enumerate exactly this probe per
+    column pair; the candidate list here keeps the catalog entry
+    bounded.
+
+    Scale shape: each probe is one (lhs, rhs)-distinct aggregate
+    collapsed to per-key distinct counts, then a keys-sized summary
+    — two map-side-combinable exchanges per probe, unioned into one
+    result set. No joins, no windows.
+    """
+    out = None
+    for tbl, lhs, rhs in FD_CANDIDATES:
+        keyed = (
+            load_table(spark, sf_dir, tbl)
+            .where(F.col(lhs).isNotNull())
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).cast("bigint").alias("nd"))
+        )
+        part = keyed.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("viol_keys"),
+            F.expr(
+                "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("viol_micro"),
+            F.max("nd").cast("bigint").alias("max_distinct_rhs"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
