@@ -310,3 +310,155 @@ def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_sum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# pq_train_encode — product quantization training + distortion (r4s4)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (codes per vector)
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_ITERS = 2  # fixed Lloyd's rounds per subspace (unrolled in SQL)
+
+
+def _pq_oracle() -> str:
+    """Per-subspace replay of the fixed-point Lloyd's chain
+    (_km_oracle pattern) over list_slice'd sub-vectors, plus the
+    per-cell distortion sum; one UNION ALL block per subspace."""
+    from dbt_project_spark.operators.kmeans import KM_KEY_M, KM_SCALE
+
+    blocks = []
+    for m in range(PQ_M):
+        p = f"s{m}"
+        head = f"""
+    v{p} AS MATERIALIZED (
+      SELECT vec_id AS vid,
+             list_slice(list_transform(embedding,
+                 x -> CAST(round(x::DOUBLE * {KM_SCALE}) AS BIGINT)),
+                 {m} * (SELECT sub FROM ds) + 1,
+                 {m + 1} * (SELECT sub FROM ds)) AS iv
+      FROM embeddings),
+    seed{p} AS (SELECT vid, iv,
+                    ('0x' || substr(md5(CAST(vid AS VARCHAR)), 1, 8))::BIGINT AS h
+             FROM v{p} ORDER BY h, vid LIMIT {PQ_K}),
+    c0{p} AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vid) - 1 AS cid, iv AS civ
+      FROM seed{p})"""
+        its = []
+        for i in range(1, PQ_ITERS + 1):
+            its.append(f"""
+    d{i}{p} AS (SELECT vid, cid, SUM((x - y) * (x - y)) AS d2 FROM (
+        SELECT v.vid, c.cid, unnest(v.iv) AS x, unnest(c.civ) AS y
+        FROM v{p} v CROSS JOIN c{i - 1}{p} c) GROUP BY vid, cid),
+    a{i}{p} AS MATERIALIZED (
+      SELECT vid, min_by(cid, d2 * {KM_KEY_M} + cid) AS cid
+      FROM d{i}{p} GROUP BY vid),
+    m{i}{p} AS (SELECT cid, pos, CAST(SUM(x) AS BIGINT) // COUNT(*) AS c FROM (
+        SELECT a.cid, unnest(v.iv) AS x, unnest(range(len(v.iv))) AS pos
+        FROM a{i}{p} a JOIN v{p} v ON v.vid = a.vid) GROUP BY cid, pos),
+    n{i}{p} AS (SELECT cid, list(c ORDER BY pos) AS civ
+                FROM m{i}{p} GROUP BY cid),
+    c{i}{p} AS MATERIALIZED (
+      SELECT pp.cid, COALESCE(n.civ, pp.civ) AS civ
+      FROM c{i - 1}{p} pp LEFT JOIN n{i}{p} n ON n.cid = pp.cid)""")
+        fin = f""",
+    df{p} AS (SELECT vid, cid, SUM((x - y) * (x - y)) AS d2 FROM (
+        SELECT v.vid, c.cid, unnest(v.iv) AS x, unnest(c.civ) AS y
+        FROM v{p} v CROSS JOIN c{PQ_ITERS}{p} c) GROUP BY vid, cid),
+    af{p} AS (SELECT vid,
+                     min_by(cid, d2 * {KM_KEY_M} + cid) AS cid,
+                     CAST(MIN(d2 * {KM_KEY_M} + cid) // {KM_KEY_M} AS BIGINT)
+                         AS d2
+              FROM df{p} GROUP BY vid),
+    cell{p} AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(d2) AS BIGINT) AS d2_sum
+                FROM af{p} GROUP BY cid)"""
+        blocks.append(head + "," + ",".join(its) + fin)
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({m} AS BIGINT) AS subspace, c.cid,
+           COALESCE(cell.n, 0) AS n_members,
+           CAST(list_sum(c.civ) AS BIGINT) AS c_sum,
+           COALESCE(cell.d2_sum, 0) AS d2_sum
+    FROM c{PQ_ITERS}s{m} c LEFT JOIN cells{m} cell ON cell.cid = c.cid"""
+        for m in range(PQ_M)
+    )
+    return (
+        "WITH ds AS (SELECT MIN(len(embedding)) // "
+        f"{PQ_M} AS sub FROM embeddings),"
+        + ",".join(blocks)
+        + "\n    "
+        + selects
+    )
+
+
+@register("pq_train_encode", oracle=_pq_oracle())
+def pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the FAISS-core compression for
+    billion-vector search): the embedding splits into PQ_M subspaces,
+    each trained to PQ_K centroids with the fixed-point Lloyd's
+    machinery (operators/kmeans.py — bit-identical across engines),
+    so every vector compresses to PQ_M 4-bit codes (here 64 float32
+    dims → 4 codes ≈ 128× smaller). Output is the trained codebook
+    report: per (subspace, centroid) the member count, the exact
+    component-sum checksum, and the integer DISTORTION sum (squared
+    L2 of vectors to their assigned sub-centroid in scaled units) —
+    the quantization-quality number that decides K and M.
+
+    Exactness: same scaled-BIGINT contract as ivf_train_centroids;
+    per-vector sub-distortions are exact integers recovered from the
+    assignment key (min key div KM_KEY_M), so even the distortion
+    column hash-gates.
+
+    Scale shape: per subspace, training broadcasts a K×(dim/M)
+    centroid table onto the corpus (assignment is a min_by aggregate
+    with map-side partials — no window over n×K rows); subspaces are
+    independent (a cluster would run them concurrently); nothing
+    ever materializes n×K vector-carrying rows.
+    """
+    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.operators.kmeans import (
+        KM_KEY_M,
+        int_vectors,
+        kmeans_fit,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = e.select(F.min(F.size("embedding")).alias("d")).first()["d"]
+    sub = dim // PQ_M
+    iv = persist_tracked(int_vectors(e, "vec_id", "embedding"))
+    out = None
+    for m in range(PQ_M):
+        sub_iv = persist_tracked(
+            iv.select(
+                "vid", F.slice("iv", m * sub + 1, sub).alias("iv")
+            )
+        )
+        cent = kmeans_fit(sub_iv, PQ_K, PQ_ITERS)
+        d2 = F.aggregate(
+            F.zip_with("iv", "civ", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            sub_iv.crossJoin(F.broadcast(cent))
+            .withColumn("key", d2 * F.lit(KM_KEY_M) + F.col("cid"))
+        )
+        asg = scored.groupBy("vid").agg(
+            F.min_by("cid", F.col("key")).alias("cid"),
+            F.expr(f"CAST(MIN(key) div {KM_KEY_M} AS BIGINT)").alias("d2"),
+        )
+        cell = asg.groupBy("cid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("d2").cast("bigint").alias("d2_sum"),
+        )
+        part = cent.join(cell, "cid", "left").select(
+            F.lit(m).cast("bigint").alias("subspace"),
+            "cid",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_members"),
+            F.aggregate(
+                "civ", F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("c_sum"),
+            F.coalesce("d2_sum", F.lit(0)).cast("bigint").alias("d2_sum"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

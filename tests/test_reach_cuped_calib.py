@@ -123,3 +123,25 @@ def test_ann_recall_quantized_identity_on_clean_geometry(spark, tmp_path):
         # quantized ranking can only diverge by code rounding; on this
         # geometry it must stay high
         assert r["recall"] >= 0.8
+
+
+def test_pq_zero_distortion_on_16_unique_vectors(spark, tmp_path):
+    """16 unique vectors, K=16 per subspace: every vector seeds its
+    own centroid, so distortion is exactly 0 and every cell has one
+    member."""
+    from dbt_project_spark.queries_vectors import pq_train_encode
+
+    rows = []
+    for i in range(16):
+        v = [float(i + 1), float(2 * i), float(i * i % 7), float(-i),
+             float(i % 3), float(i // 2), float(7 - i), float(i + 0.5)]
+        rows.append((i, v, 0))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = pq_train_encode(spark, str(tmp_path)).collect()
+    assert len(out) == 64  # 4 subspaces x 16 cells
+    assert all(r["d2_sum"] == 0 for r in out)
+    assert all(r["n_members"] == 1 for r in out)
