@@ -135,6 +135,7 @@ PRIORITY: list[str] = [
     "interarrival_stats",
     "fd_profile",
     "pq_train_encode",
+    "pq_ann_topk",
     # --- changed this round, r03-green, rotated BELOW the window ---
     # The window (first 50) = 3 r03-erred fixes + 20 r04s3 additions +
     # the first 27 r04s2 additions; the last 3 r04s2 names above

@@ -321,10 +321,11 @@ PQ_K = 16  # centroids per subspace (4-bit codes)
 PQ_ITERS = 2  # fixed Lloyd's rounds per subspace (unrolled in SQL)
 
 
-def _pq_oracle() -> str:
-    """Per-subspace replay of the fixed-point Lloyd's chain
-    (_km_oracle pattern) over list_slice'd sub-vectors, plus the
-    per-cell distortion sum; one UNION ALL block per subspace."""
+def _pq_chain() -> str:
+    """Shared WITH-body prefix: per-subspace fixed-point Lloyd's
+    training over list_slice'd sub-vectors, ending in the final
+    codebooks (c{ITERS}s{m}), assignments+distortions (afs{m}), and
+    cell summaries (cells{m}). Used by both PQ oracles."""
     from dbt_project_spark.operators.kmeans import KM_KEY_M, KM_SCALE
 
     blocks = []
@@ -374,6 +375,15 @@ def _pq_oracle() -> str:
                        CAST(SUM(d2) AS BIGINT) AS d2_sum
                 FROM af{p} GROUP BY cid)"""
         blocks.append(head + "," + ",".join(its) + fin)
+    return (
+        "WITH ds AS (SELECT MIN(len(embedding)) // "
+        f"{PQ_M} AS sub FROM embeddings),"
+        + ",".join(blocks)
+    )
+
+
+def _pq_oracle() -> str:
+    """Codebook report tail over the shared training chain."""
     selects = " UNION ALL ".join(
         f"""SELECT CAST({m} AS BIGINT) AS subspace, c.cid,
            COALESCE(cell.n, 0) AS n_members,
@@ -382,13 +392,7 @@ def _pq_oracle() -> str:
     FROM c{PQ_ITERS}s{m} c LEFT JOIN cells{m} cell ON cell.cid = c.cid"""
         for m in range(PQ_M)
     )
-    return (
-        "WITH ds AS (SELECT MIN(len(embedding)) // "
-        f"{PQ_M} AS sub FROM embeddings),"
-        + ",".join(blocks)
-        + "\n    "
-        + selects
-    )
+    return _pq_chain() + "\n    " + selects
 
 
 @register("pq_train_encode", oracle=_pq_oracle())
@@ -462,3 +466,120 @@ def pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# pq_ann_topk — ADC search over PQ codes (r4s4)
+# ---------------------------------------------------------------------------
+
+PQANN_NQ = 5  # query vectors (vec_id < 5, the similarity-family set)
+PQANN_K = 10
+
+
+def _pq_ann_oracle() -> str:
+    """ADC tail over the shared training chain: per-subspace lookup
+    tables (query sub-vector × codebook), summed along each corpus
+    vector's codes."""
+    luts = ",".join(
+        f"""
+    lut{m} AS (SELECT vid AS qid, cid, CAST(SUM((x - y) * (x - y)) AS BIGINT)
+                      AS ld2 FROM (
+        SELECT v.vid, c.cid, unnest(v.iv) AS x, unnest(c.civ) AS y
+        FROM vs{m} v CROSS JOIN c{PQ_ITERS}s{m} c
+        WHERE v.vid < {PQANN_NQ}) GROUP BY vid, cid),
+    part{m} AS (SELECT l.qid, a.vid, l.ld2
+                FROM afs{m} a JOIN lut{m} l ON l.cid = a.cid)"""
+        for m in range(PQ_M)
+    )
+    parts = " UNION ALL ".join(
+        f"SELECT qid, vid, ld2 FROM part{m}" for m in range(PQ_M)
+    )
+    return (
+        _pq_chain()
+        + ","
+        + luts
+        + f""",
+    allp AS ({parts}),
+    ad AS (SELECT qid, vid, CAST(SUM(ld2) AS BIGINT) AS ad2
+           FROM allp WHERE vid != qid GROUP BY qid, vid),
+    r AS (SELECT qid, vid, ad2,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY ad2, vid) AS rank
+          FROM ad)
+    SELECT qid AS query_id, vid AS neighbor_id, ad2,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {PQANN_K}
+    """
+    )
+
+
+@register("pq_ann_topk", oracle=_pq_ann_oracle())
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over PQ codes by asymmetric distance computation
+    (ADC — the FAISS serving path): each query builds a PQ_M×PQ_K
+    lookup table of exact integer squared distances from its
+    sub-vectors to every sub-centroid, and a corpus vector's
+    approximate distance is the SUM of table entries at its codes —
+    scoring touches only the 4 codes per vector, never the floats,
+    which is why PQ search runs at memory bandwidth on billions of
+    vectors. Completes the PQ story: pq_train_encode trains and
+    reports the codebook, this query SEARCHES with it.
+
+    Exactness: codes come from the deterministic fixed-point
+    training; lookup distances and their sums are exact BIGINTs;
+    ranking ties break on neighbor id — the whole result hash-gates.
+
+    Scale shape: the LUT is queries×M×K rows (tiny, broadcast); the
+    scoring join is codes ⋈ LUT on the (subspace, cid) equi-key with
+    fan-out = queries per code row; top-k rides a per-query window
+    over each query's candidate list. The corpus is scanned for
+    encoding once per subspace; nothing is ever queries×corpus×dim.
+    """
+    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.operators.kmeans import (
+        assign_clusters,
+        int_vectors,
+        kmeans_fit,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = e.select(F.min(F.size("embedding")).alias("d")).first()["d"]
+    sub = dim // PQ_M
+    iv = persist_tracked(int_vectors(e, "vec_id", "embedding"))
+    parts = None
+    for m in range(PQ_M):
+        sub_iv = persist_tracked(
+            iv.select("vid", F.slice("iv", m * sub + 1, sub).alias("iv"))
+        )
+        cent = kmeans_fit(sub_iv, PQ_K, PQ_ITERS)
+        asg = assign_clusters(sub_iv, cent)
+        q_sub = sub_iv.filter(F.col("vid") < PQANN_NQ).select(
+            F.col("vid").alias("qid"), "iv"
+        )
+        ld2 = F.aggregate(
+            F.zip_with("iv", "civ", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        lut = (
+            q_sub.crossJoin(F.broadcast(cent))
+            .select("qid", "cid", ld2.alias("ld2"))
+        )
+        part = asg.join(F.broadcast(lut), "cid").select("qid", "vid", "ld2")
+        parts = part if parts is None else parts.unionByName(part)
+    ad = (
+        parts.filter(F.col("vid") != F.col("qid"))
+        .groupBy("qid", "vid")
+        .agg(F.sum("ld2").cast("bigint").alias("ad2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("ad2"), F.asc("vid"))
+    return (
+        ad.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQANN_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            "ad2",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
