@@ -108,9 +108,11 @@ PRIORITY: list[str] = [
     "cohort_revenue_retention",
     "dedup_cluster_histogram",
     # --- r04s4 additions: below the 50-slot fold (the window is full
-    # of older never-checked queries); these rotate into the r05
-    # window. All verified by the local replica gate at sf0.001/0.01
-    # + planted-semantics tests this session. ---
+    # of older never-checked queries — driver-verdict priority goes to
+    # the earliest additions); these rotate into the r05 window. All
+    # 25 verified by the local replica gate at sf0.01 AND sf0.1 (plus
+    # sf0.001 smokes), by planted-semantics tests, and by the
+    # vanilla-session driver-contract replica this session. ---
     "spc_pchart_error_rate",
     "profile_drift_halves",
     "kaplan_meier_retention",

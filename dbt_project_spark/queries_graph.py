@@ -921,11 +921,9 @@ def _lpa_oracle() -> str:
                     FROM e0 e JOIN l{k - 1} l ON l.node = e.u),
            c{k} AS (SELECT node, nl, COUNT(*) AS c
                     FROM n{k} GROUP BY 1, 2),
-           p{k} AS (SELECT node, nl FROM (
-                      SELECT node, nl,
-                             ROW_NUMBER() OVER (PARTITION BY node
-                                                ORDER BY c DESC, nl) AS rk
-                      FROM c{k}) WHERE rk = 1),
+           p{k} AS (SELECT node,
+                            max_by(nl, c * 1000000000000 - nl) AS nl
+                     FROM c{k} GROUP BY node),
            l{k} AS MATERIALIZED (
              SELECT l.node, COALESCE(p.nl, l.lab) AS lab
              FROM l{k - 1} l LEFT JOIN p{k} p ON p.node = l.node)""")
