@@ -813,3 +813,285 @@ def price_elasticity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "elasticity_den"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# segment_migration_matrix — period-over-period CRM segment flow (r4s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_migration_matrix",
+    oracle=f"""
+    WITH o AS (SELECT o_custkey AS c, {_TP100} AS cents,
+                      CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ep
+               FROM orders),
+    mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS m FROM o),
+    u AS (SELECT c,
+                 CAST(SUM(CASE WHEN ep < (SELECT m FROM mid)
+                               THEN cents ELSE 0 END) AS BIGINT) AS s1,
+                 CAST(SUM(CASE WHEN ep >= (SELECT m FROM mid)
+                               THEN cents ELSE 0 END) AS BIGINT) AS s2
+          FROM o GROUP BY c),
+    r1 AS (SELECT s1, ROW_NUMBER() OVER (ORDER BY s1, c) AS rk,
+                  COUNT(*) OVER () AS n
+           FROM u WHERE s1 > 0),
+    c1 AS (SELECT MAX(CASE WHEN rk = (n + 2) // 3 THEN s1 END) AS lo,
+                  MAX(CASE WHEN rk = (2 * n + 2) // 3 THEN s1 END) AS hi
+           FROM r1),
+    r2 AS (SELECT s2, ROW_NUMBER() OVER (ORDER BY s2, c) AS rk,
+                  COUNT(*) OVER () AS n
+           FROM u WHERE s2 > 0),
+    c2 AS (SELECT MAX(CASE WHEN rk = (n + 2) // 3 THEN s2 END) AS lo,
+                  MAX(CASE WHEN rk = (2 * n + 2) // 3 THEN s2 END) AS hi
+           FROM r2),
+    seg AS (SELECT
+              CASE WHEN u.s1 = 0 THEN 'none'
+                   WHEN u.s1 <= c1.lo THEN 'low'
+                   WHEN u.s1 <= c1.hi THEN 'mid'
+                   ELSE 'high' END AS seg_from,
+              CASE WHEN u.s2 = 0 THEN 'none'
+                   WHEN u.s2 <= c2.lo THEN 'low'
+                   WHEN u.s2 <= c2.hi THEN 'mid'
+                   ELSE 'high' END AS seg_to
+            FROM u CROSS JOIN c1 CROSS JOIN c2),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM seg)
+    SELECT seg_from, seg_to, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) * 1000000 // t.total AS BIGINT) AS share_micro
+    FROM seg CROSS JOIN t GROUP BY seg_from, seg_to, t.total
+    """,
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRM segment-migration matrix: each customer's spend tercile
+    (low/mid/high, or 'none' for no orders) in the first half of the
+    time range vs the second — the period-over-period flow table
+    behind 'are high-value customers downgrading?'. Terciles are
+    period-local (each half gets its own cutoffs over its active
+    customers), which is the standard relative-segmentation choice.
+
+    Exactness: cutoffs are the values at the EXACT integer ranks
+    ceil(n/3) and ceil(2n/3) of the (spend, customer)-ordered active
+    set — no quantile interpolation at all, because q = 1/3 is not a
+    representable double and the (n−1)·q position can land on either
+    side of an integer per engine (measured: one boundary customer
+    flipped). Segment assignment is a pure integer comparison (ties
+    inclusive on the low side); both half-spends come from ONE
+    conditional-sum pass (the drift_psi convention).
+
+    Scale shape: one orders-sized aggregate to customers; cutoffs are
+    1-row broadcasts; the matrix is ≤ 4×4 rows from one customers-
+    sized aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.expr(_TP100).alias("cents"),
+        F.unix_timestamp("o_orderdate").alias("ep"),
+    )
+    mid = o.agg(F.expr("(min(ep) + max(ep)) div 2").cast("bigint").alias("m"))
+    u = (
+        o.crossJoin(F.broadcast(mid))
+        .groupBy("c")
+        .agg(
+            F.sum(F.when(F.col("ep") < F.col("m"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("s1"),
+            F.sum(
+                F.when(F.col("ep") >= F.col("m"), F.col("cents")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s2"),
+        )
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    u = persist_tracked(u)
+
+    def _cutoffs(col: str, lo_name: str, hi_name: str):
+        act = u.where(F.col(col) > 0)
+        w = Window.orderBy(F.col(col), F.col("c"))
+        r = act.select(
+            F.col(col).alias("s"),
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        return r.agg(
+            F.max(
+                F.when(F.col("rk") == F.expr("(n + 2) div 3"), F.col("s"))
+            ).alias(lo_name),
+            F.max(
+                F.when(F.col("rk") == F.expr("(2 * n + 2) div 3"), F.col("s"))
+            ).alias(hi_name),
+        )
+
+    # The rank windows run over the ACTIVE-customer table (bounded by
+    # customers, here ~10^3-10^5); at larger scale the cutoff would
+    # come from operators/windows.distributed_ntile instead.
+    c1 = _cutoffs("s1", "lo1", "hi1")
+    c2 = _cutoffs("s2", "lo2", "hi2")
+    seg = (
+        u.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .select(
+            F.when(F.col("s1") == 0, "none")
+            .when(F.col("s1") <= F.col("lo1"), "low")
+            .when(F.col("s1") <= F.col("hi1"), "mid")
+            .otherwise("high")
+            .alias("seg_from"),
+            F.when(F.col("s2") == 0, "none")
+            .when(F.col("s2") <= F.col("lo2"), "low")
+            .when(F.col("s2") <= F.col("hi2"), "mid")
+            .otherwise("high")
+            .alias("seg_to"),
+        )
+    )
+    t = seg.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        seg.groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "seg_from",
+            "seg_to",
+            "n_customers",
+            F.expr("CAST(n_customers * 1000000 div total AS BIGINT)").alias(
+                "share_micro"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue_bridge_pvm — price/volume/mix revenue decomposition (r4s4)
+# ---------------------------------------------------------------------------
+
+# Sign-safe truncating division: Spark's `div` truncates toward zero,
+# DuckDB's `//` floors — identical only through this abs/sign split.
+_TDIV = (
+    "CASE WHEN ({num}) < 0 THEN -(abs({num}) {op} ({den}))"
+    " ELSE ({num}) {op} ({den}) END"
+)
+
+
+@register(
+    "revenue_bridge_pvm",
+    oracle=f"""
+    WITH l AS (SELECT l_partkey AS p, {_EP100} AS cents,
+                      CAST(round(l_quantity) AS BIGINT) AS q,
+                      CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ep
+               FROM lineitem),
+    mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS m FROM l),
+    pp AS (SELECT p,
+                  CAST(SUM(CASE WHEN ep < (SELECT m FROM mid)
+                                THEN cents ELSE 0 END) AS BIGINT) AS r1,
+                  CAST(SUM(CASE WHEN ep < (SELECT m FROM mid)
+                                THEN q ELSE 0 END) AS BIGINT) AS q1,
+                  CAST(SUM(CASE WHEN ep >= (SELECT m FROM mid)
+                                THEN cents ELSE 0 END) AS BIGINT) AS r2,
+                  CAST(SUM(CASE WHEN ep >= (SELECT m FROM mid)
+                                THEN q ELSE 0 END) AS BIGINT) AS q2
+           FROM l GROUP BY p),
+    eff AS (SELECT
+              SUM(r1) AS rev1, SUM(r2) AS rev2,
+              CAST(SUM(CASE WHEN q1 > 0 AND q2 > 0 THEN
+                {_TDIV.format(num='r1 * (q2 - q1)', den='q1', op='//')}
+                ELSE 0 END) AS BIGINT) AS volume_cents,
+              CAST(SUM(CASE WHEN q1 > 0 AND q2 > 0 THEN
+                r2 - {_TDIV.format(num='q2 * r1', den='q1', op='//')}
+                ELSE 0 END) AS BIGINT) AS price_cents,
+              CAST(SUM(CASE WHEN q1 = 0 AND q2 > 0 THEN r2 ELSE 0 END)
+                   AS BIGINT) AS new_cents,
+              CAST(SUM(CASE WHEN q1 > 0 AND q2 = 0 THEN -r1 ELSE 0 END)
+                   AS BIGINT) AS discontinued_cents
+            FROM pp)
+    SELECT CAST(rev1 AS BIGINT) AS rev1_cents,
+           CAST(rev2 AS BIGINT) AS rev2_cents,
+           CAST(rev2 - rev1 AS BIGINT) AS delta_cents,
+           volume_cents, price_cents, new_cents, discontinued_cents,
+           CAST(rev2 - rev1 - volume_cents - price_cents - new_cents
+                - discontinued_cents AS BIGINT) AS residual_cents
+    FROM eff
+    """,
+)
+def revenue_bridge_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix revenue bridge (the FP&A waterfall): the
+    first-half → second-half revenue delta decomposed per part into
+    volume effect (old unit price × quantity change), price effect
+    (new quantity × unit-price change), new-part and discontinued-
+    part effects. Per part the rational identity
+    p₁(q₂−q₁) + q₂(p₂−p₁) = r₂ − r₁ telescopes exactly; the integer
+    emission truncates each part's division once (sign-split so both
+    engines truncate toward zero) and reports the accumulated
+    truncation as an explicit residual_cents column — the identity
+    delta = volume + price + new + discontinued + residual holds
+    EXACTLY, with residual bounded by the common-part count in cents.
+
+    Scale shape: one lineitem-sized conditional-sum aggregate to
+    parts (both periods in the same pass), then a parts-sized
+    1-row effects aggregate. The midpoint rides a broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"),
+        F.expr(_EP100).alias("cents"),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("q"),
+        F.unix_timestamp("l_shipdate").alias("ep"),
+    )
+    mid = li.agg(F.expr("(min(ep) + max(ep)) div 2").cast("bigint").alias("m"))
+    pp = (
+        li.crossJoin(F.broadcast(mid))
+        .groupBy("p")
+        .agg(
+            F.sum(F.when(F.col("ep") < F.col("m"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("r1"),
+            F.sum(F.when(F.col("ep") < F.col("m"), F.col("q")).otherwise(0))
+            .cast("bigint")
+            .alias("q1"),
+            F.sum(
+                F.when(F.col("ep") >= F.col("m"), F.col("cents")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("r2"),
+            F.sum(F.when(F.col("ep") >= F.col("m"), F.col("q")).otherwise(0))
+            .cast("bigint")
+            .alias("q2"),
+        )
+    )
+    vol = _TDIV.format(num="r1 * (q2 - q1)", den="q1", op="div")
+    prc = _TDIV.format(num="q2 * r1", den="q1", op="div")
+    eff = pp.agg(
+        F.sum("r1").cast("bigint").alias("rev1_cents"),
+        F.sum("r2").cast("bigint").alias("rev2_cents"),
+        F.sum(
+            F.expr(f"CASE WHEN q1 > 0 AND q2 > 0 THEN {vol} ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("volume_cents"),
+        F.sum(
+            F.expr(f"CASE WHEN q1 > 0 AND q2 > 0 THEN r2 - ({prc}) ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+        F.sum(F.expr("CASE WHEN q1 = 0 AND q2 > 0 THEN r2 ELSE 0 END"))
+        .cast("bigint")
+        .alias("new_cents"),
+        F.sum(F.expr("CASE WHEN q1 > 0 AND q2 = 0 THEN -r1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("discontinued_cents"),
+    )
+    return eff.select(
+        "rev1_cents",
+        "rev2_cents",
+        (F.col("rev2_cents") - F.col("rev1_cents")).alias("delta_cents"),
+        "volume_cents",
+        "price_cents",
+        "new_cents",
+        "discontinued_cents",
+        (
+            F.col("rev2_cents")
+            - F.col("rev1_cents")
+            - F.col("volume_cents")
+            - F.col("price_cents")
+            - F.col("new_cents")
+            - F.col("discontinued_cents")
+        ).alias("residual_cents"),
+    )

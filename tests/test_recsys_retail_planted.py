@@ -136,3 +136,70 @@ def test_triangles_per_node_k4_and_path(spark):
 
     path = spark.createDataFrame([(1, 2), (2, 3)], "u bigint, v bigint")
     assert triangles_per_node(path).count() == 0
+
+
+def test_segment_migration_swapped_terciles(spark, tmp_path):
+    """3 customers with spends 1/2/3 in H1 and 3/2/1 in H2: the
+    matrix is exactly low→high, mid→mid, high→low."""
+    from dbt_project_spark.queries_retail import segment_migration_matrix
+
+    # orders at day 0 (H1) and day 20 (H2); midpoint splits at day 10
+    rows = [
+        (1, 1, 0, 1.0), (2, 2, 0, 2.0), (3, 3, 0, 3.0),
+        (4, 1, 20, 3.0), (5, 2, 20, 2.0), (6, 3, 20, 1.0),
+    ]
+    spark.createDataFrame(
+        [(k, c, "O", v, float(T0 + d * DAY), "1-URGENT")
+         for k, c, d, v in rows],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, __ep double, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.timestamp_seconds(F.col("__ep")).alias("o_orderdate"),
+        "o_orderpriority",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {
+        (r["seg_from"], r["seg_to"]): r
+        for r in segment_migration_matrix(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {("low", "high"), ("mid", "mid"), ("high", "low")}
+    for r in out.values():
+        assert r["n_customers"] == 1
+        assert r["share_micro"] == 1_000_000 // 3
+
+
+def test_revenue_bridge_identity_by_hand(spark, tmp_path):
+    """part1: price 100→120 c, qty 2→4 → volume 200, price 80;
+    part2 new (+50); part3 discontinued (−30); residual 0."""
+    from dbt_project_spark.queries_retail import revenue_bridge_pvm
+
+    data = [
+        (100, 1, 1, 1, 2.0, 2.00, 0.0, 0.0, "N", "O", float(T0 + 0 * DAY)),
+        (101, 1, 1, 1, 4.0, 4.80, 0.0, 0.0, "N", "O", float(T0 + 20 * DAY)),
+        (102, 2, 2, 1, 1.0, 0.50, 0.0, 0.0, "N", "O", float(T0 + 20 * DAY)),
+        (103, 3, 3, 1, 1.0, 0.30, 0.0, 0.0, "N", "O", float(T0 + 0 * DAY)),
+    ]
+    spark.createDataFrame(
+        data,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, __ep double",
+    ).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+        F.timestamp_seconds(F.col("__ep")).alias("l_shipdate"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    r = revenue_bridge_pvm(spark, str(tmp_path)).collect()[0]
+    assert r["rev1_cents"] == 230 and r["rev2_cents"] == 530
+    assert r["delta_cents"] == 300
+    assert r["volume_cents"] == 200
+    assert r["price_cents"] == 80
+    assert r["new_cents"] == 50
+    assert r["discontinued_cents"] == -30
+    assert r["residual_cents"] == 0
