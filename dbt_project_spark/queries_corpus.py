@@ -824,3 +824,116 @@ def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_den"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# heaps_law_fit — vocabulary-growth exponent (r4s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM t),
+    w AS (SELECT doc_id, unnest(t) AS w FROM t),
+    fw AS (SELECT w, MIN(doc_id) AS fd FROM w GROUP BY w),
+    nv AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nw
+           FROM fw GROUP BY fd),
+    cum AS (SELECT nt.doc_id,
+                   SUM(nt.n) OVER (ORDER BY nt.doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cn,
+                   SUM(COALESCE(nv.nw, 0)) OVER (ORDER BY nt.doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cv
+            FROM nt LEFT JOIN nv ON nv.doc_id = nt.doc_id),
+    xy AS (SELECT CAST(round(ln(cn) * 1000000) AS BIGINT) AS x6,
+                  CAST(round(ln(cv) * 1000000) AS BIGINT) AS y6
+           FROM cum WHERE cn > 0 AND cv > 0),
+    m AS (SELECT MIN(x6) AS x0, MIN(y6) AS y0 FROM xy),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xy.x6 - m.x0) AS BIGINT) AS sx,
+                 CAST(SUM(xy.y6 - m.y0) AS BIGINT) AS sy,
+                 CAST(SUM((xy.x6 - m.x0) * (xy.y6 - m.y0)) AS BIGINT) AS sxy,
+                 CAST(SUM((xy.x6 - m.x0) * (xy.x6 - m.x0)) AS BIGINT) AS sxx
+          FROM xy CROSS JOIN m)
+    SELECT n AS n_points,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                AS VARCHAR) AS heaps_num,
+           CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                AS VARCHAR) AS heaps_den
+    FROM s
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(N) ≈ k·N^β — the OLS slope
+    of ln(cumulative vocabulary) on ln(cumulative tokens) across the
+    corpus in doc_id order. Natural text sits at β ≈ 0.4–0.6; β near
+    1 means near-random token streams, β near 0 means template spam —
+    the vocabulary-side corpus-health check next to zipf_vocab_fit's
+    frequency side (the two laws are duals). Cumulative vocabulary
+    needs no distinct-so-far scan: a word contributes exactly at its
+    FIRST document (min doc_id per word), so V is the prefix sum of
+    first-occurrence counts — the cumulative_reach_daily trick applied
+    to words.
+
+    Determinism: the ×1e6 micro-ln shifted-sum OLS with exact
+    rational output (the zipf/elasticity convention). The prefix
+    windows run over the DOCS table (corpus-document-count rows; at
+    extreme doc counts the curve would sample log-spaced checkpoint
+    docs instead — noted, not needed here).
+
+    Scale shape: two token-sized shuffles (per-doc token counts and
+    word first-occurrences, both map-side combinable), then windows
+    and the regression over docs-sized tables.
+    """
+    from pyspark.sql import Window
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("t"),
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    toks = persist_tracked(toks)
+    nt = toks.select("doc_id", F.size("t").cast("bigint").alias("n"))
+    w = toks.select("doc_id", F.explode("t").alias("w"))
+    fw = w.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    nv = fw.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw")
+    )
+    wc = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        nt.join(nv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n").over(wc).alias("cn"),
+            F.sum(F.coalesce("nw", F.lit(0))).over(wc).alias("cv"),
+        )
+    )
+    xy = cum.where((F.col("cn") > 0) & (F.col("cv") > 0)).select(
+        F.expr("CAST(round(ln(cn) * 1000000) AS BIGINT)").alias("x6"),
+        F.expr("CAST(round(ln(cv) * 1000000) AS BIGINT)").alias("y6"),
+    )
+    m = xy.agg(F.min("x6").alias("x0"), F.min("y6").alias("y0"))
+    s = xy.crossJoin(F.broadcast(m)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x6") - F.col("x0")).cast("bigint").alias("sx"),
+        F.sum(F.col("y6") - F.col("y0")).cast("bigint").alias("sy"),
+        F.sum((F.col("x6") - F.col("x0")) * (F.col("y6") - F.col("y0")))
+        .cast("bigint")
+        .alias("sxy"),
+        F.sum((F.col("x6") - F.col("x0")) * (F.col("x6") - F.col("x0")))
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    dec = "CAST(n AS DECIMAL(38,0))"
+    sxdec = "CAST(sx AS DECIMAL(38,0))"
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.expr(f"CAST({dec} * sxy - {sxdec} * sy AS STRING)").alias(
+            "heaps_num"
+        ),
+        F.expr(f"CAST({dec} * sxx - {sxdec} * sx AS STRING)").alias(
+            "heaps_den"
+        ),
+    )

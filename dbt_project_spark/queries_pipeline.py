@@ -329,3 +329,75 @@ def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# rapid_repeat_orders — structured near-duplicate / double-submit check (r4s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rapid_repeat_orders",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+                      CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                      CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d
+               FROM orders)
+    SELECT a.c AS custkey, a.k AS key_a, b.k AS key_b,
+           a.cents AS amount_a_cents, b.cents AS amount_b_cents,
+           CAST(CASE WHEN b.cents >= a.cents THEN b.cents - a.cents
+                     ELSE a.cents - b.cents END AS BIGINT)
+               AS amount_diff_cents,
+           a.cents = b.cents AS exact_amount_match
+    FROM o a JOIN o b ON b.c = a.c AND b.d = a.d AND a.k < b.k
+    """,
+)
+def rapid_repeat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured near-duplicate detection — the payments/ops twin of
+    text dedup: order PAIRS from the same customer on the same
+    calendar day, with the amount delta and an exact-amount flag (an
+    exact match is the double-submit signature; a near match is a
+    split or amended order). Each pair carries both keys for the
+    review queue.
+
+    Scale shape: the self-join is an EQUI-join on the
+    (customer, day) blocking key — pair generation is bucket-local
+    exactly like dedup blocking on shingles or name prefixes, and a
+    customer places O(1) orders per day, so fan-out is bounded. A
+    pathological hot bucket would be capped the way editdistance
+    blocks are (not needed on order data, noted).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("d"),
+    )
+    a = o.select(
+        "c", "d", F.col("k").alias("key_a"), F.col("cents").alias("ca")
+    )
+    b = o.select(
+        F.col("c").alias("c2"),
+        F.col("d").alias("d2"),
+        F.col("k").alias("key_b"),
+        F.col("cents").alias("cb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("c2") == F.col("c"))
+            & (F.col("d2") == F.col("d"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .select(
+            F.col("c").alias("custkey"),
+            "key_a",
+            "key_b",
+            F.col("ca").alias("amount_a_cents"),
+            F.col("cb").alias("amount_b_cents"),
+            F.abs(F.col("cb") - F.col("ca")).cast("bigint").alias(
+                "amount_diff_cents"
+            ),
+            (F.col("ca") == F.col("cb")).alias("exact_amount_match"),
+        )
+    )

@@ -103,3 +103,56 @@ def test_priority_sample_hashlib_replication(spark, tmp_path):
     # ordering is ascending by priority
     ps = [r["priority"] for r in out]
     assert ps == sorted(ps)
+
+
+def test_heaps_law_on_repeating_vs_fresh_vocab(spark, tmp_path):
+    """All-identical docs → vocabulary saturates after doc 1 → slope
+    near 0; all-fresh vocab per doc → V grows ∝ N → slope near 1."""
+    from dbt_project_spark.queries_corpus import heaps_law_fit
+
+    _write_docs(spark, tmp_path, ["alpha beta gamma delta"] * 8)
+    r = heaps_law_fit(spark, str(tmp_path)).collect()[0]
+    beta = int(r["heaps_num"]) / int(r["heaps_den"])
+    assert r["n_points"] == 8
+    assert beta < 0.1
+
+    fresh = [
+        " ".join(f"w{d}x{i}" for i in range(5)) for d in range(8)
+    ]
+    _write_docs(spark, tmp_path, fresh)
+    r2 = heaps_law_fit(spark, str(tmp_path)).collect()[0]
+    beta2 = int(r2["heaps_num"]) / int(r2["heaps_den"])
+    assert beta2 > 0.95
+
+
+def test_rapid_repeat_orders_same_day_pairing(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from dbt_project_spark.queries_pipeline import rapid_repeat_orders
+
+    DAY = 86400
+    T0 = 1_700_000_000 - (1_700_000_000 % DAY)
+    rows = [
+        (1, 1, 0, 10.00), (2, 1, 0, 10.00),  # exact double-submit
+        (3, 1, 1, 10.00),                     # next day: not paired
+        (4, 2, 0, 5.00), (5, 2, 0, 7.50),     # same day, diff amount
+        (6, 3, 0, 1.00),                      # singleton
+    ]
+    spark.createDataFrame(
+        [(k, c, "O", v, float(T0 + d * DAY + k), "1-URGENT")
+         for k, c, d, v in rows],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, __ep double, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.timestamp_seconds(F.col("__ep")).alias("o_orderdate"),
+        "o_orderpriority",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = {(r["key_a"], r["key_b"]): r
+           for r in rapid_repeat_orders(spark, str(tmp_path)).collect()}
+    assert set(out) == {(1, 2), (4, 5)}
+    assert out[(1, 2)]["exact_amount_match"] is True
+    assert out[(1, 2)]["amount_diff_cents"] == 0
+    assert out[(4, 5)]["exact_amount_match"] is False
+    assert out[(4, 5)]["amount_diff_cents"] == 250
