@@ -316,3 +316,89 @@ def ann_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matched",
         F.round(F.col("n_matched") * 1.0 / TOPK, 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_truncated_dims — dimension-truncation quality monitor (r4s4)
+# ---------------------------------------------------------------------------
+
+TRUNC_DIMS = 32  # keep the first half of the 64 dims (MRL-style)
+
+
+@register(
+    "ann_recall_truncated_dims",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {NQUERIES}),
+    pairs_bf AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                        q.qe, e.embedding AS ce
+                 FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+    {_cos_ranked_sql('pairs_bf', '_bf', TOPK)},
+    tr AS (SELECT vec_id, list_slice(embedding, 1, {TRUNC_DIMS}) AS emb
+           FROM embeddings),
+    qt AS (SELECT vec_id AS query_id, emb AS qe FROM tr
+           WHERE vec_id < {NQUERIES}),
+    pairs_tr AS (SELECT qt.query_id, t.vec_id AS neighbor_id,
+                        qt.qe, t.emb AS ce
+                 FROM qt JOIN tr t ON t.vec_id != qt.query_id),
+    {_cos_ranked_sql('pairs_tr', '_tr', TOPK)},
+    m AS (SELECT t.query_id, CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_matched
+          FROM top_bf t LEFT JOIN top_tr l
+            ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+          GROUP BY t.query_id)
+    SELECT query_id, CAST({TOPK} AS BIGINT) AS k, n_matched,
+           ROUND(n_matched * 1.0 / {TOPK}, 6) AS recall
+    FROM m
+    """,
+)
+def ann_recall_truncated_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k when retrieval uses only the FIRST {TRUNC_DIMS} of 64
+    dimensions — the Matryoshka/dimension-truncation quality monitor:
+    modern embedding models are trained so prefixes remain usable, and
+    this number is what licenses serving at half the vector storage
+    and twice the scan throughput. Completes the retrieval-quality
+    trio: ann_recall_lsh (index loss), ann_recall_quantized (code
+    loss), this (dimension loss).
+
+    Determinism: both rankings are the established hash-gated cosine
+    rankings (ROUND 6, neighbor-id tie-break) — the truncated side
+    just runs on sliced arrays; the recall fraction is the only new
+    arithmetic.
+
+    Scale shape: same queries×corpus fan-out as the brute-force
+    anchor on both sides (a sampled-query monitor at scale); slicing
+    is a projection inside codegen.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < NQUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    top_bf = bruteforce_topk(q, c, TOPK).select("query_id", "neighbor_id")
+    tr = e.select(
+        "vec_id", F.slice("embedding", 1, TRUNC_DIMS).alias("embedding")
+    )
+    qt = tr.filter(F.col("vec_id") < NQUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ct = tr.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    top_tr = bruteforce_topk(qt, ct, TOPK).select(
+        "query_id", F.col("neighbor_id").alias("nt")
+    )
+    m = (
+        top_bf.join(
+            top_tr,
+            (top_bf.query_id == top_tr.query_id)
+            & (top_bf.neighbor_id == F.col("nt")),
+            "left",
+        )
+        .drop(top_tr.query_id)
+        .groupBy("query_id")
+        .agg(F.count("nt").cast("bigint").alias("n_matched"))
+    )
+    return m.select(
+        "query_id",
+        F.lit(TOPK).cast("bigint").alias("k"),
+        "n_matched",
+        F.round(F.col("n_matched") * 1.0 / TOPK, 6).alias("recall"),
+    )
