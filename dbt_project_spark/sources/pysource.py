@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
@@ -86,7 +87,40 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register_synth_source(spark) -> None:
     """Register the synth_events format on a session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader (Spark 4
+    SimpleDataSourceStreamReader): the pure-Python analogue of the
+    reference's INFINITE producer (kafka_producer_streaming.py) — a
+    rate-source-like stream whose rows are the SAME deterministic
+    md5-derived events as the batch table, so stream output is
+    replayable and batch-comparable by construction.
+
+    Offsets are row counters ({"i": next_id}): ``read`` emits the
+    next ``batch_rows`` ids and advances; ``readBetweenOffsets``
+    regenerates any offset range bit-identically (exactly-once replay
+    after failure — possible ONLY because generation is a pure
+    function of the id, the property a real Kafka source gets from
+    the broker's log)."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batchrows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = lo + self.batch_rows
+        return (iter([_row(i) for i in range(lo, hi)]), {"i": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(int(start["i"]), int(end["i"]))])

@@ -78,3 +78,47 @@ def test_types_cover_reference_vocabulary(spark):
         .collect()
     }
     assert got == set(EVENT_TYPES)
+
+
+def test_streaming_source_deterministic_prefix(spark, tmp_path):
+    """The Python streaming source (SimpleDataSourceStreamReader)
+    emits the SAME deterministic rows as the batch table, as a gapless
+    dup-free id prefix — the exactly-once-replay property a real
+    Kafka source gets from the broker log, here from generation being
+    a pure function of the id."""
+    import time
+
+    from dbt_project_spark.sources.pysource import _row, register_synth_source
+
+    register_synth_source(spark)
+    stream = (
+        spark.readStream.format("synth_events")
+        .option("batchrows", 50)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.table("synth_stream").count()
+            if n >= 100:  # at least two micro-batches
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    got = sorted(
+        spark.table("synth_stream").collect(), key=lambda r: r["event_id"]
+    )
+    assert len(got) >= 100
+    ids = [r["event_id"] for r in got]
+    assert ids == list(range(len(ids)))  # gapless, dup-free prefix
+    for r in got[:60]:
+        i, u, t, v = _row(r["event_id"])
+        assert (r["user_id"], r["event_type"], r["value"]) == (u, t, v)
