@@ -945,3 +945,127 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div (CAST(sg AS DECIMAL(38,0)) * sg) AS BIGINT)"
         ).alias("cv2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mk_trend_sen_slope — nonparametric trend test + robust slope (r4s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mk_trend_sen_slope",
+    oracle=f"""
+    WITH s AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                        // 86400 AS d,
+                      CAST(SUM({_V100}) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    p AS (SELECT b.d - a.d AS dd, b.x - a.x AS dx
+          FROM s a JOIN s b ON b.d > a.d),
+    mk AS (SELECT CAST(SUM(CASE WHEN dx > 0 THEN 1
+                               WHEN dx < 0 THEN -1 ELSE 0 END) AS BIGINT)
+                      AS s_stat,
+                  CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM p),
+    ties AS (SELECT CAST(COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0)
+                         AS BIGINT) AS tie18
+             FROM (SELECT x, COUNT(*) AS c FROM s GROUP BY x
+                   HAVING COUNT(*) > 1)),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    sen AS (SELECT CAST(round(quantile_cont(
+                2 * (CASE WHEN dx < 0 THEN -(abs(dx) * 1000000 // dd)
+                          ELSE dx * 1000000 // dd END), 0.5)) AS BIGINT)
+                AS med2
+            FROM p)
+    SELECT nn.n AS n_days, mk.n_pairs, mk.s_stat,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie18 AS BIGINT)
+               AS var18,
+           ROUND(sen.med2 / 2000000.0, 6) AS sen_slope_per_day
+    FROM nn CROSS JOIN mk CROSS JOIN ties CROSS JOIN sen
+    """,
+)
+def mk_trend_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test + Theil–Sen slope on the daily
+    total-value series — the standard nonparametric pair for 'is this
+    metric drifting' when you refuse normality assumptions (the
+    monitoring twin of ts_cusum's changepoint and linreg's parametric
+    slope): S = Σ sign(x_j − x_i) over ordered day pairs, its
+    tie-corrected variance ×18 (kept integer — the z-score's sqrt is
+    the caller's one irrational step), and the median of pairwise
+    slopes (robust to any single outlier day).
+
+    Exactness: S, n, and the ×18 variance are pure BIGINTs; each
+    pairwise slope is one sign-split truncating micro-division, and
+    the Sen median uses the ×2 interpolated-median-of-integers trick
+    — everything hash-gates.
+
+    Scale shape: events collapse to the daily series FIRST; the pair
+    join is O(days²) over a table bounded by the TIME RANGE (~30 here,
+    ~365² at a year — still trivial), never over events. At decades of
+    daily data you'd sample pairs; noted.
+    """
+    s = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr("unix_timestamp(ts) div 86400").alias("d"))
+        .agg(F.sum(F.expr(_V100)).cast("bigint").alias("x"))
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    s = persist_tracked(s)
+    a = s.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = s.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    p = a.join(b, F.col("db") > F.col("da")).select(
+        (F.col("db") - F.col("da")).alias("dd"),
+        (F.col("xb") - F.col("xa")).alias("dx"),
+    )
+    p = persist_tracked(p)
+    mk = p.agg(
+        F.sum(
+            F.when(F.col("dx") > 0, 1).when(F.col("dx") < 0, -1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    ties = (
+        s.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie18")
+        )
+    )
+    nn = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sen = p.select(
+        F.expr(
+            "CASE WHEN dx < 0 THEN -(abs(dx) * 1000000 div dd)"
+            " ELSE dx * 1000000 div dd END"
+        ).alias("sl")
+    ).agg(
+        F.expr("CAST(round(percentile(2 * sl, 0.5)) AS BIGINT)").alias("med2")
+    )
+    return (
+        nn.crossJoin(F.broadcast(mk))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(sen))
+        .select(
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie18")
+            )
+            .cast("bigint")
+            .alias("var18"),
+            F.round(F.col("med2") / 2_000_000.0, 6).alias(
+                "sen_slope_per_day"
+            ),
+        )
+    )

@@ -220,3 +220,47 @@ def test_time_travel_planted_log(spark, tmp_path):
     assert r["o_orderstatus"] == "O"
     assert r["n_orders"] == 2
     assert r["total_price"] == 300.0
+
+
+def test_mann_kendall_monotone_and_flat(spark, tmp_path):
+    """Strictly increasing daily series: S = n(n-1)/2, Sen slope =
+    the planted step. Constant series: S = 0, full tie correction."""
+    from pyspark.sql import functions as F
+    from dbt_project_spark.queries_timeseries import mk_trend_sen_slope
+
+    DAY = 86400
+    T0 = 1_700_000_000 - (1_700_000_000 % DAY)
+
+    def write(vals):
+        rows = [
+            (i, float(T0 + i * DAY + 60), 1, "view", float(v), "{}")
+            for i, v in enumerate(vals)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, __ep double, user_id bigint,"
+            " event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_seconds(F.col("__ep")).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "events.parquet")
+        )
+
+    # +$2/day over 6 days
+    write([10 + 2 * i for i in range(6)])
+    r = mk_trend_sen_slope(spark, str(tmp_path)).collect()[0]
+    n = 6
+    assert r["n_days"] == n
+    assert r["n_pairs"] == n * (n - 1) // 2
+    assert r["s_stat"] == n * (n - 1) // 2  # every pair increasing
+    assert r["var18"] == n * (n - 1) * (2 * n + 5)  # no ties
+    assert r["sen_slope_per_day"] == 200.0  # +200 cents/day
+
+    # constant series: S = 0, ties wipe the variance term
+    write([5.0] * 6)
+    r = mk_trend_sen_slope(spark, str(tmp_path)).collect()[0]
+    assert r["s_stat"] == 0
+    assert r["var18"] == 0  # one tie group of size 6 cancels exactly
+    assert r["sen_slope_per_day"] == 0.0
