@@ -1069,3 +1069,113 @@ def mk_trend_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ks_exponential_interarrival — Poisson-process goodness of fit (r4s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ks_exponential_interarrival",
+    oracle="""
+    WITH e AS (SELECT event_type, event_id,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+               FROM events),
+    g AS (SELECT event_type,
+                 ep - LAG(ep) OVER (PARTITION BY event_type
+                                    ORDER BY ep, event_id) AS gap
+          FROM e),
+    c AS (SELECT event_type, gap, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM g WHERE gap IS NOT NULL GROUP BY event_type, gap),
+    t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(gap * cnt) AS BIGINT) AS sg
+          FROM c GROUP BY event_type),
+    w AS (SELECT c.event_type, c.gap, t.n, t.sg,
+                 SUM(c.cnt) OVER (PARTITION BY c.event_type ORDER BY c.gap
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM c JOIN t ON t.event_type = c.event_type),
+    d AS (SELECT event_type, gap, n,
+                 CAST(round(abs((CAST(cum AS DOUBLE) / n)
+                      - (1.0 - exp(-(CAST(gap AS DOUBLE) * n) / sg)))
+                      * 1000000000) AS BIGINT) AS dev9
+          FROM w),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY dev9 DESC, gap) AS rk
+          FROM d)
+    SELECT event_type, n AS n_gaps,
+           CAST(dev9 // 1000 AS BIGINT) AS ks_d_micro,
+           CAST(gap AS BIGINT) AS at_gap_s
+    FROM r WHERE rk = 1
+    """,
+)
+def ks_exponential_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov–Smirnov goodness-of-fit of inter-arrival
+    gaps against the FITTED exponential (rate = 1/mean gap) per event
+    type — the distribution-level Poisson-process test on top of
+    interarrival_stats' cv² moment check (a distribution can pass
+    cv² ≈ 1 and still be bimodal; KS sees that). D is evaluated at
+    the empirical CDF step points (the right-limit convention — the
+    sup over each step's right edge, the standard one-sided form).
+
+    Determinism: gaps collapse to (type, gap, count) first; each
+    deviation is ONE double expression — cum/n − (1 − exp(−gap·n/Σg))
+    — written with the identical shape in both engines and scaled
+    ×1e9 → BIGINT, so the argmax row (tie → smallest gap) and the
+    truncating micro-unit D are engine-independent (the ln-convention
+    extended to exp).
+
+    Scale shape: one type exchange for the lag window, one
+    (type, gap) aggregate (bounded by the distinct-gap domain, not
+    events), then windows over that bounded table — the
+    ks_test_value dataflow with a parametric reference CDF.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_timestamp("ts").alias("ep")
+    )
+    w0 = Window.partitionBy("event_type").orderBy("ep", "event_id")
+    g = e.select(
+        "event_type", (F.col("ep") - F.lag("ep").over(w0)).alias("gap")
+    )
+    c = (
+        g.where(F.col("gap").isNotNull())
+        .groupBy("event_type", "gap")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("gap") * F.col("cnt")).cast("bigint").alias("sg"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w = c.join(t, "event_type").select(
+        "event_type",
+        "gap",
+        "n",
+        "sg",
+        F.sum("cnt").over(wc).alias("cum"),
+    )
+    d = w.select(
+        "event_type",
+        "gap",
+        "n",
+        F.expr(
+            "CAST(round(abs((CAST(cum AS DOUBLE) / n)"
+            " - (1.0 - exp(-(CAST(gap AS DOUBLE) * n) / sg)))"
+            " * 1000000000) AS BIGINT)"
+        ).alias("dev9"),
+    )
+    rw = Window.partitionBy("event_type").orderBy(F.desc("dev9"), F.asc("gap"))
+    return (
+        d.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_gaps"),
+            F.expr("CAST(dev9 div 1000 AS BIGINT)").alias("ks_d_micro"),
+            F.col("gap").cast("bigint").alias("at_gap_s"),
+        )
+    )

@@ -264,3 +264,36 @@ def test_mann_kendall_monotone_and_flat(spark, tmp_path):
     assert r["s_stat"] == 0
     assert r["var18"] == 0  # one tie group of size 6 cancels exactly
     assert r["sen_slope_per_day"] == 0.0
+
+
+def test_ks_exponential_detects_metronome(spark, tmp_path):
+    """Constant gaps (a metronome) are maximally non-exponential:
+    the fitted exponential CDF at the single gap value g with mean g
+    is 1 − e⁻¹ ≈ 0.632, while the ECDF jumps to 1 → D ≈ 0.368. A
+    numpy-free closed form, replicated exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+    from dbt_project_spark.queries_timeseries import (
+        ks_exponential_interarrival,
+    )
+
+    T0 = 1_700_000_000
+    rows = [
+        (i, float(T0 + 60 * i), 1, "view", 1.0, "{}") for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, __ep double, user_id bigint, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id", F.timestamp_seconds(F.col("__ep")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    r = ks_exponential_interarrival(spark, str(tmp_path)).collect()[0]
+    assert r["n_gaps"] == 9
+    assert r["at_gap_s"] == 60
+    expected = round(abs(1.0 - (1.0 - math.exp(-1.0))) * 1e9) // 1000
+    assert r["ks_d_micro"] == expected  # ≈ 367879
