@@ -1179,3 +1179,97 @@ def ks_exponential_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gap").cast("bigint").alias("at_gap_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dft_weekly_power — spectral power at the weekly frequency (r4s4)
+# ---------------------------------------------------------------------------
+
+# cos/sin(2πk/7) pre-rounded to ×1e6 INTEGER micro-units: the DFT
+# projection becomes pure integer arithmetic — no float multiply
+# exists anywhere, so there is nothing to diverge cross-engine.
+_COS6 = (1000000, 623490, -222521, -900969, -900969, -222521, 623490)
+_SIN6 = (0, 781831, 974928, 433884, -433884, -974928, -781831)
+
+
+def _phase_case(table: tuple, var: str) -> str:
+    return (
+        "CASE "
+        + " ".join(f"WHEN {var} = {k} THEN {v}" for k, v in enumerate(table))
+        + " END"
+    )
+
+
+@register(
+    "dft_weekly_power",
+    oracle=f"""
+    WITH s AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                        // 86400 AS d,
+                      CAST(SUM({_V100}) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+          FROM s),
+    dev AS (SELECT s.d % 7 AS k, t.n * s.x - t.sx AS dv
+            FROM s CROSS JOIN t),
+    proj AS (SELECT
+               CAST(SUM(dv * {_phase_case(_COS6, 'k')}) AS BIGINT) AS fc,
+               CAST(SUM(dv * {_phase_case(_SIN6, 'k')}) AS BIGINT) AS fs
+             FROM dev)
+    SELECT t.n AS n_days, proj.fc, proj.fs,
+           CAST(CAST(proj.fc AS HUGEINT) * proj.fc
+                + CAST(proj.fs AS HUGEINT) * proj.fs AS VARCHAR)
+               AS weekly_power
+    FROM t CROSS JOIN proj
+    """,
+)
+def dft_weekly_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral power of the daily total-value series at the weekly
+    frequency (the 1/7 DFT bin, Goertzel-style single-bin projection)
+    — the frequency-domain seasonality detector next to the
+    time-domain ACF and the STL decomposition: a strong weekly cycle
+    concentrates power here regardless of its phase, which a
+    weekday-mean table can smear when the cycle drifts.
+
+    Exactness: the series is n-scaled mean-deviated (dv = n·x − Σx,
+    exact BIGINT — complete-week leakage of the DC term is removed by
+    construction), and the cos/sin basis is PRE-ROUNDED to ×1e6
+    integer micro-units, so the projection is pure integer
+    multiply-accumulate — no float exists in the query at all. The
+    power c² + s² runs in DECIMAL(38,0)/HUGEINT and is emitted as the
+    exact decimal string (the rational-output contract).
+
+    Scale shape: one events-sized daily aggregate; everything after
+    is arithmetic over the days table. The phase index is the
+    absolute epoch-day mod 7 — identical in both engines.
+    """
+    s = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr("unix_timestamp(ts) div 86400").alias("d"))
+        .agg(F.sum(F.expr(_V100)).cast("bigint").alias("x"))
+    )
+    t = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    dev = s.crossJoin(F.broadcast(t)).select(
+        (F.col("d") % 7).alias("k"),
+        (F.col("n") * F.col("x") - F.col("sx")).alias("dv"),
+        "n",
+    )
+    proj = dev.agg(
+        F.sum(F.col("dv") * F.expr(_phase_case(_COS6, "k")))
+        .cast("bigint")
+        .alias("fc"),
+        F.sum(F.col("dv") * F.expr(_phase_case(_SIN6, "k")))
+        .cast("bigint")
+        .alias("fs"),
+    )
+    return t.crossJoin(F.broadcast(proj)).select(
+        F.col("n").alias("n_days"),
+        "fc",
+        "fs",
+        F.expr(
+            "CAST(CAST(fc AS DECIMAL(38,0)) * fc"
+            " + CAST(fs AS DECIMAL(38,0)) * fs AS STRING)"
+        ).alias("weekly_power"),
+    )

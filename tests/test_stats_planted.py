@@ -297,3 +297,44 @@ def test_ks_exponential_detects_metronome(spark, tmp_path):
     assert r["at_gap_s"] == 60
     expected = round(abs(1.0 - (1.0 - math.exp(-1.0))) * 1e9) // 1000
     assert r["ks_d_micro"] == expected  # ≈ 367879
+
+
+def test_dft_weekly_power_sinusoid_vs_flat(spark, tmp_path):
+    """A planted 7-day square-wave series has large weekly power; a
+    constant series has exactly zero."""
+    from pyspark.sql import functions as F
+    from dbt_project_spark.queries_timeseries import dft_weekly_power
+
+    DAY = 86400
+    T0 = 1_700_000_000 - (1_700_000_000 % DAY)
+
+    def write(vals):
+        rows = [
+            (i, float(T0 + i * DAY + 60), 1, "view", float(v), "{}")
+            for i, v in enumerate(vals)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, __ep double, user_id bigint,"
+            " event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_seconds(F.col("__ep")).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "events.parquet")
+        )
+
+    # weekly square wave over exactly 4 weeks: one high day per week
+    write([100.0 if i % 7 == 0 else 10.0 for i in range(28)])
+    r = dft_weekly_power(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 28
+    assert int(r["weekly_power"]) > 0
+    weekly = int(r["weekly_power"])
+
+    # constant series: deviations are all zero -> power exactly 0
+    write([5.0] * 28)
+    r2 = dft_weekly_power(spark, str(tmp_path)).collect()[0]
+    assert (r2["fc"], r2["fs"]) == (0, 0)
+    assert int(r2["weekly_power"]) == 0
+    assert weekly > 0
