@@ -146,6 +146,7 @@ PRIORITY: list[str] = [
     "mk_trend_sen_slope",
     "ks_exponential_interarrival",
     "dft_weekly_power",
+    "lift_chart_deciles",
     # --- changed this round, r03-green, rotated BELOW the window ---
     # The window (first 50) = 3 r03-erred fixes + 20 r04s3 additions +
     # the first 27 r04s2 additions; the last 3 r04s2 names above

@@ -1030,3 +1030,124 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(b2 AS DECIMAL(38,0)) * c2) AS BIGINT)"
         ).alias("residual_var_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lift_chart_deciles — cumulative gains / lift table (r4s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lift_chart_deciles",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, {_V100} AS v100,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+               FROM events WHERE user_id IS NOT NULL),
+    mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS m FROM e),
+    u AS (SELECT user_id,
+                 CAST(SUM(CASE WHEN ep < (SELECT m FROM mid)
+                               THEN v100 ELSE 0 END) AS BIGINT) AS score,
+                 CAST(MAX(CASE WHEN ep >= (SELECT m FROM mid)
+                                AND event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS buyer
+          FROM e GROUP BY user_id),
+    r AS (SELECT score, buyer,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS rk,
+                 COUNT(*) OVER () AS n
+          FROM u),
+    d AS (SELECT ((rk - 1) * 10) // n + 1 AS decile, buyer FROM r),
+    g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(buyer) AS BIGINT) AS n_buyers
+          FROM d GROUP BY decile),
+    t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS nt,
+                 CAST(SUM(n_buyers) AS BIGINT) AS bt
+          FROM g)
+    SELECT g.decile, g.n_users, g.n_buyers,
+           CAST(SUM(g.n_buyers) OVER (ORDER BY g.decile
+                ROWS UNBOUNDED PRECEDING) * 1000000 // t.bt AS BIGINT)
+               AS cum_capture_micro,
+           CAST(g.n_buyers * t.nt * 1000000 // (g.n_users * t.bt) AS BIGINT)
+               AS lift_micro
+    FROM g CROSS JOIN t
+    """,
+)
+def lift_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table — the model-evaluation classic
+    that WOE/IV feeds: users ranked by a score (here pre-period
+    spend, the simplest propensity proxy), cut into 10 exact-rank
+    deciles, and scored against the actual outcome (purchased in the
+    second period). cum_capture = share of all buyers reached by
+    targeting the top k deciles; lift = decile conversion over the
+    base rate (decile 1 ≫ 1e6 means the score works). This is how a
+    marketing/churn model earns its budget slide.
+
+    Exactness: deciles come from the integer formula
+    ((rank−1)·10) div n + 1 over the (score DESC, user) total order —
+    no quantile interpolation (the segment_migration lesson); capture
+    and lift are truncating integer micro-units.
+
+    Scale shape: one events-sized conditional-sum pass to users (the
+    drift_psi split), a users-sized rank window (at extreme user
+    counts the rank comes from operators/windows.distributed_ntile),
+    then ≤10-row arithmetic.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(_V100).alias("v100"),
+            F.unix_timestamp("ts").alias("ep"),
+        )
+    )
+    mid = e.agg(F.expr("(min(ep) + max(ep)) div 2").cast("bigint").alias("m"))
+    u = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ep") < F.col("m"), F.col("v100")).otherwise(0))
+            .cast("bigint")
+            .alias("score"),
+            F.max(
+                F.when(
+                    (F.col("ep") >= F.col("m"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("buyer"),
+        )
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("user_id"))
+    r = u.select(
+        "buyer",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    d = r.select(
+        F.expr("((rk - 1) * 10) div n + 1").alias("decile"), "buyer"
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("buyer").cast("bigint").alias("n_buyers"),
+    )
+    t = g.agg(
+        F.sum("n_users").cast("bigint").alias("nt"),
+        F.sum("n_buyers").cast("bigint").alias("bt"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return g.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_users",
+        "n_buyers",
+        F.expr(
+            "CAST(SUM(n_buyers) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " * 1000000 div bt AS BIGINT)"
+        ).alias("cum_capture_micro"),
+        F.expr(
+            "CAST(n_buyers * nt * 1000000 div (n_users * bt) AS BIGINT)"
+        ).alias("lift_micro"),
+    )

@@ -338,3 +338,43 @@ def test_dft_weekly_power_sinusoid_vs_flat(spark, tmp_path):
     assert (r2["fc"], r2["fs"]) == (0, 0)
     assert int(r2["weekly_power"]) == 0
     assert weekly > 0
+
+
+def test_lift_chart_perfect_score_separation(spark, tmp_path):
+    """20 users; the top-scoring 4 (deciles 1-2) are exactly the
+    buyers → decile-1/2 lift = 5×, cumulative capture hits 100% at
+    decile 2, later deciles are 0."""
+    from pyspark.sql import functions as F
+    from dbt_project_spark.queries_product import lift_chart_deciles
+
+    T0 = 1_700_000_000
+    rows = []
+    eid = 0
+    for u in range(20):
+        score = 1000 - u  # user 0 highest
+        rows.append((eid, float(T0 + 10), u, "view", float(score), "{}"))
+        eid += 1
+        if u < 4:  # top scorers buy in period 2
+            rows.append((eid, float(T0 + 100000), u, "purchase", 1.0, "{}"))
+            eid += 1
+        else:
+            rows.append((eid, float(T0 + 100000), u, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, __ep double, user_id bigint, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id", F.timestamp_seconds(F.col("__ep")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {r["decile"]: r for r in lift_chart_deciles(spark, str(tmp_path)).collect()}
+    assert len(out) == 10 and all(out[d]["n_users"] == 2 for d in out)
+    assert out[1]["n_buyers"] == 2 and out[2]["n_buyers"] == 2
+    assert all(out[d]["n_buyers"] == 0 for d in range(3, 11))
+    # lift = (2/2) / (4/20) = 5x
+    assert out[1]["lift_micro"] == 5_000_000
+    assert out[2]["cum_capture_micro"] == 1_000_000
+    assert out[10]["cum_capture_micro"] == 1_000_000
