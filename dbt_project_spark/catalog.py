@@ -51,129 +51,60 @@ def register(name: str, oracle: str | None = None):
 # emitted first (in this order); everything else follows in
 # registration order.
 PRIORITY: list[str] = [
-    # --- erred in the r03 driver run — fixed this round (these three
-    # MUST land in the window: they are the only red driver verdicts) ---
-    "attribution_last_touch",  # NTZ: conf in ensure_runtime_confs + cast
-    "interval_coverage",  # same NTZ fix
-    "inverted_index",  # postings_head now a scalar string column
-    # --- new queries this round (r04) — no driver verdict yet ---
-    "dq_audit",
-    "woe_iv_value",
-    "seasonal_naive_forecast",
-    "seq_trigram_support",
-    "quantile_sketch_rollup",
-    "sssp_weighted_trade",
-    "markov_next_event_backtest",
-    "join_size_sample_estimate",
-    "incremental_rollup_merge",
-    "attribution_u_shape",
-    "dedup_containment",
-    "user_lifecycle_daily",
-    "part_demand_xyz",
-    "funnel_time_to_convert",
-    "trade_graph_diagnostics",
-    "k_anonymity_audit",
-    "ts_decompose_daily",
-    "stickiness_dau_mau",
-    "user_decay_score",
-    "revenue_hhi_nation",
-    "bm25_topk",
-    "tfidf_top_terms",
-    "rrf_hybrid_topk",
-    "skew_key_histogram",
-    "asof_nearest_error",
-    "robust_value_stats",
-    "ks_test_value",
-    "mannwhitney_value",
-    "ts_acf_hourly",
-    "ts_cusum_changepoint",
-    "kcore_parts",
-    "item_cooc_similarity",
-    "funnel_windowed",
-    "split_group_aware",
-    "bigram_lm_quality",
-    "ann_recall_lsh",
-    "winsorized_stats",
-    "bpe_pair_counts",
-    "rolling_distinct_users_7d",
-    "gini_user_value",
-    "entropy_type_daily",
-    "benford_first_digit",
-    "ab_test_conversion",
-    "time_travel_asof",
-    "dedup_pair_evidence",
-    "concurrent_sessions_timeline",
-    "session_funnel",
-    "watermark_lateness_stats",
-    "cohort_revenue_retention",
+    # --- r05 window curation (VERDICT r04 task 1): the 37 queries
+    # with NO driver verdict yet (union of CORRECTNESS_r01..r04)
+    # come first, so the 50-slot r05 window finally hard-gates them.
+    # All 37 are green in the local replica gate at sf0.01.
+    "priority_sample_weighted",
+    "minhash_estimate_error",
+    "text_readability",
+    "ann_recall_quantized",
+    "ann_recall_truncated_dims",
+    "fd_profile",
+    "rapid_repeat_orders",
+    "mm_chunk_dedup",
+    "cumulative_reach_daily",
+    "pq_train_encode",
+    "pq_ann_topk",
     "dedup_cluster_histogram",
-    # --- r04s4 additions: below the 50-slot fold (the window is full
-    # of older never-checked queries — driver-verdict priority goes to
-    # the earliest additions); these rotate into the r05 window. All
-    # 25 verified by the local replica gate at sf0.01 AND sf0.1 (plus
-    # sf0.001 smokes), by planted-semantics tests, and by the
-    # vanilla-session driver-contract replica this session. ---
+    "collocation_pmi",
+    "zipf_vocab_fit",
+    "heaps_law_fit",
+    "error_burst_detect",
+    "interarrival_stats",
+    "mk_trend_sen_slope",
+    "ks_exponential_interarrival",
+    "dft_weekly_power",
+    "cohort_revenue_retention",
+    "cuped_variance_reduction",
+    "lift_chart_deciles",
+    "user_item_recs",
+    "clustering_coefficient",
+    "lpa_communities",
+    "link_prediction_jaccard",
+    "repurchase_intervals",
+    "price_elasticity_parts",
+    "segment_migration_matrix",
+    "revenue_bridge_pvm",
+    "activity_bitmask_stats",
+    "watermark_lateness_stats",
     "spc_pchart_error_rate",
     "profile_drift_halves",
     "kaplan_meier_retention",
     "table_file_stats",
-    "repurchase_intervals",
-    "price_elasticity_parts",
-    "user_item_recs",
-    "clustering_coefficient",
-    "collocation_pmi",
-    "zipf_vocab_fit",
-    "text_readability",
-    "priority_sample_weighted",
-    "lpa_communities",
-    "mm_chunk_dedup",
-    "error_burst_detect",
-    "activity_bitmask_stats",
-    "cumulative_reach_daily",
-    "cuped_variance_reduction",
-    "minhash_estimate_error",
-    "ann_recall_quantized",
-    "link_prediction_jaccard",
-    "interarrival_stats",
-    "fd_profile",
-    "pq_train_encode",
-    "pq_ann_topk",
-    "segment_migration_matrix",
-    "revenue_bridge_pvm",
-    "rapid_repeat_orders",
-    "heaps_law_fit",
-    "ann_recall_truncated_dims",
-    "mk_trend_sen_slope",
-    "ks_exponential_interarrival",
-    "dft_weekly_power",
-    "lift_chart_deciles",
-    # --- changed this round, r03-green, rotated BELOW the window ---
-    # The window (first 50) = 3 r03-erred fixes + 20 r04s3 additions +
-    # the first 27 r04s2 additions; the last 3 r04s2 names above
-    # (cohort_revenue_retention, dedup_cluster_histogram, and
-    # watermark_lateness_stats) overflow to r05 — all are
-    # planted-tested and green in this session's full sf0.01 + sf0.1
-    # sweeps. Changed-but-previously-green queries (twa_by_type_day, win_time_range_avg,
-    # bfs_hops_trade, ann_ivf_topk, ivf_train_centroids, and the two
-    # below) were all re-verified locally in this session's FULL
-    # sf0.01 + sf0.1 sweeps (0 failures) and rotate into the r05
-    # window.
-    "dedup_clusters",  # CC jump-from-round-3 schedule (fixpoint-identical)
-    "corpus_keep_list",  # consumes CC clusters
-    # (bfs_hops_trade — r03-green; the r04 change is persist/checkpoint
-    #  discipline only, value-identical, re-verified locally at 3 SFs —
-    #  rotated to r05 with the entries below.)
-    # (ann_ivf_topk / ivf_train_centroids — r03-green before the
-    #  data-derived-params change, re-verified locally at sf0.001/
-    #  0.01/0.1 this round + test_kmeans — rotated to r05 so the
-    #  never-driver-checked r04s3 queries fit the 50-slot window.)
-    # --- r01 driver-green, never since: stalest verdicts fill the
-    # remaining window slots for a refresh (r03 refreshed the dedup/
-    # ann/text_tokens block; this round refreshes wt_*/text_*/tpch) ---
-    # Overflow (driver-green r01–r03, all re-verified locally each
-    # round): everything else follows in registration order; the
-    # wt_*/text_* r01 refresh block moved to r05 to make window room
-    # for the nine r04s3 governance/graph/eval queries.
+    # --- changed in r04/r05 (previously driver-green, re-verified
+    # locally after the change) — refresh their verdicts ---
+    "ann_ivf_topk",
+    "ivf_train_centroids",
+    "dedup_clusters",
+    "corpus_keep_list",
+    "bfs_hops_trade",
+    "twa_by_type_day",
+    "win_time_range_avg",
+    # --- new in r05 (no driver verdict yet) — appended as they land;
+    # slots 45..50 of the window. Overflow rotates to the r06 window
+    # (everything driver-green r01-r04 follows in registration order
+    # and stays covered by the local replica gate every round). ---
 ]
 
 
