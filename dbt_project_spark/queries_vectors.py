@@ -30,14 +30,23 @@ KM_ITERS = 3
 # Oracle-side twin of operators.kmeans.ivf_params: kraw = smallest
 # power of two with kraw² ≥ n, by scanning the 32 possible shifts —
 # integer-only, so it can never diverge from the Python derivation.
-_KP_SQL = f"""
+# The clamp mirrors IVF_K_MAX = KM_KEY_M (131072 since r05 — the r04
+# BIGINT tie-break key capped K at 1024).
+def _kp_sql() -> str:
+    from dbt_project_spark.operators.kmeans import IVF_K_MAX, IVF_K_MIN
+
+    return f"""
     kp0 AS (SELECT MIN((1::BIGINT << i)) AS kraw
             FROM range(0, 32) t(i),
                  (SELECT COUNT(*) AS n FROM embeddings) nn
             WHERE (1::BIGINT << i) * (1::BIGINT << i) >= nn.n),
-    kp AS (SELECT LEAST(GREATEST(kraw, 16), 1024) AS k,
-                  GREATEST(LEAST(GREATEST(kraw, 16), 1024) // 32, 2) AS np
+    kp AS (SELECT LEAST(GREATEST(kraw, {IVF_K_MIN}), {IVF_K_MAX}) AS k,
+                  GREATEST(LEAST(GREATEST(kraw, {IVF_K_MIN}), {IVF_K_MAX})
+                           // 32, 2) AS np
            FROM kp0)"""
+
+
+_KP_SQL = _kp_sql()
 
 
 @register(
@@ -113,14 +122,15 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Deterministic assignment tie-break without a window: maximize the
-# exact integer key round(s*1e6)*100000 - cid  (s is already rounded
-# to 6 dp, so round(s*1e6) is exact; cid < 100000). Highest cosine
-# wins, ties broken by LOWEST cid — identical semantics to
+# exact integer key round(s*1e6)*131072 - cid  (s is already rounded
+# to 6 dp, so round(s*1e6) is exact; cid < IVF_K_MAX = 131072, and
+# the key tops out at 1e6·131072 ≈ 1.3e11 — inside BIGINT). Highest
+# cosine wins, ties broken by LOWEST cid — identical semantics to
 # ROW_NUMBER() OVER (ORDER BY s DESC, cid) = 1, but expressible as a
 # max_by aggregate, which Spark computes with map-side partials: the
 # assignment shuffle carries one (vec_id, cid, key) triple per corpus
 # vector instead of sorting n×K vector-carrying rows.
-_KEY_SQL = "(CAST(round(s * 1000000) AS BIGINT) * 100000 - cid)"
+_KEY_SQL = "(CAST(round(s * 1000000) AS BIGINT) * 131072 - cid)"
 
 
 @register(
@@ -193,7 +203,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("s", F.round(cosine_similarity("embedding", "ce"), 6))
         .select("vec_id", "cid", "s")
     )
-    key = (F.round(F.col("s") * 1000000).cast("bigint") * 100000) - F.col("cid")
+    key = (F.round(F.col("s") * 1000000).cast("bigint") * 131072) - F.col("cid")
     assign = sims.groupBy("vec_id").agg(F.max_by("cid", key).alias("cid"))
     wq = Window.partitionBy("vec_id").orderBy(F.desc(key))
     probes = (
@@ -226,18 +236,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _km_oracle() -> str:
     """Unrolled fixed-point Lloyd's iterations (see ivf_train_centroids):
     the oracle replays the exact integer math — scaled-BIGINT vectors,
-    min_by assignment keys, floor-mean updates, empty-cluster carry."""
-    from dbt_project_spark.operators.kmeans import KM_KEY_M, KM_SCALE
+    HUGEINT min_by assignment keys (d2·131072 overflows BIGINT — the
+    Spark twin uses DECIMAL(38,0)), floor-mean updates, empty-cluster
+    carry. Training iterates over the deterministic 256·K hash-sample
+    ``vt`` (operators.kmeans.train_sample); the final assignment af
+    scans the FULL corpus once — exactly the Spark dataflow."""
+    from dbt_project_spark.operators.kmeans import (
+        KM_KEY_M,
+        KM_SAMPLE_PER_CELL,
+        KM_SCALE,
+    )
 
+    key = f"d2::HUGEINT * {KM_KEY_M} + cid"
     head = f"""
     WITH {_KP_SQL},
     v AS MATERIALIZED (
       SELECT vec_id AS vid,
              list_transform(embedding,
-                            x -> CAST(round(x::DOUBLE * {KM_SCALE}) AS BIGINT)) AS iv
+                            x -> CAST(round(x::DOUBLE * {KM_SCALE}) AS BIGINT)) AS iv,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
       FROM embeddings),
-    seed AS (SELECT vid, iv,
-                    ('0x' || substr(md5(CAST(vid AS VARCHAR)), 1, 8))::BIGINT AS h
+    vt AS MATERIALIZED (
+      SELECT vid, iv FROM v ORDER BY h, vid
+      LIMIT ((SELECT k * {KM_SAMPLE_PER_CELL} FROM kp))),
+    seed AS (SELECT vid, iv, h
              FROM v ORDER BY h, vid LIMIT (SELECT k FROM kp)),
     c0 AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER (ORDER BY h, vid) - 1 AS cid, iv AS civ FROM seed)"""
@@ -246,12 +268,12 @@ def _km_oracle() -> str:
         its.append(f"""
     d{i} AS (SELECT vid, cid, SUM((x - y) * (x - y)) AS d2 FROM (
         SELECT v.vid, c.cid, unnest(v.iv) AS x, unnest(c.civ) AS y
-        FROM v CROSS JOIN c{i - 1} c) GROUP BY vid, cid),
+        FROM vt v CROSS JOIN c{i - 1} c) GROUP BY vid, cid),
     a{i} AS MATERIALIZED (
-      SELECT vid, min_by(cid, d2 * {KM_KEY_M} + cid) AS cid FROM d{i} GROUP BY vid),
+      SELECT vid, min_by(cid, {key}) AS cid FROM d{i} GROUP BY vid),
     m{i} AS (SELECT cid, pos, CAST(SUM(x) AS BIGINT) // COUNT(*) AS c FROM (
         SELECT a.cid, unnest(v.iv) AS x, unnest(range(len(v.iv))) AS pos
-        FROM a{i} a JOIN v ON v.vid = a.vid) GROUP BY cid, pos),
+        FROM a{i} a JOIN vt v ON v.vid = a.vid) GROUP BY cid, pos),
     n{i} AS (SELECT cid, list(c ORDER BY pos) AS civ FROM m{i} GROUP BY cid),
     c{i} AS MATERIALIZED (
       SELECT p.cid, COALESCE(n.civ, p.civ) AS civ
@@ -260,7 +282,7 @@ def _km_oracle() -> str:
     df AS (SELECT vid, cid, SUM((x - y) * (x - y)) AS d2 FROM (
         SELECT v.vid, c.cid, unnest(v.iv) AS x, unnest(c.civ) AS y
         FROM v CROSS JOIN c{KM_ITERS} c) GROUP BY vid, cid),
-    af AS (SELECT vid, min_by(cid, d2 * {KM_KEY_M} + cid) AS cid FROM df GROUP BY vid),
+    af AS (SELECT vid, min_by(cid, {key}) AS cid FROM df GROUP BY vid),
     cnt AS (SELECT cid, COUNT(*) AS n FROM af GROUP BY cid)
     SELECT c.cid, COALESCE(cnt.n, 0) AS n_members,
            CAST(list_sum(c.civ) AS BIGINT) AS c_sum
@@ -326,8 +348,13 @@ def _pq_chain() -> str:
     training over list_slice'd sub-vectors, ending in the final
     codebooks (c{ITERS}s{m}), assignments+distortions (afs{m}), and
     cell summaries (cells{m}). Used by both PQ oracles."""
-    from dbt_project_spark.operators.kmeans import KM_KEY_M, KM_SCALE
+    from dbt_project_spark.operators.kmeans import (
+        KM_KEY_M,
+        KM_SAMPLE_PER_CELL,
+        KM_SCALE,
+    )
 
+    key = f"d2::HUGEINT * {KM_KEY_M} + cid"
     blocks = []
     for m in range(PQ_M):
         p = f"s{m}"
@@ -337,10 +364,13 @@ def _pq_chain() -> str:
              list_slice(list_transform(embedding,
                  x -> CAST(round(x::DOUBLE * {KM_SCALE}) AS BIGINT)),
                  {m} * (SELECT sub FROM ds) + 1,
-                 {m + 1} * (SELECT sub FROM ds)) AS iv
+                 {m + 1} * (SELECT sub FROM ds)) AS iv,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
       FROM embeddings),
-    seed{p} AS (SELECT vid, iv,
-                    ('0x' || substr(md5(CAST(vid AS VARCHAR)), 1, 8))::BIGINT AS h
+    vt{p} AS MATERIALIZED (
+      SELECT vid, iv FROM v{p} ORDER BY h, vid
+      LIMIT {PQ_K * KM_SAMPLE_PER_CELL}),
+    seed{p} AS (SELECT vid, iv, h
              FROM v{p} ORDER BY h, vid LIMIT {PQ_K}),
     c0{p} AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER (ORDER BY h, vid) - 1 AS cid, iv AS civ
@@ -350,13 +380,13 @@ def _pq_chain() -> str:
             its.append(f"""
     d{i}{p} AS (SELECT vid, cid, SUM((x - y) * (x - y)) AS d2 FROM (
         SELECT v.vid, c.cid, unnest(v.iv) AS x, unnest(c.civ) AS y
-        FROM v{p} v CROSS JOIN c{i - 1}{p} c) GROUP BY vid, cid),
+        FROM vt{p} v CROSS JOIN c{i - 1}{p} c) GROUP BY vid, cid),
     a{i}{p} AS MATERIALIZED (
-      SELECT vid, min_by(cid, d2 * {KM_KEY_M} + cid) AS cid
+      SELECT vid, min_by(cid, {key}) AS cid
       FROM d{i}{p} GROUP BY vid),
     m{i}{p} AS (SELECT cid, pos, CAST(SUM(x) AS BIGINT) // COUNT(*) AS c FROM (
         SELECT a.cid, unnest(v.iv) AS x, unnest(range(len(v.iv))) AS pos
-        FROM a{i}{p} a JOIN v{p} v ON v.vid = a.vid) GROUP BY cid, pos),
+        FROM a{i}{p} a JOIN vt{p} v ON v.vid = a.vid) GROUP BY cid, pos),
     n{i}{p} AS (SELECT cid, list(c ORDER BY pos) AS civ
                 FROM m{i}{p} GROUP BY cid),
     c{i}{p} AS MATERIALIZED (
@@ -367,8 +397,8 @@ def _pq_chain() -> str:
         SELECT v.vid, c.cid, unnest(v.iv) AS x, unnest(c.civ) AS y
         FROM v{p} v CROSS JOIN c{PQ_ITERS}{p} c) GROUP BY vid, cid),
     af{p} AS (SELECT vid,
-                     min_by(cid, d2 * {KM_KEY_M} + cid) AS cid,
-                     CAST(MIN(d2 * {KM_KEY_M} + cid) // {KM_KEY_M} AS BIGINT)
+                     min_by(cid, {key}) AS cid,
+                     CAST(MIN({key}) // {KM_KEY_M} AS BIGINT)
                          AS d2
               FROM df{p} GROUP BY vid),
     cell{p} AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,

@@ -182,11 +182,16 @@ def test_ivf_params_scales_with_corpus_size():
     assert ivf_params(500) == (32, 2)       # sf0.01 corpus
     assert ivf_params(2000) == (64, 2)      # sf0.1 corpus — grows
     assert ivf_params(100_000) == (512, 16)
-    assert ivf_params(10**12) == (1024, 32)  # key-headroom clamp
-    for n in [1, 255, 256, 257, 1023, 1024, 1025, 10**6]:
+    # r05: the BIGINT tie-break key capped K at 1024; the DECIMAL(38,0)
+    # / HUGEINT key lifts the ceiling to 131072 — a 10⁹-vector corpus
+    # now gets ~√n cells instead of 10⁶-vector cells.
+    assert ivf_params(10**9) == (32768, 1024)
+    assert ivf_params(10**10) == (131072, 4096)  # √(1e10) ≈ 1e5
+    assert ivf_params(10**12) == (131072, 4096)  # key-headroom clamp
+    for n in [1, 255, 256, 257, 1023, 1024, 1025, 10**6, 10**9]:
         k, np_ = ivf_params(n)
-        assert k & (k - 1) == 0 and 16 <= k <= 1024
-        assert (k * k >= n or k == 1024) and np_ == max(k // 32, 2)
+        assert k & (k - 1) == 0 and 16 <= k <= 131072
+        assert (k * k >= n or k == 131072) and np_ == max(k // 32, 2)
 
     # SQL twin parity at two real corpus sizes (different derived K)
     ks = {}
@@ -203,3 +208,61 @@ def test_ivf_params_scales_with_corpus_size():
         assert (k_sql, np_sql) == ivf_params(n), (sf, n)
         ks[sf] = k_sql
     assert len(set(ks.values())) == 2, ks  # genuinely different scales
+
+
+def test_wide_key_assignment_beyond_bigint(spark):
+    """r05: the assignment key is DECIMAL(38,0) (oracle: HUGEINT)
+    because d2·KM_KEY_M overflows BIGINT — dim-64 unit-ish vectors
+    already reach d2 ≈ 2.6e14, ×131072 ≈ 3.4e19 > 9.2e18. Plant a
+    far/near pair whose key would overflow a BIGINT and check the
+    argmin is still exact (overflowed arithmetic would wrap negative
+    and flip the winner)."""
+    from dbt_project_spark.operators.kmeans import KM_KEY_M
+
+    dim = 64
+    # centroid 0: all +1.0; centroid 1: all -1.0; vector: all +0.9
+    cent = spark.createDataFrame(
+        [(0, [1_000_000] * dim), (1, [-1_000_000] * dim)],
+        "cid bigint, civ array<bigint>",
+    )
+    iv = spark.createDataFrame(
+        [(7, [900_000] * dim)], "vid bigint, iv array<bigint>"
+    )
+    # d2 to centroid 1 = 64·(1.9e6)² ≈ 2.3e14; key ≈ 3.0e19 > BIGINT max
+    assert 64 * (1_900_000**2) * KM_KEY_M > 2**63 - 1
+    out = assign_clusters(iv, cent).collect()
+    assert out == [(7, 0)] or (out[0]["vid"], out[0]["cid"]) == (7, 0)
+
+
+def test_kmeans_trains_on_bounded_sample(spark):
+    """r05: Lloyd's iterates over a deterministic 256·K hash-sample
+    (the FAISS convention), not the full corpus — training cost is
+    O(256·K²) regardless of n. The sample must (a) have exactly
+    min(n, 256·K) rows, (b) be layout-independent, and (c) feed a fit
+    that still recovers planted structure."""
+    import random
+
+    from dbt_project_spark.operators.kmeans import train_sample
+
+    rng = random.Random(7)
+    n, k = 600, 2  # cap = 512 < n: the sample is a strict subset
+    rows = [
+        (i, [rng.gauss(5.0 * (i % 2), 0.3), rng.gauss(0, 0.3)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    iv = int_vectors(df, "vec_id", "embedding").cache()
+    samp = train_sample(iv, k)
+    assert samp.count() == 256 * k
+    # layout-independence: same sample ids under a different partitioning
+    ids_a = {r["vid"] for r in samp.collect()}
+    ids_b = {r["vid"] for r in train_sample(iv.repartition(7), k).collect()}
+    assert ids_a == ids_b
+    # the sampled fit still separates the two planted blobs
+    cent = kmeans_fit(iv, k, 2)
+    asg = assign_clusters(iv, cent).collect()
+    by_truth = {}
+    for r in asg:
+        by_truth.setdefault(r["vid"] % 2, set()).add(r["cid"])
+    assert by_truth[0].isdisjoint(by_truth[1])
+    iv.unpersist()
