@@ -105,6 +105,7 @@ PRIORITY: list[str] = [
     # slots 45..50 of the window. Overflow rotates to the r06 window
     # (everything driver-green r01-r04 follows in registration order
     # and stays covered by the local replica gate every round). ---
+    "ivf_build_index",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Persisted IVF index (operators/ivf.py): build/serve split, cell
+partitioning, and the content-fingerprint staleness guard."""
+
+import os
+import random
+import shutil
+
+from pyspark.sql import functions as F
+
+from dbt_project_spark.operators.ivf import (
+    build_ivf_index,
+    ivf_index_dir,
+    load_ivf_index,
+)
+
+N = 64
+
+
+def _write_corpus(spark, sf_dir, seed):
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(N)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_ivf_index_build_serve_and_staleness(spark, tmp_path):
+    sf_dir = str(tmp_path / "sfx")
+    _write_corpus(spark, sf_dir, seed=1)
+    shutil.rmtree(ivf_index_dir(sf_dir), ignore_errors=True)
+
+    e = _embeddings(spark, sf_dir)
+    meta = build_ivf_index(spark, sf_dir, e)
+    assert meta["k"] == 16 and meta["nprobe"] == 2  # min clamps at n=64
+
+    cent, cells, k, nprobe = load_ivf_index(spark, sf_dir, e)
+    assert cent.count() == k == 16
+    # every corpus vector sits in exactly one inverted list, with its
+    # embedding stored inside the list (no corpus join at serve time)
+    assert cells.count() == N
+    assert cells.select("vec_id").distinct().count() == N
+    assert "embedding" in cells.columns
+    ncells = cells.select("cid").distinct().count()
+    assert 1 <= ncells <= k
+
+    # warm rebuild is a no-op (meta matches -> skip)
+    mpath = os.path.join(ivf_index_dir(sf_dir), "_META.json")
+    mtime = os.path.getmtime(mpath)
+    assert build_ivf_index(spark, sf_dir, e) == meta
+    assert os.path.getmtime(mpath) == mtime
+
+    # materialize the old assignment BEFORE the rebuild overwrites it
+    old = {
+        (r["vec_id"], r["cid"]) for r in cells.select("vec_id", "cid").collect()
+    }
+
+    # same row count, different content: the fingerprint invalidates
+    _write_corpus(spark, sf_dir, seed=2)
+    e2 = _embeddings(spark, sf_dir)
+    meta2 = build_ivf_index(spark, sf_dir, e2)
+    assert meta2["fp"] != meta["fp"]
+    # rebuilt lists reflect the NEW corpus
+    _, cells2, _, _ = load_ivf_index(spark, sf_dir, e2)
+    new = {
+        (r["vec_id"], r["cid"]) for r in cells2.select("vec_id", "cid").collect()
+    }
+    assert old != new  # different corpus -> different assignment
+    shutil.rmtree(ivf_index_dir(sf_dir), ignore_errors=True)
+
+
+def test_ivf_serving_reads_only_probed_cells(spark):
+    """The serving join must dynamic-partition-prune the cells scan —
+    the IVF contract is that a query touches nprobe/K of the corpus."""
+    from dbt_project_spark.catalog import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["ann_ivf_topk"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
