@@ -106,6 +106,9 @@ PRIORITY: list[str] = [
     # (everything driver-green r01-r04 follows in registration order
     # and stays covered by the local replica gate every round). ---
     "ivf_build_index",
+    "ann_ivfpq_topk",
+    "ann_recall_ivfpq",
+    "mm_chunk_dedup_cdc",
 ]
 
 

@@ -209,3 +209,90 @@ def arrow_byte_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         f"{id_col} bigint, n_bytes bigint, n_alpha bigint, "
         "n_digit bigint, n_space bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (r05): Gear-style rolling boundary detection
+# ---------------------------------------------------------------------------
+
+# Bounded-context Gear CDC: the rolling value at byte i is
+#   roll_i = Σ_{k=0..7} GEAR[b_{i-k}] << k
+# (an 8-byte sliding window — the bounded-context variant of Gear/
+# FastCDC; classic gear's h=(h<<1)+GEAR[b] also forgets bytes after 64
+# shifts, this just makes the horizon explicit so the boundary rule is
+# POSITION-PARALLEL: every byte's verdict depends only on its trailing
+# window, which is what lets the DuckDB oracle replay it with 8 LAGs
+# and the numpy kernel vectorize it with 8 shifted adds — no sequential
+# scan anywhere). A boundary closes the chunk at byte i when
+# ((roll_i >> 4) & 63) == 0 — bits 4..9, chosen so ALL 8 window bytes
+# feed the masked bits (avg chunk ≈ 64 bytes, the fixed-block size of
+# mm_chunk_dedup, so the two variants are comparable). No min/max
+# chunk clamps: those re-introduce a sequential dependency (FastCDC
+# skips boundaries within min-distance of the PREVIOUS cut); the
+# unclamped rule keeps chunking embarrassingly parallel per payload.
+GEAR = [
+    int(hashlib.md5(str(b).encode()).hexdigest()[:8], 16) for b in range(256)
+]
+CDC_WINDOW = 8
+CDC_SHIFT = 4
+CDC_MASK = 63
+
+
+def cdc_chunk_hashes(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """(doc_id, h): md5 per CONTENT-DEFINED chunk of each binary
+    payload — the mapInArrow kernel the fixed-block variant
+    (mm_chunk_dedup) documents as the production shape: insertions
+    shift fixed-block boundaries and destroy every downstream hash,
+    while gear boundaries re-synchronize at the next content cut
+    (tests/test_multimodal.py plants a 1-byte insertion and checks
+    the chunk hashes survive).
+
+    Arrow-batched: payload bytes land in numpy once per batch; the
+    rolling values are 8 shifted adds over the gear-mapped byte
+    array (vectorized, no per-byte Python); only the ~n/64 chunk
+    md5s run in a Python loop. Emits 32-hex hashes, never payload
+    bytes — the downstream distinct-aggregate shuffle moves hashes
+    only, same as the fixed-block variant."""
+    import numpy as np
+    import pyarrow as pa
+
+    gear = None  # built lazily on the executor
+
+    def batches(it: Iterator) -> Iterator:
+        nonlocal gear
+        if gear is None:
+            gear = np.array(GEAR, dtype=np.int64)
+        for rb in it:
+            ids = rb.column(0).to_pylist()
+            blobs = rb.column(1).to_pylist()
+            out_ids: list[int] = []
+            out_h: list[str] = []
+            for did, blob in zip(ids, blobs):
+                if not blob:
+                    continue
+                bs = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+                n = len(bs)
+                g = gear[bs]
+                roll = np.zeros(n, dtype=np.int64)
+                for k in range(CDC_WINDOW):
+                    roll[CDC_WINDOW - 1 :] += g[CDC_WINDOW - 1 - k : n - k] << k
+                cut = np.nonzero(((roll >> CDC_SHIFT) & CDC_MASK) == 0)[0]
+                cut = cut[cut >= CDC_WINDOW - 1]
+                ends = [int(c) + 1 for c in cut]
+                if not ends or ends[-1] != n:
+                    ends.append(n)
+                start = 0
+                for e in ends:
+                    out_h.append(hashlib.md5(blob[start:e]).hexdigest())
+                    out_ids.append(did)
+                    start = e
+            yield pa.record_batch(
+                [pa.array(out_ids, pa.int64()), pa.array(out_h, pa.string())],
+                names=["doc_id", "h"],
+            )
+
+    return df.select(id_col, content_col).mapInArrow(
+        batches, "doc_id long, h string"
+    )

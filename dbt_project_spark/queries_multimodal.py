@@ -197,3 +197,93 @@ def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(COUNT(DISTINCT h) * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("unique_ratio_micro"),
     )
+
+
+def _cdc_oracle() -> str:
+    """Replays the bounded-context gear rule with 8 LAGs over per-byte
+    rows (oracle-only flattening — the Spark kernel never materializes
+    per-byte rows). Documents are pure ASCII, so char positions ==
+    byte offsets and ascii(substr(...)) == the payload byte."""
+    from dbt_project_spark.operators.multimodal import (
+        CDC_MASK,
+        CDC_SHIFT,
+        CDC_WINDOW,
+    )
+
+    lags = " + ".join(
+        f"(COALESCE(LAG(g, {k}) OVER w, 0) << {k})"
+        for k in range(CDC_WINDOW)
+    )
+    return f"""
+    WITH gear AS (SELECT i AS bv,
+                    ('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8))::BIGINT AS g
+                  FROM range(0, 256) t(i)),
+    docs AS (SELECT doc_id, text, length(text) AS n FROM documents
+             WHERE length(text) > 0),
+    pos AS (SELECT doc_id, CAST(i + 1 AS BIGINT) AS p
+            FROM docs, unnest(range(0, n)) AS t(i)),
+    by1 AS (SELECT p.doc_id, p.p, gear.g
+            FROM pos p
+                 JOIN docs d ON d.doc_id = p.doc_id
+                 JOIN gear ON gear.bv = ascii(substr(d.text, CAST(p.p AS INT), 1))),
+    roll AS (SELECT doc_id, p, {lags} AS r
+             FROM by1 WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+    ends AS (SELECT doc_id, p AS e FROM roll
+             WHERE p >= {CDC_WINDOW} AND ((r >> {CDC_SHIFT}) & {CDC_MASK}) = 0
+             UNION
+             SELECT doc_id, n FROM docs),
+    ch AS (SELECT doc_id,
+                  COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s,
+                  e
+           FROM ends),
+    hashes AS (SELECT c.doc_id,
+                      md5(substr(d.text, CAST(c.s + 1 AS INT),
+                                 CAST(c.e - c.s AS INT))) AS h
+               FROM ch c JOIN docs d ON d.doc_id = c.doc_id)
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS dup_chunks,
+           CAST(COUNT(DISTINCT h) * 1000000 // COUNT(*) AS BIGINT)
+               AS unique_ratio_micro
+    FROM hashes
+    """
+
+
+@register("mm_chunk_dedup_cdc", oracle=_cdc_oracle())
+def mm_chunk_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (r05 — the production variant
+    mm_chunk_dedup's docstring promises): payloads are cut where a
+    gear-style rolling hash of the trailing 8 bytes hits the boundary
+    mask (avg ≈ 64-byte chunks), so a 1-byte insertion shifts only the
+    chunks up to the next content cut instead of rewriting every
+    fixed-block hash downstream — the property that makes backup
+    stores and multimodal lakes dedup across near-identical blobs.
+    Same corpus-wide report as the fixed-block variant, so the two
+    unique-ratios are directly comparable.
+
+    Spark side: Arrow-batched numpy kernel (operators/multimodal.py
+    cdc_chunk_hashes — the one family where Python is the right
+    boundary, per-byte JVM codegen over binaries isn't expressible);
+    aggregation is the standard two-phase distinct over 32-byte
+    hashes. The oracle replays the identical rule with 8 LAGs over
+    per-byte rows (oracle-only flattening)."""
+    from pyspark.sql import functions as F
+
+    from dbt_project_spark.operators.multimodal import cdc_chunk_hashes
+
+    docs = attach_blob(load_table(spark, sf_dir, "documents")).filter(
+        F.length("content") > 0
+    )
+    c = cdc_chunk_hashes(docs)
+    return c.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct_chunks"),
+        (F.count(F.lit(1)) - F.countDistinct("h"))
+        .cast("bigint")
+        .alias("dup_chunks"),
+        F.expr(
+            "CAST(COUNT(DISTINCT h) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("unique_ratio_micro"),
+    )
