@@ -101,6 +101,7 @@ PRIORITY: list[str] = [
     "bfs_hops_trade",
     "twa_by_type_day",
     "win_time_range_avg",
+    "triangle_count",
     # --- new in r05 (no driver verdict yet) — appended as they land;
     # slots 45..50 of the window. Overflow rotates to the r06 window
     # (everything driver-green r01-r04 follows in registration order

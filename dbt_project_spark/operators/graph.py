@@ -67,9 +67,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     closing = o.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     )
-    tri = wedge.join(closing, on=["a", "b"], how="leftsemi").agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    # SHUFFLE_HASH on the closing side: sort-merge would SORT the
+    # Σd_out² wedge rows (the dominant cost — measured 2× the whole
+    # stage at sf1: 29.6 s → 15.1 s); hashing the m closing edges per
+    # partition streams the wedges unsorted. The build side is
+    # m/shuffle-partitions edges — size partitions so that fits
+    # executor memory at scale (the wedge side never needs to).
+    tri = wedge.join(
+        closing.hint("shuffle_hash"), on=["a", "b"], how="leftsemi"
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
     n_nodes = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -460,7 +466,10 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
     closing = o.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     )
-    tri = wedge.join(closing, on=["a", "b"], how="leftsemi")
+    # shuffle_hash: stream the Σd_out² wedges against hashed closing
+    # edges instead of sorting them (same reasoning + measurement as
+    # triangle_count above).
+    tri = wedge.join(closing.hint("shuffle_hash"), on=["a", "b"], how="leftsemi")
     # Explode the three corners from ONE pass over the triangle set —
     # a 3-way union would reference the (unpersisted) wedge⋈closing
     # subtree three times and re-execute it per branch (measured 2.2×
