@@ -92,24 +92,27 @@ PRIORITY: list[str] = [
     "profile_drift_halves",
     "kaplan_meier_retention",
     "table_file_stats",
+    # --- new in r05 (no driver verdict yet) ---
+    "ivf_build_index",
+    "ann_ivfpq_topk",
+    "ann_recall_ivfpq",
+    "mm_chunk_dedup_cdc",
+    "welch_ttest_value",
+    "slo_burn_rate",
+    "price_index_laspeyres",
     # --- changed in r04/r05 (previously driver-green, re-verified
-    # locally after the change) — refresh their verdicts ---
+    # locally after the change) — refresh their verdicts. The list
+    # runs past slot 50: the tail entries here are the two r04
+    # pure-conf, value-identical changes (twa/win_time_range), the
+    # least-risk refreshes — they rotate into the r06 window. ---
     "ann_ivf_topk",
     "ivf_train_centroids",
+    "triangle_count",
     "dedup_clusters",
     "corpus_keep_list",
     "bfs_hops_trade",
     "twa_by_type_day",
     "win_time_range_avg",
-    "triangle_count",
-    # --- new in r05 (no driver verdict yet) — appended as they land;
-    # slots 45..50 of the window. Overflow rotates to the r06 window
-    # (everything driver-green r01-r04 follows in registration order
-    # and stays covered by the local replica gate every round). ---
-    "ivf_build_index",
-    "ann_ivfpq_topk",
-    "ann_recall_ivfpq",
-    "mm_chunk_dedup_cdc",
 ]
 
 

@@ -383,3 +383,75 @@ def table_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = _file_stats_one(spark, sf_dir, t)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# slo_burn_rate — multi-window error-budget burn (r05)
+# ---------------------------------------------------------------------------
+
+SLO_BUDGET_MICRO = 250_000  # SLO: error share ≤ 25% (micro-units)
+SLO_WINDOWS_H = [1, 6, 24, 72]
+
+
+@register(
+    "slo_burn_rate",
+    oracle=f"""
+    WITH e AS (SELECT {_EP} AS ep, event_type FROM events),
+    mx AS (SELECT MAX(ep) AS m FROM e),
+    w AS (SELECT unnest([{", ".join(str(h) for h in SLO_WINDOWS_H)}]) AS h),
+    c AS (SELECT w.h,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN e.event_type = 'error'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS x
+          FROM e, w, mx
+          WHERE e.ep > mx.m - w.h * 3600
+          GROUP BY w.h)
+    SELECT CAST(h AS BIGINT) AS window_h, n AS n_events, x AS n_errors,
+           CAST(x * 1000000 // n AS BIGINT) AS rate_micro,
+           CAST(x * 1000000 * 1000000 // (n * {SLO_BUDGET_MICRO}) AS BIGINT)
+               AS burn_micro
+    FROM c
+    """,
+)
+def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn rate — the SRE paging signal
+    (Google SRE workbook shape): the error share over trailing 1h/6h/
+    24h/72h windows ending at the newest event, each divided by the
+    SLO budget. burn > 1 in the short window AND the long window is
+    the standard page condition (fast burn that is not just noise);
+    this query emits the per-window burns so the alert rule is a
+    comparison over its output.
+
+    Exactness: counts are integers, rate and burn are truncating
+    integer micro-units (the spc_pchart convention) — zero float ops.
+
+    Scale shape: ONE pass over events (the windows ride a 4-row
+    broadcast joined against the epoch column — conditional
+    aggregation, no per-window rescan), map-side combinable.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("ep"), "event_type"
+    )
+    mx = e.agg(F.max("ep").alias("m"))
+    w = spark.createDataFrame([(h,) for h in SLO_WINDOWS_H], "h int")
+    c = (
+        e.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(w))
+        .filter(F.col("ep") > F.col("m") - F.col("h") * 3600)
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    return c.select(
+        F.col("h").cast("bigint").alias("window_h"),
+        F.col("n").alias("n_events"),
+        F.col("x").alias("n_errors"),
+        F.expr("CAST(x * 1000000 div n AS BIGINT)").alias("rate_micro"),
+        F.expr(
+            f"CAST(x * 1000000 * 1000000 div (n * {SLO_BUDGET_MICRO}) AS BIGINT)"
+        ).alias("burn_micro"),
+    )

@@ -906,3 +906,102 @@ def watermark_lateness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_late_s_x20"
         ),
     )
+
+
+@register(
+    "welch_ttest_value",
+    oracle=f"""
+    WITH {_HALF_COUNTS_SQL},
+    s AS (SELECT event_type,
+                 CAST(SUM(ref_n) AS BIGINT) AS n1,
+                 CAST(SUM(cur_n) AS BIGINT) AS n2,
+                 CAST(SUM(v100 * ref_n) AS BIGINT) AS s1,
+                 CAST(SUM(v100 * cur_n) AS BIGINT) AS s2,
+                 CAST(SUM(v100 * v100 * ref_n) AS BIGINT) AS q1,
+                 CAST(SUM(v100 * v100 * cur_n) AS BIGINT) AS q2
+          FROM c GROUP BY 1),
+    st AS (SELECT event_type, n1, n2,
+                  s1 / (1.0 * n1) AS m1,
+                  s2 / (1.0 * n2) AS m2,
+                  (q1 - (s1 / (1.0 * n1)) * s1) / (n1 - 1.0) AS v1,
+                  (q2 - (s2 / (1.0 * n2)) * s2) / (n2 - 1.0) AS v2
+           FROM s),
+    fin AS (SELECT event_type, n1, n2, m1, m2, v1, v2,
+                   v1 / n1 + v2 / n2 AS se2
+            FROM st)
+    SELECT event_type,
+           n1 AS n_ref, n2 AS n_cur,
+           ROUND(m1, 6) AS mean_ref100,
+           ROUND(m2, 6) AS mean_cur100,
+           ROUND((m1 - m2) / SQRT(se2), 6) AS t_welch,
+           ROUND((se2 * se2) /
+                 ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                  + (v2 / n2) * (v2 / n2) / (n2 - 1.0)), 6) AS df_welch
+    FROM fin
+    """,
+)
+def welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of the value distribution,
+    first half of the time range vs second half, per event type — the
+    parametric mean-shift companion to the drift family (PSI buckets,
+    KS shape, Mann-Whitney ranks; this one prices the MEAN move in
+    standard errors, with the Welch-Satterthwaite df that makes the
+    unequal-n halves honest).
+
+    Exactness: per-half n/Σv/Σv² are exact BIGINTs over v100 cents
+    (Σv² tops out ~3.6e16 at 100× this SF — inside BIGINT); the
+    t/df arithmetic is a fixed SCALAR double expression over those
+    six integers — no accumulation, so IEEE determinism carries
+    cross-engine and the result hash-gates at 6 dp like ks_test_value.
+
+    Scale shape: one events-sized shuffle into the shared
+    (type, v100) counts table (reused verbatim from the KS/MW
+    queries), then types-sized arithmetic. Nothing else moves.
+    """
+    c, t = _half_counts(spark, sf_dir)
+    s = c.groupBy("event_type").agg(
+        F.sum("ref_n").cast("bigint").alias("n1"),
+        F.sum("cur_n").cast("bigint").alias("n2"),
+        F.sum(F.col("v100") * F.col("ref_n")).cast("bigint").alias("s1"),
+        F.sum(F.col("v100") * F.col("cur_n")).cast("bigint").alias("s2"),
+        F.sum(F.col("v100") * F.col("v100") * F.col("ref_n"))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.col("v100") * F.col("v100") * F.col("cur_n"))
+        .cast("bigint")
+        .alias("q2"),
+    )
+    st = s.select(
+        "event_type",
+        "n1",
+        "n2",
+        (F.col("s1") / (F.col("n1") * 1.0)).alias("m1"),
+        (F.col("s2") / (F.col("n2") * 1.0)).alias("m2"),
+        (
+            (F.col("q1") - (F.col("s1") / (F.col("n1") * 1.0)) * F.col("s1"))
+            / (F.col("n1") - 1.0)
+        ).alias("v1"),
+        (
+            (F.col("q2") - (F.col("s2") / (F.col("n2") * 1.0)) * F.col("s2"))
+            / (F.col("n2") - 1.0)
+        ).alias("v2"),
+    )
+    fin = st.withColumn("se2", F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    return fin.select(
+        "event_type",
+        F.col("n1").alias("n_ref"),
+        F.col("n2").alias("n_cur"),
+        F.round("m1", 6).alias("mean_ref100"),
+        F.round("m2", 6).alias("mean_cur100"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt("se2"), 6).alias("t_welch"),
+        F.round(
+            (F.col("se2") * F.col("se2"))
+            / (
+                (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1"))
+                / (F.col("n1") - 1.0)
+                + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2"))
+                / (F.col("n2") - 1.0)
+            ),
+            6,
+        ).alias("df_welch"),
+    )

@@ -1095,3 +1095,94 @@ def revenue_bridge_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("discontinued_cents")
         ).alias("residual_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# price_index_laspeyres — Laspeyres & Paasche price indices (r05)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_index_laspeyres",
+    oracle="""
+    WITH py AS (SELECT l_partkey AS pk,
+                       CAST(year(l_shipdate) AS BIGINT) AS y,
+                       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) AS e,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                FROM lineitem
+                GROUP BY 1, 2),
+    y0 AS (SELECT MIN(y) AS b FROM py),
+    base AS (SELECT pk, e AS e0, q AS q0 FROM py, y0 WHERE py.y = y0.b),
+    j AS (SELECT py.y, py.pk, py.e AS et, py.q AS qt, b.e0, b.q0
+          FROM py JOIN base b ON b.pk = py.pk
+          WHERE py.q > 0 AND b.q0 > 0),
+    terms AS (SELECT y,
+                     CAST(COUNT(*) AS BIGINT) AS n_parts,
+                     CAST(SUM(et * q0 * 10000 // qt) AS BIGINT) AS lnum,
+                     CAST(SUM(e0 * 10000) AS BIGINT) AS lden,
+                     CAST(SUM(et * 10000) AS BIGINT) AS pnum,
+                     CAST(SUM(e0 * qt * 10000 // q0) AS BIGINT) AS pden
+              FROM j GROUP BY y)
+    SELECT y AS year, n_parts,
+           ROUND(lnum / (1.0 * lden), 6) AS laspeyres,
+           ROUND(pnum / (1.0 * pden), 6) AS paasche
+    FROM terms
+    """,
+)
+def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres and Paasche price indices per ship-year over the
+    part catalog (base = earliest year): THE retail/economics
+    inflation decomposition — Laspeyres weights current prices by
+    BASE-year quantities ('what would the old basket cost now'),
+    Paasche weights base prices by current quantities; their gap is
+    the substitution effect. Restricted per year to parts traded in
+    both the base year and that year (the matched-model convention).
+
+    Exactness: revenue is exact cents (per-row round, integer sum);
+    per-part price ratios enter as TRUNCATING integer divisions in
+    ×10⁴ scale (order-independent int sums — the chi2/PSI
+    convention), one double division per (year, index) at the end.
+    e·q·10⁴ tops out ~8e13 at this SF (lift to DECIMAL(38,0) at
+    extreme scale, the linreg_value_trend precedent).
+
+    Scale shape: one lineitem-sized aggregate into (part, year)
+    rows, a broadcast-sized base-year join keyed on part, then a
+    years-sized report. The base table is parts-sized — broadcast
+    at any realistic catalog; no lineitem self-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").cast("bigint").alias("y"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("ec"),
+        F.col("l_quantity").cast("bigint").alias("qi"),
+    )
+    py = li.groupBy("pk", "y").agg(
+        F.sum("ec").cast("bigint").alias("e"),
+        F.sum("qi").cast("bigint").alias("q"),
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    py = persist_tracked(py)
+    y0 = py.agg(F.min("y").alias("b"))
+    base = (
+        py.crossJoin(F.broadcast(y0))
+        .filter(F.col("y") == F.col("b"))
+        .select(F.col("pk"), F.col("e").alias("e0"), F.col("q").alias("q0"))
+    )
+    j = py.join(F.broadcast(base), "pk").filter(
+        (F.col("q") > 0) & (F.col("q0") > 0)
+    )
+    terms = j.groupBy("y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.expr("e * q0 * 10000 div q")).cast("bigint").alias("lnum"),
+        F.sum(F.col("e0") * 10000).cast("bigint").alias("lden"),
+        F.sum(F.col("e") * 10000).cast("bigint").alias("pnum"),
+        F.sum(F.expr("e0 * q * 10000 div q0")).cast("bigint").alias("pden"),
+    )
+    return terms.select(
+        F.col("y").alias("year"),
+        "n_parts",
+        F.round(F.col("lnum") / (F.col("lden") * 1.0), 6).alias("laspeyres"),
+        F.round(F.col("pnum") / (F.col("pden") * 1.0), 6).alias("paasche"),
+    )
