@@ -97,6 +97,7 @@ PRIORITY: list[str] = [
     "ann_ivfpq_topk",
     "ann_recall_ivfpq",
     "mm_chunk_dedup_cdc",
+    "ann_ivfpq_residual_topk",
     "welch_ttest_value",
     "slo_burn_rate",
     "price_index_laspeyres",

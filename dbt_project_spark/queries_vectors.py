@@ -876,3 +876,245 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matched",
         F.round(F.col("n_matched") * 1.0 / PQANN_K, 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivfpq_residual_topk — classic IVFADC: PQ over cell residuals (r05)
+# ---------------------------------------------------------------------------
+
+
+def _rpq_oracle() -> str:
+    """Full replay of residual IVF-PQ: coarse assignment (shared
+    _KEY_SQL rule = the persisted-index build), per-vector residuals
+    vs the assigned centroid (exact int subtraction), per-subspace
+    fixed-point Lloyd's over RESIDUAL sub-vectors, per-(query, probed
+    cell) residual LUTs, ADC scoring inside probed cells."""
+    from dbt_project_spark.operators.kmeans import (
+        KM_KEY_M,
+        KM_SAMPLE_PER_CELL,
+        KM_SCALE,
+    )
+
+    key = f"d2::HUGEINT * {KM_KEY_M} + cid"
+    head = f"""
+    WITH ds AS (SELECT MIN(len(embedding)) // {PQ_M} AS sub FROM embeddings),
+    {_KP_SQL},
+    vfull AS MATERIALIZED (
+      SELECT vec_id AS vid,
+             list_transform(embedding,
+                 x -> CAST(round(x::DOUBLE * {KM_SCALE}) AS BIGINT)) AS iv,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM embeddings),
+    ccent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+              WHERE vec_id < (SELECT k FROM kp)),
+    centi AS (SELECT cid,
+                     list_transform(ce,
+                         x -> CAST(round(x::DOUBLE * {KM_SCALE}) AS BIGINT))
+                         AS civ
+              FROM ccent),
+    casgf AS (SELECT e.vec_id, c.cid,
+                     unnest(e.embedding)::DOUBLE AS x,
+                     unnest(c.ce)::DOUBLE AS y
+              FROM embeddings e CROSS JOIN ccent c),
+    csims AS (SELECT vec_id, cid,
+                     ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS s
+              FROM casgf GROUP BY vec_id, cid),
+    cassign AS MATERIALIZED (
+      SELECT vec_id, max_by(cid, {_KEY_SQL}) AS cid
+      FROM csims GROUP BY vec_id),
+    resid AS MATERIALIZED (
+      SELECT v.vid,
+             list_transform(range(1, len(v.iv) + 1),
+                            i -> v.iv[i] - c.civ[i]) AS iv,
+             v.h, a.cid AS cell
+      FROM vfull v JOIN cassign a ON a.vec_id = v.vid
+                   JOIN centi c ON c.cid = a.cid),
+    cprobes AS (SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {_KEY_SQL} DESC) AS rn
+        FROM csims WHERE vec_id < {PQANN_NQ}) WHERE rn <= (SELECT np FROM kp)),
+    qres AS MATERIALIZED (
+      SELECT p.query_id, p.cid AS cell,
+             list_transform(range(1, len(v.iv) + 1),
+                            i -> v.iv[i] - c.civ[i]) AS iv
+      FROM cprobes p JOIN vfull v ON v.vid = p.query_id
+                     JOIN centi c ON c.cid = p.cid),
+    cand AS (SELECT p.query_id, r.vid, r.cell
+             FROM cprobes p JOIN resid r
+               ON r.cell = p.cid AND r.vid != p.query_id)"""
+    blocks = []
+    for m in range(PQ_M):
+        p = f"r{m}"
+        lo = f"{m} * (SELECT sub FROM ds) + 1"
+        hi = f"{m + 1} * (SELECT sub FROM ds)"
+        b = f"""
+    v{p} AS MATERIALIZED (
+      SELECT vid, list_slice(iv, {lo}, {hi}) AS iv, h FROM resid),
+    vt{p} AS MATERIALIZED (
+      SELECT vid, iv FROM v{p} ORDER BY h, vid
+      LIMIT {PQ_K * KM_SAMPLE_PER_CELL}),
+    seed{p} AS (SELECT vid, iv, h FROM v{p} ORDER BY h, vid LIMIT {PQ_K}),
+    c0{p} AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vid) - 1 AS cid, iv AS civ
+      FROM seed{p})"""
+        its = []
+        for i in range(1, PQ_ITERS + 1):
+            its.append(f"""
+    d{i}{p} AS (SELECT vid, cid, SUM((x - y) * (x - y)) AS d2 FROM (
+        SELECT v.vid, c.cid, unnest(v.iv) AS x, unnest(c.civ) AS y
+        FROM vt{p} v CROSS JOIN c{i - 1}{p} c) GROUP BY vid, cid),
+    a{i}{p} AS MATERIALIZED (
+      SELECT vid, min_by(cid, {key}) AS cid FROM d{i}{p} GROUP BY vid),
+    m{i}{p} AS (SELECT cid, pos, CAST(SUM(x) AS BIGINT) // COUNT(*) AS c FROM (
+        SELECT a.cid, unnest(v.iv) AS x, unnest(range(len(v.iv))) AS pos
+        FROM a{i}{p} a JOIN vt{p} v ON v.vid = a.vid) GROUP BY cid, pos),
+    n{i}{p} AS (SELECT cid, list(c ORDER BY pos) AS civ
+                FROM m{i}{p} GROUP BY cid),
+    c{i}{p} AS MATERIALIZED (
+      SELECT pp.cid, COALESCE(n.civ, pp.civ) AS civ
+      FROM c{i - 1}{p} pp LEFT JOIN n{i}{p} n ON n.cid = pp.cid)""")
+        fin = f""",
+    df{p} AS (SELECT vid, cid, SUM((x - y) * (x - y)) AS d2 FROM (
+        SELECT v.vid, c.cid, unnest(v.iv) AS x, unnest(c.civ) AS y
+        FROM v{p} v CROSS JOIN c{PQ_ITERS}{p} c) GROUP BY vid, cid),
+    af{p} AS (SELECT vid, min_by(cid, {key}) AS cid
+              FROM df{p} GROUP BY vid),
+    lut{p} AS (SELECT query_id, cell, cid,
+                      CAST(SUM((x - y) * (x - y)) AS BIGINT) AS ld2 FROM (
+        SELECT q.query_id, q.cell, c.cid,
+               unnest(list_slice(q.iv, {lo}, {hi})) AS x,
+               unnest(c.civ) AS y
+        FROM qres q CROSS JOIN c{PQ_ITERS}{p} c)
+        GROUP BY query_id, cell, cid),
+    part{p} AS (SELECT cand.query_id, cand.vid, l.ld2
+                FROM cand JOIN af{p} a ON a.vid = cand.vid
+                     JOIN lut{p} l ON l.query_id = cand.query_id
+                                  AND l.cell = cand.cell AND l.cid = a.cid)"""
+        blocks.append(b + "," + ",".join(its) + fin)
+    parts = " UNION ALL ".join(
+        f"SELECT query_id, vid, ld2 FROM partr{m}" for m in range(PQ_M)
+    )
+    tail = f""",
+    allp AS ({parts}),
+    adc AS (SELECT query_id, vid, CAST(SUM(ld2) AS BIGINT) AS ad2
+            FROM allp GROUP BY query_id, vid),
+    rk AS (SELECT query_id, vid AS neighbor_id, ad2,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ad2, vid) AS BIGINT) AS rank
+           FROM adc)
+    SELECT query_id, neighbor_id, ad2, rank FROM rk WHERE rank <= {PQANN_K}
+    """
+    return head + "," + ",".join(blocks) + tail
+
+
+@register("ann_ivfpq_residual_topk", oracle=_rpq_oracle())
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic IVFADC (Jégou et al.'s residual design, what FAISS
+    IVFx,PQy actually ships): PQ codebooks are trained on the
+    RESIDUAL r(v) = v − centroid(cell(v)) instead of the raw vector,
+    because residuals concentrate near 0 with far less variance than
+    the raw corpus — the same 4-bit budget spends on a much smaller
+    ball, cutting quantization distortion. The price is a LUT per
+    (query, probed cell): the query's residual differs per cell, so
+    the table is nq × nprobe × M × K entries — still broadcast-tiny.
+
+    Exactness end-to-end in integers: residuals are exact BIGINT
+    subtractions (vectors ride in the persisted index cells, coarse
+    rule = the index build rule verbatim), Lloyd's is the shared
+    fixed-point trainer over residual sub-vectors, ADC sums are
+    BIGINTs, ties break on neighbor id.
+
+    Scale shape: identical to ann_ivfpq_topk (DPP-pruned cell reads,
+    per-code LUT joins) plus one broadcast centroid join to form
+    residuals — at production scale the residual CODES are
+    precomputed into the inverted lists and serving never touches
+    vectors at all."""
+    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.operators.ivf import load_ivf_index, probe_cells
+    from dbt_project_spark.operators.kmeans import (
+        KM_SCALE,
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ccent, cells, _k, nprobe = load_ivf_index(spark, sf_dir, e)
+    to_int = lambda col: F.transform(
+        col, lambda x: F.round(x.cast("double") * KM_SCALE).cast("bigint")
+    )
+    centi = ccent.select("cid", to_int("ce").alias("civ"))
+    rv = persist_tracked(
+        cells.join(F.broadcast(centi), on="cid").select(
+            F.col("vec_id").alias("vid"),
+            F.col("cid").cast("bigint").alias("cell"),
+            F.zip_with(
+                to_int("embedding"), "civ", lambda a, b: a - b
+            ).alias("iv"),
+        )
+    )
+    dim = e.select(F.min(F.size("embedding")).alias("d")).first()["d"]
+    sub = dim // PQ_M
+
+    queries = e.filter(F.col("vec_id") < PQANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    probes = probe_cells(queries, ccent, nprobe)
+    qres = persist_tracked(
+        probes.join(
+            F.broadcast(centi.select(F.col("cid"), F.col("civ"))),
+            on="cid",
+        ).select(
+            "query_id",
+            F.col("cid").alias("cell"),
+            F.zip_with(to_int("qe"), "civ", lambda a, b: a - b).alias("iv"),
+        )
+    )
+    cand = (
+        F.broadcast(probes.select("query_id", "cid"))
+        .join(cells.select("vec_id", "cid"), on="cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("vid"),
+            F.col("cid").cast("bigint").alias("cell"),
+        )
+    )
+    parts = None
+    ld2 = F.aggregate(
+        F.zip_with("iv", "civ", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    for m in range(PQ_M):
+        sub_rv = persist_tracked(
+            rv.select("vid", F.slice("iv", m * sub + 1, sub).alias("iv"))
+        )
+        cb = kmeans_fit(sub_rv, PQ_K, PQ_ITERS)
+        codes = assign_clusters(sub_rv, cb)
+        q_sub = qres.select(
+            "query_id", "cell", F.slice("iv", m * sub + 1, sub).alias("iv")
+        )
+        lut = q_sub.crossJoin(F.broadcast(cb)).select(
+            "query_id", "cell", "cid", ld2.alias("ld2")
+        )
+        part = (
+            cand.join(codes, on="vid")
+            .join(F.broadcast(lut), on=["query_id", "cell", "cid"])
+            .select("query_id", "vid", "ld2")
+        )
+        parts = part if parts is None else parts.unionByName(part)
+    adc = parts.groupBy("query_id", "vid").agg(
+        F.sum("ld2").cast("bigint").alias("ad2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("vid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PQANN_K)
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            "ad2",
+            "rank",
+        )
+    )
