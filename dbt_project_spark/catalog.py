@@ -101,6 +101,7 @@ PRIORITY: list[str] = [
     "welch_ttest_value",
     "slo_burn_rate",
     "price_index_laspeyres",
+    "corpus_gopher_rules",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change) — refresh their verdicts. The list
     # runs past slot 50: the tail entries here are the two r04

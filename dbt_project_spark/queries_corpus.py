@@ -937,3 +937,121 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaps_den"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_gopher_rules — per-rule quality filter breakdown (r05)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = "('the','a','of','and','to','in','is','that')"
+
+
+@register(
+    "corpus_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    f AS (SELECT doc_id, toks,
+                 CAST(len(toks) AS BIGINT) AS n,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+                     AS sum_len,
+                 CAST(len(list_distinct(list_filter(toks,
+                      x -> x IN {_GOPHER_STOPS}))) AS BIGINT) AS n_stop,
+                 CAST(len(list_filter(toks,
+                      x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                 CAST(list_max(list_transform(list_distinct(toks),
+                      t2 -> len(list_filter(toks, x -> x = t2)))) AS BIGINT)
+                     AS max_freq,
+                 CAST(len(list_distinct(list_transform(
+                      range(1, GREATEST(len(toks), 1)),
+                      i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT)
+                     AS n_bi_d
+          FROM t WHERE len(toks) > 0),
+    r AS (SELECT doc_id, n,
+                 n BETWEEN 50 AND 100000 AS word_count_ok,
+                 sum_len BETWEEN 3 * n AND 10 * n AS mean_len_ok,
+                 n_stop >= 2 AS stopword_ok,
+                 5 * n_alpha >= 4 * n AS alpha_ok,
+                 10 * max_freq <= 2 * n AS top_word_ok,
+                 5 * ((n - 1) - n_bi_d) <= GREATEST(n - 1, 1)
+                     AS dup_bigram_ok
+          FROM f)
+    SELECT doc_id, n AS n_words, word_count_ok, mean_len_ok, stopword_ok,
+           alpha_ok, top_word_ok, dup_bigram_ok,
+           (word_count_ok AND mean_len_ok AND stopword_ok AND alpha_ok
+            AND top_word_ok AND dup_bigram_ok) AS keep_gopher
+    FROM r
+    """,
+)
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule Gopher quality-filter breakdown (the public heuristic
+    set from Rae et al. 2021 §A1.1, the de-facto baseline every LLM
+    corpus pipeline starts from): word-count bounds, mean-word-length
+    bounds, ≥2 distinct stop words, alphabetic-word fraction,
+    top-word dominance, and the duplicate-bigram repetition rule —
+    emitted as one boolean PER RULE so the yield dashboard shows
+    WHICH rule kills a document, not just that something did
+    (text_quality/corpus_filter_funnel report the collapsed flag;
+    this is the debugging layer under them).
+
+    Exactness: every rule is a pure-INTEGER inequality (mean length
+    as 3n ≤ Σlen ≤ 10n — no division anywhere), so the row set
+    hash-gates bit-exactly.
+
+    Scale shape: a single projection pass — all rules are per-row
+    array expressions inside whole-stage codegen (the top-word scan
+    is O(words·distinct) per row on bounded-length docs); zero
+    shuffles, zero UDFs.
+    """
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+    f = t.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(aggregate(transform(toks, x -> length(x)),"
+            " 0L, (a, x) -> a + x) AS BIGINT)"
+        ).alias("sum_len"),
+        F.expr(
+            f"CAST(size(array_distinct(filter(toks,"
+            f" x -> x IN {_GOPHER_STOPS}))) AS BIGINT)"
+        ).alias("n_stop"),
+        F.expr(
+            "CAST(size(filter(toks, x -> x rlike '[a-z]')) AS BIGINT)"
+        ).alias("n_alpha"),
+        F.expr(
+            "CAST(array_max(transform(array_distinct(toks),"
+            " t2 -> size(filter(toks, x -> x = t2)))) AS BIGINT)"
+        ).alias("max_freq"),
+        F.expr(
+            "CAST(size(array_distinct(zip_with("
+            " slice(toks, 1, greatest(size(toks) - 1, 1)),"
+            " slice(toks, 2, greatest(size(toks) - 1, 1)),"
+            " (a, b) -> concat(a, ' ', b)))) AS BIGINT)"
+        ).alias("n_bi_d"),
+    )
+    r = f.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        F.col("n").between(50, 100000).alias("word_count_ok"),
+        (
+            (F.col("sum_len") >= 3 * F.col("n"))
+            & (F.col("sum_len") <= 10 * F.col("n"))
+        ).alias("mean_len_ok"),
+        (F.col("n_stop") >= 2).alias("stopword_ok"),
+        (5 * F.col("n_alpha") >= 4 * F.col("n")).alias("alpha_ok"),
+        (10 * F.col("max_freq") <= 2 * F.col("n")).alias("top_word_ok"),
+        (
+            5 * ((F.col("n") - 1) - F.col("n_bi_d"))
+            <= F.greatest(F.col("n") - 1, F.lit(1))
+        ).alias("dup_bigram_ok"),
+    )
+    return r.withColumn(
+        "keep_gopher",
+        F.col("word_count_ok")
+        & F.col("mean_len_ok")
+        & F.col("stopword_ok")
+        & F.col("alpha_ok")
+        & F.col("top_word_ok")
+        & F.col("dup_bigram_ok"),
+    )
