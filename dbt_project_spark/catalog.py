@@ -98,6 +98,7 @@ PRIORITY: list[str] = [
     "ann_recall_ivfpq",
     "mm_chunk_dedup_cdc",
     "ann_ivfpq_residual_topk",
+    "ann_recall_ivfpq_residual",
     "welch_ttest_value",
     "slo_burn_rate",
     "price_index_laspeyres",

@@ -1002,14 +1002,44 @@ def _rpq_oracle() -> str:
     rk AS (SELECT query_id, vid AS neighbor_id, ad2,
                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY ad2, vid) AS BIGINT) AS rank
-           FROM adc)
-    SELECT query_id, neighbor_id, ad2, rank FROM rk WHERE rank <= {PQANN_K}
-    """
+           FROM adc)"""
     return head + "," + ",".join(blocks) + tail
 
 
-@register("ann_ivfpq_residual_topk", oracle=_rpq_oracle())
-def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rpq_oracle_topk() -> str:
+    return (
+        _rpq_oracle()
+        + f"""
+    SELECT query_id, neighbor_id, ad2, rank FROM rk WHERE rank <= {PQANN_K}
+    """
+    )
+
+
+def _rpq_recall_oracle() -> str:
+    from dbt_project_spark.queries_similarity import _cos_ranked_sql
+
+    return (
+        _rpq_oracle()
+        + f""",
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < {PQANN_NQ}),
+    pairs_bf AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                        q.qe, e.embedding AS ce
+                 FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+    {_cos_ranked_sql('pairs_bf', '_bf', PQANN_K)},
+    mm AS (SELECT t.query_id, CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_matched
+           FROM top_bf t LEFT JOIN (SELECT query_id, neighbor_id FROM rk
+                                    WHERE rank <= {PQANN_K}) i
+             ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+           GROUP BY t.query_id)
+    SELECT query_id, CAST({PQANN_K} AS BIGINT) AS k, n_matched,
+           ROUND(n_matched * 1.0 / {PQANN_K}, 6) AS recall
+    FROM mm
+    """
+    )
+
+
+def _rpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic IVFADC (Jégou et al.'s residual design, what FAISS
     IVFx,PQy actually ships): PQ codebooks are trained on the
     RESIDUAL r(v) = v − centroid(cell(v)) instead of the raw vector,
@@ -1104,9 +1134,15 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vid", "ld2")
         )
         parts = part if parts is None else parts.unionByName(part)
-    adc = parts.groupBy("query_id", "vid").agg(
+    return parts.groupBy("query_id", "vid").agg(
         F.sum("ld2").cast("bigint").alias("ad2")
     )
+
+
+@register("ann_ivfpq_residual_topk", oracle=_rpq_oracle_topk())
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _rpq_adc's docstring block above: classic IVFADC top-k."""
+    adc = _rpq_adc(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("vid"))
     return (
         adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -1117,4 +1153,47 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ad2",
             "rank",
         )
+    )
+
+
+@register("ann_recall_ivfpq_residual", oracle=_rpq_recall_oracle())
+def ann_recall_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of RESIDUAL IVF-PQ vs exact brute-force cosine — the
+    head-to-head row against ann_recall_ivfpq that prices what
+    residual encoding buys at the same 4×4-bit code budget (the
+    reason FAISS defaults to IVFADC). Same shape as the rest of the
+    recall-monitor family; deterministic end-to-end, so the
+    comparison itself hash-gates."""
+    from dbt_project_spark.operators.similarity import bruteforce_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < PQANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    bf = bruteforce_topk(q, c, PQANN_K).select("query_id", "neighbor_id")
+    adc = _rpq_adc(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.asc("ad2"), F.asc("vid"))
+    ivfpq = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQANN_K)
+        .select(
+            F.col("query_id").alias("iq"), F.col("vid").alias("in_")
+        )
+    )
+    m = (
+        bf.join(
+            ivfpq,
+            (F.col("iq") == F.col("query_id"))
+            & (F.col("in_") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("in_").cast("bigint").alias("n_matched"))
+    )
+    return m.select(
+        "query_id",
+        F.lit(PQANN_K).cast("bigint").alias("k"),
+        "n_matched",
+        F.round(F.col("n_matched") * 1.0 / PQANN_K, 6).alias("recall"),
     )
