@@ -759,3 +759,211 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(inter * 1000000 div un) div COUNT(*) AS BIGINT)"
         ).alias("mean_true_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash_band_tuning — empirical (bands, rows) S-curve table (r05)
+# ---------------------------------------------------------------------------
+
+# Every (b, r) split of the K=16 signature. Tighter r = sharper
+# S-curve (fewer, higher-Jaccard candidates); the table shows the
+# trade empirically so the threshold isn't tuned on the 1-(1-s^r)^b
+# formula alone.
+BAND_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+
+
+def _band_tuning_oracle() -> str:
+    k = len(MINHASH_A)
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    r4 = k // 4
+    bands = ",\n           ".join(
+        _MD5INT.format(
+            x=" || ',' || ".join(f"mh{bnd * r4 + j}" for j in range(r4))
+        )
+        + f" AS band{bnd}"
+        for bnd in range(4)
+    )
+    stack = " UNION ALL ".join(
+        f"SELECT doc, {bnd} AS bid, band{bnd} AS bv FROM bands"
+        for bnd in range(4)
+    )
+    eqs = ",\n                 ".join(
+        f"sa.mh{i} = sb.mh{i} AS e{i}" for i in range(k)
+    )
+    cfg_selects = []
+    for b, r in BAND_CONFIGS:
+        collide = " OR ".join(
+            "(" + " AND ".join(f"e{j * r + i}" for i in range(r)) + ")"
+            for j in range(b)
+        )
+        cfg_selects.append(f"""
+    SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN {collide} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates,
+           CAST(CASE WHEN SUM(CASE WHEN {collide} THEN 1 ELSE 0 END) > 0
+                THEN SUM(CASE WHEN {collide} THEN j_micro ELSE 0 END)
+                     // SUM(CASE WHEN {collide} THEN 1 ELSE 0 END)
+                ELSE 0 END AS BIGINT) AS mean_j_cand_micro,
+           CAST(CASE WHEN SUM(CASE WHEN {collide} THEN 1 ELSE 0 END) > 0
+                THEN SUM(CASE WHEN ({collide}) AND j_micro >= 500000
+                         THEN 1 ELSE 0 END) * 1000000
+                     // SUM(CASE WHEN {collide} THEN 1 ELSE 0 END)
+                ELSE 0 END AS BIGINT) AS precision50_micro
+    FROM pj""")
+    return f"""
+    WITH {_EX_CTE},
+    hashed AS (SELECT doc, sz, {_MD5INT.format(x='sg')} AS h FROM ex),
+    sigs AS (SELECT doc, {mins} FROM hashed GROUP BY doc),
+    bands AS (SELECT doc, {bands} FROM sigs),
+    stack AS ({stack}),
+    cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+             FROM stack a JOIN stack b
+               ON a.bid = b.bid AND a.bv = b.bv AND a.doc < b.doc),
+    ver AS (SELECT c.doc_a, c.doc_b,
+                   CAST(COUNT(*) * 1000000 //
+                        (MAX(ea.sz) + MAX(eb.sz) - COUNT(*)) AS BIGINT)
+                       AS j_micro
+            FROM cand c JOIN ex ea ON ea.doc = c.doc_a
+                        JOIN ex eb ON eb.doc = c.doc_b AND eb.sg = ea.sg
+            GROUP BY c.doc_a, c.doc_b),
+    eq AS (SELECT c.doc_a, c.doc_b,
+                 {eqs}
+           FROM cand c JOIN sigs sa ON sa.doc = c.doc_a
+                       JOIN sigs sb ON sb.doc = c.doc_b),
+    pj AS (SELECT e.*, COALESCE(v.j_micro, 0) AS j_micro
+           FROM eq e LEFT JOIN ver v
+             ON v.doc_a = e.doc_a AND v.doc_b = e.doc_b)
+    {" UNION ALL ".join(cfg_selects)}
+    """
+
+
+@register("minhash_band_tuning", oracle=_band_tuning_oracle())
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH (bands × rows) S-curve table: for every split of
+    the K=16 signature — (16,1) … (1,16) — replay the banding rule
+    over the PRODUCTION candidate population (the 4×4 band join) and
+    report how many pairs each config would admit, their mean exact
+    Jaccard, and precision@J≥0.5. This is how the banding threshold
+    is actually tuned: the 1−(1−s^r)^b formula gives the theoretical
+    curve, this query prices it on the real shingle distribution
+    (population = the production config's candidates; looser configs
+    admit MORE pairs than measured here — stated so the table is
+    read as relative selectivity, not absolute recall).
+
+    Exactness: collisions are pure boolean algebra over signature
+    component equalities; Jaccard and the means are truncating
+    integer micro-units; the whole table hash-gates.
+
+    Scale shape: candidates from the banded self-join (never all
+    pairs), signatures joined twice on doc id, exact verify reuses
+    the shingle postings; the 5 config rows are conditional
+    aggregates over ONE cached pair table.
+    """
+    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.operators.dedup import (
+        _with_tokens,
+        exploded_shingles,
+        minhash_band_stack,
+        minhash_signatures,
+    )
+
+    k = len(MINHASH_A)
+    docs = load_table(spark, sf_dir, "documents")
+    postings = persist_tracked(
+        exploded_shingles(_with_tokens(docs, "text"), "doc_id", 3)
+    )
+    sig = persist_tracked(
+        minhash_signatures(docs, "doc_id", "text", 3, postings=postings)
+    )
+    stacked = minhash_band_stack(sig, 4)
+    a = stacked.select(F.col("doc").alias("doc_a"), "bid", "bv")
+    b = stacked.select(F.col("doc").alias("doc_b"), "bid", "bv")
+    cand = (
+        a.join(b, on=["bid", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ea = postings.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sa"), "sg")
+    eb = postings.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sb"), "sg")
+    ver = (
+        cand.join(ea, on="doc_a")
+        .join(eb, on=["doc_b", "sg"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.expr(
+                "CAST(COUNT(*) * 1000000 div"
+                " (MAX(sa) + MAX(sb) - COUNT(*)) AS BIGINT)"
+            ).alias("j_micro")
+        )
+    )
+    sa = sig.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],
+    )
+    sb = sig.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)],
+    )
+    eq = (
+        cand.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            *[
+                (F.col(f"a{i}") == F.col(f"b{i}")).alias(f"e{i}")
+                for i in range(k)
+            ],
+        )
+    )
+    pj = persist_tracked(
+        eq.join(ver, on=["doc_a", "doc_b"], how="left").withColumn(
+            "j_micro", F.coalesce("j_micro", F.lit(0))
+        )
+    )
+    out = None
+    for bcnt, r in BAND_CONFIGS:
+        collide = None
+        for j in range(bcnt):
+            band = None
+            for i in range(r):
+                c = F.col(f"e{j * r + i}")
+                band = c if band is None else (band & c)
+            collide = band if collide is None else (collide | band)
+        ncand = F.sum(F.when(collide, 1).otherwise(0))
+        row = pj.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            ncand.cast("bigint").alias("n_candidates"),
+            F.sum(F.when(collide, F.col("j_micro")).otherwise(0))
+            .cast("bigint")
+            .alias("_jsum"),
+            F.sum(
+                F.when(collide & (F.col("j_micro") >= 500000), 1).otherwise(0)
+            ).alias("_p50"),
+        ).select(
+            F.lit(bcnt).cast("bigint").alias("bands"),
+            F.lit(r).cast("bigint").alias("rows_per_band"),
+            "n_pairs",
+            "n_candidates",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr("CAST(_jsum div n_candidates AS BIGINT)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("mean_j_cand_micro"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr("CAST(_p50 * 1000000 div n_candidates AS BIGINT)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("precision50_micro"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

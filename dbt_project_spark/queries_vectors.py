@@ -502,9 +502,13 @@ def pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
+        # DECIMAL key: d2·131072 overflows BIGINT since the r05 K-clamp
+        # lift (same widening as operators/kmeans._d2_key).
         scored = (
             sub_iv.crossJoin(F.broadcast(cent))
-            .withColumn("key", d2 * F.lit(KM_KEY_M) + F.col("cid"))
+            .withColumn(
+                "key", d2.cast("decimal(38,0)") * F.lit(KM_KEY_M) + F.col("cid")
+            )
         )
         asg = scored.groupBy("vid").agg(
             F.min_by("cid", F.col("key")).alias("cid"),

@@ -139,18 +139,47 @@ def test_editdistance_hot_block_cap_is_broadcast_anti_join(spark):
 
 
 def test_ivf_assignment_partial_aggregation(spark):
-    """Centroid assignment must be a max_by groupBy with map-side
-    partials (shuffle = one small triple per corpus vector), never a
-    row_number window over n×K vector-carrying rows."""
-    plan = _plan(QUERIES["ann_ivf_topk"](spark, SF_SMOKE))
-    assert "partial_max_by" in plan
-    # the corpus-side assignment must not be windowed (the small
-    # query-side probe ranking legitimately uses one window); count
-    # real Window nodes only — Spark 4 adds WindowGroupLimit helpers
+    """The n×K centroid assignment lives in the BUILD query (r05:
+    serving reads the persisted index) and must be a max_by groupBy
+    with map-side partials (shuffle = one small row per corpus
+    vector), never a row_number window over n×K vector-carrying
+    rows."""
     import re
 
-    n_windows = len(re.findall(r"\(\d+\) Window\b", plan))
-    assert n_windows <= 2, f"{n_windows} Window nodes"  # probe + final top-k
+    from dbt_project_spark.operators.ivf import ivf_index_dir
+    import shutil
+
+    # force the build plan (not the staleness-guard no-op)
+    shutil.rmtree(ivf_index_dir(SF_SMOKE), ignore_errors=True)
+    from dbt_project_spark.operators.ivf import first_k_centroids, _assign_key
+    from dbt_project_spark.functions.expressions import cosine_similarity
+    from dbt_project_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cent = first_k_centroids(e, 16)
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("s", F.round(cosine_similarity("embedding", "ce"), 6))
+        .select("vec_id", "cid", "s", "embedding")
+    )
+    cells = scored.groupBy("vec_id").agg(
+        F.max_by("cid", _assign_key()).alias("cid"),
+        F.max_by("embedding", _assign_key()).alias("embedding"),
+    )
+    plan = _plan(cells)
+    assert "partial_max_by" in plan
+    assert not re.findall(r"\(\d+\) Window\b", plan)
+
+    # the SERVING query must not assign at all: no n×K cross join of
+    # the corpus against centroids — only the tiny query-side probe
+    # (one window) and the final top-k (one window)
+    plan_serve = _plan(QUERIES["ann_ivf_topk"](spark, SF_SMOKE))
+    n_windows = len(re.findall(r"\(\d+\) Window\b", plan_serve))
+    # probe ranking + final top-k, plus the DPP subquery's textual
+    # copy of the probe window — all query-sized, never corpus-sized
+    assert n_windows <= 3, f"{n_windows} Window nodes"
+    assert "dynamicpruning" in plan_serve.lower()
 
 
 def test_range_join_is_equi_bucketed(spark):
