@@ -124,10 +124,12 @@ SF1_QUERIES = [
     "tpch_q21",
     "dedup_minhash_lsh",
     "pipeline_nation_revenue",
-    "ann_ivf_topk",
     # r05: serving moved out of ann_ivf_topk into the persisted index;
-    # the n×K build cost is timed HERE (force-rebuild each pass)
+    # the n×K build cost is timed HERE (force-rebuild each pass) — and
+    # runs BEFORE the serving query, the production order, so every
+    # ann_ivf_topk pass measures warm serving rather than a cold build
     "ivf_build_index",
+    "ann_ivf_topk",
     "pagerank_trade",
     # NOT dedup_embedding: its τ=0.4 output is a fixed quantile of the
     # random cosine bulk — Θ(n²) rows by construction (measured 27×

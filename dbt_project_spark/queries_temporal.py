@@ -582,3 +582,259 @@ def attribution_u_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
         F.sum("bp").cast("bigint").alias("credit_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# attribution_markov_removal — Markov removal-effect attribution (r05)
+# ---------------------------------------------------------------------------
+
+MK_CHANNELS = ["click", "view", "signup", "error"]  # purchase = conversion
+MK_ITERS = 24  # fixed absorption iterations (unrolled in the oracle)
+
+
+def _markov_oracle() -> str:
+    channels = ", ".join(f"'{c}'" for c in MK_CHANNELS)
+    head = f"""
+    WITH ev AS (SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY {_OKEY_DUCK}) AS rn
+                FROM events),
+    firstp AS (SELECT user_id,
+                      COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                        THEN rn END), 1 << 40) AS fp,
+                      MAX(rn) AS mx
+               FROM ev GROUP BY user_id),
+    j AS (SELECT e.user_id,
+                 CASE WHEN e.event_type = 'purchase' THEN 'CONV'
+                      ELSE e.event_type END AS st,
+                 e.rn, f.fp, f.mx
+          FROM ev e JOIN firstp f ON f.user_id = e.user_id
+          WHERE e.rn <= f.fp),
+    steps AS (
+      SELECT user_id, 'START' AS src, st AS dst FROM j WHERE rn = 1
+      UNION ALL
+      SELECT a.user_id, a.st AS src, b.st AS dst
+      FROM j a JOIN j b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      UNION ALL
+      SELECT user_id, st AS src, 'NULL' AS dst
+      FROM j WHERE rn = mx AND fp > mx),
+    cnt AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+            FROM steps GROUP BY src, dst),
+    tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY src),
+    p AS (SELECT cnt.src, cnt.dst,
+                 CAST(cnt.c * 1000000 // tot.t AS BIGINT) AS p_micro
+          FROM cnt JOIN tot ON tot.src = cnt.src),
+    vars AS (SELECT unnest(['base', {channels}]) AS variant),
+    tp AS (SELECT v.variant, p.src,
+                  CASE WHEN v.variant != 'base' AND p.dst = v.variant
+                       THEN 'NULL' ELSE p.dst END AS dst,
+                  p.p_micro
+           FROM p CROSS JOIN vars v
+           WHERE NOT (v.variant != 'base' AND p.src = v.variant)),
+    states AS (SELECT DISTINCT variant, src AS st FROM tp
+               UNION SELECT variant, 'CONV' FROM vars
+               UNION SELECT variant, 'NULL' FROM vars),
+    v0 AS (SELECT variant, st,
+                  CAST(CASE WHEN st = 'CONV' THEN 1000000 ELSE 0 END
+                       AS BIGINT) AS vm
+           FROM states)"""
+    its = []
+    for i in range(1, MK_ITERS + 1):
+        its.append(f"""
+    s{i} AS (SELECT t.variant, t.src AS st,
+                    CAST(SUM(t.p_micro * v.vm) // 1000000 AS BIGINT) AS vm
+             FROM tp t JOIN v{i - 1} v
+               ON v.variant = t.variant AND v.st = t.dst
+             GROUP BY t.variant, t.src),
+    v{i} AS (SELECT st.variant, st.st,
+                    CAST(CASE WHEN st.st = 'CONV' THEN 1000000
+                              WHEN st.st = 'NULL' THEN 0
+                              ELSE COALESCE(s.vm, 0) END AS BIGINT) AS vm
+             FROM states st LEFT JOIN s{i} s
+               ON s.variant = st.variant AND s.st = st.st)""")
+    tail = f""",
+    res AS (SELECT variant, vm FROM v{MK_ITERS} WHERE st = 'START'),
+    base AS (SELECT vm AS bv FROM res WHERE variant = 'base'),
+    re AS (SELECT r.variant AS channel,
+                  b.bv AS base_conv_micro,
+                  r.vm AS removed_conv_micro,
+                  GREATEST(b.bv - r.vm, 0) AS removal_effect_micro
+           FROM res r CROSS JOIN base b WHERE r.variant != 'base'),
+    tot_re AS (SELECT CAST(SUM(removal_effect_micro) AS BIGINT) AS s FROM re)
+    SELECT re.channel, re.base_conv_micro, re.removed_conv_micro,
+           re.removal_effect_micro,
+           CAST(CASE WHEN t.s > 0
+                THEN re.removal_effect_micro * 1000000 // t.s
+                ELSE 0 END AS BIGINT) AS attribution_micro
+    FROM re CROSS JOIN tot_re t
+    """
+    return head + "," + ",".join(its) + tail
+
+
+@register("attribution_markov_removal", oracle=_markov_oracle())
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (the data-driven alternative
+    to last-touch/U-shape heuristics, standard in marketing science):
+    user journeys become a first-order Markov chain over channels with
+    START/CONV/NULL absorbing structure (journeys truncate at the
+    first purchase); a channel's credit is how much the START→CONV
+    absorption probability DROPS when that channel's inbound edges are
+    redirected to NULL — channels whose removal doesn't hurt get no
+    credit, however often they appear.
+
+    Exactness: transition probabilities are truncating integer
+    micro-units of BASE counts; absorption runs MK_ITERS fixed
+    synchronous iterations of v ← T·v where each update is
+    Σ(p_micro·v_micro) // 1e6 — exact BIGINT products summed before
+    ONE floor, bit-identical across engines (a float power-iteration
+    could never hash-gate). 24 iterations ≈ the longest plausible
+    journey; absorbing states are pinned each round.
+
+    Scale shape: journeys need one user-partitioned window over
+    events; everything after is (channels+3)²-sized — the variant
+    dimension rides as a COLUMN (one dataflow, not one plan per
+    variant), and each tiny iteration persists so the 24-round chain
+    stays shallow. At 100 TB the events window is the only real cost.
+    """
+    from dbt_project_spark.caching import persist_tracked
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_OKEY_SPARK).alias("ok")
+    )
+    w = Window.partitionBy("user_id").orderBy("ok")
+    ev = e.withColumn("rn", F.row_number().over(w)).select(
+        "user_id", "event_type", "rn"
+    )
+    firstp = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))),
+            F.lit(1 << 40),
+        ).alias("fp"),
+        F.max("rn").alias("mx"),
+    )
+    j = persist_tracked(
+        ev.join(firstp, "user_id")
+        .filter(F.col("rn") <= F.col("fp"))
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+            "rn",
+            "fp",
+            "mx",
+        )
+    )
+    start = j.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("st").alias("dst")
+    )
+    b = j.select(F.col("user_id").alias("u2"), F.col("st").alias("st2"), F.col("rn").alias("rn2"))
+    mid = (
+        j.join(
+            b,
+            (F.col("u2") == F.col("user_id")) & (F.col("rn2") == F.col("rn") + 1),
+        )
+        .select(F.col("st").alias("src"), F.col("st2").alias("dst"))
+    )
+    end = j.filter((F.col("rn") == F.col("mx")) & (F.col("fp") > F.col("mx"))).select(
+        F.col("st").alias("src"), F.lit("NULL").alias("dst")
+    )
+    steps = start.unionByName(mid).unionByName(end)
+    cnt = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").cast("bigint").alias("t"))
+    p = cnt.join(tot, "src").select(
+        "src", "dst", F.expr("CAST(c * 1000000 div t AS BIGINT)").alias("p_micro")
+    )
+    variants = spark.createDataFrame(
+        [("base",)] + [(c,) for c in MK_CHANNELS], "variant string"
+    )
+    tp = persist_tracked(
+        p.crossJoin(F.broadcast(variants))
+        .filter(~((F.col("variant") != "base") & (F.col("src") == F.col("variant"))))
+        .select(
+            "variant",
+            "src",
+            F.when(
+                (F.col("variant") != "base") & (F.col("dst") == F.col("variant")),
+                F.lit("NULL"),
+            )
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "p_micro",
+        )
+    )
+    states = persist_tracked(
+        tp.select("variant", F.col("src").alias("st"))
+        .union(variants.select("variant", F.lit("CONV").alias("st")))
+        .union(variants.select("variant", F.lit("NULL").alias("st")))
+        .distinct()
+    )
+    v = persist_tracked(
+        states.select(
+            "variant",
+            "st",
+            F.when(F.col("st") == "CONV", F.lit(1000000))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("vm"),
+        )
+    )
+    v.count()
+    for _ in range(MK_ITERS):
+        s = (
+            tp.join(
+                v.select(
+                    "variant", F.col("st").alias("dst"), F.col("vm").alias("dvm")
+                ),
+                on=["variant", "dst"],
+            )
+            .groupBy("variant", "src")
+            .agg(
+                F.expr("CAST(SUM(p_micro * dvm) div 1000000 AS BIGINT)").alias(
+                    "svm"
+                )
+            )
+            .select("variant", F.col("src").alias("st"), "svm")
+        )
+        nv = states.join(s, on=["variant", "st"], how="left").select(
+            "variant",
+            "st",
+            F.when(F.col("st") == "CONV", F.lit(1000000))
+            .when(F.col("st") == "NULL", F.lit(0))
+            .otherwise(F.coalesce("svm", F.lit(0)))
+            .cast("bigint")
+            .alias("vm"),
+        )
+        prev = v
+        v = persist_tracked(nv)
+        v.count()
+        prev.unpersist()
+    res = v.filter(F.col("st") == "START").select("variant", "vm")
+    base = res.filter(F.col("variant") == "base").select(
+        F.col("vm").alias("bv")
+    )
+    re = (
+        res.filter(F.col("variant") != "base")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("variant").alias("channel"),
+            F.col("bv").alias("base_conv_micro"),
+            F.col("vm").alias("removed_conv_micro"),
+            F.greatest(F.col("bv") - F.col("vm"), F.lit(0))
+            .cast("bigint")
+            .alias("removal_effect_micro"),
+        )
+    )
+    tot_re = re.agg(
+        F.sum("removal_effect_micro").cast("bigint").alias("s")
+    )
+    return re.crossJoin(F.broadcast(tot_re)).select(
+        "channel",
+        "base_conv_micro",
+        "removed_conv_micro",
+        "removal_effect_micro",
+        F.expr(
+            "CAST(CASE WHEN s > 0 THEN removal_effect_micro * 1000000 div s"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("attribution_micro"),
+    )
