@@ -104,6 +104,7 @@ PRIORITY: list[str] = [
     "price_index_laspeyres",
     "corpus_gopher_rules",
     "minhash_band_tuning",
+    "attribution_markov_removal",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change) — refresh their verdicts. The list
     # runs past slot 50: the tail entries here are the two r04

@@ -621,20 +621,20 @@ def _markov_oracle() -> str:
     cnt AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
             FROM steps GROUP BY src, dst),
     tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY src),
-    p AS (SELECT cnt.src, cnt.dst,
+    p AS MATERIALIZED (SELECT cnt.src, cnt.dst,
                  CAST(cnt.c * 1000000 // tot.t AS BIGINT) AS p_micro
           FROM cnt JOIN tot ON tot.src = cnt.src),
     vars AS (SELECT unnest(['base', {channels}]) AS variant),
-    tp AS (SELECT v.variant, p.src,
+    tp AS MATERIALIZED (SELECT v.variant, p.src,
                   CASE WHEN v.variant != 'base' AND p.dst = v.variant
                        THEN 'NULL' ELSE p.dst END AS dst,
                   p.p_micro
            FROM p CROSS JOIN vars v
            WHERE NOT (v.variant != 'base' AND p.src = v.variant)),
-    states AS (SELECT DISTINCT variant, src AS st FROM tp
+    states AS MATERIALIZED (SELECT DISTINCT variant, src AS st FROM tp
                UNION SELECT variant, 'CONV' FROM vars
                UNION SELECT variant, 'NULL' FROM vars),
-    v0 AS (SELECT variant, st,
+    v0 AS MATERIALIZED (SELECT variant, st,
                   CAST(CASE WHEN st = 'CONV' THEN 1000000 ELSE 0 END
                        AS BIGINT) AS vm
            FROM states)"""
@@ -646,7 +646,7 @@ def _markov_oracle() -> str:
              FROM tp t JOIN v{i - 1} v
                ON v.variant = t.variant AND v.st = t.dst
              GROUP BY t.variant, t.src),
-    v{i} AS (SELECT st.variant, st.st,
+    v{i} AS MATERIALIZED (SELECT st.variant, st.st,
                     CAST(CASE WHEN st.st = 'CONV' THEN 1000000
                               WHEN st.st = 'NULL' THEN 0
                               ELSE COALESCE(s.vm, 0) END AS BIGINT) AS vm
@@ -806,7 +806,12 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vm"),
         )
         prev = v
-        v = persist_tracked(nv)
+        # lineage truncation every round: persistence bounds EXECUTION
+        # but the logical plan still nests per iteration — 24 rounds
+        # of joins OOM the driver at planning time without a
+        # checkpoint (the bfs_hops discipline; tables here are tiny
+        # so every-round truncation is free).
+        v = persist_tracked(nv.localCheckpoint(eager=False))
         v.count()
         prev.unpersist()
     res = v.filter(F.col("st") == "START").select("variant", "vm")
