@@ -105,6 +105,7 @@ PRIORITY: list[str] = [
     "corpus_gopher_rules",
     "minhash_band_tuning",
     "attribution_markov_removal",
+    "dp_noisy_daily_counts",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change) — refresh their verdicts. The list
     # runs past slot 50: the tail entries here are the two r04

@@ -820,3 +820,97 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(sz) AS BIGINT)"
         ).alias("risky_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dp_noisy_daily_counts — differential-privacy release with seeded noise (r05)
+# ---------------------------------------------------------------------------
+
+DP_EPS_MICRO = 500_000  # ε = 0.5 (Laplace scale 1/ε = 2 for count queries)
+
+
+@register(
+    "dp_noisy_daily_counts",
+    oracle=f"""
+    WITH c AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                      event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    u AS (SELECT day, event_type, n,
+                 ('0x' || substr(md5(day || '|' || event_type), 1, 8))::BIGINT
+                     % 999999 + 1 AS u_micro
+          FROM c),
+    lap AS (SELECT day, event_type, n, u_micro,
+                   CASE WHEN u_micro >= 500000 THEN 1 ELSE -1 END AS s,
+                   1000000 - 2 * ABS(u_micro - 500000) AS mag_micro
+            FROM u),
+    nz AS (SELECT day, event_type, n,
+                  CAST(-s * 2 * CAST(round(ln(mag_micro / 1000000.0)
+                       * 1000000000) AS BIGINT) AS BIGINT) AS noise_nano
+           FROM lap)
+    SELECT day, event_type, n AS true_n, noise_nano,
+           n + noise_nano // 1000000000 AS noisy_n
+    FROM nz
+    """,
+)
+def dp_noisy_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy count release: per-(day, type) event
+    counts plus Laplace(1/ε) noise, ε = 0.5 — the governance
+    primitive for publishing usage aggregates without exposing any
+    single user's contribution (sensitivity 1 for counts). Noise is
+    SEEDED from the group key (md5 → uniform → inverse-CDF Laplace),
+    which is what makes the query re-runnable and testable: a given
+    release is one fixed draw, and the oracle replays it exactly.
+    true_n rides along for the utility-error audit — a production
+    release would project it away (and rotate the seed per release).
+
+    Exactness: the uniform is an integer in (0,1) micro-units; the
+    one irrational op, ln(mag), goes through the round-to-nano
+    convention (woe_iv/kaplan_meier precedent); the noisy count uses
+    a truncating integer division of nano-units.
+
+    Scale shape: one events-sized aggregate, then per-group scalar
+    arithmetic. Nothing else moves.
+    """
+    c = load_table(spark, sf_dir, "events").groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    from dbt_project_spark.functions.expressions import md5_int
+
+    u = c.withColumn(
+        "u_micro",
+        md5_int(F.concat_ws("|", "day", "event_type")) % 999999 + 1,
+    )
+    lap = u.select(
+        "day",
+        "event_type",
+        "n",
+        F.when(F.col("u_micro") >= 500000, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("s"),
+        (F.lit(1000000) - 2 * F.abs(F.col("u_micro") - 500000)).alias(
+            "mag_micro"
+        ),
+    )
+    nz = lap.select(
+        "day",
+        "event_type",
+        "n",
+        (
+            -F.col("s")
+            * 2
+            * F.round(F.log(F.col("mag_micro") / 1000000.0) * 1000000000)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("noise_nano"),
+    )
+    return nz.select(
+        "day",
+        "event_type",
+        F.col("n").alias("true_n"),
+        "noise_nano",
+        (F.col("n") + F.expr("noise_nano div 1000000000"))
+        .cast("bigint")
+        .alias("noisy_n"),
+    )
