@@ -60,6 +60,12 @@ _TS_QUERIES = [
     "ts_decompose_daily",  # to_date + dayofweek (ISO mapping)
     "attribution_u_shape",  # okey (date_format millis) journey windows
     "markov_next_event_backtest",  # epoch half-split + lead ordering
+    # r05 additions with ts access patterns:
+    "welch_ttest_value",  # unix_timestamp half-split (shared _half_counts)
+    "slo_burn_rate",  # unix_timestamp trailing windows off max ts
+    "dp_noisy_daily_counts",  # date_format day grouping
+    "attribution_markov_removal",  # okey (date_format millis) ordering
+    "price_index_laspeyres",  # year(l_shipdate) bucketing
 ]
 
 
