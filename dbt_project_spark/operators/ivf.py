@@ -169,3 +169,133 @@ def probe_cells(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qe", "cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ layer of the persisted index (r05): codebooks + codes on disk
+# ---------------------------------------------------------------------------
+
+PQ_INDEX_VERSION = 1
+
+
+def build_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    pq_m: int,
+    pq_k: int,
+    pq_iters: int,
+    e: DataFrame | None = None,
+    residual: bool = False,
+    force: bool = False,
+) -> dict:
+    """Train the per-subspace PQ codebooks and encode the corpus ONCE,
+    persisting (m, cid, civ) codebooks and (vid, m, cid) codes next to
+    the coarse index — production serving never re-trains a quantizer
+    per query batch (the same argument as the coarse index; FAISS
+    stores codes inside the inverted lists). ``residual=True`` trains
+    and encodes on v − centroid(cell(v)) (classic IVFADC); the coarse
+    index is built first if missing. Deterministic: same fixed-point
+    trainer, so serving from disk is bit-identical to inline compute
+    (which is what the oracles replay)."""
+    import json as _json
+
+    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.operators.kmeans import (
+        KM_SCALE,
+        assign_clusters,
+        int_vectors,
+        kmeans_fit,
+    )
+    from dbt_project_spark.sources import load_table
+
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings")
+    coarse = build_ivf_index(spark, sf_dir, e)
+    tag = "pq_residual" if residual else "pq_raw"
+    d = os.path.join(ivf_index_dir(sf_dir), tag)
+    meta = {
+        "version": PQ_INDEX_VERSION,
+        "n": coarse["n"],
+        "fp": coarse["fp"],
+        "m": pq_m,
+        "k": pq_k,
+        "iters": pq_iters,
+        "residual": residual,
+    }
+    mpath = os.path.join(d, "_META.json")
+    if not force and os.path.exists(mpath):
+        try:
+            with open(mpath) as fh:
+                if _json.load(fh) == meta:
+                    return meta
+        except (OSError, ValueError):
+            pass
+
+    if residual:
+        cent = spark.read.parquet(
+            os.path.join(ivf_index_dir(sf_dir), "centroids.parquet")
+        )
+        cells = spark.read.parquet(
+            os.path.join(ivf_index_dir(sf_dir), "cells.parquet")
+        )
+        centi = cent.select(
+            "cid",
+            F.transform(
+                "ce",
+                lambda x: F.round(x.cast("double") * KM_SCALE).cast("bigint"),
+            ).alias("civ"),
+        )
+        iv = cells.join(F.broadcast(centi), on="cid").select(
+            F.col("vec_id").alias("vid"),
+            F.zip_with(
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * KM_SCALE).cast(
+                        "bigint"
+                    ),
+                ),
+                "civ",
+                lambda a, b: a - b,
+            ).alias("iv"),
+        )
+    else:
+        iv = int_vectors(e, "vec_id", "embedding")
+    iv = persist_tracked(iv)
+    dim = iv.select(F.min(F.size("iv")).alias("d")).first()["d"]
+    sub = dim // pq_m
+    books = None
+    codes = None
+    for m in range(pq_m):
+        sub_iv = persist_tracked(
+            iv.select("vid", F.slice("iv", m * sub + 1, sub).alias("iv"))
+        )
+        cb = kmeans_fit(sub_iv, pq_k, pq_iters)
+        bm = cb.select(F.lit(m).alias("m"), "cid", "civ")
+        cm = assign_clusters(sub_iv, cb).select(
+            "vid", F.lit(m).alias("m"), "cid"
+        )
+        books = bm if books is None else books.unionByName(bm)
+        codes = cm if codes is None else codes.unionByName(cm)
+    books.write.mode("overwrite").parquet(os.path.join(d, "codebooks.parquet"))
+    codes.write.mode("overwrite").parquet(os.path.join(d, "codes.parquet"))
+    with open(mpath, "w") as fh:
+        _json.dump(meta, fh)
+    return meta
+
+
+def load_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    pq_m: int,
+    pq_k: int,
+    pq_iters: int,
+    e: DataFrame | None = None,
+    residual: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(codebooks (m, cid, civ), codes (vid, m, cid)) — built on miss."""
+    build_pq_index(spark, sf_dir, pq_m, pq_k, pq_iters, e, residual)
+    tag = "pq_residual" if residual else "pq_raw"
+    d = os.path.join(ivf_index_dir(sf_dir), tag)
+    books = spark.read.parquet(os.path.join(d, "codebooks.parquet"))
+    codes = spark.read.parquet(os.path.join(d, "codes.parquet"))
+    return books, codes

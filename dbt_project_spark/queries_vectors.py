@@ -606,30 +606,35 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
+    # codes/codebooks from the persisted PQ index (r05 — trained and
+    # encoded once per corpus; identical to the inline chain the
+    # oracle replays); only the query LUTs are computed here.
+    from dbt_project_spark.operators.ivf import load_pq_index
+
+    books, codes = load_pq_index(spark, sf_dir, PQ_M, PQ_K, PQ_ITERS, e)
     dim = e.select(F.min(F.size("embedding")).alias("d")).first()["d"]
     sub = dim // PQ_M
-    iv = persist_tracked(int_vectors(e, "vec_id", "embedding"))
-    parts = None
+    q_iv = persist_tracked(
+        int_vectors(e.filter(F.col("vec_id") < PQANN_NQ), "vec_id", "embedding")
+    )
+    ld2 = F.aggregate(
+        F.zip_with("iv", "civ", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    lut = None
     for m in range(PQ_M):
-        sub_iv = persist_tracked(
-            iv.select("vid", F.slice("iv", m * sub + 1, sub).alias("iv"))
+        q_sub = q_iv.select(
+            F.col("vid").alias("qid"),
+            F.slice("iv", m * sub + 1, sub).alias("iv"),
         )
-        cent = kmeans_fit(sub_iv, PQ_K, PQ_ITERS)
-        asg = assign_clusters(sub_iv, cent)
-        q_sub = sub_iv.filter(F.col("vid") < PQANN_NQ).select(
-            F.col("vid").alias("qid"), "iv"
-        )
-        ld2 = F.aggregate(
-            F.zip_with("iv", "civ", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        lut = (
-            q_sub.crossJoin(F.broadcast(cent))
-            .select("qid", "cid", ld2.alias("ld2"))
-        )
-        part = asg.join(F.broadcast(lut), "cid").select("qid", "vid", "ld2")
-        parts = part if parts is None else parts.unionByName(part)
+        lm = q_sub.crossJoin(
+            F.broadcast(books.filter(F.col("m") == m).select("cid", "civ"))
+        ).select("qid", F.lit(m).alias("m"), "cid", ld2.alias("ld2"))
+        lut = lm if lut is None else lut.unionByName(lm)
+    parts = codes.join(F.broadcast(lut), on=["m", "cid"]).select(
+        "qid", "vid", "ld2"
+    )
     ad = (
         parts.filter(F.col("vid") != F.col("qid"))
         .groupBy("qid", "vid")
@@ -705,19 +710,20 @@ def _ivfpq_tail(nq: int) -> str:
 def _ivfpq_adc(spark: SparkSession, sf_dir: str, nq: int) -> DataFrame:
     """(query_id, neighbor_id, ad2): ADC scores of every candidate in
     the query's probed coarse cells — the composed FAISS IVF-PQ
-    serving dataflow. Coarse cells come from the PERSISTED index
-    (operators/ivf.py — DPP-pruned cell reads); PQ codes/codebooks
-    from the shared fixed-point trainer. At production scale the
-    codes would be persisted inside the inverted lists as well (one
-    more column in cells.parquet); encoding here rides in-query so
-    the oracle can replay it."""
+    serving dataflow. Coarse cells AND the PQ codes/codebooks come
+    from the PERSISTED index (operators/ivf.py — DPP-pruned cell
+    reads; codebooks trained + corpus encoded once per corpus by
+    build_pq_index, the FAISS codes-in-inverted-lists shape). Only
+    the per-query LUTs are computed at serve time — deterministic
+    training makes disk-served codes bit-identical to the inline
+    compute the oracle replays."""
     from dbt_project_spark.caching import persist_tracked
-    from dbt_project_spark.operators.ivf import load_ivf_index, probe_cells
-    from dbt_project_spark.operators.kmeans import (
-        assign_clusters,
-        int_vectors,
-        kmeans_fit,
+    from dbt_project_spark.operators.ivf import (
+        load_ivf_index,
+        load_pq_index,
+        probe_cells,
     )
+    from dbt_project_spark.operators.kmeans import int_vectors
 
     e = load_table(spark, sf_dir, "embeddings")
     ccent, cells, _k, nprobe = load_ivf_index(spark, sf_dir, e)
@@ -731,34 +737,36 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str, nq: int) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(F.col("query_id").alias("qid"), F.col("vec_id").alias("vid"))
     )
+    # PQ codebooks + corpus codes come from the PERSISTED index (one
+    # training/encoding pass per corpus — operators/ivf.build_pq_index;
+    # bit-identical to inline training, which is what the oracle
+    # replays). Only the queries' LUTs are computed here.
+    books, codes = load_pq_index(spark, sf_dir, PQ_M, PQ_K, PQ_ITERS, e)
     dim = e.select(F.min(F.size("embedding")).alias("d")).first()["d"]
     sub = dim // PQ_M
-    iv = persist_tracked(int_vectors(e, "vec_id", "embedding"))
-    parts = None
+    q_iv = persist_tracked(
+        int_vectors(e.filter(F.col("vec_id") < nq), "vec_id", "embedding")
+    )
+    ld2 = F.aggregate(
+        F.zip_with("iv", "civ", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    lut = None
     for m in range(PQ_M):
-        sub_iv = persist_tracked(
-            iv.select("vid", F.slice("iv", m * sub + 1, sub).alias("iv"))
+        q_sub = q_iv.select(
+            F.col("vid").alias("qid"),
+            F.slice("iv", m * sub + 1, sub).alias("iv"),
         )
-        cb = kmeans_fit(sub_iv, PQ_K, PQ_ITERS)
-        codes = assign_clusters(sub_iv, cb)
-        q_sub = sub_iv.filter(F.col("vid") < nq).select(
-            F.col("vid").alias("qid"), "iv"
-        )
-        ld2 = F.aggregate(
-            F.zip_with("iv", "civ", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        lut = (
-            q_sub.crossJoin(F.broadcast(cb))
-            .select("qid", "cid", ld2.alias("ld2"))
-        )
-        part = (
-            cand.join(codes, on="vid")
-            .join(F.broadcast(lut), on=["qid", "cid"])
-            .select("qid", "vid", "ld2")
-        )
-        parts = part if parts is None else parts.unionByName(part)
+        lm = q_sub.crossJoin(
+            F.broadcast(books.filter(F.col("m") == m).select("cid", "civ"))
+        ).select("qid", F.lit(m).alias("m"), "cid", ld2.alias("ld2"))
+        lut = lm if lut is None else lut.unionByName(lm)
+    parts = (
+        cand.join(codes, on="vid")
+        .join(F.broadcast(lut), on=["qid", "m", "cid"])
+        .select("qid", "vid", "ld2")
+    )
     return (
         parts.groupBy("qid", "vid")
         .agg(F.sum("ld2").cast("bigint").alias("ad2"))
@@ -1065,12 +1073,12 @@ def _rpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     precomputed into the inverted lists and serving never touches
     vectors at all."""
     from dbt_project_spark.caching import persist_tracked
-    from dbt_project_spark.operators.ivf import load_ivf_index, probe_cells
-    from dbt_project_spark.operators.kmeans import (
-        KM_SCALE,
-        assign_clusters,
-        kmeans_fit,
+    from dbt_project_spark.operators.ivf import (
+        load_ivf_index,
+        load_pq_index,
+        probe_cells,
     )
+    from dbt_project_spark.operators.kmeans import KM_SCALE
 
     e = load_table(spark, sf_dir, "embeddings")
     ccent, cells, _k, nprobe = load_ivf_index(spark, sf_dir, e)
@@ -1078,14 +1086,11 @@ def _rpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         col, lambda x: F.round(x.cast("double") * KM_SCALE).cast("bigint")
     )
     centi = ccent.select("cid", to_int("ce").alias("civ"))
-    rv = persist_tracked(
-        cells.join(F.broadcast(centi), on="cid").select(
-            F.col("vec_id").alias("vid"),
-            F.col("cid").cast("bigint").alias("cell"),
-            F.zip_with(
-                to_int("embedding"), "civ", lambda a, b: a - b
-            ).alias("iv"),
-        )
+    # residual PQ codebooks + corpus codes from the PERSISTED index
+    # (trained/encoded once per corpus on v − centroid(cell(v)) by
+    # build_pq_index(residual=True) — bit-identical to inline).
+    books, codes = load_pq_index(
+        spark, sf_dir, PQ_M, PQ_K, PQ_ITERS, e, residual=True
     )
     dim = e.select(F.min(F.size("embedding")).alias("d")).first()["d"]
     sub = dim // PQ_M
@@ -1120,24 +1125,22 @@ def _rpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    lut = None
     for m in range(PQ_M):
-        sub_rv = persist_tracked(
-            rv.select("vid", F.slice("iv", m * sub + 1, sub).alias("iv"))
-        )
-        cb = kmeans_fit(sub_rv, PQ_K, PQ_ITERS)
-        codes = assign_clusters(sub_rv, cb)
         q_sub = qres.select(
             "query_id", "cell", F.slice("iv", m * sub + 1, sub).alias("iv")
         )
-        lut = q_sub.crossJoin(F.broadcast(cb)).select(
-            "query_id", "cell", "cid", ld2.alias("ld2")
+        lm = q_sub.crossJoin(
+            F.broadcast(books.filter(F.col("m") == m).select("cid", "civ"))
+        ).select(
+            "query_id", "cell", F.lit(m).alias("m"), "cid", ld2.alias("ld2")
         )
-        part = (
-            cand.join(codes, on="vid")
-            .join(F.broadcast(lut), on=["query_id", "cell", "cid"])
-            .select("query_id", "vid", "ld2")
-        )
-        parts = part if parts is None else parts.unionByName(part)
+        lut = lm if lut is None else lut.unionByName(lm)
+    parts = (
+        cand.join(codes, on="vid")
+        .join(F.broadcast(lut), on=["query_id", "cell", "m", "cid"])
+        .select("query_id", "vid", "ld2")
+    )
     return parts.groupBy("query_id", "vid").agg(
         F.sum("ld2").cast("bigint").alias("ad2")
     )
