@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "minhash_band_tuning",
     "attribution_markov_removal",
     "dp_noisy_daily_counts",
+    "ann_recall_ivf",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change) — refresh their verdicts. The list
     # runs past slot 50: the tail entries here are the two r04

@@ -1204,3 +1204,85 @@ def ann_recall_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matched",
         F.round(F.col("n_matched") * 1.0 / PQANN_K, 6).alias("recall"),
     )
+
+
+def _ivf_recall_oracle() -> str:
+    from dbt_project_spark.queries_similarity import _cos_ranked_sql
+
+    return f"""
+    WITH {_KP_SQL},
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+             WHERE vec_id < (SELECT k FROM kp)),
+    asgf AS (SELECT e.vec_id, c.cid,
+                    unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
+             FROM embeddings e CROSS JOIN cent c),
+    sims AS (SELECT vec_id, cid,
+                    ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS s
+             FROM asgf GROUP BY vec_id, cid),
+    assign AS (SELECT vec_id, max_by(cid, {_KEY_SQL}) AS cid
+               FROM sims GROUP BY vec_id),
+    probes AS (SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY {_KEY_SQL} DESC) AS rn
+        FROM sims WHERE vec_id < {NQUERIES}) WHERE rn <= (SELECT np FROM kp)),
+    q AS (SELECT p.query_id, p.cid, e.embedding AS qe
+          FROM probes p JOIN embeddings e ON e.vec_id = p.query_id),
+    pairs AS (SELECT q.query_id, a.vec_id AS neighbor_id, q.qe,
+                     e.embedding AS ce
+              FROM q JOIN assign a ON a.cid = q.cid AND a.vec_id != q.query_id
+                   JOIN embeddings e ON e.vec_id = a.vec_id),
+    {_cos_ranked_sql('pairs', '_ivf', IVF_TOPK)},
+    qq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {NQUERIES}),
+    pairs_bf AS (SELECT qq.query_id, e.vec_id AS neighbor_id,
+                        qq.qe, e.embedding AS ce
+                 FROM qq JOIN embeddings e ON e.vec_id != qq.query_id),
+    {_cos_ranked_sql('pairs_bf', '_bf', IVF_TOPK)},
+    m AS (SELECT t.query_id, CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_matched
+          FROM top_bf t LEFT JOIN top_ivf i
+            ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+          GROUP BY t.query_id)
+    SELECT query_id, CAST({IVF_TOPK} AS BIGINT) AS k, n_matched,
+           ROUND(n_matched * 1.0 / {IVF_TOPK}, 6) AS recall
+    FROM m
+    """
+
+
+@register("ann_recall_ivf", oracle=_ivf_recall_oracle())
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of COARSE IVF (exact cosine inside nprobe probed
+    cells) vs brute force — isolates pure probe-miss loss with no
+    code quantization in the way. Completes the monitor family: every
+    index variant in the catalog (LSH / int8 / truncated-dims / IVF /
+    IVF-PQ raw / IVF-PQ residual) now has its own recall row, so an
+    operator can read exactly WHERE the loss enters the stack.
+    Serving side reuses the persisted index verbatim (ann_ivf_topk's
+    dataflow)."""
+    from dbt_project_spark.operators.similarity import bruteforce_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < NQUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    bf = bruteforce_topk(q, c, IVF_TOPK).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("iq"), F.col("neighbor_id").alias("in_")
+    )
+    m = (
+        bf.join(
+            ivf,
+            (F.col("iq") == F.col("query_id"))
+            & (F.col("in_") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("in_").cast("bigint").alias("n_matched"))
+    )
+    return m.select(
+        "query_id",
+        F.lit(IVF_TOPK).cast("bigint").alias("k"),
+        "n_matched",
+        F.round(F.col("n_matched") * 1.0 / IVF_TOPK, 6).alias("recall"),
+    )
