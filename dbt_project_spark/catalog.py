@@ -92,26 +92,27 @@ PRIORITY: list[str] = [
     "profile_drift_halves",
     "kaplan_meier_retention",
     "table_file_stats",
-    # --- new in r05 (no driver verdict yet) ---
+    # --- new in r05 (no driver verdict yet), complexity-first: the 13
+    # here fill window slots 38..50; dp_noisy_daily_counts (simplest,
+    # locally + vanilla green) and the changed-refresh block below
+    # overflow to the r06 window. ---
     "ivf_build_index",
     "ann_ivfpq_topk",
-    "ann_recall_ivfpq",
-    "mm_chunk_dedup_cdc",
     "ann_ivfpq_residual_topk",
+    "mm_chunk_dedup_cdc",
+    "attribution_markov_removal",
+    "minhash_band_tuning",
+    "ann_recall_ivfpq",
     "ann_recall_ivfpq_residual",
+    "ann_recall_ivf",
+    "corpus_gopher_rules",
     "welch_ttest_value",
     "slo_burn_rate",
     "price_index_laspeyres",
-    "corpus_gopher_rules",
-    "minhash_band_tuning",
-    "attribution_markov_removal",
     "dp_noisy_daily_counts",
-    "ann_recall_ivf",
     # --- changed in r04/r05 (previously driver-green, re-verified
-    # locally after the change) — refresh their verdicts. The list
-    # runs past slot 50: the tail entries here are the two r04
-    # pure-conf, value-identical changes (twa/win_time_range), the
-    # least-risk refreshes — they rotate into the r06 window. ---
+    # locally after the change, plus the vanilla-session gate) —
+    # verdict refreshes; these rotate into the r06 window ---
     "ann_ivf_topk",
     "ivf_train_centroids",
     "triangle_count",
