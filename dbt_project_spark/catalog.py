@@ -110,6 +110,7 @@ PRIORITY: list[str] = [
     "slo_burn_rate",
     "price_index_laspeyres",
     "dp_noisy_daily_counts",
+    "vocab_coverage_curve",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -1055,3 +1055,76 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("top_word_ok")
         & F.col("dup_bigram_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage_curve — corpus coverage per vocabulary size (r05)
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZES = [50, 100, 200, 500]
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tk FROM documents),
+    freq AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY tk),
+    rk AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tk) AS r FROM freq),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS t FROM rk),
+    vs AS (SELECT unnest([{", ".join(str(v) for v in VOCAB_SIZES)}]) AS v),
+    cov AS (SELECT vs.v,
+                   CAST(SUM(CASE WHEN rk.r <= vs.v THEN rk.f ELSE 0 END)
+                        AS BIGINT) AS c
+            FROM rk CROSS JOIN vs GROUP BY vs.v)
+    SELECT CAST(cov.v AS BIGINT) AS vocab_size,
+           tot.t AS n_tokens_total,
+           cov.c AS n_covered,
+           CAST(cov.c * 1000000 // tot.t AS BIGINT) AS coverage_micro
+    FROM cov CROSS JOIN tot
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size V,
+    the fraction of all corpus tokens covered by the V most frequent
+    words (rank ties toward the lexicographically smaller token —
+    total order, so the curve hash-gates). THE sizing table for a
+    tokenizer budget / OOV analysis: where the curve flattens is
+    where a bigger vocab stops paying (pairs with vocab_topk, which
+    lists the words, and zipf_vocab_fit, which models the decay).
+
+    Exactness: counts and the truncating micro-ratio only.
+
+    Scale shape: one token explode + vocab-sized aggregate; the
+    coverage sums are conditional aggregates over the VOCAB-sized
+    frequency table against a 4-row broadcast — the corpus is
+    touched once, the curve costs nothing extra.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens_col("text")).alias("tk")
+    )
+    freq = toks.groupBy("tk").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    from pyspark.sql import Window
+
+    rk = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), F.asc("tk")))
+        .alias("r"),
+    )
+    vs = spark.createDataFrame([(v,) for v in VOCAB_SIZES], "v int")
+    cov = (
+        rk.crossJoin(F.broadcast(vs))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("v"), F.col("f")).otherwise(0))
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    tot = rk.agg(F.sum("f").cast("bigint").alias("t"))
+    return cov.crossJoin(F.broadcast(tot)).select(
+        F.col("v").cast("bigint").alias("vocab_size"),
+        F.col("t").alias("n_tokens_total"),
+        F.col("c").alias("n_covered"),
+        F.expr("CAST(c * 1000000 div t AS BIGINT)").alias("coverage_micro"),
+    )
