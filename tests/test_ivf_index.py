@@ -85,3 +85,47 @@ def test_ivf_serving_reads_only_probed_cells(spark):
     df = QUERIES["ann_ivf_topk"](spark, sf)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_pq_index_staleness_follows_corpus(spark, tmp_path):
+    """The PQ layer keys its staleness on the coarse index
+    fingerprint: same count + changed content must rebuild BOTH
+    variants' codes; a warm rebuild is a no-op."""
+    import json
+
+    from dbt_project_spark.operators.ivf import build_pq_index
+
+    sf_dir = str(tmp_path / "sfy")
+    _write_corpus(spark, sf_dir, seed=5)
+    shutil.rmtree(ivf_index_dir(sf_dir), ignore_errors=True)
+    e = _embeddings(spark, sf_dir)
+    m1 = build_pq_index(spark, sf_dir, pq_m=2, pq_k=4, pq_iters=1, e=e)
+    d = os.path.join(ivf_index_dir(sf_dir), "pq_raw")
+    mpath = os.path.join(d, "_META.json")
+    mtime = os.path.getmtime(mpath)
+    # warm: same meta -> skip
+    assert build_pq_index(spark, sf_dir, pq_m=2, pq_k=4, pq_iters=1, e=e) == m1
+    assert os.path.getmtime(mpath) == mtime
+    codes1 = {
+        (r["vid"], r["m"], r["cid"])
+        for r in spark.read.parquet(os.path.join(d, "codes.parquet")).collect()
+    }
+    assert {v for v, _, _ in codes1} == set(range(N))
+    assert {m for _, m, _ in codes1} == {0, 1}
+
+    # same count, new content -> fingerprint differs -> rebuild
+    _write_corpus(spark, sf_dir, seed=6)
+    e2 = _embeddings(spark, sf_dir)
+    m2 = build_pq_index(spark, sf_dir, pq_m=2, pq_k=4, pq_iters=1, e=e2)
+    assert m2["fp"] != m1["fp"]
+    with open(mpath) as fh:
+        assert json.load(fh) == m2
+    # residual variant builds independently and encodes every vector
+    mr = build_pq_index(
+        spark, sf_dir, pq_m=2, pq_k=4, pq_iters=1, e=e2, residual=True
+    )
+    assert mr["residual"] is True
+    dres = os.path.join(ivf_index_dir(sf_dir), "pq_residual")
+    codes_r = spark.read.parquet(os.path.join(dres, "codes.parquet"))
+    assert codes_r.select("vid").distinct().count() == N
+    shutil.rmtree(ivf_index_dir(sf_dir), ignore_errors=True)
