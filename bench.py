@@ -114,6 +114,8 @@ HEADLINE = [
     "ivf_build_index",
     "ann_ivfpq_topk",
     "mm_chunk_dedup_cdc",
+    # round 5, session 2: HITS completes the iterative graph trio
+    "hits_trade",
 ]
 
 # The 10 most expensive headline queries per BENCH_r02, cheapest first

@@ -111,6 +111,9 @@ PRIORITY: list[str] = [
     "price_index_laspeyres",
     "dp_noisy_daily_counts",
     "vocab_coverage_curve",
+    "hits_trade",
+    "ivf_cell_balance",
+    "ann_probe_recall_sweep",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

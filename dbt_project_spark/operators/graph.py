@@ -173,6 +173,97 @@ def pagerank_fixedpoint(
     return ranks.select("node", "r")
 
 
+def hits_fixedpoint(
+    edges: DataFrame,
+    iters: int = 4,
+    scale: int = 1_000_000_000,
+    broadcast_threshold: int = 10_000_000,
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg hubs & authorities) over a
+    directed edge list (src, dst). Returns (node, h, a) with hub and
+    authority scores in BIGINT units of ``1/scale``.
+
+    Per iteration (the classic mutual recursion): hub(u) = Σ auth(v)
+    over u's out-edges, then auth(v) = Σ hub(u) over v's in-edges,
+    each half-step max-normalized back to ``scale``. Normalization
+    runs in DECIMAL(38,0) (``raw * scale div max`` — raw sums fit
+    BIGINT up to degree ≈ 9×10⁹ at scale 10⁹; the multiply would not,
+    the kmeans key convention, operators/kmeans.py:119) with floor
+    division, so results are bit-identical across engines and
+    partitionings. Max-normalization (not L2) keeps the chain in
+    exact integers — the ranking fixed point is the same.
+
+    Scale shape mirrors ``pagerank_fixedpoint``: the edges never
+    move; each half-step joins the nodes-sized score table onto the
+    edge list and sum-aggregates with map-side combine. Score tables
+    are broadcast only below ``broadcast_threshold`` nodes; the
+    per-step max is a 1-row aggregate broadcast onto the score table.
+    """
+    from dbt_project_spark.caching import persist_tracked
+
+    edges = persist_tracked(edges)
+    edges.count()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = persist_tracked(nodes)
+    small_graph = nodes.count() <= broadcast_threshold
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_graph else df
+
+    def _normalize(raw: DataFrame, key: str, col: str) -> DataFrame:
+        """(key, raw) -> (node, col) max-normalized to scale.
+
+        ``raw`` is PERSISTED before use: it feeds both the 1-row max
+        aggregate and the value projection — unpersisted, Spark would
+        recompute the whole upstream half-step chain for each
+        consumer, doubling work per half-step (2^(2·iters) blowup).
+        The result is localCheckpoint-truncated: persistence alone
+        leaves the LOGICAL plan tree doubling per half-step, and the
+        2^(2·iters)-subtree plan string OOMs the driver before a
+        single task runs (the BFS/connected-components convention —
+        see bfs_hops/_BFS_CHECKPOINT_EVERY)."""
+        raw = persist_tracked(raw)
+        mx = raw.agg(F.max("raw").alias("mx"))
+        out = raw.crossJoin(F.broadcast(mx)).select(
+            F.col(key).alias("node"),
+            F.expr(f"CAST(raw AS DECIMAL(38,0)) * {scale} div mx")
+            .cast("bigint")
+            .alias(col),
+        )
+        return persist_tracked(out.localCheckpoint(eager=False))
+
+    auth = nodes.select("node", F.lit(scale).cast("bigint").alias("a"))
+    hub = None
+    for _ in range(iters):
+        hraw = (
+            edges.join(_side(auth), edges.dst == auth.node)
+            .groupBy("src")
+            .agg(F.sum("a").alias("raw"))
+        )
+        hub = _normalize(hraw, "src", "h")
+        araw = (
+            edges.join(_side(hub), edges.src == hub.node)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("raw"))
+        )
+        auth = _normalize(araw, "dst", "a")
+    out = (
+        nodes.join(_side(hub).withColumnRenamed("node", "hn"),
+                   nodes.node == F.col("hn"), "left")
+        .join(_side(auth).withColumnRenamed("node", "an"),
+              nodes.node == F.col("an"), "left")
+    )
+    return out.select(
+        "node",
+        F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("h"),
+        F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("a"),
+    )
+
+
 # Truncate BFS distance-table lineage every N rounds (matches
 # _CC_CHECKPOINT_EVERY in operators/dedup.py).
 _BFS_CHECKPOINT_EVERY = 4

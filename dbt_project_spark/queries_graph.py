@@ -293,6 +293,84 @@ def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HITS_ITERS = 4  # unrolled hub/auth half-step pairs (both engines)
+HITS_SCALE = 1_000_000_000  # max-normalized score units of 1e-9
+
+
+def _hits_oracle() -> str:
+    """Unrolled fixed-point HITS CTE chain (see hits_trade)."""
+    s = HITS_SCALE
+    parts = [
+        _TRADE_GRAPH_SQL,
+        f""",
+    a0 AS (SELECT node, CAST({s} AS BIGINT) AS a FROM nodes)""",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        # hraw/araw are each referenced TWICE (scalar MAX + value
+        # projection): MATERIALIZED stops DuckDB inlining the full
+        # upstream chain per reference — the 2^(2·iters) blowup the
+        # Spark side avoids with per-half-step persists.
+        parts.append(f""",
+    hraw{i} AS MATERIALIZED (SELECT e.src, CAST(SUM(a.a) AS BIGINT) AS raw
+                FROM edges e JOIN a{i - 1} a ON a.node = e.dst
+                GROUP BY e.src),
+    h{i} AS MATERIALIZED (SELECT src AS node,
+                    CAST(CAST(raw AS HUGEINT) * {s}
+                         // (SELECT MAX(raw) FROM hraw{i}) AS BIGINT) AS h
+             FROM hraw{i}),
+    araw{i} AS MATERIALIZED (SELECT e.dst, CAST(SUM(h.h) AS BIGINT) AS raw
+                FROM edges e JOIN h{i} h ON h.node = e.src
+                GROUP BY e.dst),
+    a{i} AS MATERIALIZED (SELECT dst AS node,
+                    CAST(CAST(raw AS HUGEINT) * {s}
+                         // (SELECT MAX(raw) FROM araw{i}) AS BIGINT) AS a
+             FROM araw{i})""")
+    n = HITS_ITERS
+    parts.append(f"""
+    SELECT nodes.node AS nationkey,
+           COALESCE(h{n}.h, 0) AS hub_scaled,
+           COALESCE(a{n}.a, 0) AS auth_scaled,
+           COALESCE(h{n}.h, 0) / {s}.0 AS hub,
+           COALESCE(a{n}.a, 0) / {s}.0 AS auth
+    FROM nodes LEFT JOIN h{n} ON h{n}.node = nodes.node
+               LEFT JOIN a{n} ON a{n}.node = nodes.node
+    """)
+    return "".join(parts)
+
+
+@register("hits_trade", oracle=_hits_oracle())
+def hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the nation trade graph — the
+    question PageRank can't answer: which nations are the big BUYERS
+    (hubs: out-edges point at strong authorities) vs the big SELLERS
+    (authorities: pointed at by strong hubs)? Completes the iterative
+    trio next to pagerank_trade and bfs_hops_trade.
+
+    ``HITS_ITERS`` unrolled hub/auth half-step pairs in BIGINT units
+    of 1/``HITS_SCALE`` with per-half-step max-normalization in
+    DECIMAL(38,0)/HUGEINT floor arithmetic — bit-identical across
+    engines (float HITS is addition-order-dependent; L2
+    normalization would add an irrational sqrt).
+
+    Scale shape (operators/graph.py:hits_fixedpoint): edges never
+    move; each half-step is one nodes-sized-table join onto the edge
+    list + a map-side-combinable sum; the per-step max is a 1-row
+    broadcast. Same broadcast-threshold policy as PageRank.
+    """
+    from dbt_project_spark.operators.graph import hits_fixedpoint
+
+    scores = hits_fixedpoint(
+        _trade_edges(spark, sf_dir), iters=HITS_ITERS, scale=HITS_SCALE
+    )
+    return scores.select(
+        F.col("node").alias("nationkey"),
+        F.col("h").alias("hub_scaled"),
+        F.col("a").alias("auth_scaled"),
+        (F.col("h") / F.lit(float(HITS_SCALE))).alias("hub"),
+        (F.col("a") / F.lit(float(HITS_SCALE))).alias("auth"),
+    )
+
+
 KCORE_K = 65  # co-purchase degree threshold (non-trivial at every SF)
 KCORE_ITERS = 8  # fixed unrolled peeling rounds (converges at all SFs)
 

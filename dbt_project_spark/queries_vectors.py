@@ -1286,3 +1286,228 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matched",
         F.round(F.col("n_matched") * 1.0 / IVF_TOPK, 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ivf_cell_balance — quantizer balance diagnostics from the index (r05)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivf_cell_balance",
+    oracle=f"""
+    WITH {_KP_SQL},
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+             WHERE vec_id < (SELECT k FROM kp)),
+    asgf AS (SELECT e.vec_id, c.cid,
+                    unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
+             FROM embeddings e CROSS JOIN cent c),
+    sims AS (SELECT vec_id, cid,
+                    ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS s
+             FROM asgf GROUP BY vec_id, cid),
+    assign AS (SELECT vec_id, max_by(cid, {_KEY_SQL}) AS cid
+               FROM sims GROUP BY vec_id),
+    sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM assign GROUP BY cid),
+    g AS (SELECT CAST(SUM(sz) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_used,
+                 SUM(CAST(sz AS HUGEINT) * sz) AS s2
+          FROM sizes)
+    SELECT CAST(LENGTH(BIN(sz)) - 1 AS BIGINT) AS size_log2,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(sz) AS BIGINT) AS n_vectors,
+           CAST((SELECT CAST(k AS HUGEINT) * g.s2 * 1000000
+                 // (CAST(g.n AS HUGEINT) * g.n) FROM kp) AS BIGINT)
+               AS imbalance_micro,
+           CAST((SELECT k FROM kp) - g.n_used AS BIGINT) AS n_empty_cells
+    FROM sizes CROSS JOIN g
+    GROUP BY size_log2, g.s2, g.n, g.n_used
+    """,
+)
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list balance diagnostics from the PERSISTED IVF index
+    — the dashboard an ANN operator watches between retrains: the
+    log2 histogram of cell sizes, FAISS's imbalance factor
+    (K·Σs²/n² — expected probe cost divided by the balanced-cell
+    cost; 1.0 = perfectly balanced), and the empty-cell count (dead
+    centroids = wasted K). ``ivf_build_index`` emits the per-cell
+    list; this is the K-row → ~log2(n)-row summary that stays
+    readable at K = 10⁵.
+
+    Exactness: imbalance is exact-integer micro-units computed in
+    DECIMAL(38,0)/HUGEINT (k·Σs²·10⁶ fits through n = 10¹⁰ at
+    K ≤ 131072); buckets via LENGTH(BIN(sz))-1 — no float log2.
+
+    Scale shape: reads ONLY the cid partition column of the cell
+    lists (a footer-level scan — no vector bytes move), one
+    map-side-combinable count per cell, then a ~log2(n)-row rollup.
+    """
+    from dbt_project_spark.operators.ivf import load_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _cent, cells, k, _np = load_ivf_index(spark, sf_dir, e)
+    sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    g = sizes.agg(
+        F.sum("sz").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum(F.expr("CAST(sz AS DECIMAL(38,0)) * sz")).alias("s2"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(g))
+        .groupBy(
+            (F.length(F.bin("sz")) - 1).cast("bigint").alias("size_log2"),
+            "s2",
+            "n",
+            "n_used",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("sz").cast("bigint").alias("n_vectors"),
+        )
+        .select(
+            "size_log2",
+            "n_cells",
+            "n_vectors",
+            F.expr(
+                f"CAST(CAST({k} AS DECIMAL(38,0)) * s2 * 1000000"
+                f" div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+            ).alias("imbalance_micro"),
+            (F.lit(k) - F.col("n_used")).cast("bigint").alias("n_empty_cells"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_probe_recall_sweep — recall-vs-nprobe tuning table (r05)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_probe_recall_sweep",
+    oracle=f"""
+    WITH {_KP_SQL},
+    ps AS (SELECT DISTINCT p FROM (
+             SELECT 1 AS p
+             UNION ALL SELECT GREATEST(np // 2, 1) FROM kp
+             UNION ALL SELECT np FROM kp
+             UNION ALL SELECT LEAST(2 * np, k) FROM kp)),
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+             WHERE vec_id < (SELECT k FROM kp)),
+    asgf AS (SELECT e.vec_id, c.cid,
+                    unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
+             FROM embeddings e CROSS JOIN cent c),
+    sims AS (SELECT vec_id, cid,
+                    ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS s
+             FROM asgf GROUP BY vec_id, cid),
+    assign AS (SELECT vec_id, max_by(cid, {_KEY_SQL}) AS cid
+               FROM sims GROUP BY vec_id),
+    pranks AS (SELECT vec_id AS query_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY {_KEY_SQL} DESC) AS rn
+               FROM sims WHERE vec_id < {NQUERIES}),
+    cand AS (SELECT ps.p, pr.query_id, a.vec_id AS neighbor_id
+             FROM ps JOIN pranks pr ON pr.rn <= ps.p
+                  JOIN assign a ON a.cid = pr.cid
+                                AND a.vec_id != pr.query_id),
+    cf AS (SELECT c.p, c.query_id, c.neighbor_id,
+                  unnest(q.embedding)::DOUBLE AS x,
+                  unnest(e.embedding)::DOUBLE AS y
+           FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+                       JOIN embeddings e ON e.vec_id = c.neighbor_id),
+    csims AS (SELECT p, query_id, neighbor_id,
+                     ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6)
+                         AS cosine
+              FROM cf GROUP BY p, query_id, neighbor_id),
+    topp AS (SELECT p, query_id, neighbor_id FROM (
+               SELECT p, query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY p, query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM csims) WHERE rank <= {IVF_TOPK}),
+    qq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {NQUERIES}),
+    bff AS (SELECT qq.query_id, e.vec_id AS neighbor_id,
+                   unnest(qq.qe)::DOUBLE AS x,
+                   unnest(e.embedding)::DOUBLE AS y
+            FROM qq JOIN embeddings e ON e.vec_id != qq.query_id),
+    bsims AS (SELECT query_id, neighbor_id,
+                     ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6)
+                         AS cosine
+              FROM bff GROUP BY query_id, neighbor_id),
+    top_bf AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) AS rank
+                 FROM bsims) WHERE rank <= {IVF_TOPK}),
+    hits AS (SELECT i.p, CAST(COUNT(*) AS BIGINT) AS nm
+             FROM topp i JOIN top_bf t
+               ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+             GROUP BY i.p)
+    SELECT CAST(ps.p AS BIGINT) AS nprobe,
+           CAST({NQUERIES} AS BIGINT) AS n_queries,
+           CAST({IVF_TOPK} AS BIGINT) AS topk,
+           CAST(COALESCE(h.nm, 0) AS BIGINT) AS n_matched,
+           CAST(COALESCE(h.nm, 0) * 1000000
+                // ({NQUERIES} * {IVF_TOPK}) AS BIGINT) AS recall_micro
+    FROM ps LEFT JOIN hits h ON h.p = ps.p
+    """,
+)
+def ann_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k vs nprobe — THE tuning table for the one dial an IVF
+    operator actually turns in production (probe more cells: recall
+    up, scan cost up linearly). One row per probe setting
+    {1, nprobe/2, nprobe, min(2·nprobe, K)} (data-derived from
+    ``ivf_params``, mirrored in kp/ps SQL) with aggregate recall in
+    exact integer micro-units. Completes the tuning-table trio next
+    to minhash_band_tuning (dedup threshold dial) and
+    vocab_coverage_curve (vocab size dial).
+
+    Scale shape: every setting serves from the SAME persisted index
+    (operators/ivf.py — probe list broadcast onto the DPP-pruned cell
+    scan, exactly ann_ivf_topk's dataflow); the brute-force pass runs
+    once and is shared across settings. Cost is Σp/K of the corpus
+    per query batch — the sweep itself is the recall/cost curve.
+    """
+    from dbt_project_spark.operators.ivf import load_ivf_index, probe_cells
+    from dbt_project_spark.operators.similarity import bruteforce_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent, cells, k, np_ = load_ivf_index(spark, sf_dir, e)
+    settings = sorted({1, max(np_ // 2, 1), np_, min(2 * np_, k)})
+    queries = e.filter(F.col("vec_id") < NQUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    bf = bruteforce_topk(queries, c, IVF_TOPK).select("query_id", "neighbor_id")
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    parts = []
+    for p in settings:
+        probes = probe_cells(queries, cent, p)
+        topk = (
+            F.broadcast(probes)
+            .join(cells, on="cid")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "cosine", F.round(cosine_similarity("qe", "embedding"), 6)
+            )
+            .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= IVF_TOPK)
+            .select("query_id", "neighbor_id")
+        )
+        nm = topk.join(bf, on=["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("nm")
+        )
+        parts.append(
+            nm.select(
+                F.lit(p).cast("bigint").alias("nprobe"),
+                F.lit(NQUERIES).cast("bigint").alias("n_queries"),
+                F.lit(IVF_TOPK).cast("bigint").alias("topk"),
+                F.col("nm").alias("n_matched"),
+                F.expr(f"CAST(nm * 1000000 div ({NQUERIES} * {IVF_TOPK})"
+                       " AS BIGINT)").alias("recall_micro"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out

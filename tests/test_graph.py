@@ -228,3 +228,90 @@ def test_kcore_converged_at_catalog_params(spark):
     a = kcore(copurchase_edges(li), k=KCORE_K, iters=KCORE_ITERS)
     b = kcore(copurchase_edges(li), k=KCORE_K, iters=KCORE_ITERS + 1)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (operators/graph.py:hits_fixedpoint)
+# ---------------------------------------------------------------------------
+
+
+def _dedges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(u), int(v)) for u, v in pairs], "src bigint, dst bigint"
+    )
+
+
+def _hits_py(pairs, iters, scale):
+    """Exact-integer python mirror of the hits_fixedpoint recurrence
+    (max-normalized half-steps, floor division)."""
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    a = {n: scale for n in nodes}
+    h = {}
+    for _ in range(iters):
+        hraw = {}
+        for u, v in pairs:
+            if v in a:
+                hraw[u] = hraw.get(u, 0) + a[v]
+        mx = max(hraw.values())
+        h = {u: r * scale // mx for u, r in hraw.items()}
+        araw = {}
+        for u, v in pairs:
+            if u in h:
+                araw[v] = araw.get(v, 0) + h[u]
+        mx = max(araw.values())
+        a = {v: r * scale // mx for v, r in araw.items()}
+    return {n: (h.get(n, 0), a.get(n, 0)) for n in nodes}
+
+
+def test_hits_star_semantics(spark):
+    """1→{2,3,4}, 5→2: node 1 is the hub, node 2 the authority;
+    leaves have hub 0, pure hubs have authority 0."""
+    from dbt_project_spark.operators.graph import hits_fixedpoint
+
+    s = 10**9
+    pairs = [(1, 2), (1, 3), (1, 4), (5, 2)]
+    got = {
+        r["node"]: (r["h"], r["a"])
+        for r in hits_fixedpoint(_dedges(spark, pairs), iters=4, scale=s).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1][0] == s  # best hub, max-normalized to scale
+    assert got[2][1] == s  # best authority
+    assert got[2][0] == got[3][0] == got[4][0] == 0  # no out-edges
+    assert got[1][1] == got[5][1] == 0  # no in-edges
+    assert got[3][1] == got[4][1]
+    assert 0 < got[3][1] < s
+    assert 0 < got[5][0] < s  # weaker hub than node 1
+
+
+def test_hits_matches_integer_mirror(spark):
+    """Bit-exact agreement with the python integer recurrence on an
+    asymmetric digraph (cycle + chords + a sink)."""
+    from dbt_project_spark.operators.graph import hits_fixedpoint
+
+    s = 10**9
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (4, 3), (3, 5)]
+    want = _hits_py(pairs, iters=4, scale=s)
+    got = {
+        r["node"]: (r["h"], r["a"])
+        for r in hits_fixedpoint(_dedges(spark, pairs), iters=4, scale=s).collect()
+    }
+    assert got == want
+
+
+def test_hits_shuffle_regime_bit_identical(spark):
+    """Above/below the broadcast threshold must not change a single
+    scaled score (integer fixed-point is partitioning-independent)."""
+    from dbt_project_spark.operators.graph import hits_fixedpoint
+
+    pairs = [(i, (i * 3 + 1) % 11) for i in range(11)] + [(0, 5), (7, 5)]
+    e = _dedges(spark, pairs)
+    small = {
+        r["node"]: (r["h"], r["a"])
+        for r in hits_fixedpoint(e, iters=3).collect()
+    }
+    shuffled = {
+        r["node"]: (r["h"], r["a"])
+        for r in hits_fixedpoint(e, iters=3, broadcast_threshold=0).collect()
+    }
+    assert small == shuffled

@@ -129,3 +129,70 @@ def test_pq_index_staleness_follows_corpus(spark, tmp_path):
     codes_r = spark.read.parquet(os.path.join(dres, "codes.parquet"))
     assert codes_r.select("vid").distinct().count() == N
     shutil.rmtree(ivf_index_dir(sf_dir), ignore_errors=True)
+
+
+def test_ivf_cell_balance_single_cluster(spark, tmp_path):
+    """All-identical vectors collapse into cell 0: one bucket row,
+    imbalance factor exactly K (micro units), K-1 empty cells."""
+    from dbt_project_spark.catalog import QUERIES, load_all
+
+    load_all()
+    sf_dir = str(tmp_path / "sfb")
+    rows = [(i, [1.0] * 8) for i in range(N)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    shutil.rmtree(ivf_index_dir(sf_dir), ignore_errors=True)
+    out = QUERIES["ivf_cell_balance"](spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["size_log2"] == 6  # len(bin(64)) - 1
+    assert r["n_cells"] == 1 and r["n_vectors"] == N
+    assert r["imbalance_micro"] == 16 * 1_000_000  # K = 16 at n = 64
+    assert r["n_empty_cells"] == 15
+    shutil.rmtree(ivf_index_dir(sf_dir), ignore_errors=True)
+
+
+def test_ivf_cell_balance_covers_corpus(spark, tmp_path):
+    """Bucket rows partition the corpus: Σn_vectors = n, buckets are
+    distinct, imbalance ≥ 1.0 (Cauchy–Schwarz floor)."""
+    from dbt_project_spark.catalog import QUERIES, load_all
+
+    load_all()
+    sf_dir = str(tmp_path / "sfc")
+    _write_corpus(spark, sf_dir, seed=7)
+    shutil.rmtree(ivf_index_dir(sf_dir), ignore_errors=True)
+    out = QUERIES["ivf_cell_balance"](spark, sf_dir).collect()
+    assert sum(r["n_vectors"] for r in out) == N
+    logs = [r["size_log2"] for r in out]
+    assert len(logs) == len(set(logs))
+    assert all(r["imbalance_micro"] >= 1_000_000 for r in out)
+    assert len({r["imbalance_micro"] for r in out}) == 1  # global constant
+    shutil.rmtree(ivf_index_dir(sf_dir), ignore_errors=True)
+
+
+def test_probe_recall_sweep_monotone(spark, tmp_path):
+    """Recall@k is non-decreasing in nprobe (superset candidates can
+    only push true positives IN, never out — asserted, not assumed),
+    and the settings ladder derives from ivf_params."""
+    from dbt_project_spark.catalog import QUERIES, load_all
+
+    load_all()
+    sf_dir = str(tmp_path / "sfd")
+    _write_corpus(spark, sf_dir, seed=9)
+    shutil.rmtree(ivf_index_dir(sf_dir), ignore_errors=True)
+    out = sorted(
+        QUERIES["ann_probe_recall_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in out] == [1, 2, 4]  # k=16, np=2 at n=64
+    recalls = [r["recall_micro"] for r in out]
+    assert recalls == sorted(recalls)
+    for r in out:
+        assert 0 <= r["n_matched"] <= r["n_queries"] * r["topk"]
+        assert r["recall_micro"] == r["n_matched"] * 1_000_000 // (
+            r["n_queries"] * r["topk"]
+        )
+    shutil.rmtree(ivf_index_dir(sf_dir), ignore_errors=True)
