@@ -116,6 +116,7 @@ HEADLINE = [
     "mm_chunk_dedup_cdc",
     # round 5, session 2: HITS completes the iterative graph trio
     "hits_trade",
+    "bpe_train_merges",
 ]
 
 # The 10 most expensive headline queries per BENCH_r02, cheapest first

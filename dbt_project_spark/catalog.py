@@ -114,6 +114,7 @@ PRIORITY: list[str] = [
     "hits_trade",
     "ivf_cell_balance",
     "ann_probe_recall_sweep",
+    "bpe_train_merges",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

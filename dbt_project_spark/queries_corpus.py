@@ -1128,3 +1128,149 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_covered"),
         F.expr("CAST(c * 1000000 div t AS BIGINT)").alias("coverage_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges — multi-round distributed BPE trainer (r05s2)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6  # unrolled merge rounds (both engines)
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE merge-round CTE chain (see bpe_train_merges)."""
+    head = f"""
+    WITH wf AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+            SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w),
+    v0 AS MATERIALIZED (
+        SELECT w, f,
+               ' ' || array_to_string(list_transform(
+                   range(1, length(w) + 1), i -> substring(w, i, 1)),
+                   ' ') || ' ' AS seg
+        FROM wf)"""
+    parts = [head]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(f""",
+    p{i} AS MATERIALIZED (
+        SELECT pr, CAST(SUM(f) AS BIGINT) AS n FROM (
+            SELECT unnest(list_transform(
+                       range(1, len(sym)),
+                       j -> sym[j] || ' ' || sym[j + 1])) AS pr, f
+            FROM (SELECT string_split(trim(seg), ' ') AS sym, f
+                  FROM v{i - 1} WHERE length(trim(seg)) > 0))
+        GROUP BY pr),
+    b{i} AS MATERIALIZED (
+        SELECT pr, n FROM p{i} ORDER BY n DESC, pr LIMIT 1),
+    v{i} AS MATERIALIZED (
+        SELECT v.w, v.f,
+               COALESCE(replace(v.seg, ' ' || b.pr || ' ',
+                                ' ' || replace(b.pr, ' ', '') || ' '),
+                        v.seg) AS seg
+        FROM v{i - 1} v LEFT JOIN b{i} b ON TRUE)""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_no,"
+        f" split_part(pr, ' ', 1) AS pair_left,"
+        f" split_part(pr, ' ', 2) AS pair_right,"
+        f" replace(pr, ' ', '') AS merged, n FROM b{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return "".join(parts) + "\n    " + unions
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE tokenizer TRAINING — the full merge table
+    (``bpe_pair_counts`` is one round's pair census; this is the loop
+    a from-scratch tokenizer trainer runs): per round, count
+    corpus-weighted adjacent symbol pairs over the word vocabulary,
+    take the argmax pair (ties to the lexicographically smaller —
+    total order, hash-gates), merge it everywhere, repeat. Output is
+    one row per merge round — exactly the merges.txt a BPE tokenizer
+    ships.
+
+    Segmentations live as space-delimited symbol STRINGS and the
+    merge step is one built-in ``replace`` per round (non-overlapping
+    left-to-right in both engines — greedy BPE's scan order; the
+    shared-delimiter case ' a a a a a ' → ' aa a aa ' is the
+    delimiter-consumption convention, identical on both sides) — the
+    whole round stays in whole-stage codegen; no UDFs, no arrays
+    shuffled.
+
+    Scale shape: training runs over the DISTINCT word vocabulary
+    weighted by frequency (the corpus is never re-scanned after the
+    initial word count — the reason real BPE trainers are feasible at
+    100 TB); each round is a map-side-combinable pair count, a 1-row
+    argmax broadcast, and a map-only string rewrite. The vocab table
+    is persisted per round with localCheckpoint lineage truncation
+    (the HITS/BFS convention — it feeds both the pair count and the
+    next round).
+    """
+    from dbt_project_spark.caching import persist_tracked
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w")
+    )
+    wf = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    vocab = wf.select(
+        "w",
+        "f",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split("w", ""), " "),
+            F.lit(" "),
+        ).alias("seg"),
+    )
+    merges = []
+    for i in range(1, BPE_MERGES + 1):
+        vocab = persist_tracked(vocab.localCheckpoint(eager=False))
+        pairs = (
+            vocab.filter(F.length(F.trim("seg")) > 0)
+            .select(F.split(F.trim("seg"), " ").alias("sym"), "f")
+            # sequence(1, 0) DESCENDS in Spark (it is not empty like
+            # DuckDB's range) — fully-merged single-symbol words must
+            # be filtered before the adjacent-pair transform.
+            .filter(F.size("sym") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1),"
+                        " j -> concat(element_at(sym, j), ' ',"
+                        " element_at(sym, j + 1)))"
+                    )
+                ).alias("pr"),
+                "f",
+            )
+            .groupBy("pr")
+            .agg(F.sum("f").cast("bigint").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("pr")).limit(1)
+        merges.append(
+            best.select(
+                F.lit(i).cast("bigint").alias("merge_no"),
+                F.expr("split_part(pr, ' ', 1)").alias("pair_left"),
+                F.expr("split_part(pr, ' ', 2)").alias("pair_right"),
+                F.expr("replace(pr, ' ', '')").alias("merged"),
+                "n",
+            )
+        )
+        vocab = (
+            vocab.join(F.broadcast(best), F.lit(True), "left")
+            .select(
+                "w",
+                "f",
+                F.coalesce(
+                    F.expr(
+                        "replace(seg, concat(' ', pr, ' '),"
+                        " concat(' ', replace(pr, ' ', ''), ' '))"
+                    ),
+                    F.col("seg"),
+                ).alias("seg"),
+            )
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

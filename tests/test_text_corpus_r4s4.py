@@ -156,3 +156,27 @@ def test_rapid_repeat_orders_same_day_pairing(spark, tmp_path):
     assert out[(1, 2)]["amount_diff_cents"] == 0
     assert out[(4, 5)]["exact_amount_match"] is False
     assert out[(4, 5)]["amount_diff_cents"] == 250
+
+
+def test_bpe_train_merges_planted(spark, tmp_path):
+    """Hand-computed 4-merge chain on {aaab×2, aab×1}: (a,a) n=5 →
+    (a,b) n=2 (tie with 'aa a' broken lexicographically — ' ' < 'a')
+    → (aa,ab) n=2 → (aa,b) n=1; rounds 5-6 find no pairs and emit
+    nothing (the LEFT JOIN no-op path)."""
+    from dbt_project_spark.queries_corpus import bpe_train_merges
+
+    _write_docs(spark, tmp_path, ["aaab aaab aab"])
+    rows = sorted(
+        bpe_train_merges(spark, str(tmp_path)).collect(),
+        key=lambda r: r["merge_no"],
+    )
+    got = [
+        (r["merge_no"], r["pair_left"], r["pair_right"], r["merged"], r["n"])
+        for r in rows
+    ]
+    assert got == [
+        (1, "a", "a", "aa", 5),
+        (2, "a", "b", "ab", 2),
+        (3, "aa", "ab", "aaab", 2),
+        (4, "aa", "b", "aab", 1),
+    ]
