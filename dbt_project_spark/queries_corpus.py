@@ -1137,8 +1137,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 6  # unrolled merge rounds (both engines)
 
 
-def _bpe_oracle() -> str:
-    """Unrolled BPE merge-round CTE chain (see bpe_train_merges)."""
+def _bpe_chain_sql() -> str:
+    """Shared unrolled BPE CTE chain v0..v{BPE_MERGES} (see
+    bpe_train_merges; bpe_tokenize_stats reuses it verbatim)."""
     head = f"""
     WITH wf AS MATERIALIZED (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
@@ -1168,6 +1169,11 @@ def _bpe_oracle() -> str:
                                 ' ' || replace(b.pr, ' ', '') || ' '),
                         v.seg) AS seg
         FROM v{i - 1} v LEFT JOIN b{i} b ON TRUE)""")
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
+    """Merge-table select over the shared chain (see bpe_train_merges)."""
     unions = "\n    UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_no,"
         f" split_part(pr, ' ', 1) AS pair_left,"
@@ -1175,7 +1181,7 @@ def _bpe_oracle() -> str:
         f" replace(pr, ' ', '') AS merged, n FROM b{i}"
         for i in range(1, BPE_MERGES + 1)
     )
-    return "".join(parts) + "\n    " + unions
+    return _bpe_chain_sql() + "\n    " + unions
 
 
 @register("bpe_train_merges", oracle=_bpe_oracle())
@@ -1206,6 +1212,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the HITS/BFS convention — it feeds both the pair count and the
     next round).
     """
+    merges, _vocab = _bpe_loop(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_loop(spark: SparkSession, sf_dir: str):
+    """(per-round 1-row merge DFs, final vocab (w, f, seg)) — the
+    Spark twin of ``_bpe_chain_sql``."""
     from dbt_project_spark.caching import persist_tracked
 
     toks = load_table(spark, sf_dir, "documents").select(
@@ -1270,7 +1286,49 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("seg"),
             )
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return merges, vocab
+
+
+@register(
+    "bpe_tokenize_stats",
+    oracle=_bpe_chain_sql()
+    + f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+           CAST(SUM(f) AS BIGINT) AS n_corpus_words,
+           CAST(SUM(f * length(w)) AS BIGINT) AS n_chars,
+           CAST(SUM(f * len(string_split(trim(seg), ' '))) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(f * length(w)) * 1000000
+                // SUM(f * len(string_split(trim(seg), ' '))) AS BIGINT)
+               AS chars_per_token_micro
+    FROM v{BPE_MERGES}
+    """,
+)
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE training: tokenize the corpus with the
+    freshly-trained merges and report the one number a tokenizer is
+    judged by — characters per token (compression). Shares the whole
+    training chain with ``bpe_train_merges`` (same helper on the
+    Spark side, same CTE chain in the oracle), then aggregates the
+    final segmentation, frequency-weighted so the stats describe the
+    CORPUS, not the vocabulary: Σf·chars / Σf·symbols in exact
+    integer micro-units.
+
+    Scale shape: identical to training (vocab-sized rounds, corpus
+    scanned once for word counts); the final stats are one
+    map-side-combinable aggregate over the vocabulary — tokenizing
+    the corpus never materializes per-document token lists.
+    """
+    _merges, vocab = _bpe_loop(spark, sf_dir)
+    return vocab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab_words"),
+        F.sum("f").cast("bigint").alias("n_corpus_words"),
+        F.sum(F.col("f") * F.length("w")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("f") * F.size(F.split(F.trim("seg"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.expr(
+            "CAST(SUM(f * length(w)) * 1000000"
+            " div SUM(f * size(split(trim(seg), ' '))) AS BIGINT)"
+        ).alias("chars_per_token_micro"),
+    )

@@ -180,3 +180,18 @@ def test_bpe_train_merges_planted(spark, tmp_path):
         (3, "aa", "ab", "aaab", 2),
         (4, "aa", "b", "aab", 1),
     ]
+
+
+def test_bpe_tokenize_stats_planted(spark, tmp_path):
+    """Same corpus as the merge test: after 4 effective merges both
+    words collapse to single tokens — 11 weighted chars over 3
+    corpus tokens."""
+    from dbt_project_spark.queries_corpus import bpe_tokenize_stats
+
+    _write_docs(spark, tmp_path, ["aaab aaab aab"])
+    r = bpe_tokenize_stats(spark, str(tmp_path)).collect()[0]
+    assert r["n_vocab_words"] == 2
+    assert r["n_corpus_words"] == 3
+    assert r["n_chars"] == 2 * 4 + 1 * 3
+    assert r["n_tokens"] == 3
+    assert r["chars_per_token_micro"] == 11 * 1_000_000 // 3
