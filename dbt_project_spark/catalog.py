@@ -115,6 +115,10 @@ PRIORITY: list[str] = [
     "ivf_cell_balance",
     "ann_probe_recall_sweep",
     "bpe_train_merges",
+    "bpe_tokenize_stats",
+    "dedup_semantic",
+    "dedup_semantic_recall",
+    "dsir_importance_weights",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -967,3 +967,214 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster-then-pairwise over the IVF cells
+# ---------------------------------------------------------------------------
+
+def _sem_corpus_sql() -> str:
+    """Planted corpus + IVF assignment CTEs shared by the semantic
+    dedup pair and recall queries. Replays the persisted index's
+    deterministic chain (first-K centroids, integer max_by key) for
+    the base corpus and the same assignment rule for the incoming
+    clone batch — identical to what the Spark side reads from disk /
+    computes inline."""
+    from dbt_project_spark.queries_vectors import _KEY_SQL, _KP_SQL
+
+    return f"""
+    WITH {_KP_SQL},
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+    clones AS (SELECT vec_id + {PLANT_STRIDE} AS vec_id,
+                      list_transform(embedding::DOUBLE[],
+                          (x, i) -> x * (1.0 + ((vec_id*31 + i) % 11 - 5)
+                                         * 0.125)) AS embedding
+               FROM embeddings WHERE vec_id % {PLANT_MOD} = 0),
+    allv AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM base
+             WHERE vec_id < (SELECT k FROM kp)),
+    af AS (SELECT v.vec_id, c.cid,
+                  unnest(v.embedding) AS x, unnest(c.ce) AS y
+           FROM allv v CROSS JOIN cent c),
+    sims AS (SELECT vec_id, cid,
+                    ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS s
+             FROM af GROUP BY vec_id, cid),
+    assign AS (SELECT vec_id, max_by(cid, {_KEY_SQL}) AS cid
+               FROM sims GROUP BY vec_id),
+    mem AS (SELECT a.vec_id, a.cid, v.embedding
+            FROM assign a JOIN allv v ON v.vec_id = a.vec_id)"""
+
+
+def _sem_oracle() -> str:
+    return (
+        _sem_corpus_sql()
+        + f""",
+    pairs AS (SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     a.embedding AS ea, b.embedding AS eb
+              FROM mem a JOIN mem b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id),
+    pf AS (SELECT cid, vec_a, vec_b,
+                  unnest(ea) AS x, unnest(eb) AS y FROM pairs),
+    cos AS (SELECT cid, vec_a, vec_b,
+                   ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6)
+                       AS cosine
+            FROM pf GROUP BY cid, vec_a, vec_b)
+    SELECT cid, vec_a, vec_b, cosine FROM cos WHERE cosine >= {EMB_STRICT_T}
+    """
+    )
+
+
+def _sem_members(spark: SparkSession, sf_dir: str):
+    """(base cell members, clone cell members) as (vec_id, embedding
+    double[], cid) — base read from the persisted IVF index, clones
+    (the incoming batch) assigned inline against the broadcast
+    centroids. Shared by dedup_semantic and dedup_semantic_recall."""
+    from dbt_project_spark.operators.ivf import load_ivf_index
+
+    cent, cells, _k, _np = load_ivf_index(spark, sf_dir)
+    centd = cent.select(
+        "cid", F.expr("transform(ce, x -> cast(x as double))").alias("ce")
+    )
+    base = cells.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"
+        ),
+        "cid",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % PLANT_MOD == 0).select(
+        (F.col("vec_id") + PLANT_STRIDE).alias("vec_id"),
+        F.expr(_PLANT_SPARK).alias("embedding"),
+    )
+    from dbt_project_spark.functions.expressions import cosine_similarity
+
+    key = (
+        F.round(F.col("s") * 1000000).cast("bigint") * 131072
+    ) - F.col("cid")
+    casg = (
+        clones.crossJoin(F.broadcast(centd))
+        .withColumn("s", F.round(cosine_similarity("embedding", "ce"), 6))
+        .groupBy("vec_id")
+        .agg(F.max_by("cid", key).alias("cid"))
+    )
+    cmem = casg.join(clones, "vec_id").select("vec_id", "embedding", "cid")
+    return base, cmem
+
+
+@register("dedup_semantic", oracle=_sem_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    by clustering embeddings (k-means cells) and comparing pairs ONLY
+    within a cluster — n²/K cosines instead of n², the trick that
+    makes τ=0.9 dedup tractable at 10⁹ vectors without an LSH recall
+    gamble. Pairs are exact-cosine verified, so precision is 1.0;
+    the recall cost of clone/source pairs straddling a cell boundary
+    is measured by ``dedup_semantic_recall``.
+
+    Architecture: the BASE corpus's cluster memberships come from the
+    persisted IVF index (operators/ivf.py — the same inverted lists
+    ANN serving probes; one clustering pass amortized across both
+    workloads). The planted clone batch (same arithmetic as
+    ``dedup_embedding_strict``) plays the daily increment: assigned
+    inline against the broadcast centroids — batch×K work, the
+    production incremental shape (cf. dedup_incremental).
+
+    Scale: the within-cell self-join shuffles by cid (cells.parquet
+    is already partitioned by cid, so base-side reads are cell-local);
+    with K≈√n the pair count is Θ(n^1.5) worst case, cell-balanced in
+    practice (see ivf_cell_balance). Output is pairs above τ — tiny.
+    """
+    base, cmem = _sem_members(spark, sf_dir)
+    from dbt_project_spark.functions.expressions import cosine_similarity
+
+    mem = base.unionByName(cmem)
+    a = mem.select(
+        "cid", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = mem.select(
+        "cid", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine_similarity("ea", "eb"), 6))
+        .filter(F.col("cosine") >= EMB_STRICT_T)
+        .select("cid", "vec_a", "vec_b", "cosine")
+    )
+
+
+def _sem_recall_oracle() -> str:
+    return (
+        _sem_corpus_sql()
+        + f""",
+    tf AS (SELECT b.vec_id,
+                  unnest(b.embedding) AS x, unnest(c.embedding) AS y
+           FROM base b JOIN clones c
+             ON c.vec_id = b.vec_id + {PLANT_STRIDE}
+           WHERE b.vec_id % {PLANT_MOD} = 0),
+    truth AS (SELECT vec_id,
+                     ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6)
+                         AS cosine
+              FROM tf GROUP BY vec_id
+              HAVING ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6)
+                     >= {EMB_STRICT_T}),
+    hit AS (SELECT t.vec_id,
+                   CASE WHEN ab.cid = ac.cid THEN 1 ELSE 0 END AS same_cell
+            FROM truth t
+            JOIN assign ab ON ab.vec_id = t.vec_id
+            JOIN assign ac ON ac.vec_id = t.vec_id + {PLANT_STRIDE})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(same_cell) AS BIGINT) AS n_same_cell,
+           CAST(SUM(same_cell) * 1000000 // COUNT(*) AS BIGINT)
+               AS recall_micro
+    FROM hit
+    """
+    )
+
+
+@register("dedup_semantic_recall", oracle=_sem_recall_oracle())
+def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall monitor for ``dedup_semantic`` (extends the ANN recall
+    trio to the dedup side): of the planted clone/source pairs with
+    true cosine ≥ τ, what fraction did the cluster partition keep in
+    the SAME cell (and hence visible to within-cell dedup)? This is
+    SemDeDup's known failure mode — near-dups straddling a k-means
+    boundary — and the number an operator watches when choosing K.
+
+    Cost: ground truth is batch-sized (one cosine per planted pair,
+    an equi-join — no pairwise blowup); assignments are read from the
+    persisted index (base) / computed batch×K inline (clones), same
+    as the dedup query itself."""
+    base, cmem = _sem_members(spark, sf_dir)
+    from dbt_project_spark.functions.expressions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % PLANT_MOD == 0).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("eb_b"),
+    )
+    cl = cmem.select(
+        (F.col("vec_id") - PLANT_STRIDE).alias("vec_id"),
+        F.col("embedding").alias("eb_c"),
+        F.col("cid").alias("cid_c"),
+    )
+    truth = (
+        src.join(cl, "vec_id")
+        .withColumn("cosine", F.round(cosine_similarity("eb_b", "eb_c"), 6))
+        .filter(F.col("cosine") >= EMB_STRICT_T)
+    )
+    hit = truth.join(
+        base.select("vec_id", F.col("cid").alias("cid_b")), "vec_id"
+    ).select(
+        F.when(F.col("cid_b") == F.col("cid_c"), 1).otherwise(0).alias(
+            "same_cell"
+        )
+    )
+    return hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.sum("same_cell").cast("bigint").alias("n_same_cell"),
+        F.expr(
+            "CAST(SUM(same_cell) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("recall_micro"),
+    )

@@ -531,3 +531,119 @@ def priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PSW_K)
         .select("doc_id", F.col("w").alias("weight"), "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (r5s3)
+# ---------------------------------------------------------------------------
+
+DSIR_B = 256  # hashed n-gram feature buckets
+DSIR_TARGET_SRC = "src1"  # curated-target proxy split
+
+_DSIR_BUCKET_SQL = "('0x' || substr(md5(w), 1, 8))::BIGINT % 256"
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, unnest({_TOKS}) AS w FROM documents),
+    bt AS (SELECT {_DSIR_BUCKET_SQL} AS b, doc_id, source FROM toks),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bt GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bt
+            WHERE source = '{DSIR_TARGET_SRC}' GROUP BY b),
+    tots AS (SELECT (SELECT SUM(cr) FROM raw) AS tot_r,
+                    (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tot_t),
+    lam AS (SELECT r.b,
+                   CAST(round(ln(((COALESCE(t.ct, 0) + 1)::DOUBLE
+                                  * (tots.tot_r + {DSIR_B}))
+                                 / ((r.cr + 1)::DOUBLE
+                                    * (tots.tot_t + {DSIR_B})))
+                              * 1000000000) AS BIGINT) AS lam9
+            FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tots),
+    docw AS (SELECT bt.doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_toks,
+                    CAST(SUM(lam.lam9) AS BIGINT) AS w9
+             FROM bt JOIN lam ON lam.b = bt.b GROUP BY bt.doc_id)
+    SELECT doc_id, n_toks,
+           CAST(CASE WHEN w9 < 0 THEN -(abs(w9) // 1000)
+                ELSE w9 // 1000 END AS BIGINT) AS weight_micro,
+           CAST(CASE WHEN w9 > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM docw
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023): Data Selection via Importance
+    Resampling — score every raw document by how much more likely its
+    hashed-unigram features are under a curated TARGET distribution
+    than under the raw-corpus distribution, log λ(doc) =
+    Σ_tokens ln(p_target(bucket)/p_raw(bucket)) with add-one
+    smoothing over {DSIR_B} md5 buckets. Positive weight = looks like
+    the target; the `keep` flag is the selection a resampling pass
+    would feed. Here the target split is source='{DSIR_TARGET_SRC}'
+    (the curated-subset proxy in the synthetic corpus).
+
+    Float parity: one double `ln` per BUCKET (256 rows), rounded to
+    ×1e9 integer terms; per-document weights are then exact integer
+    sums of those terms (the collocation_pmi convention), so the
+    driver's hash gate is deterministic cross-engine.
+
+    Scale shape: two map-side-combinable token-bucket aggregates
+    (target is a filtered rerun of the same scan), a 256-row
+    broadcast λ table joined to the exploded token stream, one
+    groupBy(doc_id). No UDFs, no pairwise joins; at 100 TB the λ
+    table is still 256 rows and the heavy pass is a single
+    explode+aggregate the size of a token count."""
+    from dbt_project_spark.functions.expressions import md5_int
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(tokens_col("text")).alias("w")
+    )
+    bt = toks.select(
+        "doc_id", "source", (md5_int("w") % DSIR_B).alias("b")
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    bt = persist_tracked(bt)
+    raw = bt.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+    tgt = (
+        bt.filter(F.col("source") == DSIR_TARGET_SRC)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    tots = raw.agg(F.sum("cr").cast("bigint").alias("tot_r")).crossJoin(
+        tgt.agg(
+            F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("tot_t")
+        )
+    )
+    lam = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.expr(
+                f"CAST(round(ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE)"
+                f" * (tot_r + {DSIR_B}))"
+                f" / (CAST(cr + 1 AS DOUBLE) * (tot_t + {DSIR_B})))"
+                f" * 1000000000) AS BIGINT)"
+            ).alias("lam9"),
+        )
+    )
+    docw = (
+        bt.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("lam9").cast("bigint").alias("w9"),
+        )
+    )
+    return docw.select(
+        "doc_id",
+        "n_toks",
+        F.expr(
+            "CAST(CASE WHEN w9 < 0 THEN -(abs(w9) div 1000)"
+            " ELSE w9 div 1000 END AS BIGINT)"
+        ).alias("weight_micro"),
+        F.expr("CAST(CASE WHEN w9 > 0 THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "keep"
+        ),
+    )
