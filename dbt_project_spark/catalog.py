@@ -119,6 +119,8 @@ PRIORITY: list[str] = [
     "dedup_semantic",
     "dedup_semantic_recall",
     "dsir_importance_weights",
+    "nb_lang_classifier",
+    "ccnet_perplexity_buckets",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---
@@ -130,6 +132,7 @@ PRIORITY: list[str] = [
     "bfs_hops_trade",
     "twa_by_type_day",
     "win_time_range_avg",
+    "bigram_lm_quality",
 ]
 
 

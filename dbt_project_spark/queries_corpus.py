@@ -10,7 +10,7 @@ independent of evaluation order).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_project_spark.catalog import register
@@ -371,10 +371,10 @@ def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bigram_lm_quality",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+# Bigram-LM per-(doc, bigram-type) ×1e9 integer log-prob terms —
+# the shared model/scoring CTE chain for bigram_lm_quality and
+# ccnet_perplexity_buckets (CTE `terms`: doc_id, occ, term9).
+_BG_TERMS_SQL = f"""t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     big AS (SELECT doc_id,
                    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
                    unnest(list_transform(range(1, len(t)),
@@ -391,7 +391,70 @@ def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 * 1000000000) AS BIGINT) AS term9
               FROM occ o JOIN bgc ON bgc.bg = o.bg
                          JOIN c1 ON c1.w = o.w1
-                         CROSS JOIN vv)
+                         CROSS JOIN vv)"""
+
+
+def _bigram_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_BG_TERMS_SQL`: (doc_id, occ, term9) — one
+    ×1e9-integer add-one-smoothed bigram log-prob term per
+    (document, bigram type), occurrence-weighted downstream."""
+    from dbt_project_spark.caching import persist_tracked
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias(
+                "t"
+            ),
+        )
+    )
+    toks = persist_tracked(toks)
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1,"
+                    " concat(t[i-1], ' ', t[i]) AS bg))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", F.col("x.w1").alias("w1"), F.col("x.bg").alias("bg"))
+    )
+    occ = persist_tracked(
+        big.groupBy("doc_id", "w1", "bg").agg(
+            F.count(F.lit(1)).cast("bigint").alias("occ")
+        )
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    c1 = persist_tracked(c1)
+    vv = c1.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    bgc = occ.groupBy("bg").agg(F.sum("occ").cast("bigint").alias("c12"))
+    return (
+        occ.join(bgc, "bg")
+        .join(c1.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            "occ",
+            F.round(
+                F.log((F.col("c12") + 1) * 1.0 / (F.col("c") + F.col("v")))
+                * 1_000_000_000
+            )
+            .cast("bigint")
+            .alias("term9"),
+        )
+    )
+
+
+@register(
+    "bigram_lm_quality",
+    oracle=f"""
+    WITH {_BG_TERMS_SQL}
     SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
            ROUND(SUM(occ * term9) / (1000000000.0 * SUM(occ)), 6)
                AS avg_logprob
@@ -419,57 +482,7 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and on w1 equi-keys, V rides along as a 1-row broadcast. Nothing
     is ever per-pair or corpus×corpus.
     """
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias(
-                "t"
-            ),
-        )
-    )
-    from dbt_project_spark.caching import persist_tracked
-
-    toks = persist_tracked(toks)
-    big = (
-        toks.filter(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1),"
-                    " i -> struct(t[i-1] AS w1,"
-                    " concat(t[i-1], ' ', t[i]) AS bg))"
-                )
-            ).alias("x"),
-        )
-        .select("doc_id", F.col("x.w1").alias("w1"), F.col("x.bg").alias("bg"))
-    )
-    occ = persist_tracked(
-        big.groupBy("doc_id", "w1", "bg").agg(
-            F.count(F.lit(1)).cast("bigint").alias("occ")
-        )
-    )
-    uni = toks.select(F.explode("t").alias("w"))
-    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    c1 = persist_tracked(c1)
-    vv = c1.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    bgc = occ.groupBy("bg").agg(F.sum("occ").cast("bigint").alias("c12"))
-    terms = (
-        occ.join(bgc, "bg")
-        .join(c1.withColumnRenamed("w", "w1"), "w1")
-        .crossJoin(F.broadcast(vv))
-        .select(
-            "doc_id",
-            "occ",
-            F.round(
-                F.log((F.col("c12") + 1) * 1.0 / (F.col("c") + F.col("v")))
-                * 1_000_000_000
-            )
-            .cast("bigint")
-            .alias("term9"),
-        )
-    )
+    terms = _bigram_doc_terms(spark, sf_dir)
     return terms.groupBy("doc_id").agg(
         F.sum("occ").cast("bigint").alias("n_bigrams"),
         F.round(
@@ -477,6 +490,88 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (1_000_000_000.0 * F.sum("occ")),
             6,
         ).alias("avg_logprob"),
+    )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH {_BG_TERMS_SQL},
+    ds AS (SELECT doc_id,
+                  CAST(SUM(occ) AS BIGINT) AS nb,
+                  CAST(SUM(occ * term9) AS BIGINT) AS s9
+           FROM terms GROUP BY doc_id),
+    sm AS (SELECT d.doc_id, doc.lang, d.nb,
+                  CAST(CASE WHEN d.s9 < 0
+                       THEN -(abs(d.s9) // (1000 * d.nb))
+                       ELSE d.s9 // (1000 * d.nb) END AS BIGINT)
+                      AS score_micro
+           FROM ds d JOIN documents doc ON doc.doc_id = d.doc_id),
+    nt AS (SELECT lang, doc_id, nb, score_micro,
+                  NTILE(3) OVER (PARTITION BY lang
+                                 ORDER BY score_micro DESC, doc_id) AS b
+           FROM sm)
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+           CAST(MIN(score_micro) AS BIGINT) AS min_score_micro,
+           CAST(MAX(score_micro) AS BIGINT) AS max_score_micro
+    FROM nt GROUP BY 1, 2
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): score
+    every document with the corpus bigram LM (same integer-term
+    model as ``bigram_lm_quality``), then assign per-LANGUAGE
+    perplexity terciles — head = best-scoring third, tail = worst.
+    Production pipelines keep head+middle and route tail to extra
+    filtering; per-language partitioning is the point (a single
+    global cut would starve low-resource languages).
+
+    Determinism: per-doc score is the exact integer
+    occurrence-weighted term sum, reduced to a sign-safe TRUNCATING
+    micro division (never a rounded double); NTILE(3) ordering is
+    total (score desc, doc_id) so tercile edges match cross-engine.
+
+    Scale shape: adds to the bigram model exactly one narrow
+    per-doc aggregate plus a per-language NTILE — the window sorts
+    (lang, score) with ~n_docs rows, tiny next to the token-stream
+    model build it reuses. Output is ≤ 3·|langs| rows."""
+    terms = _bigram_doc_terms(spark, sf_dir)
+    ds = terms.groupBy("doc_id").agg(
+        F.sum("occ").cast("bigint").alias("nb"),
+        F.sum(F.col("occ") * F.col("term9")).cast("bigint").alias("s9"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sm = ds.join(docs, "doc_id").select(
+        "doc_id",
+        "lang",
+        "nb",
+        F.expr(
+            "CAST(CASE WHEN s9 < 0 THEN -(abs(s9) div (1000 * nb))"
+            " ELSE s9 div (1000 * nb) END AS BIGINT)"
+        ).alias("score_micro"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score_micro"), F.col("doc_id")
+    )
+    nt = sm.withColumn("b", F.ntile(3).over(w))
+    return (
+        nt.groupBy(
+            "lang",
+            F.expr(
+                "CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'"
+                " ELSE 'tail' END"
+            ).alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nb").cast("bigint").alias("n_bigrams"),
+            F.min("score_micro").cast("bigint").alias("min_score_micro"),
+            F.max("score_micro").cast("bigint").alias("max_score_micro"),
+        )
     )
 
 

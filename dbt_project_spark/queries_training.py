@@ -647,3 +647,168 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes quality/language classifier (r5s4)
+# ---------------------------------------------------------------------------
+
+NB_B = 256  # hashed unigram feature buckets (shared with DSIR)
+NB_TEST_MOD = 5  # doc_id % 5 == 0 is the held-out test split
+
+
+@register(
+    "nb_lang_classifier",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, unnest({_TOKS}) AS w FROM documents),
+    bt AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b FROM toks),
+    train AS (SELECT * FROM bt WHERE doc_id % {NB_TEST_MOD} <> 0),
+    test AS (SELECT * FROM bt WHERE doc_id % {NB_TEST_MOD} = 0),
+    cls AS (SELECT lang AS c,
+                   ROW_NUMBER() OVER (ORDER BY lang) AS rk
+            FROM (SELECT DISTINCT lang FROM documents)),
+    cnt AS (SELECT lang AS c, b, CAST(COUNT(*) AS BIGINT) AS n
+            FROM train GROUP BY 1, 2),
+    tot AS (SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS t
+            FROM train GROUP BY 1),
+    prior AS (SELECT lang AS c,
+                     CAST(round(ln(CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+                                   / (SELECT COUNT(DISTINCT doc_id)
+                                      FROM train))
+                                * 1000000000) AS BIGINT) AS p9
+              FROM train GROUP BY 1),
+    bk AS (SELECT DISTINCT b FROM bt),
+    lam AS (SELECT cls.c, bk.b,
+                   CAST(round(ln((COALESCE(cnt.n, 0) + 1)::DOUBLE
+                                 / (tot.t + {NB_B}))
+                              * 1000000000) AS BIGINT) AS lam9
+            FROM cls CROSS JOIN bk
+            JOIN tot ON tot.c = cls.c
+            LEFT JOIN cnt ON cnt.c = cls.c AND cnt.b = bk.b),
+    score AS (SELECT te.doc_id, te.lang AS true_lang, lam.c,
+                     CAST(SUM(lam.lam9) AS BIGINT) AS s9
+              FROM test te JOIN lam ON lam.b = te.b
+              GROUP BY 1, 2, 3),
+    keyed AS (SELECT s.doc_id, s.true_lang, s.c,
+                     (s.s9 + p.p9) * 8 + ((SELECT COUNT(*) FROM cls) - cls.rk)
+                         AS k
+              FROM score s JOIN prior p ON p.c = s.c
+                           JOIN cls ON cls.c = s.c),
+    pred AS (SELECT doc_id, true_lang, max_by(c, k) AS pred_lang
+             FROM keyed GROUP BY 1, 2)
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes document classifier — the fastText /
+    CCNet quality-classifier dataflow (train a cheap linear model on
+    a labeled split, score the rest, keep what the model likes) with
+    `lang` as the label and hashed unigram buckets as features.
+    Train = doc_id % {NB_TEST_MOD} != 0, test = the rest; add-one
+    smoothing over {NB_B} buckets; prediction = argmax over classes
+    of prior + sum of per-token log-likelihoods. Output is the test
+    confusion matrix (true_lang, pred_lang, n_docs).
+
+    Float parity: one double `ln` per (class, bucket) cell (≤5×256
+    rows) and one per class prior, each rounded to a ×1e9 integer;
+    per-document scores are exact integer sums, and the argmax uses
+    the integer key trick (score*8 + class-rank complement — scores
+    are integers, so distinct scores differ by ≥8 > any rank term)
+    making ties break identically on both engines.
+
+    Scale shape: model = two map-side-combinable aggregates over the
+    token stream plus a ≤1280-row broadcast λ table; scoring joins
+    the exploded test tokens to that broadcast and reduces by
+    (doc, class). No per-pair work, no UDFs; at 100 TB this is one
+    token-count-sized pass over train and one over test — exactly
+    why production pipelines can afford to classifier-filter
+    everything they crawl."""
+    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.functions.expressions import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens_col("text")).alias("w")
+    )
+    bt = persist_tracked(
+        toks.select("doc_id", "lang", (md5_int("w") % NB_B).alias("b"))
+    )
+    train = bt.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+    test = bt.filter(F.col("doc_id") % NB_TEST_MOD == 0)
+    w = Window.orderBy("c")
+    cls = (
+        docs.select(F.col("lang").alias("c"))
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+    )
+    cnt = train.groupBy(F.col("lang").alias("c"), "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = train.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    ntr = train.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_train")
+    )
+    prior = (
+        train.groupBy(F.col("lang").alias("c"))
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("nd"))
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "c",
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("n_train"))
+                * 1_000_000_000
+            )
+            .cast("bigint")
+            .alias("p9"),
+        )
+    )
+    bk = bt.select("b").distinct()
+    nc = cls.agg(F.count(F.lit(1)).cast("bigint").alias("ncls"))
+    lam = (
+        cls.crossJoin(bk)
+        .join(tot, "c")
+        .join(cnt, ["c", "b"], "left")
+        .select(
+            "c",
+            "rk",
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t") + NB_B)
+                )
+                * 1_000_000_000
+            )
+            .cast("bigint")
+            .alias("lam9"),
+        )
+    )
+    score = (
+        test.join(F.broadcast(lam), "b")
+        .groupBy(
+            "doc_id", F.col("lang").alias("true_lang"), "c", "rk"
+        )
+        .agg(F.sum("lam9").cast("bigint").alias("s9"))
+    )
+    keyed = (
+        score.join(F.broadcast(prior), "c")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "doc_id",
+            "true_lang",
+            "c",
+            (
+                (F.col("s9") + F.col("p9")) * 8
+                + (F.col("ncls") - F.col("rk"))
+            ).alias("k"),
+        )
+    )
+    pred = keyed.groupBy("doc_id", "true_lang").agg(
+        F.max_by("c", "k").alias("pred_lang")
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
