@@ -121,6 +121,7 @@ PRIORITY: list[str] = [
     "dsir_importance_weights",
     "nb_lang_classifier",
     "ccnet_perplexity_buckets",
+    "moore_lewis_selection",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -812,3 +812,177 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Moore-Lewis cross-entropy difference selection (r5s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "moore_lewis_selection",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    big AS (SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM t WHERE len(t) >= 2),
+    occ AS (SELECT doc_id, source, w1, bg, CAST(COUNT(*) AS BIGINT) AS occ
+            FROM big GROUP BY 1, 2, 3, 4),
+    uni AS (SELECT source, unnest(t) AS w FROM t),
+    c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    c1t AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni
+            WHERE source = '{DSIR_TARGET_SRC}' GROUP BY 1),
+    vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+    bgc AS (SELECT bg, CAST(SUM(occ) AS BIGINT) AS n FROM occ GROUP BY 1),
+    bgt AS (SELECT bg, CAST(SUM(occ) AS BIGINT) AS n FROM occ
+            WHERE source = '{DSIR_TARGET_SRC}' GROUP BY 1),
+    bgs AS (SELECT DISTINCT bg, w1 FROM occ),
+    mt AS (SELECT bgs.bg,
+                  CAST(round(ln((COALESCE(bgt.n, 0) + 1) * 1.0
+                                / (COALESCE(c1t.c, 0) + vv.v))
+                             * 1000000000) AS BIGINT)
+                  - CAST(round(ln((bgc.n + 1) * 1.0 / (c1.c + vv.v))
+                               * 1000000000) AS BIGINT) AS d9
+           FROM bgs JOIN bgc ON bgc.bg = bgs.bg
+                    JOIN c1 ON c1.w = bgs.w1
+                    LEFT JOIN bgt ON bgt.bg = bgs.bg
+                    LEFT JOIN c1t ON c1t.w = bgs.w1
+                    CROSS JOIN vv),
+    docw AS (SELECT o.doc_id,
+                    CAST(SUM(o.occ) AS BIGINT) AS nb,
+                    CAST(SUM(o.occ * mt.d9) AS BIGINT) AS d9
+             FROM occ o JOIN mt ON mt.bg = o.bg GROUP BY 1)
+    SELECT doc_id, nb AS n_bigrams,
+           CAST(CASE WHEN d9 < 0 THEN -(abs(d9) // (1000 * nb))
+                ELSE d9 // (1000 * nb) END AS BIGINT) AS delta_micro,
+           CAST(CASE WHEN d9 > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM docw
+    """,
+)
+def moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis (2010) intelligent data selection: score every
+    document by the cross-entropy DIFFERENCE between an in-domain LM
+    (add-one-smoothed bigram model trained on the curated target
+    split, source='{DSIR_TARGET_SRC}') and the general-corpus LM —
+    keep documents the target model likes MORE than the background
+    model does. The bigram twin of `dsir_importance_weights` (which
+    uses hashed unigrams): together they are the two standard cheap
+    selection scorers production pipelines run before training.
+
+    Both models share the full-corpus vocabulary size V as the
+    smoothing denominator (one event space, so the difference is a
+    proper log-likelihood-ratio); bigrams unseen in target back off
+    to 1/(0+V). One double `ln` per (bigram type, model) rounded to
+    ×1e9; per-doc deltas are exact integer occurrence-weighted sums
+    with a sign-safe truncating micro division.
+
+    Scale shape: the model is two bigram-count and two unigram-count
+    aggregates (all map-side combinable; target counts are filtered
+    reruns of the same shuffle); scoring re-joins doc occurrences to
+    the per-type delta table on the bg equi-key. No per-pair work;
+    the heavy passes are token-count-sized, same as bigram_lm_quality.
+    """
+    from dbt_project_spark.caching import persist_tracked
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias(
+                "t"
+            ),
+        )
+    )
+    toks = persist_tracked(toks)
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1,"
+                    " concat(t[i-1], ' ', t[i]) AS bg))"
+                )
+            ).alias("x"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("x.w1").alias("w1"),
+            F.col("x.bg").alias("bg"),
+        )
+    )
+    occ = persist_tracked(
+        big.groupBy("doc_id", "source", "w1", "bg").agg(
+            F.count(F.lit(1)).cast("bigint").alias("occ")
+        )
+    )
+    uni = toks.select("source", F.explode("t").alias("w"))
+    uni = persist_tracked(uni)
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    c1 = persist_tracked(c1)
+    c1t = (
+        uni.filter(F.col("source") == DSIR_TARGET_SRC)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    vv = c1.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    bgc = occ.groupBy("bg").agg(F.sum("occ").cast("bigint").alias("n"))
+    bgt = (
+        occ.filter(F.col("source") == DSIR_TARGET_SRC)
+        .groupBy("bg")
+        .agg(F.sum("occ").cast("bigint").alias("nt"))
+    )
+    bgs = occ.select("bg", "w1").distinct()
+    mt = (
+        bgs.join(bgc, "bg")
+        .join(c1.withColumnRenamed("w", "w1"), "w1")
+        .join(bgt, "bg", "left")
+        .join(
+            c1t.withColumnRenamed("w", "w1"), "w1", "left"
+        )
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "bg",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("nt"), F.lit(0)) + 1)
+                        * 1.0
+                        / (F.coalesce(F.col("ct"), F.lit(0)) + F.col("v"))
+                    )
+                    * 1_000_000_000
+                ).cast("bigint")
+                - F.round(
+                    F.log(
+                        (F.col("n") + 1) * 1.0 / (F.col("c") + F.col("v"))
+                    )
+                    * 1_000_000_000
+                ).cast("bigint")
+            ).alias("d9"),
+        )
+    )
+    docw = (
+        occ.join(mt, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("bigint").alias("nb"),
+            F.sum(F.col("occ") * F.col("d9")).cast("bigint").alias("d9"),
+        )
+    )
+    return docw.select(
+        "doc_id",
+        F.col("nb").alias("n_bigrams"),
+        F.expr(
+            "CAST(CASE WHEN d9 < 0 THEN -(abs(d9) div (1000 * nb))"
+            " ELSE d9 div (1000 * nb) END AS BIGINT)"
+        ).alias("delta_micro"),
+        F.expr("CAST(CASE WHEN d9 > 0 THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "keep"
+        ),
+    )

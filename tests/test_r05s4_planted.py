@@ -69,3 +69,63 @@ def test_ccnet_perplexity_buckets_ranking(spark, tmp_path):
     assert out["middle"]["max_score_micro"] == out["head"]["max_score_micro"]
     assert out["middle"]["min_score_micro"] == out["tail"]["min_score_micro"]
     assert out["head"]["min_score_micro"] > out["tail"]["max_score_micro"]
+
+
+def _write_docs_src(spark, path, rows):
+    """rows: (doc_id, text, lang, source)"""
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(path / "documents.parquet")
+    )
+
+
+def test_dsir_weights_target_lookalike(spark, tmp_path):
+    """Docs of target-split tokens must out-weigh docs of
+    raw-only tokens, and equal-content docs tie exactly."""
+    from dbt_project_spark.queries_training import dsir_importance_weights
+
+    rows = [
+        (1, "tt tt tt tt", "en", "src1"),   # the target split
+        (2, "rr rr rr rr", "en", "src0"),   # raw-only vocabulary
+        (3, "tt tt tt tt", "en", "src0"),   # raw doc, target-like text
+    ]
+    _write_docs_src(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(spark, str(tmp_path)).collect()
+    }
+    assert all(out[d]["n_toks"] == 4 for d in (1, 2, 3))
+    assert out[3]["weight_micro"] == out[1]["weight_micro"]
+    assert out[3]["weight_micro"] > out[2]["weight_micro"]
+    assert out[2]["keep"] == 0  # raw-only vocabulary: negative log-ratio
+
+
+def test_moore_lewis_selects_target_like(spark, tmp_path):
+    """Target LM = 'ga sa' bigrams; the raw background re-uses 'ga'
+    followed by 'xx', so P_target(sa|ga) >> P_corpus(sa|ga): a raw
+    doc written in target bigrams is kept, raw-only vocabulary is
+    dropped with a strongly negative delta."""
+    from dbt_project_spark.queries_training import moore_lewis_selection
+
+    tgt = "ga sa ga sa ga sa"
+    raw = "ga xx ga xx ga xx"
+    rows = [
+        (1, tgt, "en", "src1"),
+        (2, tgt, "en", "src1"),
+        (3, tgt, "en", "src1"),
+        (4, raw, "en", "src0"),
+        (6, raw, "en", "src0"),
+        (7, raw, "en", "src0"),
+        (8, "ga sa ga sa", "en", "src0"),  # target-like raw doc
+        (9, "bb jj bb jj", "en", "src0"),  # unseen-in-target vocab
+    ]
+    _write_docs_src(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in moore_lewis_selection(spark, str(tmp_path)).collect()
+    }
+    assert out[8]["n_bigrams"] == 3
+    assert out[8]["keep"] == 1 and out[8]["delta_micro"] > 0
+    assert out[9]["keep"] == 0 and out[9]["delta_micro"] < 0
+    assert out[8]["delta_micro"] > out[9]["delta_micro"]
