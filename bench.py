@@ -117,6 +117,12 @@ HEADLINE = [
     # round 5, session 2: HITS completes the iterative graph trio
     "hits_trade",
     "bpe_train_merges",
+    # round 5, sessions 3-4: semantic dedup over the persisted IVF
+    # cells and the two data-selection scorers (token-stream models)
+    "dedup_semantic",
+    "dsir_importance_weights",
+    "moore_lewis_selection",
+    "nb_lang_classifier",
 ]
 
 # The 10 most expensive headline queries per BENCH_r02, cheapest first

@@ -122,6 +122,7 @@ PRIORITY: list[str] = [
     "nb_lang_classifier",
     "ccnet_perplexity_buckets",
     "moore_lewis_selection",
+    "embedding_dim_drift",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

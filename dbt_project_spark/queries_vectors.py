@@ -1511,3 +1511,109 @@ def ann_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionAll(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitor (r5s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_drift",
+    oracle="""
+    WITH flat AS (SELECT vec_id,
+                         unnest(range(1, len(embedding) + 1)) AS dim,
+                         unnest(embedding)::DOUBLE AS x
+                  FROM embeddings),
+    q AS (SELECT vec_id % 2 AS half, dim,
+                 CAST(round(x * 1000000) AS BIGINT) AS q
+          FROM flat),
+    agg AS (SELECT dim,
+                   CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_ref,
+                   CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_cur,
+                   CAST(SUM(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT)
+                       AS s_ref,
+                   CAST(SUM(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT)
+                       AS s_cur
+            FROM q GROUP BY dim),
+    mm AS (SELECT dim, n_ref, n_cur,
+                  CAST(CASE WHEN s_ref < 0 THEN -(abs(s_ref) // n_ref)
+                       ELSE s_ref // n_ref END AS BIGINT) AS mean_ref_micro,
+                  CAST(CASE WHEN s_cur < 0 THEN -(abs(s_cur) // n_cur)
+                       ELSE s_cur // n_cur END AS BIGINT) AS mean_cur_micro
+           FROM agg)
+    SELECT CAST(dim AS BIGINT) AS dim, n_ref, n_cur,
+           mean_ref_micro, mean_cur_micro,
+           mean_cur_micro - mean_ref_micro AS shift_micro
+    FROM mm
+    """,
+)
+def embedding_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per-DIMENSION mean shift
+    between an even/odd vec_id split of the corpus (the stand-in for
+    yesterday's batch vs today's — re-point the predicate at an
+    ingest timestamp in production). A drifting encoder (model
+    update, preprocessing change, corrupted shard) shows up as a few
+    dimensions with large |shift| long before retrieval recall
+    visibly degrades; this is the vector-side sibling of
+    `drift_psi_value`.
+
+    Determinism: each component is quantized to a ×1e6 integer in a
+    single per-row double expression (exact cross-engine); per-dim
+    sums and the truncating sign-safe mean division are pure BIGINT
+    arithmetic, so no float accumulation order can differ.
+
+    Scale shape: one posexplode of the vector column (n×dim rows)
+    into a map-side-combinable per-dim aggregate — 64 output rows
+    regardless of corpus size; no joins, no window, no UDF. At 100 TB
+    this is the cheapest pass one can make over the vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding")).alias("p", "x"),
+    ).select(
+        "half",
+        (F.col("p") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("q"),
+    )
+    agg = flat.groupBy("dim").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+        F.sum(F.when(F.col("half") == 0, F.col("q")).otherwise(0))
+        .cast("bigint")
+        .alias("s_ref"),
+        F.sum(F.when(F.col("half") == 1, F.col("q")).otherwise(0))
+        .cast("bigint")
+        .alias("s_cur"),
+    )
+    mm = agg.select(
+        "dim",
+        "n_ref",
+        "n_cur",
+        F.expr(
+            "CAST(CASE WHEN s_ref < 0 THEN -(abs(s_ref) div n_ref)"
+            " ELSE s_ref div n_ref END AS BIGINT)"
+        ).alias("mean_ref_micro"),
+        F.expr(
+            "CAST(CASE WHEN s_cur < 0 THEN -(abs(s_cur) div n_cur)"
+            " ELSE s_cur div n_cur END AS BIGINT)"
+        ).alias("mean_cur_micro"),
+    )
+    return mm.select(
+        "dim",
+        "n_ref",
+        "n_cur",
+        "mean_ref_micro",
+        "mean_cur_micro",
+        (F.col("mean_cur_micro") - F.col("mean_ref_micro")).alias(
+            "shift_micro"
+        ),
+    )

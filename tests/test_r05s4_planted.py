@@ -129,3 +129,31 @@ def test_moore_lewis_selects_target_like(spark, tmp_path):
     assert out[8]["keep"] == 1 and out[8]["delta_micro"] > 0
     assert out[9]["keep"] == 0 and out[9]["delta_micro"] < 0
     assert out[8]["delta_micro"] > out[9]["delta_micro"]
+
+
+def test_embedding_dim_drift_planted_shift(spark, tmp_path):
+    """Even ids mean (2.0, 2.0); odd ids mean (1.0, 0.5): shifts are
+    exactly -1.0 and -1.5 in micro units."""
+    from dbt_project_spark.queries_vectors import embedding_dim_drift
+
+    rows = [
+        (0, [1.0, 2.0]),
+        (2, [3.0, 2.0]),
+        (1, [2.0, 0.5]),
+        (3, [0.0, 0.5]),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {
+        r["dim"]: r for r in embedding_dim_drift(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_ref"] == 2 and out[1]["n_cur"] == 2
+    assert out[1]["mean_ref_micro"] == 2_000_000
+    assert out[1]["mean_cur_micro"] == 1_000_000
+    assert out[1]["shift_micro"] == -1_000_000
+    assert out[2]["mean_ref_micro"] == 2_000_000
+    assert out[2]["mean_cur_micro"] == 500_000
+    assert out[2]["shift_micro"] == -1_500_000
