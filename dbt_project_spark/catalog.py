@@ -123,6 +123,7 @@ PRIORITY: list[str] = [
     "ccnet_perplexity_buckets",
     "moore_lewis_selection",
     "embedding_dim_drift",
+    "dedup_semantic_keeplist",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

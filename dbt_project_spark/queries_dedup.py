@@ -1085,6 +1085,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     with K≈√n the pair count is Θ(n^1.5) worst case, cell-balanced in
     practice (see ivf_cell_balance). Output is pairs above τ — tiny.
     """
+    return _sem_pairs(spark, sf_dir)
+
+
+def _sem_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cell exact-cosine near-dup pairs ≥ τ over base ∪ clone
+    members — shared by dedup_semantic and dedup_semantic_keeplist."""
     base, cmem = _sem_members(spark, sf_dir)
     from dbt_project_spark.functions.expressions import cosine_similarity
 
@@ -1101,6 +1107,82 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", F.round(cosine_similarity("ea", "eb"), 6))
         .filter(F.col("cosine") >= EMB_STRICT_T)
         .select("cid", "vec_a", "vec_b", "cosine")
+    )
+
+
+def _sem_keeplist_oracle() -> str:
+    sem = _sem_corpus_sql().replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        sem
+        + f""",
+    pr AS (SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  a.embedding AS ea, b.embedding AS eb
+           FROM mem a JOIN mem b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id),
+    pf AS (SELECT cid, vec_a, vec_b,
+                  unnest(ea) AS x, unnest(eb) AS y FROM pr),
+    pairs AS (SELECT vec_a, vec_b
+              FROM (SELECT cid, vec_a, vec_b,
+                           ROUND(SUM(x*y) / (SQRT(SUM(x*x))
+                                             * SQRT(SUM(y*y))), 6) AS cosine
+                    FROM pf GROUP BY cid, vec_a, vec_b)
+              WHERE cosine >= {EMB_STRICT_T}),
+    sym AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+            UNION ALL SELECT vec_b, vec_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    labels AS (SELECT node AS vec_id, MIN(lab) AS cluster_id
+               FROM reach GROUP BY node),
+    sized AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM labels GROUP BY cluster_id)
+    SELECT l.vec_id, l.cluster_id, s.cluster_size,
+           CAST(CASE WHEN l.vec_id = l.cluster_id THEN 1 ELSE 0 END
+                AS BIGINT) AS keep
+    FROM labels l JOIN sized s ON s.cluster_id = l.cluster_id
+    """
+    )
+
+
+@register("dedup_semantic_keeplist", oracle=_sem_keeplist_oracle())
+def dedup_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's FINAL verdict: fold the within-cell near-dup pairs
+    into connected components and keep one representative per
+    component (min vec_id — in production, the highest-quality
+    member). This is the vector-side twin of `corpus_keep_list`
+    (MinHash side): `dedup_semantic` finds the evidence, this query
+    issues the keep/drop decisions a training-data materialization
+    consumes. Only vectors appearing in some pair are emitted —
+    singletons are the corpus majority and trivially keep.
+
+    Components use the pointer-jumping min-label loop
+    (operators/dedup.py:connected_components, O(log diameter)
+    rounds); semantic-dup components are cell-bounded by
+    construction, so the loop converges in 1-2 rounds.
+    """
+    pairs = _sem_pairs(spark, sf_dir)
+    from dbt_project_spark.operators.dedup import connected_components
+
+    labels = connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("vec_id"), F.col("lab").alias("cluster_id")
+    )
+    sized = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        labels.join(sized, "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "cluster_size",
+            F.when(F.col("vec_id") == F.col("cluster_id"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("keep"),
+        )
     )
 
 

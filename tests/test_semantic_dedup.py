@@ -71,3 +71,28 @@ def test_dedup_semantic_recall_planted_full(spark, tmp_path):
         assert r["recall_micro"] == 1_000_000
     finally:
         shutil.rmtree(ivf_index_dir(sf_dir), ignore_errors=True)
+
+
+def test_semantic_keeplist_invariants(spark):
+    """Every cluster keeps exactly one member — its min vec_id — and
+    every emitted vector appears in some dedup_semantic pair."""
+    from dbt_project_spark.queries_dedup import (
+        dedup_semantic,
+        dedup_semantic_keeplist,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = dedup_semantic_keeplist(spark, sf).collect()
+    assert rows, "expected planted clone pairs to produce clusters"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert min(m["vec_id"] for m in members) == cid
+        assert sum(m["keep"] for m in members) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)
+    paired = set()
+    for p in dedup_semantic(spark, sf).collect():
+        paired.add(p["vec_a"])
+        paired.add(p["vec_b"])
+    assert {r["vec_id"] for r in rows} == paired
