@@ -124,6 +124,7 @@ PRIORITY: list[str] = [
     "moore_lewis_selection",
     "embedding_dim_drift",
     "dedup_semantic_keeplist",
+    "exact_substr_spans",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -8,7 +8,7 @@ layout, and SimHash bit math are one source of truth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_project_spark.catalog import register
@@ -1259,4 +1259,155 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(SUM(same_cell) * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("recall_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr sliding-window duplicate spans (r5s4)
+# ---------------------------------------------------------------------------
+
+ESUB_L = 8  # sliding window length (tokens)
+
+
+@register(
+    "exact_substr_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    n AS (SELECT doc_id, len(t) AS n_tokens FROM t),
+    wins AS (SELECT doc_id,
+                    unnest(range(1, len(t) - {ESUB_L} + 2)) AS pos,
+                    unnest(list_transform(range(1, len(t) - {ESUB_L} + 2),
+                           i -> md5(array_to_string(
+                                list_slice(t, i, i + {ESUB_L} - 1), ' '))))
+                        AS h
+             FROM t WHERE len(t) >= {ESUB_L}),
+    dup AS (SELECT h FROM wins GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    dw AS (SELECT w.doc_id, w.pos AS s, w.pos + {ESUB_L} - 1 AS e
+           FROM wins w JOIN dup d ON d.h = w.h),
+    pm AS (SELECT doc_id, s, e,
+                  MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pmax
+           FROM dw),
+    fl AS (SELECT doc_id, s, e,
+                  CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+                      AS new_isl
+           FROM pm),
+    grp AS (SELECT doc_id, s, e,
+                   SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS UNBOUNDED PRECEDING) AS g
+            FROM fl),
+    islands AS (SELECT doc_id, g, MIN(s) AS s0, MAX(e) AS e1
+                FROM grp GROUP BY doc_id, g),
+    docdup AS (SELECT doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_spans,
+                      CAST(SUM(e1 - s0 + 1) AS BIGINT) AS dup_tokens
+               FROM islands GROUP BY doc_id)
+    SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(d.n_spans, 0) AS n_spans,
+           COALESCE(d.dup_tokens, 0) AS dup_tokens,
+           CAST(COALESCE(d.dup_tokens, 0) * 1000000 // n.n_tokens AS BIGINT)
+               AS dup_micro
+    FROM n LEFT JOIN docdup d USING (doc_id)
+    WHERE n.n_tokens > 0
+    """,
+)
+def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup measurement (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every SLIDING
+    {ESUB_L}-token window is hashed; windows occurring in ≥2 distinct
+    documents mark duplicated text, and per document the overlapping
+    duplicate windows are merged into MAXIMAL spans (gaps-and-islands
+    over the window intervals) — per-doc duplicated-token fraction
+    out. Unlike `span_dedup`'s fixed grid this is shift-invariant:
+    inserting one token upstream of a copied passage cannot hide it.
+
+    The reference suffix-array algorithm is inherently sequential;
+    the distributed equivalent is this rolling-window hash join —
+    at 100 TB the window hashes come from a Rabin/Gear rolling hash
+    in one pass (cf. the CDC chunker, operators/multimodal.py) rather
+    than re-hashing L tokens per position; semantics are identical.
+
+    Scale shape: the window stream is n_tokens-sized with 16-byte
+    md5 shuffle keys; the ≥2-docs filter is one map-side-combinable
+    distinct-count; island merging is a per-doc window function over
+    only the DUPLICATED positions (tiny after the join). No pairwise
+    work anywhere — this is why ExactSubstr scales where suffix
+    arrays do not."""
+    from dbt_project_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col("text").alias("t"))
+    from dbt_project_spark.caching import persist_tracked
+
+    n = t.select(
+        "doc_id", F.size("t").cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    wins = persist_tracked(
+        t.filter(F.size("t") >= ESUB_L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {ESUB_L} + 1),"
+                    f" i -> md5(array_join(slice(t, i, {ESUB_L}), ' ')))"
+                )
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dw = wins.join(dup, "h").select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + ESUB_L - 1).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fl = dw.withColumn("pmax", F.max("e").over(w_prev)).withColumn(
+        "new_isl",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+        ).otherwise(0),
+    )
+    grp = fl.withColumn("g", F.sum("new_isl").over(w_run))
+    islands = grp.groupBy("doc_id", "g").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1")
+    )
+    docdup = islands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("e1") - F.col("s0") + 1).cast("bigint").alias(
+            "dup_tokens"
+        ),
+    )
+    return (
+        n.join(docdup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.expr(
+                "CAST(coalesce(dup_tokens, 0) * 1000000 div n_tokens"
+                " AS BIGINT)"
+            ).alias("dup_micro"),
+        )
     )

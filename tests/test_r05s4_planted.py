@@ -157,3 +157,27 @@ def test_embedding_dim_drift_planted_shift(spark, tmp_path):
     assert out[2]["mean_ref_micro"] == 2_000_000
     assert out[2]["mean_cur_micro"] == 500_000
     assert out[2]["shift_micro"] == -1_500_000
+
+
+def test_exact_substr_shift_invariance(spark, tmp_path):
+    """A 10-token passage copied into two docs at DIFFERENT offsets
+    is fully detected in both (the fixed-grid span_dedup would miss
+    the shifted copy); an all-unique doc reports zero."""
+    from dbt_project_spark.queries_dedup import exact_substr_spans
+
+    p = " ".join(f"p{i}" for i in range(1, 11))
+    rows = [
+        (1, p + " ua ub uc", "en", "src0"),
+        (2, "zz " + p + " vd ve", "en", "src0"),
+        (3, " ".join(f"q{i}" for i in range(1, 14)), "en", "src0"),
+    ]
+    _write_docs_src(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_spans(spark, str(tmp_path)).collect()
+    }
+    assert all(out[d]["n_tokens"] == 13 for d in (1, 2, 3))
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 10
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 10
+    assert out[1]["dup_micro"] == 10 * 1_000_000 // 13
+    assert out[3]["n_spans"] == 0 and out[3]["dup_tokens"] == 0
