@@ -724,18 +724,35 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-count-sized pass over train and one over test — exactly
     why production pipelines can afford to classifier-filter
     everything they crawl."""
-    from dbt_project_spark.caching import persist_tracked
+    bt, lam, prior, nc = _nb_model(spark, sf_dir)
+    test = bt.filter(F.col("doc_id") % NB_TEST_MOD == 0)
+    pred = _nb_predict(test, lam, prior, nc)
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+def nb_bucketize(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, text) → the hashed token-bucket stream
+    (doc_id, lang, b) the NB model trains on and scores."""
     from dbt_project_spark.functions.expressions import md5_int
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(tokens_col("text")).alias("w")
     )
-    bt = persist_tracked(
-        toks.select("doc_id", "lang", (md5_int("w") % NB_B).alias("b"))
-    )
+    return toks.select("doc_id", "lang", (md5_int("w") % NB_B).alias("b"))
+
+
+def _nb_model(spark: SparkSession, sf_dir: str):
+    """Train the NB model on the sf_dir corpus' train split. Returns
+    (full corpus bucket stream, λ table, prior table, class count) —
+    the latter three are the broadcastable model; scoring any
+    document stream against them is `_nb_predict`."""
+    from dbt_project_spark.caching import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    bt = persist_tracked(nb_bucketize(docs))
     train = bt.filter(F.col("doc_id") % NB_TEST_MOD != 0)
-    test = bt.filter(F.col("doc_id") % NB_TEST_MOD == 0)
     w = Window.orderBy("c")
     cls = (
         docs.select(F.col("lang").alias("c"))
@@ -786,11 +803,17 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lam9"),
         )
     )
+    return bt, lam, prior, nc
+
+
+def _nb_predict(
+    bt: DataFrame, lam: DataFrame, prior: DataFrame, nc: DataFrame
+) -> DataFrame:
+    """Score a bucket stream (doc_id, lang, b) against the model:
+    (doc_id, true_lang, pred_lang), argmax by the exact integer key."""
     score = (
-        test.join(F.broadcast(lam), "b")
-        .groupBy(
-            "doc_id", F.col("lang").alias("true_lang"), "c", "rk"
-        )
+        bt.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "c", "rk")
         .agg(F.sum("lam9").cast("bigint").alias("s9"))
     )
     keyed = (
@@ -806,11 +829,8 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("k"),
         )
     )
-    pred = keyed.groupBy("doc_id", "true_lang").agg(
+    return keyed.groupBy("doc_id", "true_lang").agg(
         F.max_by("c", "k").alias("pred_lang")
-    )
-    return pred.groupBy("true_lang", "pred_lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
 
 
