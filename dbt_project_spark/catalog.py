@@ -125,6 +125,9 @@ PRIORITY: list[str] = [
     "embedding_dim_drift",
     "dedup_semantic_keeplist",
     "exact_substr_spans",
+    "degree_assortativity",
+    "bpe_fertility_by_lang",
+    "ts_double_exp_smoothing",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

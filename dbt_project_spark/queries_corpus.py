@@ -1427,3 +1427,74 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(f * size(split(trim(seg), ' '))) AS BIGINT)"
         ).alias("chars_per_token_micro"),
     )
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle=_bpe_chain_sql()
+    + f""",
+    wfl AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS fl FROM (
+                SELECT lang, unnest({_TOKS}) AS w FROM documents)
+            GROUP BY 1, 2)
+    SELECT l.lang,
+           CAST(SUM(l.fl) AS BIGINT) AS n_words,
+           CAST(SUM(l.fl * length(l.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(l.fl * len(string_split(trim(v.seg), ' '))) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(l.fl * len(string_split(trim(v.seg), ' '))) * 1000000
+                // SUM(l.fl) AS BIGINT) AS tokens_per_word_micro,
+           CAST(SUM(l.fl * length(l.w)) * 1000000
+                // SUM(l.fl * len(string_split(trim(v.seg), ' ')))
+                AS BIGINT) AS chars_per_token_micro
+    FROM wfl l JOIN v{BPE_MERGES} v ON v.w = l.w
+    GROUP BY l.lang
+    """,
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fairness audit: per-LANGUAGE fertility
+    (tokens-per-word) and compression (chars-per-token) of the
+    corpus-trained BPE merges. A tokenizer trained on a skewed
+    language mix fragments under-represented languages into more
+    tokens per word — inflating their training/inference cost and
+    shrinking their effective context window; this per-lang table is
+    the number multilingual pipeline owners track when rebalancing
+    the tokenizer corpus.
+
+    Shares the full training chain with ``bpe_train_merges`` (the
+    segmentation of a WORD is language-independent, so the final
+    vocab joins to per-(lang, word) counts on the word equi-key);
+    stats are exact integer micro-units, frequency-weighted per
+    language.
+
+    Scale shape: adds one (lang, word)-count aggregate and one
+    vocab-sized equi-join to the training cost — per-document token
+    lists never materialize."""
+    _merges, vocab = _bpe_loop(spark, sf_dir)
+    wfl = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fl"))
+    )
+    j = wfl.join(vocab.select("w", "seg"), "w").select(
+        "lang",
+        "fl",
+        F.length("w").alias("wlen"),
+        F.size(F.split(F.trim("seg"), " ")).alias("nsym"),
+    )
+    return j.groupBy("lang").agg(
+        F.sum("fl").cast("bigint").alias("n_words"),
+        F.sum(F.col("fl") * F.col("wlen")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("fl") * F.col("nsym")).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(SUM(fl * nsym) * 1000000 div SUM(fl) AS BIGINT)"
+        ).alias("tokens_per_word_micro"),
+        F.expr(
+            "CAST(SUM(fl * wlen) * 1000000 div SUM(fl * nsym) AS BIGINT)"
+        ).alias("chars_per_token_micro"),
+    )

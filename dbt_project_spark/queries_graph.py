@@ -1161,3 +1161,94 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (r5s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "degree_assortativity",
+    oracle=f"""{_TRADE_GRAPH_SQL},
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges) GROUP BY 1),
+    ex AS (SELECT a.d AS x, b.d AS y
+           FROM edges e
+           JOIN deg a ON a.node = e.src
+           JOIN deg b ON b.node = e.dst),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx,
+                 CAST(SUM(y*y) AS BIGINT) AS syy
+          FROM ex)
+    SELECT m AS n_edges,
+           CAST(sx * 1000000 // m AS BIGINT) AS mean_src_deg_micro,
+           CAST(sy * 1000000 // m AS BIGINT) AS mean_dst_deg_micro,
+           ROUND((m*sxy - sx*sy)
+                 / (SQRT(m*sxx - sx*sx) * SQRT(m*syy - sy*sy)), 6)
+               AS assortativity
+    FROM s
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed degree assortativity of the trade graph: the Pearson
+    correlation, over directed edges, between the TOTAL degrees of
+    the two endpoints (Newman 2002; out-degree is constant here by
+    the top-partner cap, so total degree carries the signal) — positive means hub
+    exporters ship to hub importers (rich-club trade), negative means
+    hubs feed the periphery. The single summary number an analyst
+    checks before trusting degree-based sampling or epidemic-style
+    propagation models on the graph.
+
+    Determinism: all six moment sums (m, Σx, Σy, Σxy, Σx², Σy²) are
+    exact BIGINT aggregates of integer degrees; r is ONE double
+    expression over them, rounded once — hash-identical cross-engine.
+
+    Scale shape: one degree aggregate (map-side combinable) joined
+    back to the edge list on node equi-keys, then a single 1-row
+    moment reduce. Edges never pair with edges; at web scale this is
+    the cost of two word-counts over the edge list."""
+    edges = _trade_edges(spark, sf_dir)
+    from dbt_project_spark.caching import persist_tracked
+
+    edges = persist_tracked(edges)
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    a = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    b = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    ex = edges.join(a, "src").join(b, "dst").select("x", "y")
+    s = ex.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return s.select(
+        F.col("m").alias("n_edges"),
+        F.expr("CAST(sx * 1000000 div m AS BIGINT)").alias(
+            "mean_src_deg_micro"
+        ),
+        F.expr("CAST(sy * 1000000 div m AS BIGINT)").alias(
+            "mean_dst_deg_micro"
+        ),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(
+                    F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )

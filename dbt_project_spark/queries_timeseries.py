@@ -1273,3 +1273,120 @@ def dft_weekly_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(fs AS DECIMAL(38,0)) * fs AS STRING)"
         ).alias("weekly_power"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown's double exponential smoothing, exact dyadic kernel (r5s4)
+# ---------------------------------------------------------------------------
+
+LES_K = 8  # single-smoothing kernel length (α = 1/2, truncated)
+_LES_W = [2 ** (LES_K - 1 - k) for k in range(LES_K)]
+_LES_D = 2**LES_K - 1
+# combined kernel for the SECOND smoothing pass: EWMA∘EWMA is one
+# convolution c[m] = Σ_{j+k=m} w[j]·w[k], length 2K-1, denominator D²
+_LES_C = [
+    sum(
+        _LES_W[j] * _LES_W[m - j]
+        for j in range(max(0, m - LES_K + 1), min(LES_K, m + 1))
+    )
+    for m in range(2 * LES_K - 1)
+]
+
+
+def _les_oracle() -> str:
+    n1 = " + ".join(
+        f"{w} * lag(v100, {k}) OVER win" if k else f"{w} * v100"
+        for k, w in enumerate(_LES_W)
+    )
+    n2 = " + ".join(
+        f"{c} * lag(v100, {m}) OVER win" if m else f"{c} * v100"
+        for m, c in enumerate(_LES_C)
+    )
+    full = f"lag(v100, {2 * LES_K - 2}) OVER win IS NOT NULL"
+    return f"""
+    WITH d AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                      CAST(SUM({_V100}) AS BIGINT) AS v100
+               FROM events GROUP BY 1, 2),
+    l AS (SELECT event_type, day,
+                 {n1} AS n1, {n2} AS n2,
+                 {full} AS full_win
+          FROM d
+          WINDOW win AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, CAST(day AS DATE) AS day,
+           ROUND((2 * n1 * {_LES_D} - n2)
+                 / ({_LES_D * _LES_D} * 100.0), 6) AS level,
+           ROUND((n1 * {_LES_D} - n2)
+                 / ({_LES_D * _LES_D} * 100.0), 6) AS trend,
+           ROUND((3 * n1 * {_LES_D} - 2 * n2)
+                 / ({_LES_D * _LES_D} * 100.0), 6) AS forecast_next
+    FROM l WHERE full_win
+    """
+
+
+@register("ts_double_exp_smoothing", oracle=_les_oracle())
+def ts_double_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing (linear-trend forecast)
+    over the per-type daily value series, with EXACT dyadic
+    arithmetic: s1 is the truncated α=1/2 EWMA kernel (integer
+    weights 2^(K-1-k), the `ts_ewma_dyadic` convention) and s2 = 
+    EWMA(s1) collapses into ONE integer convolution — the composition
+    of two length-K kernels is a single length-(2K-1) kernel
+    c[m] = Σ w[j]·w[m-j] over the raw series. Level = 2·s1 − s2,
+    trend = s1 − s2 (α = 1/2 makes α/(1−α) = 1), one-step forecast =
+    level + trend; every numerator is an exact BIGINT dot product and
+    the only float op is the final division — bit-identical across
+    engines where a recursive Holt update would accumulate
+    order-dependent float error.
+
+    Rows are emitted once the full 2K−1-day window exists (the
+    truncation drops 2^-8 < 0.4% of kernel mass; the warmup rows
+    where the two engines would need partial-window rational
+    arithmetic with varying denominators are excluded by contract).
+
+    Scale shape: one daily pre-aggregate (map-side combinable), one
+    window with 2K−2 lags per type — single shuffle, whole-stage
+    codegen, no self-joins."""
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.sum("value100").cast("bigint").alias("v100"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    n1 = sum(
+        (
+            (F.lag("v100", k).over(w) if k else F.col("v100")) * F.lit(wt)
+            for k, wt in enumerate(_LES_W)
+        ),
+        F.lit(0),
+    )
+    n2 = sum(
+        (
+            (F.lag("v100", m).over(w) if m else F.col("v100")) * F.lit(c)
+            for m, c in enumerate(_LES_C)
+        ),
+        F.lit(0),
+    )
+    full = F.lag("v100", 2 * LES_K - 2).over(w).isNotNull()
+    dd = _LES_D * _LES_D * 100.0
+    l = d.select(
+        "event_type",
+        "day",
+        n1.alias("n1"),
+        n2.alias("n2"),
+        full.alias("full_win"),
+    )
+    return l.filter(F.col("full_win")).select(
+        "event_type",
+        "day",
+        F.round(
+            (2 * F.col("n1") * _LES_D - F.col("n2")) / F.lit(dd), 6
+        ).alias("level"),
+        F.round(
+            (F.col("n1") * _LES_D - F.col("n2")) / F.lit(dd), 6
+        ).alias("trend"),
+        F.round(
+            (3 * F.col("n1") * _LES_D - 2 * F.col("n2")) / F.lit(dd), 6
+        ).alias("forecast_next"),
+    )

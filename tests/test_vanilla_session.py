@@ -66,6 +66,8 @@ _TS_QUERIES = [
     "dp_noisy_daily_counts",  # date_format day grouping
     "attribution_markov_removal",  # okey (date_format millis) ordering
     "price_index_laspeyres",  # year(l_shipdate) bucketing
+    # r05s4 additions with ts access patterns:
+    "ts_double_exp_smoothing",  # cast(ts as date) daily grid + lag kernel
 ]
 
 
