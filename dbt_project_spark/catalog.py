@@ -128,6 +128,8 @@ PRIORITY: list[str] = [
     "degree_assortativity",
     "bpe_fertility_by_lang",
     "ts_double_exp_smoothing",
+    "ann_ivfpq_refine",
+    "ann_recall_ivfpq_refine",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

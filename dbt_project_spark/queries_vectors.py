@@ -1617,3 +1617,150 @@ def embedding_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shift_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivfpq_refine — ADC shortlist + exact re-rank (r5s4)
+# ---------------------------------------------------------------------------
+
+PQANN_REFINE_R = 4 * PQANN_K  # ADC shortlist size fed to the exact re-rank
+
+
+def _refine_tail() -> str:
+    return f""",
+    short AS (SELECT query_id, neighbor_id FROM ivfpq
+              WHERE rank <= {PQANN_REFINE_R}),
+    rf AS (SELECT s.query_id, s.neighbor_id,
+                  unnest(q.embedding)::DOUBLE AS x,
+                  unnest(e.embedding)::DOUBLE AS y
+           FROM short s
+           JOIN embeddings q ON q.vec_id = s.query_id
+           JOIN embeddings e ON e.vec_id = s.neighbor_id),
+    rc AS (SELECT query_id, neighbor_id,
+                  ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6)
+                      AS cosine
+           FROM rf GROUP BY 1, 2),
+    refined AS (SELECT query_id, neighbor_id, cosine,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+                           AS rank
+                FROM rc)"""
+
+
+@register(
+    "ann_ivfpq_refine",
+    oracle=_pq_chain()
+    + _ivfpq_tail(PQANN_NQ)
+    + _refine_tail()
+    + f"""
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM refined WHERE rank <= {PQANN_K}
+    """,
+)
+def ann_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with a REFINE stage — the full FAISS production recipe
+    (`IVFx,PQy,RFlat`): the ADC pass shortlists {PQANN_REFINE_R}
+    candidates per query from the probed cells (4 BIGINT LUT reads
+    per candidate, floats never touched), then ONLY the shortlist is
+    re-ranked by exact cosine against the raw vectors. Re-ranking
+    4·k candidates costs 4·k full-dimension reads per query —
+    negligible next to the corpus scan ADC avoided — and buys back
+    most of the recall PQ distortion loses (priced by
+    ann_recall_ivfpq_refine vs ann_recall_ivfpq).
+
+    Exactness: shortlist = ann_ivfpq_topk's dataflow verbatim (exact
+    BIGINT ADC, deterministic ties); refine cosines are one double
+    expression per (query, candidate) rounded once; final ties break
+    on neighbor id."""
+    adc = _ivfpq_adc(spark, sf_dir, PQANN_NQ)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("ad2"), F.asc("neighbor_id")
+    )
+    short = (
+        adc.withColumn("rk0", F.row_number().over(w))
+        .filter(F.col("rk0") <= PQANN_REFINE_R)
+        .select("query_id", "neighbor_id")
+    )
+    from dbt_project_spark.functions.expressions import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    rc = (
+        short.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", F.round(cosine_similarity("qe", "ce"), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rc.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= PQANN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _refine_recall_oracle() -> str:
+    from dbt_project_spark.queries_similarity import _cos_ranked_sql
+
+    return (
+        _pq_chain()
+        + _ivfpq_tail(PQANN_NQ)
+        + _refine_tail()
+        + f""",
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < {PQANN_NQ}),
+    pairs_bf AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                        q.qe, e.embedding AS ce
+                 FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+    {_cos_ranked_sql('pairs_bf', '_bf', PQANN_K)},
+    m AS (SELECT t.query_id, CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_matched
+          FROM top_bf t LEFT JOIN (SELECT query_id, neighbor_id FROM refined
+                                   WHERE rank <= {PQANN_K}) i
+            ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+          GROUP BY t.query_id)
+    SELECT query_id, CAST({PQANN_K} AS BIGINT) AS k, n_matched,
+           ROUND(n_matched * 1.0 / {PQANN_K}, 6) AS recall
+    FROM m
+    """
+    )
+
+
+@register("ann_recall_ivfpq_refine", oracle=_refine_recall_oracle())
+def ann_recall_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of refined IVF-PQ vs exact brute force — the payoff
+    measurement for the refine stage: compare against
+    ann_recall_ivfpq (same probes, same codes, no refine) to see how
+    much recall the 4·k exact re-rank buys back. Within the probed
+    cells the refine ceiling is the coarse-probe recall itself — any
+    remaining gap is pure shortlist truncation."""
+    from dbt_project_spark.operators.similarity import bruteforce_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < PQANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    bf = bruteforce_topk(q, c, PQANN_K).select("query_id", "neighbor_id")
+    ref = ann_ivfpq_refine(spark, sf_dir).select(
+        F.col("query_id").alias("iq"), F.col("neighbor_id").alias("in_")
+    )
+    m = (
+        bf.join(
+            ref,
+            (F.col("iq") == F.col("query_id"))
+            & (F.col("in_") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("in_").cast("bigint").alias("n_matched"))
+    )
+    return m.select(
+        "query_id",
+        F.lit(PQANN_K).cast("bigint").alias("k"),
+        "n_matched",
+        F.round(F.col("n_matched") * 1.0 / PQANN_K, 6).alias("recall"),
+    )
