@@ -241,3 +241,123 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_rank",
         "rrf",
     )
+
+
+# ---------------------------------------------------------------------------
+# bm25_ndcg_eval — graded-relevance ranking evaluation (r5s4)
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+# DCG discounts 1/log2(rank+1), pre-rounded to ×1e9 integers in Python
+# so both engines consume IDENTICAL constants and DCG sums stay exact.
+import math as _math
+
+_DISC9 = [
+    round(1_000_000_000 / _math.log2(i + 1)) for i in range(1, NDCG_K + 1)
+]
+_REL_SQL = " + ".join(
+    f"CASE WHEN list_contains({_TOKS}, '{t}') THEN 1 ELSE 0 END"
+    for t in BM25_TERMS
+)
+_DISC_VALUES = ", ".join(
+    f"({i + 1}, {d})" for i, d in enumerate(_DISC9)
+)
+
+
+@register(
+    "bm25_ndcg_eval",
+    oracle=f"""
+    WITH {bm25_oracle_cte(BM25_TERMS, _TOKS)},
+    rel AS (SELECT doc_id, CAST({_REL_SQL} AS BIGINT) AS rel
+            FROM documents),
+    disc AS (SELECT * FROM (VALUES {_DISC_VALUES}) AS t(rk, disc9)),
+    sys AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS BIGINT) AS rk
+            FROM bm),
+    dcg AS (SELECT CAST(SUM(r.rel * d.disc9) AS BIGINT) AS dcg9,
+                   CAST(SUM(CASE WHEN r.rel > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rel_at_k
+            FROM sys s JOIN rel r ON r.doc_id = s.doc_id
+                       JOIN disc d ON d.rk = s.rk
+            WHERE s.rk <= {NDCG_K}),
+    ideal AS (SELECT doc_id, rel,
+                     CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id)
+                          AS BIGINT) AS rk
+              FROM rel),
+    idcg AS (SELECT CAST(SUM(i.rel * d.disc9) AS BIGINT) AS idcg9
+             FROM ideal i JOIN disc d ON d.rk = i.rk
+             WHERE i.rk <= {NDCG_K})
+    SELECT CAST({NDCG_K} AS BIGINT) AS k,
+           dcg.n_rel_at_k, dcg.dcg9, idcg.idcg9,
+           ROUND(dcg.dcg9 * 1.0 / idcg.idcg9, 6) AS ndcg
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: nDCG@{NDCG_K} of the BM25 ranking
+    against a graded relevance label (number of distinct query terms
+    a document contains, 0..{len(BM25_TERMS)}) — the metric a search /
+    RAG team tracks per release. DCG discounts are pre-rounded ×1e9
+    integer constants (computed once in Python, embedded identically
+    in both engines), so DCG and ideal-DCG are exact BIGINT dot
+    products and the only float op is the final ratio.
+
+    Scale shape: the ranking reuses bm25_scored (two corpus scans, no
+    token explode); relevance is one array-contains projection; DCG
+    joins the top-k rows against a {NDCG_K}-row discount table. The
+    ideal ranking needs only the corpus-wide top-{NDCG_K} relevance
+    values — a TakeOrdered heap, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    rel_expr = sum(
+        (
+            F.when(F.array_contains(tokens_col("text"), t), 1).otherwise(0)
+            for t in BM25_TERMS
+        ),
+        F.lit(0),
+    )
+    rel = docs.select(
+        "doc_id", rel_expr.cast("bigint").alias("rel")
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    rel = persist_tracked(rel)
+    disc = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(_DISC9)], "rk bigint, disc9 bigint"
+    )
+    scored = bm25_scored(docs, BM25_TERMS)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    sys_rk = (
+        scored.orderBy(F.desc("bm25"), "doc_id")
+        .limit(NDCG_K)
+        .select("doc_id", F.row_number().over(w).cast("bigint").alias("rk"))
+    )
+    dcg = (
+        sys_rk.join(rel, "doc_id")
+        .join(F.broadcast(disc), "rk")
+        .agg(
+            F.sum(F.col("rel") * F.col("disc9")).cast("bigint").alias("dcg9"),
+            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rel_at_k"),
+        )
+    )
+    wi = Window.orderBy(F.desc("rel"), "doc_id")
+    ideal = (
+        rel.orderBy(F.desc("rel"), "doc_id")
+        .limit(NDCG_K)
+        .select("rel", F.row_number().over(wi).cast("bigint").alias("rk"))
+    )
+    idcg = ideal.join(F.broadcast(disc), "rk").agg(
+        F.sum(F.col("rel") * F.col("disc9")).cast("bigint").alias("idcg9")
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.lit(NDCG_K).cast("bigint").alias("k"),
+            "n_rel_at_k",
+            "dcg9",
+            "idcg9",
+            F.round(F.col("dcg9") * 1.0 / F.col("idcg9"), 6).alias("ndcg"),
+        )
+    )

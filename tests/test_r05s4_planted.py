@@ -181,3 +181,20 @@ def test_exact_substr_shift_invariance(spark, tmp_path):
     assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 10
     assert out[1]["dup_micro"] == 10 * 1_000_000 // 13
     assert out[3]["n_spans"] == 0 and out[3]["dup_tokens"] == 0
+
+
+def test_bm25_ndcg_perfect_ranking(spark, tmp_path):
+    """Three identical docs carry all query terms, the rest none:
+    BM25 must put exactly the relevant docs on top in ideal order →
+    nDCG = 1.0 with 3 relevant in the top k."""
+    from dbt_project_spark.queries_retrieval import bm25_ndcg_eval
+
+    rows = [(i, "dup vector merge pad%d" % i, "en", "src0") for i in (1, 2, 3)]
+    rows += [
+        (10 + i, "aa bb cc dd ee ff gg hh", "en", "src0") for i in range(9)
+    ]
+    _write_docs_src(spark, tmp_path, rows)
+    r = bm25_ndcg_eval(spark, str(tmp_path)).collect()[0]
+    assert r["n_rel_at_k"] == 3
+    assert r["dcg9"] == r["idcg9"]
+    assert r["ndcg"] == 1.0
