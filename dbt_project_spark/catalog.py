@@ -131,6 +131,7 @@ PRIORITY: list[str] = [
     "ann_ivfpq_refine",
     "ann_recall_ivfpq_refine",
     "bm25_ndcg_eval",
+    "ab_srm_check",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

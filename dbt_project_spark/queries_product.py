@@ -1151,3 +1151,84 @@ def lift_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_buyers * nt * 1000000 div (n_users * bt) AS BIGINT)"
         ).alias("lift_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_srm_check — sample ratio mismatch guardrail (r5s4)
+# ---------------------------------------------------------------------------
+
+SRM_CHI2_CRIT_MILLI = 3841  # χ²(1df) at α=0.05, ×1000
+
+
+@register(
+    "ab_srm_check",
+    oracle=f"""
+    WITH u AS (SELECT user_id,
+                      CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1, 8))::BIGINT % 2 = 0
+                           THEN 'A' ELSE 'B' END AS arm
+               FROM events GROUP BY user_id),
+    c AS (SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_a,
+                 CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_b
+          FROM u)
+    SELECT n_a, n_b,
+           ROUND((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b), 6) AS chi2,
+           CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000
+                     > {SRM_CHI2_CRIT_MILLI} * (n_a + n_b)
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_detected
+    FROM c
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the FIRST check every A/B
+    readout runs: under the 50/50 md5 assignment (the same hash as
+    ab_test_conversion), a χ²(1df) goodness-of-fit on the observed
+    arm counts; a significant imbalance means the assignment or
+    logging pipeline is broken and every downstream metric is
+    untrustworthy. The significance flag is decided by the EXACT
+    integer inequality 1000·(n_a−n_b)² > 3841·(n_a+n_b) (χ² critical
+    value pre-scaled ×1000), so the verdict never rides on a float.
+
+    Scale shape: one distinct-user aggregate and a 1-row reduce —
+    the cheapest query in the experimentation family, which is why
+    it runs on every dashboard refresh."""
+    from dbt_project_spark.functions.expressions import md5_int
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            F.when(
+                md5_int(F.col("user_id").cast("string")) % 2 == 0, "A"
+            )
+            .otherwise("B")
+            .alias("arm")
+        )
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(
+            (F.col("n_a") - F.col("n_b"))
+            * (F.col("n_a") - F.col("n_b"))
+            * 1.0
+            / (F.col("n_a") + F.col("n_b")),
+            6,
+        ).alias("chi2"),
+        F.expr(
+            f"CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000"
+            f" > {SRM_CHI2_CRIT_MILLI} * (n_a + n_b)"
+            f" THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("srm_detected"),
+    )
