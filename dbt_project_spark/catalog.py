@@ -132,6 +132,8 @@ PRIORITY: list[str] = [
     "ann_recall_ivfpq_refine",
     "bm25_ndcg_eval",
     "ab_srm_check",
+    "mm_byte_entropy",
+    "semantic_threshold_sweep",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

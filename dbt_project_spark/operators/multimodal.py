@@ -296,3 +296,56 @@ def cdc_chunk_hashes(
     return df.select(id_col, content_col).mapInArrow(
         batches, "doc_id long, h string"
     )
+
+
+def arrow_byte_entropy(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-payload byte-level Shannon entropy via ``mapInArrow`` —
+    the compressed/encrypted-blob detector an ingest pipeline runs on
+    opaque binary columns (natural text ≈ 4.1 bits/byte; gzip/cipher
+    output ≈ 8, truncation/padding ≈ 0).
+
+    Exactness contract: the per-count log terms are rounded to ×1e9
+    integers (``round(ln(c)·1e9)``, one libm double `ln` per distinct
+    count value) and summed as exact int64 — the same one-ln-per-term
+    convention the SQL families use, so a DuckDB oracle reproduces
+    the sums bit-for-bit. Entropy itself is left to the caller as a
+    truncating integer division over (n·ln9(n) − Σc·ln9(c)).
+
+    Emits (id, n_bytes, n_distinct, sum_clnc9).
+    """
+
+    def batches(it):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0)
+            content = batch.column(1)
+            n_bytes, n_distinct, sums = [], [], []
+            for v in content:
+                buf = np.frombuffer(v.as_buffer(), dtype=np.uint8)
+                counts = np.bincount(buf, minlength=256)
+                nz = counts[counts > 0]
+                s = 0
+                for c in nz.tolist():
+                    s += c * round(math.log(c) * 1_000_000_000)
+                n_bytes.append(int(buf.size))
+                n_distinct.append(int(nz.size))
+                sums.append(s)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array(n_distinct, pa.int64()),
+                    pa.array(sums, pa.int64()),
+                ],
+                names=[id_col, "n_bytes", "n_distinct", "sum_clnc9"],
+            )
+
+    return df.select(id_col, "content").mapInArrow(
+        batches,
+        f"{id_col} bigint, n_bytes bigint, n_distinct bigint,"
+        " sum_clnc9 bigint",
+    )

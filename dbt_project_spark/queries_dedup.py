@@ -1411,3 +1411,93 @@ def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic_threshold_sweep (r5s4)
+# ---------------------------------------------------------------------------
+
+SEM_SWEEP_CENTI = (80, 85, 90, 95)
+
+
+def _sem_sweep_oracle() -> str:
+    taus = ", ".join(f"({t})" for t in SEM_SWEEP_CENTI)
+    return (
+        _sem_corpus_sql()
+        + f""",
+    pr AS (SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  a.embedding AS ea, b.embedding AS eb
+           FROM mem a JOIN mem b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id),
+    pf AS (SELECT cid, vec_a, vec_b,
+                  unnest(ea) AS x, unnest(eb) AS y FROM pr),
+    cosv AS (SELECT cid, vec_a, vec_b,
+                    ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6)
+                        AS cosine
+             FROM pf GROUP BY cid, vec_a, vec_b),
+    taus AS (SELECT * FROM (VALUES {taus}) AS t(tau_centi))
+    SELECT CAST(t.tau_centi AS BIGINT) AS tau_centi,
+           CAST(SUM(CASE WHEN c.cosine >= t.tau_centi / 100.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN c.cosine >= t.tau_centi / 100.0
+                      THEN c.vec_b END) AS BIGINT) AS n_dropped_docs
+    FROM cosv c CROSS JOIN taus t
+    GROUP BY t.tau_centi
+    """
+    )
+
+
+@register("semantic_threshold_sweep", oracle=_sem_sweep_oracle())
+def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration for SemDeDup: within-cell cosines are
+    computed ONCE, then evaluated at a τ grid (0.80–0.95) — pair
+    count and a drop-count proxy (distinct higher-id members of a
+    ≥τ pair) per τ. This is the table an operator reads before
+    choosing the production threshold: too low and the dedup eats
+    genuinely distinct data, too high and near-clones survive; the
+    knee lives in this sweep (the S-curve sibling of
+    minhash_band_tuning on the lexical side).
+
+    Cost: identical to one dedup_semantic run — the sweep reuses the
+    same within-cell pair cosines; the τ grid only re-aggregates a
+    pairs-sized table against a 4-row broadcast."""
+    base, cmem = _sem_members(spark, sf_dir)
+    from dbt_project_spark.functions.expressions import cosine_similarity
+
+    mem = base.unionByName(cmem)
+    a = mem.select(
+        "cid", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = mem.select(
+        "cid", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    cosv = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine_similarity("ea", "eb"), 6))
+        .select("vec_a", "vec_b", "cosine")
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in SEM_SWEEP_CENTI], "tau_centi bigint"
+    )
+    return (
+        cosv.crossJoin(F.broadcast(taus))
+        .groupBy("tau_centi")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cosine") >= F.col("tau_centi") / 100.0, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.countDistinct(
+                F.when(
+                    F.col("cosine") >= F.col("tau_centi") / 100.0,
+                    F.col("vec_b"),
+                )
+            )
+            .cast("bigint")
+            .alias("n_dropped_docs"),
+        )
+    )

@@ -287,3 +287,65 @@ def mm_chunk_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(COUNT(DISTINCT h) * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("unique_ratio_micro"),
     )
+
+
+@register(
+    "mm_byte_entropy",
+    oracle="""
+    WITH ch AS (SELECT doc_id,
+                       unnest(list_transform(range(1, length(text) + 1),
+                              i -> substring(text, i, 1))) AS c
+                FROM documents WHERE length(text) > 0),
+    hist AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+             FROM ch GROUP BY 1, 2),
+    terms AS (SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(SUM(n) AS BIGINT) AS n_bytes,
+                     CAST(SUM(n * CAST(round(ln(n) * 1000000000) AS BIGINT))
+                          AS BIGINT) AS sum_clnc9
+              FROM hist GROUP BY doc_id)
+    SELECT doc_id, n_bytes, n_distinct, sum_clnc9,
+           CAST((n_bytes * CAST(round(ln(n_bytes) * 1000000000) AS BIGINT)
+                 - sum_clnc9) // (n_bytes * 1000) AS BIGINT)
+               AS entropy_nats_micro
+    FROM terms
+    """,
+)
+def mm_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level Shannon entropy per payload (mapInArrow, zero-copy
+    numpy bincount — operators/multimodal.py:arrow_byte_entropy):
+    the compressed/encrypted-blob detector. Natural English text sits
+    near ~2.9 nats/byte over ASCII; gzip or cipher output saturates
+    toward ln(256) ≈ 5.55; all-padding collapses to 0 — an ingest
+    pipeline drops or reroutes payloads by this one number before
+    wasting decoder time.
+
+    Exactness: H = (n·ln n − Σc·ln c)/n is assembled from ×1e9
+    integer log terms (one libm ln per distinct count, the repo-wide
+    convention) and finished with a truncating integer division —
+    the Python (Arrow) side and the SQL oracle produce identical
+    BIGINTs. Oracle counts CHARS of the ASCII text (byte == char for
+    this corpus; the Spark side hashes the actual UTF-8 payload).
+
+    Scale shape: embarrassingly parallel map-only scan, C-speed
+    bincount per Arrow buffer, no shuffle — the cheapest full-corpus
+    pass over a binary column."""
+    from dbt_project_spark.operators.multimodal import arrow_byte_entropy
+    from pyspark.sql import functions as F
+
+    docs = attach_blob(
+        load_table(spark, sf_dir, "documents").filter(
+            F.length("text") > 0
+        )
+    )
+    t = arrow_byte_entropy(docs)
+    return t.select(
+        "doc_id",
+        "n_bytes",
+        "n_distinct",
+        "sum_clnc9",
+        F.expr(
+            "CAST((n_bytes * CAST(round(ln(n_bytes) * 1000000000) AS BIGINT)"
+            " - sum_clnc9) div (n_bytes * 1000) AS BIGINT)"
+        ).alias("entropy_nats_micro"),
+    )
