@@ -533,3 +533,45 @@ def test_join_size_estimate_frequency_vectors_cached(spark):
     assert "InMemoryTableScan" in plan
     assert plan.count("orders.parquet") // 2 <= 1
     assert plan.count("events.parquet") // 2 <= 1
+
+
+def test_nb_classifier_broadcasts_model(spark):
+    """The λ/prior/class-count model tables must reach the scoring
+    join as broadcasts — a shuffled model join would re-shuffle the
+    full token stream at 100 TB."""
+    plan = _plan(QUERIES["nb_lang_classifier"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_substr_no_pairwise_no_cartesian(spark):
+    """ExactSubstr is window-hash based: the plan must contain no
+    cartesian/nested-loop pairing and the dup filter must be a
+    map-side-combinable aggregate."""
+    plan = _plan(QUERIES["exact_substr_spans"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_dsir_lambda_table_broadcast(spark):
+    """DSIR's 256-row λ table joins the exploded token stream as a
+    broadcast; the token stream itself must never shuffle for it."""
+    plan = _plan(QUERIES["dsir_importance_weights"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_byte_entropy_map_only(spark):
+    """The entropy scan is embarrassingly parallel: no Exchange in
+    the plan at all (mapInArrow over the scan, final projection)."""
+    plan = _plan(QUERIES["mm_byte_entropy"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_embedding_dim_drift_single_aggregation_pass(spark):
+    """One posexplode + one grouped aggregate: at most one shuffle,
+    with partial aggregation below it."""
+    plan = _plan(QUERIES["embedding_dim_drift"](spark, SF_SMOKE))
+    n = plan.count("Exchange") // 2
+    assert n <= 1, f"expected <=1 exchange, got {n}"
+    assert "HashAggregate" in plan
