@@ -123,6 +123,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "moore_lewis_selection",
     "nb_lang_classifier",
+    "exact_substr_spans",
 ]
 
 # The 10 most expensive headline queries per BENCH_r02, cheapest first

@@ -134,6 +134,7 @@ PRIORITY: list[str] = [
     "ab_srm_check",
     "mm_byte_entropy",
     "semantic_threshold_sweep",
+    "corpus_selection_composite",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

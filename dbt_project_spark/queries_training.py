@@ -1006,3 +1006,77 @@ def moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_selection_composite — the selection scorers voted (r5s4)
+# ---------------------------------------------------------------------------
+
+from dbt_project_spark.catalog import ORACLES as _ORACLES
+
+CSC_MIN_TOKS = 20
+CSC_MAX_TOKS = 100_000
+
+
+@register(
+    "corpus_selection_composite",
+    oracle=f"""
+    WITH d AS ({_ORACLES['dsir_importance_weights']}),
+    m AS ({_ORACLES['moore_lewis_selection']}),
+    j AS (SELECT d.doc_id, d.n_toks, d.keep AS dsir_keep, m.keep AS ml_keep,
+                 CAST(CASE WHEN d.n_toks BETWEEN {CSC_MIN_TOKS}
+                           AND {CSC_MAX_TOKS}
+                      THEN 1 ELSE 0 END AS BIGINT) AS len_ok
+          FROM d JOIN m ON m.doc_id = d.doc_id)
+    SELECT doc_id, n_toks, dsir_keep, ml_keep, len_ok,
+           CAST(CASE WHEN dsir_keep + ml_keep + len_ok >= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM j
+    """,
+)
+def corpus_selection_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection scorers VOTED — what a curation pipeline
+    actually ships: DSIR (hashed-unigram importance), Moore-Lewis
+    (bigram cross-entropy difference), and a token-length sanity
+    bound each cast one vote per document; majority (≥2 of 3) keeps
+    the doc. Ensembling decorrelates the scorers' failure modes
+    (DSIR is topic-shaped, Moore-Lewis is phrasing-shaped, length
+    catches fragments both overrate).
+
+    Composition note: the oracle embeds the two member queries'
+    REGISTERED oracle SQL verbatim as CTEs and the Spark side calls
+    their query functions and joins the outputs — the composite can
+    never drift from its members. Scored population = docs with ≥2
+    tokens (Moore-Lewis' bigram contract; inner join).
+
+    Scale shape: both member scorers are token-stream aggregates
+    with broadcast model tables (see their docstrings); the
+    composite adds one doc-keyed equi-join of two n_docs-sized
+    outputs and a projection."""
+    d = dsir_importance_weights(spark, sf_dir).select(
+        "doc_id", "n_toks", F.col("keep").alias("dsir_keep")
+    )
+    m = moore_lewis_selection(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ml_keep")
+    )
+    j = d.join(m, "doc_id").withColumn(
+        "len_ok",
+        F.when(
+            F.col("n_toks").between(CSC_MIN_TOKS, CSC_MAX_TOKS), 1
+        )
+        .otherwise(0)
+        .cast("bigint"),
+    )
+    return j.select(
+        "doc_id",
+        "n_toks",
+        "dsir_keep",
+        "ml_keep",
+        "len_ok",
+        F.when(
+            F.col("dsir_keep") + F.col("ml_keep") + F.col("len_ok") >= 2, 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("selected"),
+    )
