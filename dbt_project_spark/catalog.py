@@ -135,6 +135,8 @@ PRIORITY: list[str] = [
     "mm_byte_entropy",
     "semantic_threshold_sweep",
     "corpus_selection_composite",
+    "trade_reciprocity",
+    "bpe_pack_budget",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

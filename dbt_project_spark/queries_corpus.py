@@ -1498,3 +1498,118 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(fl * wlen) * 1000000 div SUM(fl * nsym) AS BIGINT)"
         ).alias("chars_per_token_micro"),
     )
+
+
+BPE_PACK_BUDGET = 512  # context length (BPE tokens) for packing
+BPE_PACK_BUCKET = 1024  # docs per bucket in the two-phase prefix sum
+
+
+@register(
+    "bpe_pack_budget",
+    oracle=_bpe_chain_sql()
+    + f""",
+    dw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+               SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+           GROUP BY 1, 2),
+    dt AS (SELECT dw.doc_id,
+                  CAST(SUM(dw.f * len(string_split(trim(v.seg), ' ')))
+                       AS BIGINT) AS n_tokens
+           FROM dw JOIN v{BPE_MERGES} v ON v.w = dw.w
+           GROUP BY dw.doc_id),
+    o AS (SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+                      AS BIGINT) AS token_offset
+          FROM dt)
+    SELECT doc_id, n_tokens, token_offset,
+           token_offset // {BPE_PACK_BUDGET} AS first_chunk,
+           (token_offset + n_tokens - 1) // {BPE_PACK_BUDGET} AS last_chunk,
+           (token_offset + n_tokens - 1) // {BPE_PACK_BUDGET}
+               - token_offset // {BPE_PACK_BUDGET} + 1 AS n_chunks
+    FROM o
+    """,
+)
+def bpe_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-AWARE sequence packing — `seq_pack` with the real
+    token counts: per-doc BPE token totals come from joining the
+    doc's word counts to the trained vocabulary's segmentation
+    (Σ f_word · symbols(word) — per-document token lists never
+    materialize), then the concat-then-chunk packing assigns each
+    doc its global token offset and chunk span under a
+    {BPE_PACK_BUDGET}-token context budget. Whitespace packing
+    (seq_pack) misestimates chunk counts exactly where the tokenizer
+    fragments; this is the version a training run actually uses.
+
+    Scale shape: the BPE chain is vocab-sized (corpus scanned once
+    for word counts); the per-doc totals are one (doc, word)
+    aggregate + a vocab equi-join; the global prefix sum is the
+    two-phase distributed form on the Spark side (per-bucket
+    subtotals cumsum'd, then a bucket-partitioned window) — the
+    oracle's single ORDER BY window is the semantic spec, not the
+    physical plan."""
+    _merges, vocab = _bpe_loop(spark, sf_dir)
+    dw = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    dt = (
+        dw.join(vocab.select("w", "seg"), "w")
+        .select(
+            "doc_id",
+            (
+                F.col("f") * F.size(F.split(F.trim("seg"), " "))
+            ).alias("tok"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("tok").cast("bigint").alias("n_tokens"))
+        .withColumn("bucket", F.expr(f"doc_id div {BPE_PACK_BUCKET}"))
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    dt = persist_tracked(dt)
+    bucket_offsets = (
+        dt.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn(
+            "bucket_offset",
+            F.sum("bucket_tokens").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select(
+            "bucket",
+            F.coalesce("bucket_offset", F.lit(0)).alias("bucket_offset"),
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = dt.join(F.broadcast(bucket_offsets), "bucket").withColumn(
+        "token_offset",
+        (
+            F.col("bucket_offset")
+            + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).cast("bigint"),
+    )
+    b = BPE_PACK_BUDGET
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "token_offset",
+        F.expr(f"token_offset div {b}").alias("first_chunk"),
+        F.expr(f"(token_offset + n_tokens - 1) div {b}").alias("last_chunk"),
+        F.expr(
+            f"(token_offset + n_tokens - 1) div {b}"
+            f" - token_offset div {b} + 1"
+        ).alias("n_chunks"),
+    )

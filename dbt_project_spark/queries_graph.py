@@ -1252,3 +1252,54 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "trade_reciprocity",
+    oracle=f"""{_TRADE_GRAPH_SQL},
+    r AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(CASE WHEN EXISTS (
+                          SELECT 1 FROM edges e2
+                          WHERE e2.src = e.dst AND e2.dst = e.src)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS m_recip
+          FROM edges e)
+    SELECT m AS n_edges, m_recip AS n_reciprocated,
+           CAST(m_recip * 1000000 // m AS BIGINT) AS reciprocity_micro
+    FROM r
+    """,
+)
+def trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed trade graph: the fraction of
+    (src→dst) edges whose reverse edge also survives the top-partner
+    cap — high reciprocity means trade relationships are mutual
+    (both nations rank each other as top partners), low means
+    one-sided supply chains. With assortativity this is the second
+    one-number structural health check before trusting directed
+    propagation models.
+
+    Exact: a self-semi-join on the swapped key pair and integer
+    micro division — no floats at all.
+
+    Scale shape: edges semi-join edges on (dst, src) = (src, dst) —
+    one shuffle of the edge list against itself on a composite
+    equi-key; never wedge- or pair-expanding."""
+    edges = _trade_edges(spark, sf_dir)
+    from dbt_project_spark.caching import persist_tracked
+
+    edges = persist_tracked(edges)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = edges.join(rev, ["src", "dst"], "left_semi")
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    mr = recip.agg(F.count(F.lit(1)).cast("bigint").alias("m_recip"))
+    return (
+        m.crossJoin(F.broadcast(mr))
+        .select(
+            F.col("m").alias("n_edges"),
+            F.col("m_recip").alias("n_reciprocated"),
+            F.expr("CAST(m_recip * 1000000 div m AS BIGINT)").alias(
+                "reciprocity_micro"
+            ),
+        )
+    )
