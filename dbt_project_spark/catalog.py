@@ -137,6 +137,7 @@ PRIORITY: list[str] = [
     "corpus_selection_composite",
     "trade_reciprocity",
     "bpe_pack_budget",
+    "bootstrap_mean_ci",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

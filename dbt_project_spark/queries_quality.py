@@ -1005,3 +1005,135 @@ def welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df_welch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_mean_ci — deterministic Poisson bootstrap (r5s4)
+# ---------------------------------------------------------------------------
+
+BOOT_B = 200  # resamples
+# Poisson(1) CDF ×1e6, pre-rounded in Python: identical constants on
+# both engines decide each (event, resample) weight from one md5.
+_BOOT_T = (367879, 735759, 919699, 981012, 996340, 999406)
+_BOOT_W_SQL = (
+    "CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1"
+    " WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3"
+    " WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5 ELSE 6 END"
+)
+BOOT_LO_RANK = 5    # 2.5th percentile of 200 ordered means
+BOOT_HI_RANK = 196  # 97.5th percentile
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, {_V100} AS v FROM events),
+    fan AS (SELECT e.event_id, e.v, b.b,
+                   ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
+                                       || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000 AS h
+            FROM ev e CROSS JOIN (SELECT unnest(range(0, {BOOT_B})) AS b) b),
+    wtd AS (SELECT b, v, {_BOOT_W_SQL} AS w FROM fan),
+    res AS (SELECT b, CAST(SUM(w * v) AS BIGINT) AS sv,
+                   CAST(SUM(w) AS BIGINT) AS sw
+            FROM wtd GROUP BY b),
+    means AS (SELECT b,
+                     CAST(CASE WHEN sv < 0 THEN -(abs(sv) * 10000 // sw)
+                          ELSE sv * 10000 // sw END AS BIGINT) AS mean_micro
+              FROM res WHERE sw > 0),
+    rk AS (SELECT mean_micro,
+                  ROW_NUMBER() OVER (ORDER BY mean_micro, b) AS r
+           FROM means),
+    full_m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                      CAST(CASE WHEN SUM(v) < 0
+                           THEN -(abs(SUM(v)) * 10000 // COUNT(*))
+                           ELSE SUM(v) * 10000 // COUNT(*) END AS BIGINT)
+                          AS mean_micro
+               FROM ev)
+    SELECT f.n_events, CAST({BOOT_B} AS BIGINT) AS n_resamples,
+           f.mean_micro,
+           (SELECT mean_micro FROM rk WHERE r = {BOOT_LO_RANK})
+               AS ci_lo_micro,
+           (SELECT mean_micro FROM rk WHERE r = {BOOT_HI_RANK})
+               AS ci_hi_micro
+    FROM full_m f
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% confidence interval for the mean event value by POISSON
+    bootstrap — the bootstrap that actually runs at warehouse scale
+    (independent Poisson(1) weights per (row, resample) approximate
+    multinomial resampling without any global coordination; the
+    method behind large-scale uncertainty estimation in production
+    metric systems). Fully deterministic: each weight is decided by
+    md5(event_id:b) against the Poisson(1) CDF pre-rounded to ×1e6
+    integer thresholds (identical constants both engines), resample
+    means are exact integer rationals reduced by a sign-safe
+    truncating ×1e4 division (value is in cents → micro dollars),
+    and the CI bounds are order statistics of the {BOOT_B} means
+    with a total (mean, b) ordering.
+
+    Scale shape: the B-fold fan-out never shuffles raw rows — the
+    per-resample sums are map-side-combined, so the exchange carries
+    {BOOT_B} partial rows per task regardless of corpus size. The
+    rank step orders {BOOT_B} rows. At 100 TB the cost is B scans'
+    worth of CPU over one scan's IO (Arrow-free, codegen'd CASE)."""
+    from dbt_project_spark.functions.expressions import md5_int
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr(_V100).alias("v")
+    )
+    bs = spark.range(BOOT_B).select(F.col("id").alias("b"))
+    fan = ev.crossJoin(F.broadcast(bs)).select(
+        "b",
+        "v",
+        (
+            md5_int(
+                F.concat_ws(
+                    ":",
+                    F.col("event_id").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            )
+            % 1_000_000
+        ).alias("h"),
+    )
+    wtd = fan.select("b", "v", F.expr(_BOOT_W_SQL).alias("w"))
+    res = wtd.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("v")).cast("bigint").alias("sv"),
+        F.sum("w").cast("bigint").alias("sw"),
+    )
+    means = res.filter(F.col("sw") > 0).select(
+        "b",
+        F.expr(
+            "CAST(CASE WHEN sv < 0 THEN -(abs(sv) * 10000 div sw)"
+            " ELSE sv * 10000 div sw END AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    w = Window.orderBy("mean_micro", "b")
+    rk = means.withColumn("r", F.row_number().over(w))
+    lo = rk.filter(F.col("r") == BOOT_LO_RANK).select(
+        F.col("mean_micro").alias("ci_lo_micro")
+    )
+    hi = rk.filter(F.col("r") == BOOT_HI_RANK).select(
+        F.col("mean_micro").alias("ci_hi_micro")
+    )
+    full_m = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST(CASE WHEN SUM(v) < 0"
+            " THEN -(abs(SUM(v)) * 10000 div COUNT(*))"
+            " ELSE SUM(v) * 10000 div COUNT(*) END AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    return (
+        full_m.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_events",
+            F.lit(BOOT_B).cast("bigint").alias("n_resamples"),
+            "mean_micro",
+            "ci_lo_micro",
+            "ci_hi_micro",
+        )
+    )

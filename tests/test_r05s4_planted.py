@@ -198,3 +198,56 @@ def test_bm25_ndcg_perfect_ranking(spark, tmp_path):
     assert r["n_rel_at_k"] == 3
     assert r["dcg9"] == r["idcg9"]
     assert r["ndcg"] == 1.0
+
+
+DAY = 86400
+T0 = 1_700_000_000 - (1_700_000_000 % DAY)
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts_epoch_s, user_id, event_type, value)"""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (int(e), float(ts), int(u), t, float(v), "{}")
+            for e, ts, u, t, v in rows
+        ],
+        "event_id bigint, __ep double, user_id bigint, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.col("__ep")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(path / "events.parquet")
+    )
+
+
+def test_bootstrap_ci_degenerate_on_constant_values(spark, tmp_path):
+    """All values equal → every resample mean is that value → the CI
+    collapses onto the point estimate exactly."""
+    from dbt_project_spark.queries_quality import bootstrap_mean_ci
+
+    rows = [(i, T0 + i, 1, "click", 7.0) for i in range(40)]
+    _write_events(spark, tmp_path, rows)
+    r = bootstrap_mean_ci(spark, str(tmp_path)).collect()[0]
+    assert r["n_events"] == 40 and r["n_resamples"] == 200
+    assert r["mean_micro"] == 7_000_000
+    assert r["ci_lo_micro"] == 7_000_000
+    assert r["ci_hi_micro"] == 7_000_000
+
+
+def test_bootstrap_ci_brackets_mean(spark, tmp_path):
+    """Mixed values: CI must bracket the point estimate with
+    ci_lo < mean < ci_hi strictly (non-degenerate spread)."""
+    from dbt_project_spark.queries_quality import bootstrap_mean_ci
+
+    rows = [(i, T0 + i, 1, "click", float(1 + (i % 10))) for i in range(60)]
+    _write_events(spark, tmp_path, rows)
+    r = bootstrap_mean_ci(spark, str(tmp_path)).collect()[0]
+    assert r["ci_lo_micro"] < r["mean_micro"] < r["ci_hi_micro"]
