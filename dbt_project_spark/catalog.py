@@ -138,6 +138,7 @@ PRIORITY: list[str] = [
     "trade_reciprocity",
     "bpe_pack_budget",
     "bootstrap_mean_ci",
+    "negative_sampling_dist",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

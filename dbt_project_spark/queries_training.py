@@ -1080,3 +1080,93 @@ def corpus_selection_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# negative_sampling_dist — word2vec noise distribution (r5s4)
+# ---------------------------------------------------------------------------
+
+NEG_POW_MILLI = 750  # the word2vec 3/4 exponent, ×1000
+
+
+@register(
+    "negative_sampling_dist",
+    oracle=f"""
+    WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+                    SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w),
+    pw AS (SELECT w, f,
+                  CAST(round(pow(f, {NEG_POW_MILLI} / 1000.0) * 1000000)
+                       AS BIGINT) AS fp6
+           FROM wf),
+    tot AS (SELECT CAST(SUM(fp6) AS BIGINT) AS t FROM pw),
+    d AS (SELECT w, f, fp6,
+                 CAST(fp6 * 1000000 // tot.t AS BIGINT) AS p_micro,
+                 CAST(SUM(fp6) OVER (ORDER BY fp6 DESC, w) * 1000000 // tot.t
+                      AS BIGINT) AS cum_p_micro,
+                 ROW_NUMBER() OVER (ORDER BY fp6 DESC, w) AS rk
+          FROM pw CROSS JOIN tot)
+    SELECT CAST(rk AS BIGINT) AS rank, w AS word, f, fp6, p_micro,
+           cum_p_micro
+    FROM d WHERE rk <= {VOCAB_K}
+    """,
+)
+def negative_sampling_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec negative-sampling noise distribution: unigram
+    frequency raised to the 3/4 power (Mikolov et al. 2013 — flattens
+    the head so frequent words aren't over-sampled, lifts the tail so
+    rare words are seen at all), normalized to sampling probabilities
+    with a cumulative column — exactly the table an embedding trainer
+    bakes into its alias/He sampler. Top-{VOCAB_K} rows by sampling
+    mass.
+
+    Determinism: one double `pow` per distinct word rounded to a
+    ×1e6 integer; probabilities and the cumulative are exact integer
+    divisions over the BIGINT total; ordering is total (fp6 desc,
+    word).
+
+    Scale shape: a word-count aggregate, a 1-row total broadcast,
+    and a window over the top slice — vocabulary-sized everywhere,
+    the corpus is scanned once."""
+    wf = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    pw = wf.select(
+        "w",
+        "f",
+        F.round(
+            F.pow(F.col("f"), NEG_POW_MILLI / 1000.0) * 1_000_000
+        )
+        .cast("bigint")
+        .alias("fp6"),
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    pw = persist_tracked(pw)
+    tot = pw.agg(F.sum("fp6").cast("bigint").alias("t"))
+    w_rk = Window.orderBy(F.desc("fp6"), "w")
+    w_cum = Window.orderBy(F.desc("fp6"), "w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = (
+        pw.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w_rk).cast("bigint"))
+        .withColumn(
+            "p_micro", F.expr("CAST(fp6 * 1000000 div t AS BIGINT)")
+        )
+        .withColumn("cum_fp6", F.sum("fp6").over(w_cum).cast("bigint"))
+        .withColumn(
+            "cum_p_micro",
+            F.expr("CAST(cum_fp6 * 1000000 div t AS BIGINT)"),
+        )
+    )
+    return d.filter(F.col("rank") <= VOCAB_K).select(
+        "rank",
+        F.col("w").alias("word"),
+        "f",
+        "fp6",
+        "p_micro",
+        "cum_p_micro",
+    )
