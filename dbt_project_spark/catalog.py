@@ -139,6 +139,8 @@ PRIORITY: list[str] = [
     "bpe_pack_budget",
     "bootstrap_mean_ci",
     "negative_sampling_dist",
+    "attribution_time_decay",
+    "user_activity_streaks",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -1579,3 +1579,65 @@ def cumulative_reach_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div total AS BIGINT)"
         ).alias("reach_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# user_activity_streaks (r5s4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_activity_streaks",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                          // 86400000000 AS day
+               FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT user_id, day,
+                 day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS grp
+          FROM d),
+    s AS (SELECT user_id, grp,
+                 CAST(COUNT(*) AS BIGINT) AS len
+          FROM r GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS max_streak_days
+    FROM s GROUP BY user_id
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus streak
+    count and total active days) — the engagement metric behind
+    'don't break the chain' product features and a standard
+    gaps-and-islands exercise: consecutive days share a constant
+    (day − row_number) group key, so islands fall out of one grouped
+    count with no self-joins.
+
+    All-integer (epoch days), deterministic.
+
+    Scale shape: one distinct (user, day) aggregate (map-side
+    combinable), one user-partitioned window, two grouped counts —
+    a single shuffle by user carries everything."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    s = r.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return s.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("max_streak_days"),
+    )

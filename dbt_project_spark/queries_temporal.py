@@ -843,3 +843,122 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("attribution_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# attribution_time_decay (r5s4) — completes the attribution quartet
+# ---------------------------------------------------------------------------
+
+TD_HALFLIFE_DAYS = 7  # credit halves every 7 days before the purchase
+
+
+@register(
+    "attribution_time_decay",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, {_EU} AS eu,
+                      {_OKEY_DUCK} AS okey
+               FROM events WHERE user_id IS NOT NULL),
+    j AS (SELECT event_id, user_id, event_type, eu,
+                 COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY okey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS jid
+          FROM e),
+    p AS (SELECT user_id, jid, event_id AS pid, eu AS peu
+          FROM j WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, jid, event_type, eu
+          FROM j WHERE event_type <> 'purchase'),
+    tw AS (SELECT p.pid, t.event_type,
+                  CAST(1000000 // (1::BIGINT << LEAST(
+                       (p.peu - t.eu) // 604800000000, 40)) AS BIGINT) AS w
+           FROM t JOIN p ON p.user_id = t.user_id AND p.jid = t.jid),
+    sw AS (SELECT pid, CAST(SUM(w) AS BIGINT) AS tot FROM tw GROUP BY pid),
+    cr AS (SELECT tw.event_type,
+                  CAST(tw.w * 1000000 // sw.tot AS BIGINT) AS credit
+           FROM tw JOIN sw ON sw.pid = tw.pid)
+    SELECT event_type AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit) AS BIGINT) AS credit_micro
+    FROM cr GROUP BY 1
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution — the fourth member of the standard
+    quartet (last-touch / U-shape / Markov removal / here): every
+    touch in a purchase's journey (the touches since the user's
+    previous purchase) gets credit ∝ 2^-weeks(Δ) — recent touches
+    weigh more, halving every {TD_HALFLIFE_DAYS} days in whole-week
+    steps — normalized per journey so each purchase distributes
+    exactly 1.0 of credit (up to truncation), aggregated per touch
+    channel.
+
+    Determinism: the decay is PURE INTEGER — Δ truncates to whole
+    weeks and the weight is 10⁶ >> weeks (capped at 2⁴⁰). The first
+    draft used round(pow(0.5, days/7)·10⁶) and measurably diverged:
+    JVM Math.pow and DuckDB's libm pow disagree at 1 ulp for
+    fractional exponents, which the ×1e6 rounding then amplifies
+    into off-by-one weights. The dyadic step function is the
+    portable form; journey normalization stays an exact integer
+    division.
+
+    Scale shape: journey segmentation is one user-partitioned
+    running sum (the attribution family's shared window shape);
+    touch→purchase matching is an equi-join on (user, journey_id) —
+    never a time-range join; the rest is two grouped aggregates."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("eu"),
+            F.expr(_OKEY_SPARK).alias("okey"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = e.withColumn(
+        "jid",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ),
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    j = persist_tracked(j)
+    p = j.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "jid",
+        F.col("event_id").alias("pid"),
+        F.col("eu").alias("peu"),
+    )
+    t = j.filter(F.col("event_type") != "purchase").select(
+        "user_id", "jid", "event_type", "eu"
+    )
+    tw = t.join(p, ["user_id", "jid"]).select(
+        "pid",
+        "event_type",
+        F.expr(
+            "CAST(1000000 div shiftleft(CAST(1 AS BIGINT),"
+            " CAST(least((peu - eu) div 604800000000, 40) AS INT))"
+            " AS BIGINT)"
+        ).alias("w"),
+    )
+    tw = persist_tracked(tw)
+    sw = tw.groupBy("pid").agg(F.sum("w").cast("bigint").alias("tot"))
+    cr = tw.join(sw, "pid").select(
+        "event_type",
+        F.expr("CAST(w * 1000000 div tot AS BIGINT)").alias("credit"),
+    )
+    return cr.groupBy(F.col("event_type").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("credit").cast("bigint").alias("credit_micro"),
+    )

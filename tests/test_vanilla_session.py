@@ -68,6 +68,8 @@ _TS_QUERIES = [
     "price_index_laspeyres",  # year(l_shipdate) bucketing
     # r05s4 additions with ts access patterns:
     "ts_double_exp_smoothing",  # cast(ts as date) daily grid + lag kernel
+    "attribution_time_decay",  # unix_micros journey gaps + dyadic decay
+    "user_activity_streaks",  # unix_micros epoch-day islands
 ]
 
 
