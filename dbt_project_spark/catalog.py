@@ -141,6 +141,7 @@ PRIORITY: list[str] = [
     "negative_sampling_dist",
     "attribution_time_decay",
     "user_activity_streaks",
+    "corpus_novelty_curve",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

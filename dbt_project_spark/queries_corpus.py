@@ -1613,3 +1613,91 @@ def bpe_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - token_offset div {b} + 1"
         ).alias("n_chunks"),
     )
+
+
+NOVELTY_BUCKETS = 10  # doc_id deciles of the ingest order
+
+
+@register(
+    "corpus_novelty_curve",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)),
+                         i -> t[i] || ' ' || t[i+1])) AS g
+           FROM t WHERE len(t) >= 2),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM bg GROUP BY g),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    b AS (SELECT bg.doc_id, bg.g,
+                 CAST(LEAST(bg.doc_id * {NOVELTY_BUCKETS} // nn.n_docs,
+                            {NOVELTY_BUCKETS} - 1) AS BIGINT) AS bucket,
+                 CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END AS is_new
+          FROM bg JOIN firsts f ON f.g = bg.g CROSS JOIN nn)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(is_new) * 1000000 // COUNT(*) AS BIGINT)
+               AS novelty_micro
+    FROM b GROUP BY bucket
+    """,
+)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty decay: walking the corpus in ingest (doc_id)
+    order, what fraction of each decile's bigrams has never been
+    seen before? A healthy growing corpus keeps finding new text;
+    a crawl that started re-crawling itself (or a generator looping)
+    shows novelty collapsing toward zero — this curve is the
+    earliest aggregate signal of that, cheaper than any pairwise
+    dedup. (A bigram is 'new' in the bucket of the FIRST doc that
+    contains it; later occurrences count against their bucket's
+    denominator.)
+
+    All-integer: bucket = doc_id·B/N truncated, first-occurrence by
+    MIN(doc_id) per bigram type, micro ratio by integer division.
+
+    Scale shape: one bigram explode, one MIN-per-type aggregate
+    (map-side combinable), one join back on the bigram key — the
+    word-count shape twice; no windows over the full stream, no
+    pairwise anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("t"),
+    )
+    bg = (
+        t.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i-1], ' ', t[i]))"
+                )
+            ).alias("g"),
+        )
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    bg = persist_tracked(bg)
+    firsts = bg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    nn = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    b = (
+        bg.join(firsts, "g")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.expr(
+                f"CAST(LEAST(doc_id * {NOVELTY_BUCKETS} div n_docs,"
+                f" {NOVELTY_BUCKETS} - 1) AS BIGINT)"
+            ).alias("bucket"),
+            F.when(F.col("first_doc") == F.col("doc_id"), 1)
+            .otherwise(0)
+            .alias("is_new"),
+        )
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("is_new").cast("bigint").alias("n_new"),
+        F.expr(
+            "CAST(SUM(is_new) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("novelty_micro"),
+    )
