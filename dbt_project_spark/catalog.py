@@ -142,6 +142,7 @@ PRIORITY: list[str] = [
     "attribution_time_decay",
     "user_activity_streaks",
     "corpus_novelty_curve",
+    "nb_margin_calibration",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -1170,3 +1170,138 @@ def negative_sampling_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_micro",
         "cum_p_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# nb_margin_calibration — classifier confidence vs accuracy (r5s4)
+# ---------------------------------------------------------------------------
+
+NB_CAL_BINS = 5
+
+
+@register(
+    "nb_margin_calibration",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, unnest({_TOKS}) AS w FROM documents),
+    bt AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b FROM toks),
+    train AS (SELECT * FROM bt WHERE doc_id % {NB_TEST_MOD} <> 0),
+    test AS (SELECT * FROM bt WHERE doc_id % {NB_TEST_MOD} = 0),
+    cls AS (SELECT lang AS c,
+                   ROW_NUMBER() OVER (ORDER BY lang) AS rk
+            FROM (SELECT DISTINCT lang FROM documents)),
+    cnt AS (SELECT lang AS c, b, CAST(COUNT(*) AS BIGINT) AS n
+            FROM train GROUP BY 1, 2),
+    tot AS (SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS t
+            FROM train GROUP BY 1),
+    prior AS (SELECT lang AS c,
+                     CAST(round(ln(CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+                                   / (SELECT COUNT(DISTINCT doc_id)
+                                      FROM train))
+                                * 1000000000) AS BIGINT) AS p9
+              FROM train GROUP BY 1),
+    bk AS (SELECT DISTINCT b FROM bt),
+    lam AS (SELECT cls.c, cls.rk, bk.b,
+                   CAST(round(ln((COALESCE(cnt.n, 0) + 1)::DOUBLE
+                                 / (tot.t + {NB_B}))
+                              * 1000000000) AS BIGINT) AS lam9
+            FROM cls CROSS JOIN bk
+            JOIN tot ON tot.c = cls.c
+            LEFT JOIN cnt ON cnt.c = cls.c AND cnt.b = bk.b),
+    score AS (SELECT te.doc_id, te.lang AS true_lang, lam.c, lam.rk,
+                     CAST(SUM(lam.lam9) AS BIGINT) AS s9
+              FROM test te JOIN lam ON lam.b = te.b
+              GROUP BY 1, 2, 3, 4),
+    keyed AS (SELECT s.doc_id, s.true_lang, s.c,
+                     s.s9 + p.p9 AS sc,
+                     (s.s9 + p.p9) * 8
+                         + ((SELECT COUNT(*) FROM cls) - s.rk) AS k
+              FROM score s JOIN prior p ON p.c = s.c),
+    rn AS (SELECT doc_id, true_lang, c, sc,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY k DESC) AS r
+           FROM keyed),
+    md AS (SELECT r1.doc_id, r1.true_lang, r1.c AS pred_lang,
+                  r1.sc - r2.sc AS margin9
+           FROM rn r1 JOIN rn r2
+             ON r2.doc_id = r1.doc_id AND r1.r = 1 AND r2.r = 2),
+    nb AS (SELECT doc_id, true_lang, pred_lang, margin9,
+                  NTILE({NB_CAL_BINS}) OVER (ORDER BY margin9, doc_id)
+                      AS bin
+           FROM md)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS accuracy_micro,
+           CAST(MIN(margin9) AS BIGINT) AS min_margin9,
+           CAST(MAX(margin9) AS BIGINT) AS max_margin9
+    FROM nb GROUP BY bin
+    """,
+)
+def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration check: bucket test docs into margin
+    quintiles (margin = winning class's integer score minus the
+    runner-up's — the exact-arithmetic stand-in for predictive
+    confidence) and report accuracy per bucket. A usable quality
+    filter must be MONOTONE here — high-margin buckets more accurate
+    — because production pipelines threshold on confidence; a flat
+    curve means the scores carry no ranking information and the
+    threshold is arbitrary.
+
+    Shares the NB model dataflow (same λ/prior construction as
+    nb_lang_classifier); margins come from ranking the per-(doc,
+    class) integer keys, so bucket edges are engine-identical
+    (NTILE over a total (margin, doc_id) order).
+
+    Scale shape: adds to the classifier one per-doc top-2 window
+    over |classes| rows per doc and one NTILE over n_test rows."""
+    bt, lam, prior, nc = _nb_model(spark, sf_dir)
+    test = bt.filter(F.col("doc_id") % NB_TEST_MOD == 0)
+    score = (
+        test.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "c", "rk")
+        .agg(F.sum("lam9").cast("bigint").alias("s9"))
+    )
+    keyed = (
+        score.join(F.broadcast(prior), "c")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "doc_id",
+            "true_lang",
+            "c",
+            (F.col("s9") + F.col("p9")).alias("sc"),
+            (
+                (F.col("s9") + F.col("p9")) * 8
+                + (F.col("ncls") - F.col("rk"))
+            ).alias("k"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("k"))
+    rn = keyed.withColumn("r", F.row_number().over(wr))
+    r1 = rn.filter(F.col("r") == 1).select(
+        "doc_id", "true_lang", F.col("c").alias("pred_lang"),
+        F.col("sc").alias("sc1"),
+    )
+    r2 = rn.filter(F.col("r") == 2).select(
+        "doc_id", F.col("sc").alias("sc2")
+    )
+    md = r1.join(r2, "doc_id").withColumn(
+        "margin9", F.col("sc1") - F.col("sc2")
+    )
+    wb = Window.orderBy("margin9", "doc_id")
+    nb = md.withColumn("bin", F.ntile(NB_CAL_BINS).over(wb))
+    return nb.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("pred_lang") == F.col("true_lang"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("accuracy_micro"),
+        F.min("margin9").cast("bigint").alias("min_margin9"),
+        F.max("margin9").cast("bigint").alias("max_margin9"),
+    )
