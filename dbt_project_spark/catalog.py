@@ -143,6 +143,7 @@ PRIORITY: list[str] = [
     "user_activity_streaks",
     "corpus_novelty_curve",
     "nb_margin_calibration",
+    "ranker_agreement_topk",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

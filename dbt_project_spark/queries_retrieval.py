@@ -361,3 +361,106 @@ def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg9") * 1.0 / F.col("idcg9"), 6).alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ranker_agreement_topk — lexical vs vector overlap diagnostics (r5s4)
+# ---------------------------------------------------------------------------
+
+RA_KS = (10, 25, 50)
+
+
+@register(
+    "ranker_agreement_topk",
+    oracle=f"""
+    WITH {bm25_oracle_cte(BM25_TERMS, _TOKS)},
+    lr AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lrank
+           FROM bm WHERE doc_id <> {RRF_QUERY_VEC}),
+    qv AS (SELECT embedding AS qe FROM embeddings
+           WHERE vec_id = {RRF_QUERY_VEC}),
+    pr AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+                  unnest(q.qe)::DOUBLE AS y
+           FROM embeddings e CROSS JOIN qv q
+           WHERE e.vec_id <> {RRF_QUERY_VEC}),
+    vs AS (SELECT vec_id,
+                  ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6)
+                      AS cosine
+           FROM pr GROUP BY vec_id),
+    vr AS (SELECT vec_id AS doc_id,
+                  ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS vrank
+           FROM vs),
+    ks AS (SELECT * FROM (VALUES {", ".join(f"({k})" for k in RA_KS)})
+               AS t(k)),
+    ov AS (SELECT ks.k,
+                  CAST(COUNT(b.doc_id) AS BIGINT) AS n_overlap
+           FROM ks LEFT JOIN (SELECT l.doc_id, l.lrank, v.vrank
+                              FROM lr l JOIN vr v
+                                ON v.doc_id = l.doc_id) b
+             ON b.lrank <= ks.k AND b.vrank <= ks.k
+           GROUP BY ks.k)
+    SELECT CAST(k AS BIGINT) AS k, n_overlap,
+           CAST(n_overlap * 1000000 // k AS BIGINT) AS overlap_micro
+    FROM ov
+    """,
+)
+def ranker_agreement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical/vector ranker agreement — overlap@k between the BM25
+    top-k and the cosine top-k for the shared hybrid-retrieval query.
+    Low overlap is exactly when RRF fusion pays (the rankers carry
+    complementary signal); overlap near 1.0 means one ranker is
+    redundant and the hybrid stack can be simplified. The diagnostic
+    a retrieval team reads next to rrf_hybrid_topk before deciding
+    to keep paying for both indexes.
+
+    Exact: both rankings use total (score desc, id) orders; overlap
+    counts and micro ratios are pure integers.
+
+    Scale shape: both candidate rankings already exist in the RRF
+    dataflow (TakeOrdered heaps at production scale); the overlap is
+    a k-bounded equi-join against a 3-row k table."""
+    from dbt_project_spark.operators.retrieval import bm25_scored
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scored(docs, BM25_TERMS).filter(
+        F.col("doc_id") != RRF_QUERY_VEC
+    )
+    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    lr = scored.select(
+        "doc_id", F.row_number().over(wl).alias("lrank")
+    ).filter(F.col("lrank") <= max(RA_KS))
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qe")
+    )
+    vs = (
+        e.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .withColumn(
+            "cosine", F.round(cosine_similarity("embedding", "qe"), 6)
+        )
+    )
+    wv = Window.orderBy(F.desc("cosine"), "vec_id")
+    vr = vs.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).alias("vrank"),
+    ).filter(F.col("vrank") <= max(RA_KS))
+    b = lr.join(vr, "doc_id")
+    ks = spark.createDataFrame([(k,) for k in RA_KS], "k bigint")
+    ov = (
+        F.broadcast(ks)
+        .join(
+            b,
+            (b.lrank <= ks.k) & (b.vrank <= ks.k),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count("doc_id").cast("bigint").alias("n_overlap"))
+    )
+    return ov.select(
+        "k",
+        "n_overlap",
+        F.expr("CAST(n_overlap * 1000000 div k AS BIGINT)").alias(
+            "overlap_micro"
+        ),
+    )
