@@ -144,6 +144,13 @@ PRIORITY: list[str] = [
     "corpus_novelty_curve",
     "nb_margin_calibration",
     "ranker_agreement_topk",
+    "winnowing_fingerprints",
+    "ranker_kendall_tau",
+    "source_temperature_mix",
+    "did_estimator",
+    "pack_padding_waste_sweep",
+    "simpson_slope_reversal",
+    "ab_power_mde",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

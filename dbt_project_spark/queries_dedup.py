@@ -1501,3 +1501,188 @@ def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing_fingerprints — MOSS winnowing fingerprint selection (r5s5)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # k-gram length (tokens)
+WINNOW_W = 5  # winnowing window (k-gram hashes per window)
+# Composite selection key: hash * 2^21 + (2^21-1 - pos). Distinct per
+# position (so the windowed MIN needs no tie logic) and ordered
+# (hash asc, pos desc) — equal hashes resolve to the RIGHTMOST
+# position, the robust-winnowing convention. hash < 2^32 keeps the
+# key < 2^53, exact in BIGINT/DOUBLE alike; positions are capped at
+# 2^21 tokens per document (a 100 TB corpus shards longer docs
+# upstream — see text_chunking).
+WINNOW_PB = 2_097_152  # 2^21
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    n AS (SELECT doc_id, len(t) AS n_tokens FROM t WHERE len(t) > 0),
+    kg AS (SELECT doc_id,
+                  unnest(range(1, len(t) - {WINNOW_K} + 2)) AS pos,
+                  unnest(list_transform(range(1, len(t) - {WINNOW_K} + 2),
+                         i -> ('0x' || substr(md5(array_to_string(
+                                  list_slice(t, i, i + {WINNOW_K} - 1), ' ')),
+                               1, 8))::BIGINT)) AS h
+           FROM t WHERE len(t) >= {WINNOW_K}),
+    keyed AS (SELECT doc_id, pos, h,
+                     h * {WINNOW_PB} + ({WINNOW_PB} - 1 - pos) AS k
+              FROM kg),
+    wm AS (SELECT doc_id, pos,
+                  MIN(k) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                               AND CURRENT ROW) AS wmin
+           FROM keyed),
+    sel AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE pos >= {WINNOW_W}),
+    fp AS (SELECT doc_id, wmin // {WINNOW_PB} AS h FROM sel),
+    fpd AS (SELECT DISTINCT doc_id, h FROM fp),
+    sh AS (SELECT h FROM fpd GROUP BY h
+           HAVING COUNT(*) >= 2),
+    per AS (SELECT f.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_fp,
+                   CAST(COUNT(s.h) AS BIGINT) AS n_shared_fp
+            FROM fpd f LEFT JOIN sh s ON s.h = f.h
+            GROUP BY f.doc_id),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sel FROM sel
+            GROUP BY doc_id)
+    SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           CAST(GREATEST(n.n_tokens - {WINNOW_K} + 1, 0) AS BIGINT)
+               AS n_kgrams,
+           COALESCE(c.n_sel, 0) AS n_fp_positions,
+           COALESCE(p.n_fp, 0) AS n_fp_hashes,
+           CAST(CASE WHEN n.n_tokens >= {WINNOW_K}
+                THEN COALESCE(c.n_sel, 0) * 1000000
+                     // (n.n_tokens - {WINNOW_K} + 1)
+                ELSE 0 END AS BIGINT) AS density_micro,
+           COALESCE(p.n_shared_fp, 0) AS n_shared_fp
+    FROM n LEFT JOIN per p USING (doc_id) LEFT JOIN cnt c USING (doc_id)
+    """.format(toks="regexp_extract_all(lower(text), '[a-z0-9]+')"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken 2003, "Winnowing: Local Algorithms for Document
+    Fingerprinting"): every K=4-token k-gram is hashed, and from each
+    sliding window of W=5 consecutive k-gram hashes the minimum is
+    selected (rightmost position on hash ties — the robust-winnowing
+    rule). The selected set is the document's fingerprint: winnowing
+    GUARANTEES any shared substring of length >= K + W - 1 tokens
+    yields at least one shared fingerprint, at an expected density of
+    2/(W+1) — the position-subsampled alternative to hashing every
+    window that ExactSubstr pays for (exact_substr_spans). Per doc:
+    k-gram count, selected positions/hashes, selection density, and
+    how many fingerprint hashes also appear in another document's
+    fingerprint (the MOSS match signal).
+
+    Determinism: the selection key hash*2^21 + (2^21-1-pos) is
+    distinct per position, so the windowed MIN is tie-free and the
+    rightmost-min convention is pure integer ordering — no float
+    anywhere in the pipeline.
+
+    Scale shape: one per-doc window function over the n_kgrams
+    stream (the same shuffle shape as exact_substr_spans but the
+    output is ~2/(W+1) of it), then word-count-shaped aggregates
+    over the SELECTED fingerprints only. The cross-doc share join
+    runs on the winnowed set — this subsampling is exactly why MOSS
+    scales to web-corpus plagiarism detection."""
+    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col("text").alias("t"))
+    n = t.select(
+        "doc_id", F.size("t").cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    kg = (
+        t.filter(F.size("t") >= WINNOW_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {WINNOW_K} + 1),"
+                    " i -> conv(substring(md5("
+                    f"array_join(slice(t, i, {WINNOW_K}), ' ')), 1, 8),"
+                    " 16, 10))"
+                )
+            ).alias("p0", "h0"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.col("h0").cast("bigint").alias("h"),
+        )
+    )
+    keyed = kg.withColumn(
+        "k",
+        F.col("h") * WINNOW_PB + (F.lit(WINNOW_PB - 1) - F.col("pos")),
+    )
+    w_win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = persist_tracked(
+        keyed.withColumn("wmin", F.min("k").over(w_win))
+        .filter(F.col("pos") >= WINNOW_W)
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    fpd = sel.select(
+        "doc_id", (F.col("wmin") / WINNOW_PB).cast("bigint").alias("h")
+    ).distinct()
+    sh = (
+        fpd.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per = (
+        fpd.join(sh.withColumn("shared", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+            F.sum(F.coalesce(F.col("shared"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_shared_fp"),
+        )
+    )
+    cnt = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sel")
+    )
+    return (
+        n.join(per, "doc_id", "left")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.greatest(
+                F.col("n_tokens") - WINNOW_K + 1, F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_kgrams"),
+            F.coalesce(F.col("n_sel"), F.lit(0))
+            .cast("bigint")
+            .alias("n_fp_positions"),
+            F.coalesce(F.col("n_fp"), F.lit(0))
+            .cast("bigint")
+            .alias("n_fp_hashes"),
+            F.when(
+                F.col("n_tokens") >= WINNOW_K,
+                F.expr(
+                    f"coalesce(n_sel, 0) * 1000000"
+                    f" div (n_tokens - {WINNOW_K} + 1)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("density_micro"),
+            F.coalesce(F.col("n_shared_fp"), F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_fp"),
+        )
+    )

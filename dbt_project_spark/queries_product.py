@@ -1232,3 +1232,275 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("srm_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# did_estimator — difference-in-differences readout (r5s5)
+# ---------------------------------------------------------------------------
+
+DID_CUTOFF = "2024-01-16"  # pre: ts < cutoff, post: ts >= cutoff
+
+
+@register(
+    "did_estimator",
+    oracle=f"""
+    WITH e AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                               1, 8))::BIGINT % 2 = 0
+                           THEN 'T' ELSE 'C' END AS arm,
+                      CASE WHEN ts < TIMESTAMP '{DID_CUTOFF} 00:00:00'
+                           THEN 'pre' ELSE 'post' END AS period,
+                      CAST(round(value * 100, 0) AS BIGINT) AS v100
+               FROM events WHERE user_id IS NOT NULL),
+    g AS (SELECT arm, period,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v100) AS BIGINT) AS sv
+          FROM e GROUP BY arm, period),
+    w AS (SELECT
+            MAX(CASE WHEN arm='T' AND period='pre' THEN n END) AS n_t_pre,
+            MAX(CASE WHEN arm='T' AND period='pre' THEN sv END) AS s_t_pre,
+            MAX(CASE WHEN arm='T' AND period='post' THEN n END) AS n_t_post,
+            MAX(CASE WHEN arm='T' AND period='post' THEN sv END) AS s_t_post,
+            MAX(CASE WHEN arm='C' AND period='pre' THEN n END) AS n_c_pre,
+            MAX(CASE WHEN arm='C' AND period='pre' THEN sv END) AS s_c_pre,
+            MAX(CASE WHEN arm='C' AND period='post' THEN n END) AS n_c_post,
+            MAX(CASE WHEN arm='C' AND period='post' THEN sv END) AS s_c_post
+          FROM g),
+    m AS (SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+                 s_t_pre * 10000 // n_t_pre AS m_t_pre,
+                 s_t_post * 10000 // n_t_post AS m_t_post,
+                 s_c_pre * 10000 // n_c_pre AS m_c_pre,
+                 s_c_post * 10000 // n_c_post AS m_c_post
+          FROM w)
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           CAST(m_t_pre AS BIGINT) AS mean_t_pre_micro,
+           CAST(m_t_post AS BIGINT) AS mean_t_post_micro,
+           CAST(m_c_pre AS BIGINT) AS mean_c_pre_micro,
+           CAST(m_c_post AS BIGINT) AS mean_c_post_micro,
+           CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT)
+               AS did_micro
+    FROM m
+    """,
+)
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator on repeated cross-sections:
+    users hash-split 50/50 (the ab_test_conversion assignment), the
+    observation window split pre/post at {DID_CUTOFF}, and the
+    treatment effect read as (T_post − T_pre) − (C_post − C_pre) of
+    mean event value — the parallel-trends causal readout a product
+    team runs when a launch could not be randomized cleanly and the
+    control arm only corrects for seasonality.
+
+    Determinism: per-cell means are exact integer rationals truncated
+    to micro units; the DiD combines the four ALREADY-truncated
+    integer means (documented — deterministic by construction, and
+    the truncation error is < 4 micro-units of value). All sums are
+    positive so `//` vs `div` never diverges; the DiD itself is pure
+    integer subtraction.
+
+    Scale shape: one map-side-combinable aggregate over events into
+    4 cells + a 1-row pivot. Nothing else."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    from dbt_project_spark.functions.expressions import md5_int
+
+    g = (
+        e.select(
+            F.when(
+                md5_int(F.col("user_id").cast("string")) % 2 == 0, "T"
+            )
+            .otherwise("C")
+            .alias("arm"),
+            F.when(
+                F.col("ts") < F.lit(f"{DID_CUTOFF} 00:00:00").cast(
+                    "timestamp"
+                ),
+                "pre",
+            )
+            .otherwise("post")
+            .alias("period"),
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("v100"),
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v100").cast("bigint").alias("sv"),
+        )
+    )
+    w = g.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("arm") == a) & (F.col("period") == p),
+                    F.col(c),
+                )
+            ).alias(f"{c2}_{a.lower()}_{p}")
+            for a in ("T", "C")
+            for p in ("pre", "post")
+            for c, c2 in (("n", "n"), ("sv", "s"))
+        ]
+    )
+    m = w.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.expr("s_t_pre * 10000 div n_t_pre").alias("m_t_pre"),
+        F.expr("s_t_post * 10000 div n_t_post").alias("m_t_post"),
+        F.expr("s_c_pre * 10000 div n_c_pre").alias("m_c_pre"),
+        F.expr("s_c_post * 10000 div n_c_post").alias("m_c_post"),
+    )
+    return m.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.col("m_t_pre").cast("bigint").alias("mean_t_pre_micro"),
+        F.col("m_t_post").cast("bigint").alias("mean_t_post_micro"),
+        F.col("m_c_pre").cast("bigint").alias("mean_c_pre_micro"),
+        F.col("m_c_post").cast("bigint").alias("mean_c_post_micro"),
+        (
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre"))
+        )
+        .cast("bigint")
+        .alias("did_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ab_power_mde — A/B power analysis: minimum detectable effect (r5s5)
+# ---------------------------------------------------------------------------
+
+# z_{alpha/2} + z_{beta} for alpha=0.05 two-sided, power 80% —
+# 1.959964 + 0.841621, precomputed ×1e6 (the DCG-discount convention:
+# normal quantiles are Python-precomputed integer constants embedded
+# identically in both engines, never computed in-engine).
+AB_Z_SUM_MICRO = 2_801_585
+AB_MDE_TARGET_MICRO = 10_000  # 1% absolute lift
+
+
+@register(
+    "ab_power_mde",
+    oracle=f"""
+    WITH u AS (SELECT user_id,
+                      CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1, 8))::BIGINT % 2 = 0
+                           THEN 'A' ELSE 'B' END AS arm,
+                      CAST(CASE WHEN SUM(CAST(round(value * 100, 0) AS BIGINT))
+                                     >= 330000
+                           THEN 1 ELSE 0 END AS BIGINT) AS conv
+               FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(conv) AS BIGINT) AS n_conv
+          FROM u GROUP BY arm),
+    tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS nn,
+                   CAST(SUM(n_conv) AS BIGINT) AS cc
+            FROM a),
+    m AS (SELECT a.arm, a.n_users, a.n_conv, tot.nn, tot.cc,
+                 CAST(2 * CAST(tot.cc AS HUGEINT) * (tot.nn - tot.cc)
+                      AS DOUBLE)
+                 / CAST(CAST(tot.nn AS HUGEINT) * tot.nn * a.n_users
+                        AS DOUBLE) AS v
+          FROM a CROSS JOIN tot)
+    SELECT arm, n_users, n_conv,
+           CAST(cc * 1000000 // nn AS BIGINT) AS p_pooled_micro,
+           CAST(floor(sqrt(v) * {AB_Z_SUM_MICRO}) AS BIGINT)
+               AS mde_abs_micro,
+           CAST(CASE WHEN cc = 0 THEN 0
+                ELSE CAST(floor(sqrt(v) * {AB_Z_SUM_MICRO}) AS HUGEINT)
+                     * 1000000 // (cc * 1000000 // nn) END AS BIGINT)
+               AS mde_rel_micro,
+           CAST((CAST({AB_Z_SUM_MICRO} AS HUGEINT) * {AB_Z_SUM_MICRO}
+                 * 2 * cc * (nn - cc)
+                 + CAST({AB_MDE_TARGET_MICRO} AS HUGEINT)
+                   * {AB_MDE_TARGET_MICRO} * nn * nn - 1)
+                // (CAST({AB_MDE_TARGET_MICRO} AS HUGEINT)
+                    * {AB_MDE_TARGET_MICRO} * nn * nn) AS BIGINT)
+               AS n_req_1pct
+    FROM m
+    """,
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis over the live experiment population: per
+    arm, the minimum detectable ABSOLUTE effect at alpha=0.05 /
+    power=80% given the arm's current size — MDE = (z_a/2 + z_b) ·
+    sqrt(2·p·(1−p)/n) with p the pooled conversion rate of
+    ab_test_conversion's hash-assigned experiment — plus the sample
+    size required to detect a 1% absolute lift. The pre-readout
+    check that stops a team from shipping a "neutral" verdict their
+    experiment never had the power to make.
+
+    Determinism: the z constants are Python-precomputed ×1e6 integers
+    (the DCG convention); the variance ratio is assembled from exact
+    HUGEINT/DECIMAL(38,0) products cast to DOUBLE once, and the one
+    sqrt is IEEE-exact with the multiply order written identically in
+    both engines. The required-n is PURE integer ceiling arithmetic —
+    z²·2C(N−C)/(t²·N²) never touches a float.
+
+    Scale shape: the same per-user aggregate ab_test_conversion
+    already pays, + 2-row arithmetic."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    from dbt_project_spark.functions.expressions import md5_int
+
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias(
+                "spend100"
+            )
+        )
+        .select(
+            F.when(
+                md5_int(F.col("user_id").cast("string")) % 2 == 0, "A"
+            )
+            .otherwise("B")
+            .alias("arm"),
+            F.when(F.col("spend100") >= AB_CONV_SPEND100, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("conv"),
+        )
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    tot = a.agg(
+        F.sum("n_users").cast("bigint").alias("nn"),
+        F.sum("n_conv").cast("bigint").alias("cc"),
+    )
+    m = a.crossJoin(F.broadcast(tot)).withColumn(
+        "v",
+        F.expr(
+            "CAST(2 * CAST(cc AS DECIMAL(38,0)) * (nn - cc) AS DOUBLE)"
+            " / CAST(CAST(nn AS DECIMAL(38,0)) * nn * n_users AS DOUBLE)"
+        ),
+    )
+    return m.select(
+        "arm",
+        "n_users",
+        "n_conv",
+        F.expr("CAST(cc * 1000000 div nn AS BIGINT)").alias(
+            "p_pooled_micro"
+        ),
+        F.expr(
+            f"CAST(floor(sqrt(v) * {AB_Z_SUM_MICRO}) AS BIGINT)"
+        ).alias("mde_abs_micro"),
+        F.expr(
+            "CAST(CASE WHEN cc = 0 THEN 0"
+            f" ELSE CAST(floor(sqrt(v) * {AB_Z_SUM_MICRO})"
+            " AS DECIMAL(38,0))"
+            " * 1000000 div (cc * 1000000 div nn) END AS BIGINT)"
+        ).alias("mde_rel_micro"),
+        F.expr(
+            f"CAST((CAST({AB_Z_SUM_MICRO} AS DECIMAL(38,0))"
+            f" * {AB_Z_SUM_MICRO} * 2 * cc * (nn - cc)"
+            f" + CAST({AB_MDE_TARGET_MICRO} AS DECIMAL(38,0))"
+            f" * {AB_MDE_TARGET_MICRO} * nn * nn - 1)"
+            f" div (CAST({AB_MDE_TARGET_MICRO} AS DECIMAL(38,0))"
+            f" * {AB_MDE_TARGET_MICRO} * nn * nn) AS BIGINT)"
+        ).alias("n_req_1pct"),
+    )

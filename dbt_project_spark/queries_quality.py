@@ -1137,3 +1137,132 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# simpson_slope_reversal — pooled vs stratified trend check (r5s5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simpson_slope_reversal",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      CAST(hour(ts) AS BIGINT) AS x,
+                      CAST(round(value * 100, 0) AS BIGINT) AS y
+               FROM events),
+    g AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM e GROUP BY event_type),
+    tot AS (SELECT 'ALL' AS event_type,
+                   CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(sx) AS BIGINT) AS sx,
+                   CAST(SUM(sy) AS BIGINT) AS sy,
+                   CAST(SUM(sxy) AS BIGINT) AS sxy,
+                   CAST(SUM(sxx) AS BIGINT) AS sxx
+            FROM g),
+    u AS (SELECT * FROM g UNION ALL SELECT * FROM tot),
+    s AS (SELECT event_type, n,
+                 CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                     AS num,
+                 CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                     AS den
+          FROM u),
+    sl AS (SELECT event_type, n,
+                  CAST(CASE WHEN den = 0 THEN 0
+                            WHEN num >= 0 THEN (num * 1000000) // den
+                            ELSE -((-num * 1000000) // den)
+                       END AS BIGINT) AS slope_micro,
+                  CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+                      AS sgn
+           FROM s),
+    p AS (SELECT sgn AS pooled_sgn,
+                 slope_micro AS pooled_slope_micro
+          FROM sl WHERE event_type = 'ALL')
+    SELECT sl.event_type, sl.n, sl.slope_micro,
+           p.pooled_slope_micro,
+           CAST(CASE WHEN sl.sgn * p.pooled_sgn < 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS sign_flip
+    FROM sl CROSS JOIN p
+    """,
+)
+def simpson_slope_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox pre-flight: the least-squares slope of event
+    value against hour-of-day, computed POOLED and per event_type.
+    A stratum whose slope sign opposes the pooled sign (sign_flip=1)
+    is the aggregation-reversal warning — the pooled trend is a
+    composition artifact and any dashboard reading it as causal is
+    wrong. This is the check an analyst runs before trusting a
+    corpus-wide trend line.
+
+    Determinism: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with all six
+    moments exact BIGINTs and the one division a sign-safe truncating
+    micro division in DECIMAL(38,0)/HUGEINT (nΣxy overflows BIGINT at
+    10¹⁰-event scale). The pooled moments are the SUMS of the stratum
+    moments — no second pass over events.
+
+    Scale shape: one map-side-combinable 5-moment aggregate per
+    stratum (word-count shape), a |types|-row union, and a 1-row
+    broadcast of the pooled slope."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("y"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    tot = g.agg(
+        F.lit("ALL").alias("event_type"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sy").cast("bigint").alias("sy"),
+        F.sum("sxy").cast("bigint").alias("sxy"),
+        F.sum("sxx").cast("bigint").alias("sxx"),
+    )
+    u = g.select("event_type", "n", "sx", "sy", "sxy", "sxx").unionByName(
+        tot
+    )
+    s = u.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        ).alias("num"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("den"),
+    )
+    sl = s.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST(CASE WHEN den = 0 THEN 0"
+            " ELSE (num * 1000000) div den END AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END"
+        ).alias("sgn"),
+    )
+    p = sl.filter(F.col("event_type") == "ALL").select(
+        F.col("sgn").alias("pooled_sgn"),
+        F.col("slope_micro").alias("pooled_slope_micro"),
+    )
+    return sl.crossJoin(F.broadcast(p)).select(
+        "event_type",
+        "n",
+        "slope_micro",
+        "pooled_slope_micro",
+        F.when(F.col("sgn") * F.col("pooled_sgn") < 0, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("sign_flip"),
+    )

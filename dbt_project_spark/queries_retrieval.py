@@ -464,3 +464,138 @@ def ranker_agreement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ranker_kendall_tau — rank correlation between lexical and vector (r5s5)
+# ---------------------------------------------------------------------------
+
+KT_K = 50  # ranking depth compared
+
+
+@register(
+    "ranker_kendall_tau",
+    oracle=f"""
+    WITH {{bm_cte}},
+    lr AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lrank
+           FROM bm WHERE doc_id <> {RRF_QUERY_VEC}),
+    qv AS (SELECT embedding AS qe FROM embeddings
+           WHERE vec_id = {RRF_QUERY_VEC}),
+    pr AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+                  unnest(q.qe)::DOUBLE AS y
+           FROM embeddings e CROSS JOIN qv q
+           WHERE e.vec_id <> {RRF_QUERY_VEC}),
+    vs AS (SELECT vec_id,
+                  ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6)
+                      AS cosine
+           FROM pr GROUP BY vec_id),
+    vr AS (SELECT vec_id AS doc_id,
+                  ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS vrank
+           FROM vs),
+    b AS (SELECT l.doc_id, l.lrank, v.vrank
+          FROM lr l JOIN vr v ON v.doc_id = l.doc_id
+          WHERE l.lrank <= {KT_K} AND v.vrank <= {KT_K}),
+    pairs AS (SELECT CASE WHEN (a.lrank - c.lrank) * (a.vrank - c.vrank) > 0
+                          THEN 1 ELSE 0 END AS conc
+              FROM b a JOIN b c ON a.doc_id < c.doc_id),
+    agg AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_common,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(conc) AS BIGINT) AS concordant
+            FROM pairs)
+    SELECT n_common, n_pairs, concordant,
+           n_pairs - concordant AS discordant,
+           CAST(CASE WHEN n_pairs = 0 THEN 0
+                     WHEN 2 * concordant >= n_pairs
+                     THEN (2 * concordant - n_pairs) * 1000000 // n_pairs
+                     ELSE -((n_pairs - 2 * concordant) * 1000000 // n_pairs)
+                END AS BIGINT) AS tau_micro
+    FROM agg
+    """.format(bm_cte=bm25_oracle_cte(BM25_TERMS, _TOKS)),
+)
+def ranker_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (tau-a) between the BM25 and cosine
+    rankings over documents that BOTH rankers place in their top-{K}:
+    every pair of common documents is concordant if the two rankers
+    order it the same way. Complements ranker_agreement_topk — overlap
+    says the rankers retrieve the same documents, tau says whether
+    they also ORDER them the same; high overlap with low tau still
+    justifies rank fusion (rrf_hybrid_topk).
+
+    Exact: row_number ranks are tie-free so tau-a needs no tie
+    correction; C − D and the sign-safe truncating micro division are
+    pure integers (Spark div truncates toward zero, DuckDB // floors
+    — negatives split on abs, the WOE convention).
+
+    Scale shape: both rankings are TakeOrdered heaps (k-bounded);
+    the pair table is the k×k self-join of a <=k-row broadcast —
+    constant work regardless of corpus size."""
+    from dbt_project_spark.operators.retrieval import bm25_scored
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scored(docs, BM25_TERMS).filter(
+        F.col("doc_id") != RRF_QUERY_VEC
+    )
+    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    lr = scored.select(
+        "doc_id", F.row_number().over(wl).alias("lrank")
+    ).filter(F.col("lrank") <= KT_K)
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qe")
+    )
+    vs = (
+        e.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .withColumn(
+            "cosine", F.round(cosine_similarity("embedding", "qe"), 6)
+        )
+    )
+    wv = Window.orderBy(F.desc("cosine"), "vec_id")
+    vr = vs.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).alias("vrank"),
+    ).filter(F.col("vrank") <= KT_K)
+    b = lr.join(vr, "doc_id")
+    a = b.select(
+        F.col("doc_id").alias("d_a"),
+        F.col("lrank").alias("l_a"),
+        F.col("vrank").alias("v_a"),
+    )
+    c = b.select(
+        F.col("doc_id").alias("d_c"),
+        F.col("lrank").alias("l_c"),
+        F.col("vrank").alias("v_c"),
+    )
+    pairs = a.join(
+        F.broadcast(c), F.col("d_a") < F.col("d_c")
+    ).select(
+        F.when(
+            (F.col("l_a") - F.col("l_c")) * (F.col("v_a") - F.col("v_c"))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc")
+    )
+    ncom = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("conc").cast("bigint").alias("concordant"),
+    )
+    return (
+        ncom.crossJoin(F.broadcast(agg))
+        .select(
+            "n_common",
+            "n_pairs",
+            "concordant",
+            (F.col("n_pairs") - F.col("concordant"))
+            .cast("bigint")
+            .alias("discordant"),
+            F.expr(
+                "CAST(CASE WHEN n_pairs = 0 THEN 0"
+                " ELSE (2 * concordant - n_pairs) * 1000000 div n_pairs"
+                " END AS BIGINT)"
+            ).alias("tau_micro"),
+        )
+    )

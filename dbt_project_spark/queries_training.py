@@ -1305,3 +1305,187 @@ def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("margin9").cast("bigint").alias("min_margin9"),
         F.max("margin9").cast("bigint").alias("max_margin9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# source_temperature_mix — temperature-based source sampling weights (r5s5)
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5: q_s ∝ n_s^0.5. Chosen because sqrt is the ONE power
+# both engines compute correctly-rounded (IEEE-exact), so the weight
+# table is bit-identical cross-engine; the mT5/XLM-R convention uses
+# alpha in [0.3, 0.7] and 0.5 sits in-range.
+
+
+@register(
+    "source_temperature_mix",
+    oracle="""
+    WITH per AS (SELECT source,
+                        CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(len(regexp_extract_all(lower(text),
+                                 '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY source),
+    r AS (SELECT source, n_docs, n_tokens,
+                 CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS rt
+          FROM per),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tn,
+                   CAST(SUM(rt) AS BIGINT) AS tr
+            FROM r)
+    SELECT r.source, r.n_docs, r.n_tokens,
+           CAST(r.n_tokens * 1000000 // tot.tn AS BIGINT) AS p_micro,
+           CAST(r.rt * 1000000 // tot.tr AS BIGINT) AS q_micro,
+           CAST((CAST(r.rt AS HUGEINT) * tot.tn * 1000000)
+                // (CAST(tot.tr AS HUGEINT) * r.n_tokens) AS BIGINT)
+               AS boost_micro
+    FROM r CROSS JOIN tot
+    """,
+)
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling weights (the mT5/XLM-R
+    multilingual mixing rule, Xue et al. 2021): natural source shares
+    p_s = n_s/Σn are flattened to q_s ∝ n_s^alpha with alpha=0.5, so
+    low-resource sources are UP-sampled (boost = q/p > 1) and the
+    head sources down-sampled — the table a pretraining run bakes
+    into its sampler next to corpus_mix_sample's hard budget.
+
+    Determinism: alpha=0.5 makes the power an IEEE-exact sqrt; the
+    rooted weights are quantized to ×1e6 integers BEFORE summing so
+    the normalizing total is an exact BIGINT (double summation order
+    never matters), and every ratio is a truncating integer division
+    (the boost numerator runs in DECIMAL(38,0)/HUGEINT — r·Σn·1e6
+    overflows BIGINT at web-corpus token counts).
+
+    Scale shape: one map-side-combinable per-source aggregate over
+    the token stream + a 1-row broadcast total — word-count shape,
+    |sources| output rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.size(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            )
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    r = per.withColumn(
+        "rt",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000)"
+            " AS BIGINT)"
+        ),
+    )
+    tot = r.agg(
+        F.sum("n_tokens").cast("bigint").alias("tn"),
+        F.sum("rt").cast("bigint").alias("tr"),
+    )
+    return r.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST(n_tokens * 1000000 div tn AS BIGINT)").alias(
+            "p_micro"
+        ),
+        F.expr("CAST(rt * 1000000 div tr AS BIGINT)").alias("q_micro"),
+        F.expr(
+            "CAST((CAST(rt AS DECIMAL(38,0)) * tn * 1000000)"
+            " div (CAST(tr AS DECIMAL(38,0)) * n_tokens) AS BIGINT)"
+        ).alias("boost_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_padding_waste_sweep — padding waste vs context budget (r5s5)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGETS = (64, 128, 256, 512)
+
+
+@register(
+    "pack_padding_waste_sweep",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                           AS BIGINT) AS tk
+               FROM documents),
+    d1 AS (SELECT * FROM d WHERE tk > 0),
+    b AS (SELECT * FROM (VALUES {", ".join(f"({b})" for b in PACK_BUDGETS)})
+              AS t(budget)),
+    g AS (SELECT b.budget,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(d1.tk) AS BIGINT) AS total_tokens,
+                 CAST(SUM((d1.tk + b.budget - 1) // b.budget) AS BIGINT)
+                     AS padded_chunks
+          FROM d1 CROSS JOIN b GROUP BY b.budget)
+    SELECT CAST(budget AS BIGINT) AS budget, n_docs, total_tokens,
+           padded_chunks,
+           padded_chunks * budget - total_tokens AS waste_tokens,
+           CAST((padded_chunks * budget - total_tokens) * 1000000
+                // (padded_chunks * budget) AS BIGINT) AS waste_micro,
+           (total_tokens + budget - 1) // budget AS packed_chunks,
+           CAST((padded_chunks - (total_tokens + budget - 1) // budget)
+                * 1000000 // padded_chunks AS BIGINT) AS packing_gain_micro
+    FROM g
+    """,
+)
+def pack_padding_waste_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste as a function of context budget: for each budget
+    B, every document padded up to a multiple of B (the no-packing
+    baseline: ceil(tk/B) chunks per doc) versus the concat-then-chunk
+    lower bound ceil(Σtk/B) that seq_pack/bpe_pack_budget implement.
+    waste_micro is the fraction of padded slots holding padding;
+    packing_gain_micro is the chunk-count reduction packing buys —
+    the one-table justification for running a packer at all, read
+    before picking the context length (waste grows with B, which is
+    why long-context training NEEDS packing).
+
+    Exact: ceil via (tk + B - 1) div B on BIGINTs; every ratio is a
+    truncating integer division; all terms positive.
+
+    Scale shape: one narrow per-doc token count, a |budgets|-row
+    broadcast fan-out, and a map-side-combinable aggregate per
+    budget — |budgets| output rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        )
+        .cast("bigint")
+        .alias("tk")
+    ).filter(F.col("tk") > 0)
+    b = spark.createDataFrame(
+        [(bb,) for bb in PACK_BUDGETS], "budget bigint"
+    )
+    g = (
+        d.crossJoin(F.broadcast(b))
+        .groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tk").cast("bigint").alias("total_tokens"),
+            F.sum(F.expr("(tk + budget - 1) div budget"))
+            .cast("bigint")
+            .alias("padded_chunks"),
+        )
+    )
+    return g.select(
+        "budget",
+        "n_docs",
+        "total_tokens",
+        "padded_chunks",
+        (F.col("padded_chunks") * F.col("budget") - F.col("total_tokens"))
+        .cast("bigint")
+        .alias("waste_tokens"),
+        F.expr(
+            "CAST((padded_chunks * budget - total_tokens) * 1000000"
+            " div (padded_chunks * budget) AS BIGINT)"
+        ).alias("waste_micro"),
+        F.expr("(total_tokens + budget - 1) div budget")
+        .cast("bigint")
+        .alias("packed_chunks"),
+        F.expr(
+            "CAST((padded_chunks - (total_tokens + budget - 1) div budget)"
+            " * 1000000 div padded_chunks AS BIGINT)"
+        ).alias("packing_gain_micro"),
+    )

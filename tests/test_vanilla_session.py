@@ -70,6 +70,9 @@ _TS_QUERIES = [
     "ts_double_exp_smoothing",  # cast(ts as date) daily grid + lag kernel
     "attribution_time_decay",  # unix_micros journey gaps + dyadic decay
     "user_activity_streaks",  # unix_micros epoch-day islands
+    # r05s5 additions with ts access patterns:
+    "did_estimator",  # timestamp-literal cutoff comparison
+    "simpson_slope_reversal",  # hour(ts) regressor
 ]
 
 
