@@ -151,6 +151,16 @@ PRIORITY: list[str] = [
     "pack_padding_waste_sweep",
     "simpson_slope_reversal",
     "ab_power_mde",
+    "anova_oneway",
+    "jarque_bera_value",
+    "spearman_user_value",
+    "l_diversity_audit",
+    "xcorr_lead_lag",
+    "embedding_pca_power",
+    "quantile_drift_qq",
+    "order_backlog_series",
+    "pca_explained_variance",
+    "query_expansion_prf",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

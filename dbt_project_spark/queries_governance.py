@@ -914,3 +914,83 @@ def dp_noisy_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("noisy_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l_diversity_audit — sensitive-attribute diversity per QI class (r5s6)
+# ---------------------------------------------------------------------------
+
+LDIV_L = 3  # distinct-l-diversity floor
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH q AS (SELECT event_type,
+                      {_V100} // {KANON_VBUCKET} AS vb,
+                      strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+               FROM events),
+    g AS (SELECT vb, day,
+                 CAST(COUNT(*) AS BIGINT) AS sz,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS l
+          FROM q GROUP BY vb, day)
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l) AS BIGINT) AS l_min,
+           CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_l1,
+           CAST(SUM(CASE WHEN l = 1 THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_l1,
+           CAST(SUM(CASE WHEN l < {LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_lt_l,
+           CAST(SUM(CASE WHEN l < {LDIV_L} THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_lt_l,
+           CAST(SUM(CASE WHEN l < {LDIV_L} THEN sz ELSE 0 END) * 1000000
+                // SUM(sz) AS BIGINT) AS risky_micro
+    FROM g
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit — k-anonymity's necessary companion
+    (k_anonymity_audit): a quasi-identifier class can be large (k-safe)
+    yet still leak if every row in it shares the SAME sensitive value.
+    QI = ($5 value bucket, day) — the k-anonymity tuple minus the
+    sensitive attribute (event_type), whose within-class distinct
+    count is l. Homogeneous classes (l=1) are full attribute
+    disclosure regardless of size; the release gate keys off
+    rows_lt_l at l=3.
+
+    Scale shape: one aggregate to QI-class rows carrying both COUNT(*)
+    and COUNT(DISTINCT sensitive) — Spark runs the distinct via the
+    standard expand + two-phase aggregate, partial in the map stage;
+    then a classes-sized summary. Exact integer output end-to-end."""
+    q = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"{_V100} div {KANON_VBUCKET}").alias("vb"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    g = q.groupBy("vb", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.countDistinct("event_type").cast("bigint").alias("l"),
+    )
+    return g.agg(
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("l").cast("bigint").alias("l_min"),
+        F.sum(F.when(F.col("l") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_l1"),
+        F.sum(F.when(F.col("l") == 1, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_l1"),
+        F.sum(F.when(F.col("l") < LDIV_L, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_lt_l"),
+        F.sum(F.when(F.col("l") < LDIV_L, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_lt_l"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN l < {LDIV_L} THEN sz ELSE 0 END) * 1000000"
+            " div SUM(sz) AS BIGINT)"
+        ).alias("risky_micro"),
+    )

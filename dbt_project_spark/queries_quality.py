@@ -1266,3 +1266,385 @@ def simpson_slope_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sign_flip"),
     )
+
+
+# ---------------------------------------------------------------------------
+# anova_oneway — one-way ANOVA of value across event types (r5s6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anova_oneway",
+    oracle=f"""
+    WITH e AS (SELECT event_type, {_V100} AS v FROM events),
+    g AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS s,
+                 CAST(SUM(v * v) AS BIGINT) AS q
+          FROM e GROUP BY event_type),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(n) AS BIGINT) AS nt,
+                 CAST(SUM(s) AS BIGINT) AS st,
+                 CAST(SUM(q) AS BIGINT) AS qt,
+                 CAST(SUM(CAST(s AS HUGEINT) * s * 1000 // n) AS HUGEINT)
+                     AS gterm
+          FROM g),
+    ss AS (SELECT k, nt,
+                  CAST(gterm - CAST(st AS HUGEINT) * st * 1000 // nt
+                       AS BIGINT) AS ssb_milli,
+                  CAST(CAST(qt AS HUGEINT) * 1000 - gterm AS BIGINT)
+                      AS ssw_milli
+           FROM t)
+    SELECT k AS n_groups, nt AS n_total, ssb_milli, ssw_milli,
+           CAST(CAST(ssb_milli AS HUGEINT) * 1000000
+                // (ssb_milli + ssw_milli) AS BIGINT) AS eta2_micro,
+           ROUND((ssb_milli * 1.0 / (k - 1))
+                 / (ssw_milli * 1.0 / (nt - k)), 6) AS f_stat
+    FROM ss
+    """,
+)
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across the event-type groups: is
+    the between-group mean spread large relative to within-group
+    noise? F = MSB/MSW plus the eta-squared effect size — the first
+    screen before pairwise tests (welch_ttest_value) are worth
+    running.
+
+    Exactness: per-group (n, Σv, Σv²) are exact BIGINTs over v100
+    cents; the sum-of-squares identities SSB = Σ s_g²/n_g − S²/N and
+    SSW = Q − Σ s_g²/n_g run entirely in DECIMAL(38,0)/HUGEINT at a
+    ×1000 fixed-point scale (s_g² overflows BIGINT beyond ~10⁹ rows
+    per group), truncating identically in both engines; only the
+    final F ratio converts the two milli-integers to double (the
+    ×1000 cancels), ROUND 6 — the welch_ttest convention.
+
+    Scale shape: ONE map-side-combinable 3-moment aggregate over
+    events (word-count shape) to |types| rows, then 1-row scalar
+    arithmetic. Nothing else shuffles."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_V100).alias("v")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("q"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("q").cast("bigint").alias("qt"),
+        F.expr(
+            "SUM(CAST(s AS DECIMAL(38,0)) * s * 1000 div n)"
+        ).alias("gterm"),
+    )
+    ss = t.select(
+        "k",
+        "nt",
+        F.expr(
+            "CAST(gterm - CAST(st AS DECIMAL(38,0)) * st * 1000 div nt"
+            " AS BIGINT)"
+        ).alias("ssb_milli"),
+        F.expr(
+            "CAST(CAST(qt AS DECIMAL(38,0)) * 1000 - gterm AS BIGINT)"
+        ).alias("ssw_milli"),
+    )
+    return ss.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").alias("n_total"),
+        "ssb_milli",
+        "ssw_milli",
+        F.expr(
+            "CAST(CAST(ssb_milli AS DECIMAL(38,0)) * 1000000"
+            " div (ssb_milli + ssw_milli) AS BIGINT)"
+        ).alias("eta2_micro"),
+        F.round(
+            (F.col("ssb_milli") * 1.0 / (F.col("k") - 1))
+            / (F.col("ssw_milli") * 1.0 / (F.col("nt") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# jarque_bera_value — normality screen from exact moments (r5s6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jarque_bera_value",
+    oracle=f"""
+    WITH e AS (SELECT event_type, {_V100} AS v FROM events),
+    g AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS s1,
+                 CAST(SUM(v * v) AS BIGINT) AS s2,
+                 CAST(SUM(CAST(v AS HUGEINT) * v * v) AS HUGEINT) AS s3,
+                 CAST(SUM(CAST(v AS HUGEINT) * v * v * v) AS HUGEINT) AS s4
+          FROM e GROUP BY event_type),
+    d AS (SELECT event_type, n,
+                 CAST(n AS DOUBLE) AS nd,
+                 CAST(s1 AS DOUBLE) AS d1,
+                 CAST(s2 AS DOUBLE) AS d2,
+                 CAST(s3 AS DOUBLE) AS d3,
+                 CAST(s4 AS DOUBLE) AS d4
+          FROM g),
+    m AS (SELECT event_type, n, nd,
+                 d1 / nd AS mu,
+                 d2 / nd - (d1 / nd) * (d1 / nd) AS m2,
+                 d3 / nd - 3.0 * (d1 / nd) * (d2 / nd)
+                     + 2.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3,
+                 d4 / nd - 4.0 * (d1 / nd) * (d3 / nd)
+                     + 6.0 * (d1 / nd) * (d1 / nd) * (d2 / nd)
+                     - 3.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd)
+                     AS m4
+          FROM d),
+    st AS (SELECT event_type, n, nd, mu, m2,
+                  m3 / (m2 * sqrt(m2)) AS skew,
+                  m4 / (m2 * m2) AS kurt
+           FROM m)
+    SELECT event_type, n,
+           ROUND(mu, 6) AS mean100,
+           ROUND(skew, 6) AS skewness,
+           ROUND(kurt, 6) AS kurtosis,
+           ROUND(nd / 6.0 * (skew * skew
+                 + (kurt - 3.0) * (kurt - 3.0) / 4.0), 6) AS jb_stat
+    FROM st
+    """,
+)
+def jarque_bera_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen of the value distribution per
+    event type: sample skewness and excess-kurtosis assembled from the
+    first four raw moments, JB = n/6·(S² + (K−3)²/4). The test a
+    pipeline runs before trusting any z-score-based anomaly threshold
+    (ts_anomaly_sigma) — heavy tails silently widen sigma.
+
+    Exactness: Σv³/Σv⁴ are exact DECIMAL(38,0)/HUGEINT sums (a single
+    v⁴ term is ~5.8e18 — per-ROW it fits BIGINT, any sum does not);
+    each engine then converts the five exact integers to double ONCE
+    and evaluates the identical central-moment polynomial — fixed
+    scalar expressions, no float accumulation, so IEEE determinism
+    carries and ROUND 6 hash-gates (the welch_ttest convention, one
+    sqrt for the skew denominator).
+
+    Scale shape: one map-side-combinable 4-moment aggregate
+    (word-count shape) to |types| rows; scalar math after."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_V100).alias("v")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+        F.expr("SUM(CAST(v AS DECIMAL(38,0)) * v * v)").alias("s3"),
+        F.expr("SUM(CAST(v AS DECIMAL(38,0)) * v * v * v)").alias("s4"),
+    )
+    d = g.select(
+        "event_type",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("s1").cast("double").alias("d1"),
+        F.col("s2").cast("double").alias("d2"),
+        F.col("s3").cast("double").alias("d3"),
+        F.col("s4").cast("double").alias("d4"),
+    )
+    m = d.select(
+        "event_type",
+        "n",
+        "nd",
+        (F.col("d1") / F.col("nd")).alias("mu"),
+        (
+            F.col("d2") / F.col("nd")
+            - (F.col("d1") / F.col("nd")) * (F.col("d1") / F.col("nd"))
+        ).alias("m2"),
+        F.expr(
+            "d3 / nd - 3.0 * (d1 / nd) * (d2 / nd)"
+            " + 2.0 * (d1 / nd) * (d1 / nd) * (d1 / nd)"
+        ).alias("m3"),
+        F.expr(
+            "d4 / nd - 4.0 * (d1 / nd) * (d3 / nd)"
+            " + 6.0 * (d1 / nd) * (d1 / nd) * (d2 / nd)"
+            " - 3.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd)"
+        ).alias("m4"),
+    )
+    st = m.select(
+        "event_type",
+        "n",
+        "nd",
+        "mu",
+        "m2",
+        F.expr("m3 / (m2 * sqrt(m2))").alias("skew"),
+        F.expr("m4 / (m2 * m2)").alias("kurt"),
+    )
+    return st.select(
+        "event_type",
+        "n",
+        F.round("mu", 6).alias("mean100"),
+        F.round("skew", 6).alias("skewness"),
+        F.round("kurt", 6).alias("kurtosis"),
+        F.round(
+            F.col("nd")
+            / 6.0
+            * (
+                F.col("skew") * F.col("skew")
+                + (F.col("kurt") - 3.0) * (F.col("kurt") - 3.0) / 4.0
+            ),
+            6,
+        ).alias("jb_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# spearman_user_value — rank correlation, activity vs spend (r5s6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spearman_user_value",
+    oracle=f"""
+    WITH u AS (SELECT user_id,
+                      CAST(COUNT(*) AS BIGINT) AS cnt,
+                      CAST(SUM({_V100}) AS BIGINT) AS tot
+               FROM events GROUP BY user_id),
+    r AS (SELECT user_id,
+                 ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS rx,
+                 ROW_NUMBER() OVER (ORDER BY tot, user_id) AS ry
+          FROM u),
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+          FROM r)
+    SELECT n AS n_users, sum_d2,
+           CAST(1000000 - CAST(sum_d2 AS HUGEINT) * 6000000
+                // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
+               AS rho_micro
+    FROM a
+    """,
+)
+def spearman_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user event COUNT and
+    per-user total spend: do the most active users also spend the
+    most, monotonically? The rank-based complement to wt_correlation's
+    Pearson — robust to the heavy value tail that benford/jarque_bera
+    flag.
+
+    Exactness: ranks are tie-free ROW_NUMBERs (deterministic user_id
+    tie-break — the ranker_kendall_tau convention, so no tie
+    correction term), and rho = 1 − 6Σd²/(n³−n) is PURE INTEGER to
+    the end: 6e6·Σd² runs in DECIMAL(38,0)/HUGEINT (Σd² ~ n³/3
+    overflows BIGINT beyond ~10⁶ users), one truncating micro
+    division. No floats anywhere.
+
+    Scale shape: events collapse to a users-sized aggregate first;
+    the two ROW_NUMBER sorts run on users (thousands-fold smaller).
+    At 10⁹ users the global windows become the bottleneck — swap to
+    rangepartitioned sort + per-partition offset (the seq_pack
+    two-phase prefix-sum pattern) before worrying."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.expr(_V100)).cast("bigint").alias("tot"),
+        )
+    )
+    r = u.select(
+        F.row_number()
+        .over(Window.orderBy("cnt", "user_id"))
+        .cast("bigint")
+        .alias("rx"),
+        F.row_number()
+        .over(Window.orderBy("tot", "user_id"))
+        .cast("bigint")
+        .alias("ry"),
+    )
+    a = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("bigint")
+        .alias("sum_d2"),
+    )
+    return a.select(
+        F.col("n").alias("n_users"),
+        "sum_d2",
+        F.expr(
+            "CAST(1000000 - CAST(sum_d2 AS DECIMAL(38,0)) * 6000000"
+            " div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"
+        ).alias("rho_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantile_drift_qq — decile QQ table, first vs second half (r5s6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_drift_qq",
+    oracle=f"""
+    WITH {_HALF_COUNTS_SQL},
+    r AS (SELECT event_type, v100,
+                 SUM(ref_n) OVER (PARTITION BY event_type
+                                  ORDER BY v100) AS cr,
+                 SUM(cur_n) OVER (PARTITION BY event_type
+                                  ORDER BY v100) AS cc
+          FROM c),
+    ks AS (SELECT unnest(range(1, 10)) AS k),
+    refq AS (SELECT r.event_type, ks.k,
+                    CAST(MIN(r.v100) AS BIGINT) AS ref_v100
+             FROM r JOIN t USING (event_type) CROSS JOIN ks
+             WHERE r.cr * 10 >= ks.k * t.n1
+             GROUP BY 1, 2),
+    curq AS (SELECT r.event_type, ks.k,
+                    CAST(MIN(r.v100) AS BIGINT) AS cur_v100
+             FROM r JOIN t USING (event_type) CROSS JOIN ks
+             WHERE r.cc * 10 >= ks.k * t.n2
+             GROUP BY 1, 2)
+    SELECT refq.event_type, CAST(refq.k AS BIGINT) AS k,
+           refq.ref_v100, curq.cur_v100,
+           curq.cur_v100 - refq.ref_v100 AS shift_cents
+    FROM refq JOIN curq ON curq.event_type = refq.event_type
+                       AND curq.k = refq.k
+    """,
+)
+def quantile_drift_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile QQ table of the value distribution, first half of the
+    time range (reference) vs second half (current), per event type:
+    WHERE the distribution moved, not just whether (PSI) or how far in
+    aggregate (KS). A drift responder reads shift_cents by decile to
+    see if the move is a tail event or a wholesale location shift.
+
+    Exactness: quantiles are pure ORDER STATISTICS on the shared
+    (type, v100) counts table — the k-th decile is the smallest v100
+    whose cumulative count satisfies 10·cum ≥ k·n (the integer form
+    of cum ≥ ceil(k·n/10)); no interpolation, no division at all.
+
+    Scale shape: reuses the KS/MW/Welch counts table (one events-sized
+    shuffle); the cumulative window, the 9-row decile fan-out, and the
+    min-reduction all run on (type × distinct-v100) rows."""
+    c, t = _half_counts(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("v100")
+    r = c.select(
+        "event_type",
+        "v100",
+        F.sum("ref_n").over(w).alias("cr"),
+        F.sum("cur_n").over(w).alias("cc"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    rt = r.join(t, "event_type").crossJoin(F.broadcast(ks))
+    refq = (
+        rt.filter(F.col("cr") * 10 >= F.col("k") * F.col("n1"))
+        .groupBy("event_type", "k")
+        .agg(F.min("v100").cast("bigint").alias("ref_v100"))
+    )
+    curq = (
+        rt.filter(F.col("cc") * 10 >= F.col("k") * F.col("n2"))
+        .groupBy("event_type", "k")
+        .agg(F.min("v100").cast("bigint").alias("cur_v100"))
+    )
+    return refq.join(curq, ["event_type", "k"]).select(
+        "event_type",
+        F.col("k").cast("bigint").alias("k"),
+        "ref_v100",
+        "cur_v100",
+        (F.col("cur_v100") - F.col("ref_v100")).alias("shift_cents"),
+    )

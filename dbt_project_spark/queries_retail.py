@@ -1186,3 +1186,72 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lnum") / (F.col("lden") * 1.0), 6).alias("laspeyres"),
         F.round(F.col("pnum") / (F.col("pden") * 1.0), 6).alias("paasche"),
     )
+
+
+# ---------------------------------------------------------------------------
+# order_backlog_series — open-order backlog timeline (r5s6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_backlog_series",
+    oracle="""
+    WITH cl AS (SELECT l_orderkey,
+                       MAX(CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE))
+                           AS closed
+                FROM lineitem GROUP BY l_orderkey),
+    ev AS (SELECT CAST(CAST(o.o_orderdate AS TIMESTAMP) AS DATE) AS d,
+                  CAST(1 AS BIGINT) AS delta
+           FROM orders o
+           UNION ALL
+           SELECT cl.closed + INTERVAL 1 DAY, CAST(-1 AS BIGINT)
+           FROM cl),
+    dd AS (SELECT CAST(d AS DATE) AS d, CAST(SUM(delta) AS BIGINT) AS delta
+           FROM ev GROUP BY 1),
+    s AS (SELECT d, SUM(delta) OVER (ORDER BY d) AS open
+          FROM dd)
+    SELECT strftime(d, '%Y-%m') AS month,
+           CAST(MAX(open) AS BIGINT) AS peak_open,
+           CAST(max_by(open, d) AS BIGINT) AS eom_open
+    FROM s GROUP BY 1
+    """,
+)
+def order_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: an order opens at o_orderdate and
+    closes when its LAST lineitem ships; per month, the peak and
+    end-of-month counts of simultaneously open orders. The operations
+    dashboard behind TPC-H Q4's 'late orders' — Q4 counts violations,
+    this shows the standing work-in-progress level they create
+    (the interval-stabbing pattern of concurrent_sessions_timeline
+    applied to the order lifecycle).
+
+    Exactness: pure integer +1/−1 deltas and prefix sums; month keys
+    via the same strftime pattern both engines format identically.
+
+    Scale shape: lineitem collapses to per-order close dates (one
+    shuffle on l_orderkey — the natural key); the +1/−1 event stream
+    then collapses to DISTINCT DATES (~2.4k rows for 7 years)
+    before the running sum, so the global-order window is over a
+    tiny series, not rows. Monthly rollup via max/max_by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cl = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("closed")
+    )
+    ev = o.select(
+        F.to_date("o_orderdate").alias("d"),
+        F.lit(1).cast("bigint").alias("delta"),
+    ).unionByName(
+        cl.select(
+            F.date_add("closed", 1).alias("d"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    dd = ev.groupBy("d").agg(F.sum("delta").cast("bigint").alias("delta"))
+    s = dd.select(
+        "d", F.sum("delta").over(Window.orderBy("d")).alias("open")
+    )
+    return s.groupBy(F.date_format("d", "yyyy-MM").alias("month")).agg(
+        F.max("open").cast("bigint").alias("peak_open"),
+        F.expr("CAST(max_by(open, d) AS BIGINT)").alias("eom_open"),
+    )

@@ -599,3 +599,184 @@ def ranker_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# query_expansion_prf — Rocchio pseudo-relevance feedback (r5s6)
+# ---------------------------------------------------------------------------
+
+PRF_FB_K = 10  # feedback depth: top seed-ranked docs mined for terms
+PRF_EXP_M = 3  # expansion terms adopted
+PRF_MIN_LEN = 4  # crude stopword guard on expansion candidates
+PRF_TOPK = 25
+
+_SEED_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "query_expansion_prf",
+    oracle=f"""
+    WITH {{bm_cte}},
+    fb AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id
+           LIMIT {PRF_FB_K}),
+    s25 AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id
+            LIMIT {PRF_TOPK}),
+    ftk AS (SELECT t.doc_id, unnest(t.toks) AS term
+            FROM tk t JOIN fb USING (doc_id)),
+    ex AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+           FROM ftk
+           WHERE len(term) >= {PRF_MIN_LEN}
+             AND term NOT IN ({_SEED_IN})
+           GROUP BY term
+           ORDER BY freq DESC, term
+           LIMIT {PRF_EXP_M}),
+    qt AS (SELECT term FROM ex
+           UNION ALL
+           SELECT unnest([{_SEED_IN}]) AS term),
+    cst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(len(toks)) AS BIGINT) AS sdl
+            FROM tk),
+    dt AS (SELECT tk.doc_id, len(tk.toks) AS dl, qt.term,
+                  len(list_filter(tk.toks, x -> x = qt.term)) AS tf
+           FROM tk CROSS JOIN qt),
+    dfq AS (SELECT term,
+                   CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS df
+            FROM dt GROUP BY term),
+    sc AS (SELECT dt.doc_id,
+                  CAST(SUM(CASE WHEN dt.tf > 0 THEN
+                    CAST(round(
+                      round(ln((cst.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1),
+                            6)
+                      * ((44 * dt.tf * cst.sdl)
+                         / CAST(20 * dt.tf * cst.sdl + 6 * cst.sdl
+                                + 18 * dt.dl * cst.n AS DOUBLE))
+                      * 1000000, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS score_micro
+           FROM dt JOIN dfq USING (term) CROSS JOIN cst
+           GROUP BY dt.doc_id),
+    top AS (SELECT doc_id, score_micro FROM sc WHERE score_micro > 0
+            ORDER BY score_micro DESC, doc_id LIMIT {PRF_TOPK})
+    SELECT ROW_NUMBER() OVER (ORDER BY t.score_micro DESC, t.doc_id)
+               AS rank,
+           t.doc_id, t.score_micro,
+           CAST(CASE WHEN s25.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_new
+    FROM top t LEFT JOIN s25 ON s25.doc_id = t.doc_id
+    """.format(bm_cte=bm25_oracle_cte(BM25_TERMS, _TOKS)),
+)
+def query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio-style pseudo-relevance feedback: run the seed keyword
+    query, mine the top-{FB_K} feedback docs for their most frequent
+    (non-seed, len≥4) terms, re-rank the corpus with the EXPANDED
+    query, and flag which of the new top-{K} the seed query would
+    never have surfaced (is_new). The classic recall-repair loop a
+    retrieval stack runs when seed keywords undershoot.
+
+    Determinism: expansion terms are data-derived but totally ordered
+    (freq desc, term asc, LIMIT); because the expanded term set is
+    ROWS (not compile-time literals like bm25_scored's), per-doc
+    totals sum FLOATS across terms in engine-dependent order — so
+    each per-(doc,term) BM25 contribution is rounded to a ×1e6 BIGINT
+    first and the per-doc total is an INTEGER sum (the repo's
+    fixed-point-sum convention), with the same exact-BIGINT
+    44·tf·SDL ratio restatement as the seed scorer.
+
+    Scale shape: tf/dl per (doc, term) come from one array pass per
+    term over a broadcast ≤6-row term table — no token explode of the
+    corpus (only the {FB_K} FEEDBACK docs are exploded, a constant);
+    corpus stats are a 1-row broadcast; both rankings are TakeOrdered
+    heaps. Two corpus scans total (seed pass + rescore pass)."""
+    from dbt_project_spark.operators.dedup import tokens_col
+    from dbt_project_spark.operators.retrieval import bm25_scored
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", tokens_col("text").alias("toks")
+    ).persist()
+    seed = bm25_scored(docs, BM25_TERMS)
+    fb = (
+        seed.orderBy(F.desc("bm25"), "doc_id")
+        .limit(PRF_FB_K)
+        .select("doc_id")
+    )
+    s25 = (
+        seed.orderBy(F.desc("bm25"), "doc_id")
+        .limit(PRF_TOPK)
+        .select(F.col("doc_id").alias("sdoc"))
+    )
+    ftk = tk.join(fb, "doc_id").select(
+        F.explode("toks").alias("term")
+    )
+    ex = (
+        ftk.filter(
+            (F.length("term") >= PRF_MIN_LEN)
+            & (~F.col("term").isin(*BM25_TERMS))
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(PRF_EXP_M)
+        .select("term")
+    )
+    qt = ex.unionByName(
+        spark.createDataFrame([(t,) for t in BM25_TERMS], "term string")
+    )
+    st = tk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.size("toks")).cast("bigint").alias("sdl"),
+    )
+    dt = tk.crossJoin(F.broadcast(qt)).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        "term",
+        F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
+    )
+    dfq = (
+        dt.filter(F.col("tf") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    sc = (
+        dt.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN tf > 0 THEN"
+                " CAST(round("
+                "   round(ln((n - df + 0.5) / (df + 0.5) + 1), 6)"
+                "   * ((44 * tf * sdl)"
+                "      / CAST(20 * tf * sdl + 6 * sdl"
+                "             + 18 * dl * n AS DOUBLE))"
+                "   * 1000000, 0) AS BIGINT)"
+                " ELSE 0 END"
+            ).alias("tsm"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("tsm").cast("bigint").alias("score_micro"))
+    )
+    top = (
+        sc.filter(F.col("score_micro") > 0)
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(PRF_TOPK)
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), "doc_id"))
+        .cast("bigint")
+        .alias("rank"),
+        "doc_id",
+        "score_micro",
+    )
+    return ranked.join(
+        F.broadcast(s25), ranked.doc_id == F.col("sdoc"), "left"
+    ).select(
+        "rank",
+        "doc_id",
+        "score_micro",
+        F.when(F.col("sdoc").isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_new"),
+    )

@@ -1390,3 +1390,131 @@ def ts_double_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (3 * F.col("n1") * _LES_D - 2 * F.col("n2")) / F.lit(dd), 6
         ).alias("forecast_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# xcorr_lead_lag — error-vs-purchase daily cross-correlation (r5s6)
+# ---------------------------------------------------------------------------
+
+XC_MAXLAG = 3  # lags examined: -3..+3 days
+
+
+@register(
+    "xcorr_lead_lag",
+    oracle=f"""
+    WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                               CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dd,
+                      CAST(SUM(CASE WHEN event_type = 'error'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    lags AS (SELECT unnest(range(-{XC_MAXLAG}, {XC_MAXLAG} + 1)) AS lag),
+    p AS (SELECT l.lag, a.x, b.y
+          FROM lags l
+          JOIN d a ON TRUE
+          JOIN d b ON b.dd = a.dd + l.lag),
+    m AS (SELECT lag,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM p GROUP BY lag),
+    dn AS (SELECT lag, n, sx, sy, sxy,
+                  n * sxx - sx * sx AS dx,
+                  n * syy - sy * sy AS dy
+           FROM m)
+    SELECT lag, n,
+           CASE WHEN dx = 0 OR dy = 0 THEN NULL
+                ELSE ROUND((n * 1.0 * sxy - sx * 1.0 * sy)
+                           / sqrt((dx * 1.0) * (dy * 1.0)), 6)
+           END AS r
+    FROM dn
+    """,
+)
+def xcorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily ERROR count and
+    the daily PURCHASE count at lags −3..+3 days: does an error spike
+    precede a purchase dip (positive lag = errors lead)? The
+    two-series companion to ts_acf_hourly — the table an on-call
+    analyst reads to decide whether reliability incidents cost
+    revenue and with what delay.
+
+    Exactness: daily counts are exact integers, so all six moments
+    per lag are exact BIGINTs; the Pearson r per lag is a fixed
+    scalar double expression over them with ONE sqrt, ROUND 6 (the
+    welch_ttest convention). Zero-variance overlaps (an extreme lag
+    with one surviving pair) emit NULL rather than a fabricated r.
+    Day alignment joins on integer epoch-day — no timezone or
+    interval arithmetic to diverge on. (At 10⁹-events/day scale the
+    n·Σx² products outgrow BIGINT — shift the dx/dy assembly into
+    DECIMAL(38,0), the linreg convention.)
+
+    Scale shape: events collapse to a days-sized series first; the
+    7-lag fan-out and self-join run on that tiny table. At any scale
+    the only events-sized work is the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dd"),
+            "event_type",
+        )
+        .groupBy("dd")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    lags = spark.range(-XC_MAXLAG, XC_MAXLAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = d.select("dd", "x")
+    b = d.select(F.col("dd").alias("bdd"), "y")
+    p = (
+        lags.crossJoin(a)
+        .join(b, F.col("bdd") == F.col("dd") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    m = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    dn = m.select(
+        "lag",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+    )
+    return dn.select(
+        "lag",
+        "n",
+        F.when(
+            (F.col("dx") == 0) | (F.col("dy") == 0), F.lit(None)
+        )
+        .otherwise(
+            F.round(
+                (
+                    F.col("n") * 1.0 * F.col("sxy")
+                    - F.col("sx") * 1.0 * F.col("sy")
+                )
+                / F.sqrt((F.col("dx") * 1.0) * (F.col("dy") * 1.0)),
+                6,
+            )
+        )
+        .alias("r"),
+    )

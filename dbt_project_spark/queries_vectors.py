@@ -1764,3 +1764,266 @@ def ann_recall_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matched",
         F.round(F.col("n_matched") * 1.0 / PQANN_K, 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_power — distributed top-eigenvector power iteration (r5s6)
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3  # unrolled Lloyd-style fixed-point rounds
+
+
+def _pca_ctes() -> list:
+    """Shared chained-CTE prefix: quantize, center, iterate."""
+    ctes = [
+        """comp AS (SELECT vec_id, unnest(range(len(embedding))) AS d,
+                       CAST(round(unnest(embedding)::DOUBLE * 1000000, 0)
+                            AS BIGINT) AS c
+                FROM embeddings)""",
+        """means AS (SELECT d, CASE WHEN SUM(c) >= 0
+                                    THEN SUM(c) // COUNT(*)
+                                    ELSE -((-SUM(c)) // COUNT(*)) END AS md
+                 FROM comp GROUP BY d)""",
+        """cc AS (SELECT comp.vec_id, comp.d, comp.c - means.md AS c
+              FROM comp JOIN means USING (d))""",
+        "v0 AS (SELECT d, CAST(1000000 AS BIGINT) AS v FROM means)",
+    ]
+    for t in range(1, PCA_ITERS + 1):
+        p = t - 1
+        ctes.append(
+            f"""dot{t} AS (SELECT cc.vec_id,
+                        CAST(SUM(cc.c * v{p}.v) AS BIGINT) AS dot
+                 FROM cc JOIN v{p} USING (d) GROUP BY cc.vec_id)"""
+        )
+        ctes.append(
+            f"""w{t} AS (SELECT cc.d,
+                      CAST(SUM(CAST(cc.c AS HUGEINT) * dot{t}.dot)
+                           AS HUGEINT) AS w
+               FROM cc JOIN dot{t} USING (vec_id) GROUP BY cc.d)"""
+        )
+        ctes.append(f"m{t} AS (SELECT MAX(ABS(w)) AS mx FROM w{t})")
+        ctes.append(
+            f"""v{t} AS (SELECT d,
+                      CAST(CASE WHEN w >= 0 THEN (w * 1000000) // mx
+                                ELSE -((-w * 1000000) // mx) END
+                           AS BIGINT) AS v
+               FROM w{t} CROSS JOIN m{t})"""
+        )
+    return ctes
+
+
+def _pca_oracle_sql() -> str:
+    """Full oracle for embedding_pca_power."""
+    ctes = _pca_ctes()
+    n2 = PCA_ITERS - 1
+    ctes.append(
+        f"""al AS (SELECT CAST(SUM(a.v * b.v) AS BIGINT) AS num,
+                     CAST(SUM(a.v * a.v) AS BIGINT) AS na,
+                     CAST(SUM(b.v * b.v) AS BIGINT) AS nb
+              FROM v{n2} a JOIN v{PCA_ITERS} b USING (d))"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT v{PCA_ITERS}.d AS dim, v{PCA_ITERS}.v AS v_micro,
+           CAST((SELECT mx FROM m{PCA_ITERS}) // 1000000 AS BIGINT)
+               AS lambda_scaled,
+           ROUND(al.num / (sqrt(al.na) * sqrt(al.nb)), 6) AS align
+    FROM v{PCA_ITERS} CROSS JOIN al
+    """
+    )
+
+
+def _pca_iterate(spark: SparkSession, sf_dir: str):
+    """Spark twin of ``_pca_ctes``: returns (cc, iterates, mx) — the
+    persisted centered component table, the list of per-round
+    normalized vectors (64-row DataFrames), and the final max-abs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id",
+        "d",
+        F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").alias(
+            "c"
+        ),
+    )
+    means = comp.groupBy("d").agg(
+        F.expr(
+            "CASE WHEN SUM(c) >= 0 THEN SUM(c) div COUNT(*)"
+            " ELSE -((-SUM(c)) div COUNT(*)) END"
+        ).alias("md")
+    )
+    cc = (
+        comp.join(F.broadcast(means), "d")
+        .select("vec_id", "d", (F.col("c") - F.col("md")).alias("c"))
+        .persist()
+    )
+    v = means.select("d", F.lit(1000000).cast("bigint").alias("v"))
+    iterates, mx = [], None
+    for _ in range(PCA_ITERS):
+        dot = (
+            cc.join(F.broadcast(v), "d")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("c") * F.col("v")).cast("bigint").alias("dot"))
+        )
+        w = (
+            cc.join(dot, "vec_id")
+            .groupBy("d")
+            .agg(F.expr("SUM(CAST(c AS DECIMAL(38,0)) * dot)").alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = w.crossJoin(F.broadcast(mx)).select(
+            "d",
+            F.expr("CAST((w * 1000000) div mx AS BIGINT)").alias("v"),
+        )
+        iterates.append(v)
+    return cc, iterates, mx
+
+
+@register("embedding_pca_power", oracle=_pca_oracle_sql())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by DISTRIBUTED
+    power iteration: v ← normalize(Σ_i x_i·(x_i·v)) unrolled
+    PCA_ITERS times over mean-centered, ×1e6-quantized components.
+    The d×d covariance is never materialized — each round is one
+    (corpus×d)-sized pass computing per-vector dots then per-dim
+    sums, the matrix-free shape that scales to 10⁹ vectors where an
+    explicit Gram matrix pass would be n·d² (the classic
+    Halko/Mahoney randomized-sketch setting; one deterministic start
+    vector suffices for the TOP component). Downstream:
+    ann_recall_truncated_dims measures dimension-loss — this query
+    explains it, showing how much spectrum the leading direction
+    carries (lambda_scaled) and whether iteration has converged
+    (align of the last two iterates ≈ 1).
+
+    Exactness: quantized components and the deterministic truncating
+    mean make every dot/sum an exact integer; per-dim accumulators
+    run in DECIMAL(38,0)/HUGEINT (a single c·dot term is ~1e19);
+    each round renormalizes by the exact max-abs with the sign-safe
+    truncating division (abs-split on the DuckDB side — // floors,
+    Spark div truncates). The only floats are the final align ratio's
+    two sqrts over exact integers, ROUND 6.
+
+    Scale shape: comp/cc are one explode of the embeddings table
+    (persisted across rounds); per-round work is two
+    map-side-combinable aggregates (by vec_id, then by the 64-key
+    dim) plus two broadcast joins (64-row v, 1-row max). Nothing
+    pairwise, nothing d²."""
+    cc, iterates, mx = _pca_iterate(spark, sf_dir)
+    a = iterates[-2].select("d", F.col("v").alias("va"))
+    b = iterates[-1].select("d", F.col("v").alias("vb"))
+    al = (
+        a.join(b, "d")
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).cast("bigint").alias("num"),
+            F.sum(F.col("va") * F.col("va")).cast("bigint").alias("na"),
+            F.sum(F.col("vb") * F.col("vb")).cast("bigint").alias("nb"),
+        )
+    )
+    lam = mx.select(F.expr("CAST(mx div 1000000 AS BIGINT)").alias("lambda_scaled"))
+    return (
+        iterates[-1]
+        .select(F.col("d").alias("dim"), F.col("v").alias("v_micro"))
+        .crossJoin(F.broadcast(lam))
+        .crossJoin(
+            F.broadcast(
+                al.select(
+                    F.round(
+                        F.col("num")
+                        / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+                        6,
+                    ).alias("align")
+                )
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pca_explained_variance — spectrum share of the leading direction (r5s6)
+# ---------------------------------------------------------------------------
+
+
+def _pca_ev_oracle_sql() -> str:
+    ctes = _pca_ctes()
+    ctes.append(
+        f"""pr AS (SELECT cc.vec_id,
+                     CAST(SUM(cc.c * v{PCA_ITERS}.v) AS BIGINT) AS dot
+              FROM cc JOIN v{PCA_ITERS} USING (d) GROUP BY cc.vec_id)"""
+    )
+    ctes.append(
+        """tv AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq,
+                    CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+             FROM cc)"""
+    )
+    ctes.append(
+        f"""vn AS (SELECT CAST(SUM(v * v) AS BIGINT) AS vsq,
+                     CAST(COUNT(*) AS BIGINT) AS dim
+              FROM v{PCA_ITERS})"""
+    )
+    ctes.append(
+        """pn AS (SELECT CAST(SUM(CAST(dot AS HUGEINT) * dot) AS HUGEINT)
+                     AS psq
+             FROM pr)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT tv.n AS n_vecs, vn.dim,
+           CAST(pn.psq * 1000000 // (tv.sq * vn.vsq) AS BIGINT)
+               AS explained_micro
+    FROM tv CROSS JOIN vn CROSS JOIN pn
+    """
+    )
+
+
+@register("pca_explained_variance", oracle=_pca_ev_oracle_sql())
+def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of total corpus variance captured by the leading
+    principal direction found by embedding_pca_power: Σ(x·v)² /
+    (Σ‖x‖²·‖v‖²) — the Rayleigh-quotient share λ₁/Σλ. The number
+    that decides whether dimension-truncated serving
+    (ann_recall_truncated_dims) is safe: a flat spectrum (small
+    share) means every dropped dimension costs recall, a spiked one
+    means the corpus is effectively low-rank.
+
+    Exactness: the iterate v and the centered components are already
+    exact integers (shared machinery with embedding_pca_power —
+    identical quantize/center/iterate chain in both engines); the
+    projection dots, their squares, and both norms are pure
+    DECIMAL(38,0)/HUGEINT sums, finished by ONE truncating micro
+    division. No floats at all in this query.
+
+    Scale shape: one extra (corpus×d) pass over the persisted
+    centered table after the iteration — projection + three global
+    1-row aggregates. Nothing new shuffles on a corpus-sized key."""
+    cc, iterates, _ = _pca_iterate(spark, sf_dir)
+    v = iterates[-1]
+    pr = (
+        cc.join(F.broadcast(v), "d")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("c") * F.col("v")).cast("bigint").alias("dot"))
+    )
+    tv = cc.agg(
+        F.expr("SUM(CAST(c AS DECIMAL(38,0)) * c)").alias("sq"),
+        F.countDistinct("vec_id").cast("bigint").alias("n"),
+    )
+    vn = v.agg(
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("vsq"),
+        F.count(F.lit(1)).cast("bigint").alias("dim"),
+    )
+    pn = pr.agg(F.expr("SUM(CAST(dot AS DECIMAL(38,0)) * dot)").alias("psq"))
+    return (
+        tv.crossJoin(F.broadcast(vn))
+        .crossJoin(F.broadcast(pn))
+        .select(
+            F.col("n").alias("n_vecs"),
+            "dim",
+            F.expr(
+                "CAST(psq * 1000000 div (sq * vsq) AS BIGINT)"
+            ).alias("explained_micro"),
+        )
+    )

@@ -1,0 +1,325 @@
+"""Planted-semantics tests for the r5s6 additions: ANOVA separation
+and null cases, Jarque-Bera symmetric-distribution zeros, Spearman
+perfect monotone/antitone ranks, l-diversity homogeneous-class
+detection, lead-lag cross-correlation shift recovery, and the PCA
+power iteration recovering a planted principal axis exactly."""
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)"""
+    df = spark.createDataFrame(
+        [(int(e), ts, int(u), t, float(v), "{}") for e, ts, u, t, v in rows],
+        "event_id bigint, __ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("__ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(path / "events.parquet"))
+
+
+def _write_embeddings(spark, path, rows):
+    """rows: (vec_id, [float components])"""
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(path / "embeddings.parquet")
+    )
+
+
+def test_anova_separated_groups(spark, tmp_path):
+    """Two groups with means 1.00 vs 100.00 and tiny within-group
+    spread: nearly all variance is between-group."""
+    from dbt_project_spark.queries_quality import anova_oneway
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.00),
+        (2, "2024-01-01 01:00:00", 1, "view", 1.02),
+        (3, "2024-01-01 02:00:00", 2, "purchase", 100.00),
+        (4, "2024-01-01 03:00:00", 2, "purchase", 100.02),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = anova_oneway(spark, str(tmp_path)).collect()[0]
+    assert r["n_groups"] == 2 and r["n_total"] == 4
+    assert r["eta2_micro"] >= 999000
+    assert r["f_stat"] > 1000
+
+
+def test_anova_identical_groups_zero_between(spark, tmp_path):
+    """Identical value multisets per group: SSB is exactly zero (the
+    truncating x1000 fixed point cannot manufacture spread)."""
+    from dbt_project_spark.queries_quality import anova_oneway
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 3.00),
+        (2, "2024-01-01 01:00:00", 1, "view", 7.00),
+        (3, "2024-01-01 02:00:00", 2, "purchase", 3.00),
+        (4, "2024-01-01 03:00:00", 2, "purchase", 7.00),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = anova_oneway(spark, str(tmp_path)).collect()[0]
+    assert r["ssb_milli"] == 0
+    assert r["eta2_micro"] == 0
+    assert r["f_stat"] == 0.0
+
+
+def test_jarque_bera_symmetric_three_point(spark, tmp_path):
+    """Values {1.00, 2.00, 3.00}: m3 = 0 exactly (skewness 0) and
+    kurtosis = m4/m2^2 = 1.5 for the symmetric 3-point uniform."""
+    from dbt_project_spark.queries_quality import jarque_bera_value
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.00),
+        (2, "2024-01-01 01:00:00", 1, "view", 2.00),
+        (3, "2024-01-01 02:00:00", 1, "view", 3.00),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = jarque_bera_value(spark, str(tmp_path)).collect()[0]
+    assert r["skewness"] == 0.0
+    assert r["kurtosis"] == 1.5
+    # JB = n/6 * (0 + (1.5-3)^2/4) = 0.5 * 0.5625 = 0.28125
+    assert r["jb_stat"] == 0.28125
+
+
+def test_spearman_perfect_monotone_and_antitone(spark, tmp_path):
+    """Count rank == total rank -> rho_micro = 1e6; perfectly
+    reversed ranks -> rho_micro = -1e6."""
+    from dbt_project_spark.queries_quality import spearman_user_value
+
+    mono = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.00),
+        (2, "2024-01-01 01:00:00", 2, "view", 1.00),
+        (3, "2024-01-01 02:00:00", 2, "view", 1.00),
+        (4, "2024-01-01 03:00:00", 3, "view", 1.00),
+        (5, "2024-01-01 04:00:00", 3, "view", 1.00),
+        (6, "2024-01-01 05:00:00", 3, "view", 1.00),
+    ]
+    _write_events(spark, tmp_path, mono)
+    r = spearman_user_value(spark, str(tmp_path)).collect()[0]
+    assert r["n_users"] == 3 and r["sum_d2"] == 0
+    assert r["rho_micro"] == 1000000
+
+    anti = [
+        (1, "2024-01-01 00:00:00", 1, "view", 9.00),
+        (2, "2024-01-01 01:00:00", 2, "view", 2.00),
+        (3, "2024-01-01 02:00:00", 2, "view", 2.00),
+        (4, "2024-01-01 03:00:00", 3, "view", 0.50),
+        (5, "2024-01-01 04:00:00", 3, "view", 0.50),
+        (6, "2024-01-01 05:00:00", 3, "view", 0.50),
+    ]
+    _write_events(spark, tmp_path, anti)
+    r = spearman_user_value(spark, str(tmp_path)).collect()[0]
+    assert r["sum_d2"] == 8
+    assert r["rho_micro"] == -1000000
+
+
+def test_l_diversity_homogeneous_class_flagged(spark, tmp_path):
+    """Day 1 is all-purchase (l=1, full disclosure); day 2 mixes two
+    types (l=2). Both days fall below the l=3 floor."""
+    from dbt_project_spark.queries_governance import l_diversity_audit
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "purchase", 1.00),
+        (2, "2024-01-01 01:00:00", 2, "purchase", 1.00),
+        (3, "2024-01-02 00:00:00", 1, "purchase", 1.00),
+        (4, "2024-01-02 01:00:00", 2, "view", 1.00),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = l_diversity_audit(spark, str(tmp_path)).collect()[0]
+    assert r["n_classes"] == 2 and r["n_rows"] == 4
+    assert r["l_min"] == 1
+    assert r["classes_l1"] == 1 and r["rows_l1"] == 2
+    assert r["classes_lt_l"] == 2 and r["rows_lt_l"] == 4
+    assert r["risky_micro"] == 1000000
+
+
+def test_xcorr_recovers_planted_shift(spark, tmp_path):
+    """Purchase counts are the error counts shifted one day later:
+    r = 1.0 exactly at lag +1 and below 1 at lag 0."""
+    from dbt_project_spark.queries_timeseries import xcorr_lead_lag
+
+    rows, eid = [], 0
+    for day, cnt in ((1, 1), (2, 2), (3, 3)):
+        for k in range(cnt):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-0{day} 0{k}:00:00", 1, "error", 1.00)
+            )
+    for day, cnt in ((2, 1), (3, 2), (4, 3)):
+        for k in range(cnt):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-0{day} 1{k}:00:00", 1, "purchase", 1.00)
+            )
+    _write_events(spark, tmp_path, rows)
+    r = {x["lag"]: x for x in xcorr_lead_lag(spark, str(tmp_path)).collect()}
+    assert r[1]["r"] == 1.0 and r[1]["n"] == 3
+    assert r[0]["r"] < 1.0
+
+
+def test_pca_recovers_planted_axis(spark, tmp_path):
+    """Vectors varying only along dim 0: the top eigenvector is
+    exactly e0 (v_micro = +-1e6 at dim 0, 0 elsewhere) and the last
+    two iterates align exactly."""
+    from dbt_project_spark.queries_vectors import embedding_pca_power
+
+    _write_embeddings(
+        spark,
+        tmp_path,
+        [(1, [0.25, 0.0, 0.0, 0.0]), (2, [0.5, 0.0, 0.0, 0.0]),
+         (3, [1.0, 0.0, 0.0, 0.0])],
+    )
+    rows = {x["dim"]: x for x in
+            embedding_pca_power(spark, str(tmp_path)).collect()}
+    assert abs(rows[0]["v_micro"]) == 1000000
+    for d in (1, 2, 3):
+        assert rows[d]["v_micro"] == 0
+    assert rows[0]["align"] == 1.0
+    assert rows[0]["lambda_scaled"] > 0
+
+
+def _docs(spark, path, rows):
+    spark.createDataFrame(
+        [(int(i), t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(path / "documents.parquet")
+    )
+
+
+def _write_orders(spark, path, rows):
+    """rows: (o_orderkey, o_orderdate_str)"""
+    spark.createDataFrame(
+        [(int(k), 1, "O", 1.0, d, "1-URGENT") for k, d in rows],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, __d string, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("__d").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(path / "orders.parquet")
+    )
+
+
+def _write_lineitem(spark, path, rows):
+    """rows: (l_orderkey, l_linenumber, l_shipdate_str)"""
+    spark.createDataFrame(
+        [
+            (int(k), 1, 1, int(ln), 1.0, 1.0, 0.0, 0.0, "N", "O", d)
+            for k, ln, d in rows
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, __d string",
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("__d").cast("timestamp").alias("l_shipdate"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(path / "lineitem.parquet")
+    )
+
+
+def test_quantile_drift_qq_planted_shift(spark, tmp_path):
+    """Reference half all 1.00, current half all 2.00: every decile
+    shifts by exactly 100 cents."""
+    from dbt_project_spark.queries_quality import quantile_drift_qq
+
+    rows = [
+        (i, f"2024-01-01 0{i}:00:00", 1, "view", 1.00) for i in range(4)
+    ] + [
+        (10 + i, f"2024-01-01 2{i}:00:00", 1, "view", 2.00)
+        for i in range(4)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = quantile_drift_qq(spark, str(tmp_path)).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r["ref_v100"] == 100
+        assert r["cur_v100"] == 200
+        assert r["shift_cents"] == 100
+
+
+def test_order_backlog_open_close(spark, tmp_path):
+    """Two overlapping orders: backlog peaks at 2 in January, drops to
+    1 after the first order's last shipment, to 0 after the second."""
+    from dbt_project_spark.queries_retail import order_backlog_series
+
+    _write_orders(
+        spark, tmp_path, [(1, "2024-01-05 00:00:00"), (2, "2024-01-10 00:00:00")]
+    )
+    _write_lineitem(
+        spark,
+        tmp_path,
+        [
+            (1, 1, "2024-01-12 00:00:00"),
+            (1, 2, "2024-01-20 00:00:00"),
+            (2, 1, "2024-02-10 00:00:00"),
+        ],
+    )
+    out = {r["month"]: r for r in
+           order_backlog_series(spark, str(tmp_path)).collect()}
+    assert out["2024-01"]["peak_open"] == 2
+    # last January event is the -1 on Jan 21 (close of order 1)
+    assert out["2024-01"]["eom_open"] == 1
+    assert out["2024-02"]["peak_open"] == 0
+    assert out["2024-02"]["eom_open"] == 0
+
+
+def test_pca_explained_variance_rank_one(spark, tmp_path):
+    """A rank-one corpus (variance only along dim 0): the leading
+    direction captures exactly 100% of the variance."""
+    from dbt_project_spark.queries_vectors import pca_explained_variance
+
+    _write_embeddings(
+        spark,
+        tmp_path,
+        [(1, [0.25, 0.0, 0.0, 0.0]), (2, [0.5, 0.0, 0.0, 0.0]),
+         (3, [1.0, 0.0, 0.0, 0.0])],
+    )
+    r = pca_explained_variance(spark, str(tmp_path)).collect()[0]
+    assert r["n_vecs"] == 3 and r["dim"] == 4
+    assert r["explained_micro"] == 1000000
+
+
+def test_prf_surfaces_doc_without_seed_terms(spark, tmp_path):
+    """Feedback docs share the distinctive term 'zebrafish'; a doc
+    rich in it but containing NO seed term enters the expanded
+    ranking flagged is_new=1."""
+    from dbt_project_spark.queries_retrieval import query_expansion_prf
+
+    rows = [
+        (i, "dup vector merge zebrafish zebrafish zebrafish filler" + str(i))
+        for i in range(1, 11)
+    ]
+    rows.append((100, "zebrafish zebrafish zebrafish zebrafish zebrafish"))
+    rows += [(200 + i, f"plain text number{i} nothing relevant") for i in range(10)]
+    _docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in
+           query_expansion_prf(spark, str(tmp_path)).collect()}
+    assert 100 in out
+    assert out[100]["is_new"] == 1
+    # the seed-term docs stay in the list and are not new
+    assert out[1]["is_new"] == 0

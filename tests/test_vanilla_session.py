@@ -73,6 +73,8 @@ _TS_QUERIES = [
     # r05s5 additions with ts access patterns:
     "did_estimator",  # timestamp-literal cutoff comparison
     "simpson_slope_reversal",  # hour(ts) regressor
+    # r05s6 additions with ts access patterns:
+    "xcorr_lead_lag",  # to_date + epoch-day datediff lag join
 ]
 
 
