@@ -161,6 +161,9 @@ PRIORITY: list[str] = [
     "order_backlog_series",
     "pca_explained_variance",
     "query_expansion_prf",
+    "pii_density_report",
+    "stratified_kfold_assignment",
+    "degree_powerlaw_fit",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

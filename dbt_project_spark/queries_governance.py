@@ -994,3 +994,90 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(sz) AS BIGINT)"
         ).alias("risky_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pii_density_report — PII exposure profile per source (r5s7)
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle_sql() -> str:
+    """Chained progressive-redaction mirror of operators/text_clean.py
+    redact_pii: each pattern counts matches against the text AFTER all
+    earlier patterns were replaced, in the same order."""
+    from dbt_project_spark.operators.text_clean import PII_PATTERNS
+
+    names = list(PII_PATTERNS)
+    ctes = ["t0 AS (SELECT doc_id, source, length(text) AS n_chars,"
+            " text AS r0 FROM documents)"]
+    for i, name in enumerate(names):
+        pat = PII_PATTERNS[name].replace("'", "''")
+        carry = "".join(f" n_{n}," for n in names[:i])
+        ctes.append(
+            f"""t{i + 1} AS (SELECT doc_id, source, n_chars,{carry}
+                 CAST(len(regexp_extract_all(r{i}, '{pat}')) AS BIGINT)
+                     AS n_{name},
+                 regexp_replace(r{i}, '{pat}', '[REDACTED]', 'g') AS r{i + 1}
+             FROM t{i})"""
+        )
+    total = " + ".join(f"n_{n}" for n in names)
+    sums = ",\n           ".join(
+        f"CAST(SUM(n_{n}) AS BIGINT) AS {n}_matches" for n in names
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {total} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_pii,
+           {sums},
+           CAST(SUM({total}) * 1000000 // SUM(n_chars) AS BIGINT)
+               AS pii_per_mchar
+    FROM t{len(names)} GROUP BY source
+    """
+
+
+@register("pii_density_report", oracle=_pii_oracle_sql())
+def pii_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure profile per corpus source: match counts for the
+    standard training-data PII set (URL, email, IPv4, phone — the
+    redact_pii operator's patterns, applied in its progressive order
+    so a digit run inside a URL is counted once as the URL), the
+    fraction of documents carrying any PII, and matches per million
+    characters. The report a privacy review reads to decide which
+    SOURCES need redaction before training — the corpus-level
+    companion to the row-level k_anonymity/l_diversity audits.
+
+    Determinism: the patterns live in ONE place
+    (operators/text_clean.py PII_PATTERNS — conservative forms whose
+    semantics agree between Java regex and RE2) and the oracle chain
+    is generated from them; counts are integers, the density a
+    truncating micro division.
+
+    Scale shape: redaction is a single projection (regexp codegen, no
+    UDF, no shuffle); the report is one map-side-combinable aggregate
+    to |sources| rows."""
+    from dbt_project_spark.operators.text_clean import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    red = redact_pii(docs)
+    names = list(PII_PATTERNS)
+    total = " + ".join(f"n_{n}" for n in names)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.expr(f"{total} > 0"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_pii"),
+    ]
+    for n in names:
+        aggs.append(F.sum(f"n_{n}").cast("bigint").alias(f"{n}_matches"))
+    aggs.append(
+        F.expr(
+            f"CAST(SUM({total}) * 1000000 div SUM(length(text)) AS BIGINT)"
+        ).alias("pii_per_mchar")
+    )
+    return red.groupBy("source").agg(*aggs)

@@ -1303,3 +1303,124 @@ def trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# degree_powerlaw_fit — scale-free check of the co-purchase graph (r5s7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "degree_powerlaw_fit",
+    oracle=f"""
+    WITH bp AS MATERIALIZED (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY SUM({_Q100}) DESC, l_partkey) AS rk
+        FROM lineitem GROUP BY l_orderkey, l_partkey)
+      WHERE rk <= {TC_MAX_BASKET}),
+    e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM bp a JOIN bp b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+              SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node),
+    dc AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS nd FROM deg GROUP BY d),
+    xy AS (SELECT CAST(round(ln(d) * 1000000) AS BIGINT) AS x6,
+                  CAST(round(ln(nd) * 1000000) AS BIGINT) AS y6
+           FROM dc),
+    m AS (SELECT MIN(x6) AS x0, MIN(y6) AS y0 FROM xy),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xy.x6 - m.x0) AS BIGINT) AS sx,
+                 CAST(SUM(xy.y6 - m.y0) AS BIGINT) AS sy,
+                 CAST(SUM((xy.x6 - m.x0) * (xy.y6 - m.y0)) AS BIGINT) AS sxy,
+                 CAST(SUM((xy.x6 - m.x0) * (xy.x6 - m.x0)) AS BIGINT) AS sxx
+          FROM xy CROSS JOIN m)
+    SELECT s.n AS n_points,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(MIN(d) AS BIGINT) FROM dc) AS min_degree,
+           (SELECT CAST(MAX(d) AS BIGINT) FROM dc) AS max_degree,
+           CAST(CAST(s.n AS HUGEINT) * s.sxy - CAST(s.sx AS HUGEINT) * s.sy
+                AS VARCHAR) AS gamma_num,
+           CAST(CAST(s.n AS HUGEINT) * s.sxx - CAST(s.sx AS HUGEINT) * s.sx
+                AS VARCHAR) AS gamma_den
+    FROM s
+    """,
+)
+def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-free check of the part co-purchase graph: OLS slope of
+    ln(node count) on ln(degree) over the degree histogram — a
+    power-law degree distribution (slope ≈ −2..−3) is WHY the wedge
+    and peel families (triangle_count, kcore_parts) need their
+    hub-capping and degree-orientation defenses; a near-flat slope
+    would license simpler plans. The graph-health twin of
+    zipf_vocab_fit, on the same exact-rational OLS machinery.
+
+    Determinism: ln terms are ×1e6 micro-log BIGINTs, min-shifted
+    before the moment sums (the zipf convention); the slope ships as
+    an exact HUGEINT/DECIMAL(38,0) numerator/denominator PAIR
+    (stringified) so nothing ever divides.
+
+    Scale shape: edges collapse to degrees (one shuffle on node),
+    degrees to the degree histogram (tiny), the fit to one row. The
+    basket cap bounds per-order pair generation as everywhere else."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    e = copurchase_edges(li)
+    from dbt_project_spark.caching import persist_tracked
+
+    e = persist_tracked(e)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    deg = persist_tracked(deg)
+    dc = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    dc = persist_tracked(dc)
+    xy = dc.select(
+        F.expr("CAST(round(ln(d) * 1000000) AS BIGINT)").alias("x6"),
+        F.expr("CAST(round(ln(nd) * 1000000) AS BIGINT)").alias("y6"),
+    )
+    m = xy.agg(F.min("x6").alias("x0"), F.min("y6").alias("y0"))
+    s = xy.crossJoin(F.broadcast(m)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x6") - F.col("x0")).cast("bigint").alias("sx"),
+        F.sum(F.col("y6") - F.col("y0")).cast("bigint").alias("sy"),
+        F.sum((F.col("x6") - F.col("x0")) * (F.col("y6") - F.col("y0")))
+        .cast("bigint")
+        .alias("sxy"),
+        F.sum((F.col("x6") - F.col("x0")) * (F.col("x6") - F.col("x0")))
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    counts = (
+        deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+        .crossJoin(
+            dc.agg(
+                F.min("d").cast("bigint").alias("min_degree"),
+                F.max("d").cast("bigint").alias("max_degree"),
+            )
+        )
+    )
+    return s.crossJoin(F.broadcast(counts)).select(
+        F.col("n").alias("n_points"),
+        "n_nodes",
+        "n_edges",
+        "min_degree",
+        "max_degree",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sy AS STRING)"
+        ).alias("gamma_num"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS STRING)"
+        ).alias("gamma_den"),
+    )

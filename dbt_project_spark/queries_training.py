@@ -1489,3 +1489,100 @@ def pack_padding_waste_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div padded_chunks AS BIGINT)"
         ).alias("packing_gain_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified_kfold_assignment — deterministic CV folds (r5s7)
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+@register(
+    "stratified_kfold_assignment",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, source,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':kf'),
+                                      1, 8))::BIGINT AS h
+               FROM documents),
+    f AS (SELECT doc_id, lang, source, n_toks,
+                 (ROW_NUMBER() OVER (PARTITION BY lang, source
+                                     ORDER BY h, doc_id) - 1)
+                     % {KFOLD_K} AS fold
+          FROM d),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM f),
+    g AS (SELECT fold,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(DISTINCT lang || '/' || source) AS BIGINT)
+                     AS n_strata
+          FROM f GROUP BY fold)
+    SELECT CAST(g.fold AS BIGINT) AS fold, g.n_docs, g.n_tokens,
+           g.n_strata,
+           CAST(CASE WHEN g.n_docs * {KFOLD_K} >= t.nt
+                     THEN (g.n_docs * {KFOLD_K} - t.nt) * 1000000 // t.nt
+                     ELSE -((t.nt - g.n_docs * {KFOLD_K}) * 1000000 // t.nt)
+                END AS BIGINT) AS dev_micro
+    FROM g CROSS JOIN t
+    """,
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified K-fold assignment for cross-validation
+    over the corpus: docs are shuffled WITHIN each (lang, source)
+    stratum by a salted hash and dealt round-robin, so every fold gets
+    each stratum's share to within one document — the property plain
+    hash-mod folding only delivers in expectation. Reports per-fold
+    size, token mass, strata coverage, and the signed deviation from
+    the ideal N/K (bounded by |strata|·K/N in micro units — the
+    balance certificate). For near-dup-safe folding, compose with the
+    cluster ids of split_group_aware.
+
+    Determinism: the within-stratum order is (md5(doc_id:'kf'),
+    doc_id) — total and engine-identical; everything after is integer
+    arithmetic with the sign-safe truncating micro deviation.
+
+    Scale shape: one row_number window per stratum (strata are the
+    natural partition key — no global sort), then a K-row rollup.
+    Tokenization is one array pass, counted not exploded."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(
+            f"CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+            " AS BIGINT)"
+        ).alias("n_toks"),
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':kf')),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    w = Window.partitionBy("lang", "source").orderBy("h", "doc_id")
+    f = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_toks",
+        ((F.row_number().over(w) - 1) % KFOLD_K).alias("fold"),
+    )
+    t = f.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    g = f.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.countDistinct(F.concat_ws("/", "lang", "source"))
+        .cast("bigint")
+        .alias("n_strata"),
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        F.col("fold").cast("bigint").alias("fold"),
+        "n_docs",
+        "n_tokens",
+        "n_strata",
+        F.expr(
+            f"CAST(CASE WHEN n_docs * {KFOLD_K} >= nt"
+            f" THEN (n_docs * {KFOLD_K} - nt) * 1000000 div nt"
+            f" ELSE -((nt - n_docs * {KFOLD_K}) * 1000000 div nt)"
+            " END AS BIGINT)"
+        ).alias("dev_micro"),
+    )

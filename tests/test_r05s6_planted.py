@@ -323,3 +323,99 @@ def test_prf_surfaces_doc_without_seed_terms(spark, tmp_path):
     assert out[100]["is_new"] == 1
     # the seed-term docs stay in the list and are not new
     assert out[1]["is_new"] == 0
+
+
+def test_pii_density_progressive_counting(spark, tmp_path):
+    """An email inside a URL is redacted as the URL and NOT counted
+    again as an email; standalone email/phone/ipv4 each count once;
+    a clean doc keeps docs_with_pii honest."""
+    from dbt_project_spark.queries_governance import pii_density_report
+
+    _docs(
+        spark,
+        tmp_path,
+        [
+            (1, "visit https://x.example/a@b.com?q=1 today"),
+            (2, "mail a@b.com or call 415-555-1234 from 10.0.0.1"),
+            (3, "perfectly clean document with no identifiers"),
+        ],
+    )
+    r = {x["source"]: x for x in
+         pii_density_report(spark, str(tmp_path)).collect()}["src0"]
+    assert r["n_docs"] == 3
+    assert r["docs_with_pii"] == 2
+    assert r["url_matches"] == 1
+    assert r["email_matches"] == 1  # only doc 2's; doc 1's is in the URL
+    assert r["ipv4_matches"] == 1
+    assert r["phone_matches"] == 1
+    assert r["pii_per_mchar"] > 0
+
+
+def test_kfold_exact_balance_two_strata(spark, tmp_path):
+    """Two strata of 5 docs each, K=5: round-robin dealing gives every
+    fold exactly one doc per stratum — dev_micro is 0 everywhere."""
+    from dbt_project_spark.queries_training import (
+        KFOLD_K,
+        stratified_kfold_assignment,
+    )
+
+    rows = [(i, f"word{i} text", "en", "src0", 10) for i in range(5)]
+    rows += [(10 + i, f"mot{i} texte", "fr", "src1", 10) for i in range(5)]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = stratified_kfold_assignment(spark, str(tmp_path)).collect()
+    assert len(out) == KFOLD_K
+    for r in out:
+        assert r["n_docs"] == 2
+        assert r["n_strata"] == 2
+        assert r["dev_micro"] == 0
+
+
+def test_degree_powerlaw_star_slope_minus_one(spark, tmp_path):
+    """Star graph (hub degree 3, three leaves of degree 1): the
+    two-point log-log fit has slope exactly -1 (gamma_num = -gamma_den
+    as exact integers)."""
+    from dbt_project_spark.queries_graph import degree_powerlaw_fit
+
+    _write_lineitem(
+        spark,
+        tmp_path,
+        [
+            (1, 1, "2024-01-01 00:00:00"),
+            (1, 2, "2024-01-01 00:00:00"),
+            (2, 1, "2024-01-02 00:00:00"),
+            (2, 2, "2024-01-02 00:00:00"),
+            (3, 1, "2024-01-03 00:00:00"),
+            (3, 2, "2024-01-03 00:00:00"),
+        ],
+    )
+    # orders 1,2,3 each pair part 1 with parts 2,3,4 -> rewrite partkeys
+    import pyspark.sql.functions as SF
+
+    li = spark.read.parquet(str(tmp_path / "lineitem.parquet"))
+    li = li.withColumn(
+        "l_partkey",
+        SF.when(SF.col("l_linenumber") == 1, 1).otherwise(
+            SF.col("l_orderkey") + 1
+        ),
+    )
+    li.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem2.parquet")
+    )
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "lineitem.parquet"))
+    shutil.move(
+        str(tmp_path / "lineitem2.parquet"),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    r = degree_powerlaw_fit(spark, str(tmp_path)).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 3
+    assert r["n_points"] == 2
+    assert r["min_degree"] == 1 and r["max_degree"] == 3
+    assert int(r["gamma_num"]) == -int(r["gamma_den"])
