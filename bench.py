@@ -124,6 +124,12 @@ HEADLINE = [
     "moore_lewis_selection",
     "nb_lang_classifier",
     "exact_substr_spans",
+    # round 5, sessions 5-7: fingerprinting, PRF rescoring, matrix-free
+    # PCA, and the PII regex projection — the new corpus-sized passes
+    "winnowing_fingerprints",
+    "query_expansion_prf",
+    "embedding_pca_power",
+    "pii_density_report",
 ]
 
 # The 10 most expensive headline queries per BENCH_r02, cheapest first

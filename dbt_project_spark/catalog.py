@@ -164,6 +164,8 @@ PRIORITY: list[str] = [
     "pii_density_report",
     "stratified_kfold_assignment",
     "degree_powerlaw_fit",
+    "lorenz_curve_deciles",
+    "weibull_survival_fit",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

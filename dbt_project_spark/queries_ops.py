@@ -179,9 +179,7 @@ def profile_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_CHURN_HORIZON_DAYS = 1
 
 
-@register(
-    "kaplan_meier_retention",
-    oracle=f"""
+_KM_ORACLE = f"""
     WITH e AS (SELECT user_id, {_EP} // 86400 AS d FROM events
                WHERE user_id IS NOT NULL),
     u AS (SELECT user_id, MIN(d) AS fd, MAX(d) AS ld FROM e GROUP BY 1),
@@ -211,8 +209,10 @@ KM_CHURN_HORIZON_DAYS = 1
            CAST(SUM(term9) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
                 AS BIGINT) AS log_surv_nano
     FROM d
-    """,
-)
+    """
+
+
+@register("kaplan_meier_retention", oracle=_KM_ORACLE)
 def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier user survival curve: per-user lifetime = days
     from first to last event; a user silent for more than
@@ -454,4 +454,95 @@ def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CAST(x * 1000000 * 1000000 div (n * {SLO_BUDGET_MICRO}) AS BIGINT)"
         ).alias("burn_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# weibull_survival_fit — parametric shape on the KM curve (r5s8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weibull_survival_fit",
+    oracle=f"""
+    WITH km AS ({_KM_ORACLE}),
+    xy AS (SELECT CAST(round(ln(t_day) * 1000000) AS BIGINT) AS x6,
+                  CAST(round(ln(-log_surv_nano / 1000000000.0) * 1000000)
+                       AS BIGINT) AS y6,
+                  t_day
+           FROM km WHERE t_day > 0 AND log_surv_nano < 0),
+    m AS (SELECT MIN(x6) AS x0, MIN(y6) AS y0 FROM xy),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xy.x6 - m.x0) AS BIGINT) AS sx,
+                 CAST(SUM(xy.y6 - m.y0) AS BIGINT) AS sy,
+                 CAST(SUM((xy.x6 - m.x0) * (xy.y6 - m.y0)) AS BIGINT) AS sxy,
+                 CAST(SUM((xy.x6 - m.x0) * (xy.x6 - m.x0)) AS BIGINT) AS sxx
+          FROM xy CROSS JOIN m),
+    rng AS (SELECT CAST(MIN(t_day) AS BIGINT) AS min_t,
+                   CAST(MAX(t_day) AS BIGINT) AS max_t
+            FROM xy)
+    SELECT s.n AS n_points, rng.min_t, rng.max_t,
+           CAST(CAST(s.n AS HUGEINT) * s.sxy - CAST(s.sx AS HUGEINT) * s.sy
+                AS VARCHAR) AS shape_num,
+           CAST(CAST(s.n AS HUGEINT) * s.sxx - CAST(s.sx AS HUGEINT) * s.sx
+                AS VARCHAR) AS shape_den
+    FROM s CROSS JOIN rng
+    """,
+)
+def weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull shape parameter fitted on the Kaplan-Meier curve:
+    under Weibull survival, ln(−ln S(t)) is linear in ln t with slope
+    k — k<1 means churn hazard FALLS with tenure (early-life risk,
+    retention improves once users settle), k>1 means wear-out. The
+    parametric readout on top of kaplan_meier_retention that turns
+    the curve into one planning number.
+
+    Determinism: reuses the KM oracle verbatim as a CTE (one shared
+    SQL constant) and the KM Spark callable, whose log-survival is
+    already an exact ×1e9 integer; the two lns per point are single
+    scalar expressions rounded to ×1e6 BIGINTs, then the shifted OLS
+    runs pure-integer and the slope ships as exact
+    HUGEINT/DECIMAL(38,0) num/den strings (the zipf convention).
+
+    Scale shape: everything after the KM aggregate operates on
+    distinct event times (days) — tens of rows at any corpus size."""
+    km = kaplan_meier_retention(spark, sf_dir)
+    xy = km.filter(
+        (F.col("t_day") > 0) & (F.col("log_surv_nano") < 0)
+    ).select(
+        F.expr("CAST(round(ln(t_day) * 1000000) AS BIGINT)").alias("x6"),
+        F.expr(
+            "CAST(round(ln(-log_surv_nano / 1000000000.0) * 1000000)"
+            " AS BIGINT)"
+        ).alias("y6"),
+        "t_day",
+    )
+    m = xy.agg(F.min("x6").alias("x0"), F.min("y6").alias("y0"))
+    s = xy.crossJoin(F.broadcast(m)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x6") - F.col("x0")).cast("bigint").alias("sx"),
+        F.sum(F.col("y6") - F.col("y0")).cast("bigint").alias("sy"),
+        F.sum((F.col("x6") - F.col("x0")) * (F.col("y6") - F.col("y0")))
+        .cast("bigint")
+        .alias("sxy"),
+        F.sum((F.col("x6") - F.col("x0")) * (F.col("x6") - F.col("x0")))
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    rng = xy.agg(
+        F.min("t_day").cast("bigint").alias("min_t"),
+        F.max("t_day").cast("bigint").alias("max_t"),
+    )
+    return s.crossJoin(F.broadcast(rng)).select(
+        F.col("n").alias("n_points"),
+        "min_t",
+        "max_t",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sy AS STRING)"
+        ).alias("shape_num"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS STRING)"
+        ).alias("shape_den"),
     )

@@ -1648,3 +1648,88 @@ def quantile_drift_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur_v100",
         (F.col("cur_v100") - F.col("ref_v100")).alias("shift_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lorenz_curve_deciles — spend-concentration table behind Gini (r5s8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lorenz_curve_deciles",
+    oracle=f"""
+    WITH u AS (SELECT user_id, CAST(SUM({_V100}) AS BIGINT) AS tot
+               FROM events GROUP BY user_id),
+    r AS (SELECT tot,
+                 ROW_NUMBER() OVER (ORDER BY tot, user_id) AS rk
+          FROM u),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(tot) AS BIGINT) AS grand
+          FROM u),
+    d AS (SELECT (r.rk - 1) * 10 // n.n + 1 AS decile, r.tot
+          FROM r CROSS JOIN n),
+    g AS (SELECT decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(tot) AS BIGINT) AS spend
+          FROM d GROUP BY decile),
+    c AS (SELECT decile, n_users, spend,
+                 SUM(spend) OVER (ORDER BY decile) AS cum_spend
+          FROM g)
+    SELECT CAST(decile AS BIGINT) AS decile, n_users,
+           CAST(spend * 1000000 // n.grand AS BIGINT) AS share_micro,
+           CAST(cum_spend * 1000000 // n.grand AS BIGINT)
+               AS cum_share_micro
+    FROM c CROSS JOIN n
+    """,
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of per-user spend at decile resolution: each
+    decile's share of total spend and the cumulative share — the
+    TABLE behind gini_user_value's single number, read to answer 'how
+    much do the top 10% carry?' (concentration risk for revenue, or
+    for a training corpus whose token mass one source dominates).
+
+    Exactness: deciles are the exact-rank integer assignment
+    (rank−1)·10 div n + 1 (the lift_chart_deciles convention, tie-free
+    (tot, user_id) order), shares truncating micro divisions over
+    exact BIGINT sums. No floats.
+
+    Scale shape: events collapse to a users-sized aggregate; the
+    global ROW_NUMBER runs on users (swap to the seq_pack two-phase
+    prefix sum beyond ~10⁹ users), then a 10-row rollup."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.expr(_V100)).cast("bigint").alias("tot"))
+    )
+    r = u.select(
+        "tot",
+        F.row_number().over(Window.orderBy("tot", "user_id")).alias("rk"),
+    )
+    n = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("tot").cast("bigint").alias("grand"),
+    )
+    d = r.crossJoin(F.broadcast(n)).select(
+        F.expr("(rk - 1) * 10 div n + 1").alias("decile"), "tot"
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("tot").cast("bigint").alias("spend"),
+    )
+    c = g.select(
+        "decile",
+        "n_users",
+        "spend",
+        F.sum("spend").over(Window.orderBy("decile")).alias("cum_spend"),
+    )
+    return c.crossJoin(F.broadcast(n)).select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_users",
+        F.expr("CAST(spend * 1000000 div grand AS BIGINT)").alias(
+            "share_micro"
+        ),
+        F.expr("CAST(cum_spend * 1000000 div grand AS BIGINT)").alias(
+            "cum_share_micro"
+        ),
+    )

@@ -1855,10 +1855,12 @@ def _pca_iterate(spark: SparkSession, sf_dir: str):
             " ELSE -((-SUM(c)) div COUNT(*)) END"
         ).alias("md")
     )
-    cc = (
-        comp.join(F.broadcast(means), "d")
-        .select("vec_id", "d", (F.col("c") - F.col("md")).alias("c"))
-        .persist()
+    from dbt_project_spark.caching import persist_tracked
+
+    cc = persist_tracked(
+        comp.join(F.broadcast(means), "d").select(
+            "vec_id", "d", (F.col("c") - F.col("md")).alias("c")
+        )
     )
     v = means.select("d", F.lit(1000000).cast("bigint").alias("v"))
     iterates, mx = [], None
@@ -1873,8 +1875,15 @@ def _pca_iterate(spark: SparkSession, sf_dir: str):
             .groupBy("d")
             .agg(F.expr("SUM(CAST(c AS DECIMAL(38,0)) * dot)").alias("w"))
         )
-        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
-        v = w.crossJoin(F.broadcast(mx)).select(
+        # Materialize the (64 + 1)-row round result eagerly: without
+        # this, iterate t's lazy plan embeds iterates 1..t-1 and every
+        # downstream branch (align, lambda, the final projection)
+        # re-executes the whole chain — O(t^2) corpus passes instead
+        # of t (measured 13.2 s -> ~2 s at sf0.1).
+        round_mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        wmx = w.crossJoin(F.broadcast(round_mx)).localCheckpoint(eager=True)
+        mx = wmx.select("mx").distinct()
+        v = wmx.select(
             "d",
             F.expr("CAST((w * 1000000) div mx AS BIGINT)").alias("v"),
         )

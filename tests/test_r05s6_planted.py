@@ -419,3 +419,46 @@ def test_degree_powerlaw_star_slope_minus_one(spark, tmp_path):
     assert r["n_points"] == 2
     assert r["min_degree"] == 1 and r["max_degree"] == 3
     assert int(r["gamma_num"]) == -int(r["gamma_den"])
+
+
+def test_lorenz_deciles_exact_shares(spark, tmp_path):
+    """10 users spending 1..10 dollars: one user per decile, shares
+    are the exact truncating micro ratios, cumulative ends at 1e6."""
+    from dbt_project_spark.queries_quality import lorenz_curve_deciles
+
+    rows = [
+        (i, f"2024-01-01 {i:02d}:00:00", i, "purchase", float(i))
+        for i in range(1, 11)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = sorted(
+        lorenz_curve_deciles(spark, str(tmp_path)).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    grand = sum(i * 100 for i in range(1, 11))
+    for k, r in enumerate(out, start=1):
+        assert r["n_users"] == 1
+        assert r["share_micro"] == k * 100 * 10**6 // grand
+    assert out[-1]["cum_share_micro"] == 1000000
+
+
+def test_weibull_fit_planted_increasing_hazard(spark, tmp_path):
+    """Three staggered churn times with one censored survivor: the
+    ln(-ln S) vs ln t fit sees 3 points and a positive slope."""
+    from dbt_project_spark.queries_ops import weibull_survival_fit
+
+    rows, eid = [], 0
+    # users 1..3 churn with last events on days 1,2,3; user 4 survives
+    # to the observation end (day 10)
+    for u, last in ((1, 1), (2, 2), (3, 3), (4, 10)):
+        for day in (0, last):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-{day + 1:02d} 00:00:00", u, "view", 1.00)
+            )
+    _write_events(spark, tmp_path, rows)
+    r = weibull_survival_fit(spark, str(tmp_path)).collect()[0]
+    assert r["n_points"] == 3
+    assert r["min_t"] == 1 and r["max_t"] == 3
+    assert int(r["shape_num"]) > 0 and int(r["shape_den"]) > 0
