@@ -166,6 +166,9 @@ PRIORITY: list[str] = [
     "degree_powerlaw_fit",
     "lorenz_curve_deciles",
     "weibull_survival_fit",
+    "count_overdispersion",
+    "hash_uniformity_audit",
+    "embedding_pca_outliers",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -1081,3 +1081,100 @@ def pii_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pii_per_mchar")
     )
     return red.groupBy("source").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# hash_uniformity_audit — chi2 check of the md5 assignment fabric (r5s9)
+# ---------------------------------------------------------------------------
+
+HU_K = 16  # buckets audited
+# chi2(15 df) 95th percentile x1000, Python-precomputed constant
+HU_CRIT_MILLI = 24996
+
+
+@register(
+    "hash_uniformity_audit",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events
+               WHERE user_id IS NOT NULL),
+    b AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':unif'),
+                                 1, 8))::BIGINT % {HU_K} AS bkt
+          FROM u),
+    c AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY bkt),
+    t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(SUM(({HU_K} * o) * ({HU_K} * o)) AS BIGINT) AS kk,
+                 CAST(MIN(o) AS BIGINT) AS min_bucket,
+                 CAST(MAX(o) AS BIGINT) AS max_bucket
+          FROM c),
+    s AS (SELECT n, min_bucket, max_bucket,
+                 kk - 2 * {HU_K} * n * n + {HU_K} * n * n AS ss
+          FROM t)
+    SELECT n AS n_users, CAST({HU_K} AS BIGINT) AS k,
+           min_bucket, max_bucket,
+           CAST(CAST(ss AS HUGEINT) * 1000000 // ({HU_K} * n) AS BIGINT)
+               AS chi2_micro,
+           CAST(CASE WHEN CAST(ss AS HUGEINT) * 1000
+                          > {HU_CRIT_MILLI} * CAST({HU_K} AS HUGEINT) * n
+                     THEN 0 ELSE 1 END AS BIGINT) AS uniform_ok
+    FROM s
+    """,
+)
+def hash_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity audit of the md5 assignment fabric the
+    engine itself leans on (A/B arms, k-fold deals, bootstrap draws,
+    shard shuffles all key off md5 prefixes): bucket the distinct
+    users into HU_K hash bins and test the observed counts against
+    uniform at 95%. The meta-quality check run whenever an SRM alarm
+    (ab_srm_check) fires — it separates 'the hash is fine, the
+    population moved' from 'the assignment itself is skewed'.
+
+    Exactness: χ² = Σ(K·o − n)² / (K·n) in cleared integer form —
+    Σ(Ko)² − 2Kn·n + Kn² expanded so every term is an exact
+    BIGINT/HUGEINT; the verdict is the exact inequality
+    1000·SS > crit·K·n against the Python-precomputed ×1000 quantile
+    (the ab_srm convention). No floats anywhere.
+
+    Scale shape: one distinct on user_id, one K-row count, scalar
+    assembly."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    b = u.select(
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(user_id AS STRING),"
+            f" ':unif')), 1, 8), 16, 10) AS BIGINT) % {HU_K}"
+        ).alias("bkt")
+    )
+    c = b.groupBy("bkt").agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    t = c.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.sum((F.col("o") * HU_K) * (F.col("o") * HU_K))
+        .cast("bigint")
+        .alias("kk"),
+        F.min("o").cast("bigint").alias("min_bucket"),
+        F.max("o").cast("bigint").alias("max_bucket"),
+    )
+    s = t.select(
+        "n",
+        "min_bucket",
+        "max_bucket",
+        F.expr(f"kk - 2 * {HU_K} * n * n + {HU_K} * n * n").alias("ss"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.lit(HU_K).cast("bigint").alias("k"),
+        "min_bucket",
+        "max_bucket",
+        F.expr(
+            f"CAST(CAST(ss AS DECIMAL(38,0)) * 1000000 div ({HU_K} * n)"
+            " AS BIGINT)"
+        ).alias("chi2_micro"),
+        F.expr(
+            f"CAST(CASE WHEN CAST(ss AS DECIMAL(38,0)) * 1000"
+            f" > {HU_CRIT_MILLI} * CAST({HU_K} AS DECIMAL(38,0)) * n"
+            " THEN 0 ELSE 1 END AS BIGINT)"
+        ).alias("uniform_ok"),
+    )

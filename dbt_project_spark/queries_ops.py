@@ -546,3 +546,93 @@ def weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(sx AS DECIMAL(38,0)) * sx AS STRING)"
         ).alias("shape_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count_overdispersion — Poisson adequacy of daily volumes (r5s9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "count_overdispersion",
+    oracle=f"""
+    WITH e AS (SELECT event_type, {_EP} // 86400 AS d FROM events),
+    days AS (SELECT DISTINCT d FROM e),
+    types AS (SELECT DISTINCT event_type FROM e),
+    c AS (SELECT t.event_type, dy.d,
+                 CAST(COALESCE(x.c, 0) AS BIGINT) AS c
+          FROM types t CROSS JOIN days dy
+          LEFT JOIN (SELECT event_type, d, COUNT(*) AS c
+                     FROM e GROUP BY 1, 2) x
+            ON x.event_type = t.event_type AND x.d = dy.d),
+    m AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS s,
+                 CAST(SUM(c * c) AS BIGINT) AS q
+          FROM c GROUP BY event_type)
+    SELECT event_type, n AS n_days,
+           CAST(s * 1000000 // n AS BIGINT) AS mean_micro,
+           CAST((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+                * 1000000 // (CAST(n AS HUGEINT) - 1) // s AS BIGINT)
+               AS dispersion_micro,
+           CAST(CASE WHEN CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s
+                          > (CAST(n AS HUGEINT) - 1) * s
+                     THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+    FROM m
+    """,
+)
+def count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson adequacy check of daily event volumes per type: the
+    dispersion index Var/Mean over the zero-filled daily-count series.
+    D ≈ 1 licenses Poisson alerting thresholds (spc_pchart,
+    error_burst); D ≫ 1 (clumped traffic) means those thresholds
+    under-alarm and a negative-binomial model is due. The one-table
+    answer to 'can I trust my rate alerts?'.
+
+    Exactness: zero-days enter via the day-spine cross join (types ×
+    distinct days — tiny); moments are exact BIGINTs, the dispersion
+    the cleared-form (n·q − s²)·1e6 // ((n−1)·s) in
+    DECIMAL(38,0)/HUGEINT (n·q outgrows BIGINT at 10⁹-event days),
+    and the overdispersion verdict is the EXACT integer inequality
+    n·q − s² > (n−1)·s — never a float.
+
+    Scale shape: one map-side-combinable (type, day) count, a
+    spine-sized fill, a |types|-row moment rollup."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    )
+    days = e.select("d").distinct()
+    types = e.select("event_type").distinct()
+    x = e.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    c = (
+        types.crossJoin(days)
+        .join(x, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr("CAST(s * 1000000 div n AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0))"
+            " * s) * 1000000 div (CAST(n AS DECIMAL(38,0)) - 1) div s"
+            " AS BIGINT)"
+        ).alias("dispersion_micro"),
+        F.expr(
+            "CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * q"
+            " - CAST(s AS DECIMAL(38,0)) * s"
+            " > (CAST(n AS DECIMAL(38,0)) - 1) * s"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("overdispersed"),
+    )

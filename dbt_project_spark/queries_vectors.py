@@ -2036,3 +2036,85 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("explained_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_outlier_scores — PC1-projection outliers (r5s9)
+# ---------------------------------------------------------------------------
+
+PCA_OUT_K = 10
+
+
+def _pca_outlier_oracle_sql() -> str:
+    ctes = _pca_ctes()
+    ctes.append(
+        f"""pr AS (SELECT cc.vec_id,
+                     CAST(SUM(cc.c * v{PCA_ITERS}.v) AS BIGINT) AS dot
+              FROM cc JOIN v{PCA_ITERS} USING (d) GROUP BY cc.vec_id)"""
+    )
+    ctes.append(
+        """mu AS (SELECT CASE WHEN SUM(dot) >= 0
+                              THEN SUM(dot) // COUNT(*)
+                              ELSE -((-SUM(dot)) // COUNT(*)) END AS md
+             FROM pr)"""
+    )
+    ctes.append(
+        f"""top AS (SELECT pr.vec_id, ABS(pr.dot - mu.md) AS dev
+               FROM pr CROSS JOIN mu
+               ORDER BY dev DESC, pr.vec_id LIMIT {PCA_OUT_K})"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT ROW_NUMBER() OVER (ORDER BY dev DESC, vec_id) AS rank,
+           vec_id, CAST(dev AS BIGINT) AS dev
+    FROM top
+    """
+    )
+
+
+@register("embedding_pca_outliers", oracle=_pca_outlier_oracle_sql())
+def embedding_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k outlier vectors by deviation along the leading principal
+    direction: |x·v − mean(x·v)| — the cheapest useful anomaly score
+    for an embedding corpus (mislabeled modality, truncated encodes,
+    adversarial inserts land in the spectral tail). Found outliers
+    feed manual review before dedup_embedding's thresholds are
+    trusted; the 1-D Mahalanobis special case that needs no matrix
+    inverse.
+
+    Exactness: projections are the exact integer dots of the shared
+    quantize/center/iterate chain (embedding_pca_power); the center
+    is the sign-safe truncating mean and deviations are pure BIGINT
+    absolute differences — no floats; ranking is a tie-broken top-k.
+
+    Scale shape: one projection pass over the persisted centered
+    table, a 1-row mean broadcast, a TakeOrdered heap."""
+    cc, iterates, _ = _pca_iterate(spark, sf_dir)
+    v = iterates[-1]
+    pr = (
+        cc.join(F.broadcast(v), "d")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("c") * F.col("v")).cast("bigint").alias("dot"))
+    )
+    mu = pr.agg(
+        F.expr(
+            "CASE WHEN SUM(dot) >= 0 THEN SUM(dot) div COUNT(*)"
+            " ELSE -((-SUM(dot)) div COUNT(*)) END"
+        ).alias("md")
+    )
+    top = (
+        pr.crossJoin(F.broadcast(mu))
+        .select("vec_id", F.abs(F.col("dot") - F.col("md")).alias("dev"))
+        .orderBy(F.desc("dev"), "vec_id")
+        .limit(PCA_OUT_K)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("dev"), "vec_id"))
+        .cast("bigint")
+        .alias("rank"),
+        "vec_id",
+        F.col("dev").cast("bigint").alias("dev"),
+    )

@@ -575,3 +575,39 @@ def test_embedding_dim_drift_single_aggregation_pass(spark):
     n = plan.count("Exchange") // 2
     assert n <= 1, f"expected <=1 exchange, got {n}"
     assert "HashAggregate" in plan
+
+
+def test_prf_rescore_no_cartesian_takeordered(spark):
+    """PRF's expanded-term rescoring must pair the corpus with the
+    tiny term/stat tables via broadcasts only (the per-term tf is an
+    array pass, never a token explode of the corpus), and both
+    rankings must be top-k heaps."""
+    plan = _plan(QUERIES["query_expansion_prf"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pii_report_joinless_single_shuffle(spark):
+    """PII density is a regex projection plus one rollup: no joins of
+    any kind and at most the one aggregate exchange."""
+    plan = _plan(QUERIES["pii_density_report"](spark, SF_SMOKE))
+    assert "Join" not in plan
+    n = plan.count("Exchange") // 2
+    assert n <= 1, f"expected <=1 exchange, got {n}"
+
+
+def test_kfold_windows_stay_per_stratum(spark):
+    """The k-fold deal must sort within (lang, source) strata —
+    hash-partitioned window, no cartesian, no corpus-wide single
+    partition before the K-row rollup."""
+    plan = _plan(QUERIES["stratified_kfold_assignment"](spark, SF_SMOKE))
+    assert "hashpartitioning" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_queries_no_cartesian(spark):
+    """The power-iteration family pairs the corpus only with 64-row
+    broadcast vectors and 1-row maxima."""
+    for name in ("embedding_pca_power", "pca_explained_variance"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name

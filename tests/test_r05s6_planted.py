@@ -462,3 +462,69 @@ def test_weibull_fit_planted_increasing_hazard(spark, tmp_path):
     assert r["n_points"] == 3
     assert r["min_t"] == 1 and r["max_t"] == 3
     assert int(r["shape_num"]) > 0 and int(r["shape_den"]) > 0
+
+
+def test_overdispersion_constant_vs_clumped(spark, tmp_path):
+    """A constant daily series has dispersion exactly 0; a clumped
+    one (0,0,6) has Var/Mean exactly 6 — and the zero days come from
+    the shared day spine, not from stored rows."""
+    from dbt_project_spark.queries_ops import count_overdispersion
+
+    rows, eid = [], 0
+    for day in (1, 2, 3):
+        for _ in range(2):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-0{day} 0{eid % 10}:00:00", 1, "view", 1.00)
+            )
+    for _ in range(6):
+        eid += 1
+        rows.append(
+            (eid, f"2024-01-03 1{eid % 10}:00:00", 1, "error", 1.00)
+        )
+    _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           count_overdispersion(spark, str(tmp_path)).collect()}
+    assert out["view"]["n_days"] == 3
+    assert out["view"]["dispersion_micro"] == 0
+    assert out["view"]["overdispersed"] == 0
+    assert out["error"]["mean_micro"] == 2000000
+    assert out["error"]["dispersion_micro"] == 6000000
+    assert out["error"]["overdispersed"] == 1
+
+
+def test_hash_uniformity_invariants(spark, tmp_path):
+    """Bucket counts partition the users; the chi2 stat is
+    non-negative and the verdict is a strict function of it."""
+    from dbt_project_spark.queries_governance import (
+        HU_K,
+        hash_uniformity_audit,
+    )
+
+    rows = [
+        (i, f"2024-01-01 {i % 24:02d}:00:00", i, "view", 1.00)
+        for i in range(1, 161)
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = hash_uniformity_audit(spark, str(tmp_path)).collect()[0]
+    assert r["n_users"] == 160 and r["k"] == HU_K
+    assert r["chi2_micro"] >= 0
+    assert r["min_bucket"] * HU_K <= 160 <= r["max_bucket"] * HU_K
+    assert r["uniform_ok"] in (0, 1)
+
+
+def test_pca_outliers_flag_planted_extreme(spark, tmp_path):
+    """Five clustered vectors plus one far along the same axis: the
+    extreme vector ranks first by PC1 deviation."""
+    from dbt_project_spark.queries_vectors import embedding_pca_outliers
+
+    vecs = [(i, [0.2, 0.0, 0.0, 0.0]) for i in range(1, 6)]
+    vecs.append((6, [1.0, 0.0, 0.0, 0.0]))
+    _write_embeddings(spark, tmp_path, vecs)
+    out = sorted(
+        embedding_pca_outliers(spark, str(tmp_path)).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert out[0]["vec_id"] == 6
+    assert out[0]["dev"] > out[1]["dev"]
+    assert len(out) == 6
