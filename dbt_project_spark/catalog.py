@@ -169,6 +169,9 @@ PRIORITY: list[str] = [
     "count_overdispersion",
     "hash_uniformity_audit",
     "embedding_pca_outliers",
+    "dft_power_spectrum",
+    "vocab_drift_halves",
+    "ngram_entropy_rate",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

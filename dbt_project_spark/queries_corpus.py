@@ -1701,3 +1701,201 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(is_new) * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("novelty_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocab_drift_halves — vocabulary stability between corpus halves (r5s10)
+# ---------------------------------------------------------------------------
+
+VDRIFT_K = 200  # vocabulary head compared
+
+
+@register(
+    "vocab_drift_halves",
+    oracle=f"""
+    WITH t AS (SELECT doc_id % 2 AS half, unnest({_TOKS}) AS w
+               FROM documents),
+    wf AS (SELECT half, w, CAST(COUNT(*) AS BIGINT) AS f
+           FROM t GROUP BY 1, 2),
+    ra AS (SELECT w FROM (
+             SELECT w, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rk
+             FROM wf WHERE half = 0) WHERE rk <= {VDRIFT_K}),
+    rb AS (SELECT w FROM (
+             SELECT w, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rk
+             FROM wf WHERE half = 1) WHERE rk <= {VDRIFT_K}),
+    j AS (SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM ra
+             WHERE w IN (SELECT w FROM rb)) AS n_common,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM ra) AS n_a,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM rb) AS n_b),
+    v AS (SELECT
+            CAST(COUNT(DISTINCT CASE WHEN half = 0 THEN w END) AS BIGINT)
+                AS vocab_a,
+            CAST(COUNT(DISTINCT CASE WHEN half = 1 THEN w END) AS BIGINT)
+                AS vocab_b
+          FROM wf)
+    SELECT j.n_common, j.n_a - j.n_common AS only_a,
+           j.n_b - j.n_common AS only_b,
+           CAST(j.n_common * 1000000 // (j.n_a + j.n_b - j.n_common)
+                AS BIGINT) AS jaccard_micro,
+           v.vocab_a, v.vocab_b
+    FROM j CROSS JOIN v
+    """,
+)
+def vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-head stability between the two doc_id-parity halves
+    of the corpus: Jaccard overlap of each half's top-200 words plus
+    the asymmetric only-in-one counts — the TEXT drift detector next
+    to the value-drift family (PSI/KS/QQ all watch numbers; an
+    ingest regression that swaps a source's language or floods
+    boilerplate shows up HERE first). Run across ingest batches in
+    production; the parity split is the self-calibration baseline
+    (near-1 Jaccard = healthy).
+
+    Exactness: both heads are deterministic (freq DESC, word) top-K
+    sets; overlap and Jaccard are pure integer set arithmetic with
+    one truncating micro division.
+
+    Scale shape: one token explode → (half, word) count (word-count
+    shape), two K-row heads, set ops on ≤2K rows."""
+    t = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokens_col("text")).alias("w"),
+    )
+    wf = t.groupBy("half", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    wf = persist_tracked(wf)
+    wk = Window.partitionBy("half").orderBy(F.desc("f"), "w")
+    heads = (
+        wf.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= VDRIFT_K)
+        .select("half", "w")
+    )
+    ra = heads.filter(F.col("half") == 0).select("w")
+    rb = heads.filter(F.col("half") == 1).select(F.col("w").alias("wb"))
+    j = (
+        ra.join(rb, ra.w == rb.wb, "full")
+        .agg(
+            F.sum(
+                F.when(F.col("w").isNotNull() & F.col("wb").isNotNull(), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_common"),
+            F.sum(F.when(F.col("w").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("wb").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+    v = wf.agg(
+        F.countDistinct(F.when(F.col("half") == 0, F.col("w")))
+        .cast("bigint")
+        .alias("vocab_a"),
+        F.countDistinct(F.when(F.col("half") == 1, F.col("w")))
+        .cast("bigint")
+        .alias("vocab_b"),
+    )
+    return j.crossJoin(F.broadcast(v)).select(
+        "n_common",
+        (F.col("n_a") - F.col("n_common")).alias("only_a"),
+        (F.col("n_b") - F.col("n_common")).alias("only_b"),
+        F.expr(
+            "CAST(n_common * 1000000 div (n_a + n_b - n_common) AS BIGINT)"
+        ).alias("jaccard_micro"),
+        "vocab_a",
+        "vocab_b",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ngram_entropy_rate — bigram conditional entropy of the corpus (r5s10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_entropy_rate",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    big AS (SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM tk, UNNEST(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cx FROM c12 GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS nb,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct
+          FROM c12),
+    terms AS (SELECT c12.c * CAST(round(ln(CAST(c12.c AS DOUBLE) / c1.cx)
+                                        * 1000000000) AS BIGINT) AS t9
+              FROM c12 JOIN c1 USING (w1)),
+    s AS (SELECT CAST(SUM(t9) AS BIGINT) AS s9 FROM terms)
+    SELECT n.nb AS n_bigrams, n.n_distinct,
+           CAST((-s.s9) // n.nb AS BIGINT) AS h_cond_nano
+    FROM s CROSS JOIN n
+    """,
+)
+def ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional entropy H(w₂|w₁) of the corpus in nats —
+    the entropy RATE a language model must beat, and the
+    corpus-health number that drops when boilerplate floods in
+    (repetitive text is predictable text): −(1/N)·Σ c₁₂·ln(c₁₂/c₁).
+    Complements bigram_lm_quality (which scores DOCS against the
+    model) by scoring the CORPUS itself.
+
+    Exactness: each distinct bigram contributes c₁₂ × one ×1e9
+    ln-term BIGINT (the fixed-point-sum convention — the float ln is
+    a single scalar expression over two exact integers, identical in
+    both engines); the division by N is a final truncating nano
+    division on the negated exact sum. (Term products reach ~c·12e9;
+    beyond ~10⁹ total bigrams shift the sum into DECIMAL(38,0).)
+
+    Scale shape: one bigram explode → (w₁,w₂) counts (word-count
+    shape), a vocab-sized conditional join on w₁, two 1-row
+    reductions."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        tokens_col("text").alias("t")
+    )
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("x")
+        )
+        .select(F.col("x.w1").alias("w1"), F.col("x.w2").alias("w2"))
+    )
+    c12 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    c12 = persist_tracked(c12)
+    c1 = c12.groupBy("w1").agg(F.sum("c").cast("bigint").alias("cx"))
+    n = c12.agg(
+        F.sum("c").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    terms = c12.join(c1, "w1").select(
+        (
+            F.col("c")
+            * F.expr(
+                "CAST(round(ln(CAST(c AS DOUBLE) / cx) * 1000000000)"
+                " AS BIGINT)"
+            )
+        ).alias("t9")
+    )
+    s = terms.agg(F.sum("t9").cast("bigint").alias("s9"))
+    return s.crossJoin(F.broadcast(n)).select(
+        F.col("nb").alias("n_bigrams"),
+        "n_distinct",
+        F.expr("CAST((-s9) div nb AS BIGINT)").alias("h_cond_nano"),
+    )

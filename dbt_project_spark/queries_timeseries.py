@@ -1518,3 +1518,89 @@ def xcorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dft_power_spectrum — harmonics 1-3 of the weekly cycle (r5s10)
+# ---------------------------------------------------------------------------
+
+DFT_HARMONICS = 3
+
+
+@register(
+    "dft_power_spectrum",
+    oracle=f"""
+    WITH s AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                        // 86400 AS d,
+                      CAST(SUM({_V100}) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+          FROM s),
+    fr AS (SELECT unnest(range(1, {DFT_HARMONICS} + 1)) AS f),
+    dev AS (SELECT fr.f, (fr.f * s.d) % 7 AS k, t.n * s.x - t.sx AS dv
+            FROM s CROSS JOIN t CROSS JOIN fr),
+    proj AS (SELECT f,
+               CAST(SUM(dv * {_phase_case(_COS6, 'k')}) AS BIGINT) AS fc,
+               CAST(SUM(dv * {_phase_case(_SIN6, 'k')}) AS BIGINT) AS fs
+             FROM dev GROUP BY f)
+    SELECT CAST(proj.f AS BIGINT) AS f, t.n AS n_days, proj.fc, proj.fs,
+           CAST(CAST(proj.fc AS HUGEINT) * proj.fc
+                + CAST(proj.fs AS HUGEINT) * proj.fs AS VARCHAR)
+               AS power
+    FROM proj CROSS JOIN t
+    """,
+)
+def dft_power_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power spectrum of the daily total-value series at the first
+    three harmonics of the weekly cycle (1, 2, 3 cycles/week) —
+    dft_weekly_power generalized from one Goertzel bin to the short
+    spectrum an analyst reads to tell a clean weekly rhythm (power
+    concentrated at f=1) from a twice-weekly payday pattern (f=2) or
+    near-aliased noise (flat).
+
+    Exactness: identical machinery to dft_weekly_power — the basis
+    for harmonic f at epoch-day d is the SAME ×1e6 integer table
+    indexed at (f·d) mod 7 (cos(2πfd/7) = cos(2π((fd) mod 7)/7)), so
+    the whole spectrum shares one 7-entry table and the projection
+    stays pure integer multiply-accumulate; powers ship as exact
+    HUGEINT/DECIMAL(38,0) strings.
+
+    Scale shape: one events-sized daily aggregate; the 3-way harmonic
+    fan-out multiplies only the days table."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr("unix_timestamp(ts) div 86400").alias("d"))
+        .agg(F.sum(F.expr(_V100)).cast("bigint").alias("x"))
+    )
+    t = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    fr = spark.range(1, DFT_HARMONICS + 1).select(F.col("id").alias("f"))
+    dev = (
+        s.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(fr))
+        .select(
+            "f",
+            ((F.col("f") * F.col("d")) % 7).alias("k"),
+            (F.col("n") * F.col("x") - F.col("sx")).alias("dv"),
+        )
+    )
+    proj = dev.groupBy("f").agg(
+        F.sum(F.col("dv") * F.expr(_phase_case(_COS6, "k")))
+        .cast("bigint")
+        .alias("fc"),
+        F.sum(F.col("dv") * F.expr(_phase_case(_SIN6, "k")))
+        .cast("bigint")
+        .alias("fs"),
+    )
+    return proj.crossJoin(F.broadcast(t)).select(
+        F.col("f").cast("bigint").alias("f"),
+        F.col("n").alias("n_days"),
+        "fc",
+        "fs",
+        F.expr(
+            "CAST(CAST(fc AS DECIMAL(38,0)) * fc"
+            " + CAST(fs AS DECIMAL(38,0)) * fs AS STRING)"
+        ).alias("power"),
+    )

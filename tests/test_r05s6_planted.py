@@ -528,3 +528,68 @@ def test_pca_outliers_flag_planted_extreme(spark, tmp_path):
     assert out[0]["vec_id"] == 6
     assert out[0]["dev"] > out[1]["dev"]
     assert len(out) == 6
+
+
+def test_dft_spectrum_concentrates_at_fundamental(spark, tmp_path):
+    """A quantized one-cycle-per-week cosine over 14 complete days
+    puts (almost) all its power in the f=1 bin."""
+    from dbt_project_spark.queries_timeseries import (
+        _COS6,
+        dft_power_spectrum,
+    )
+
+    rows = []
+    for i in range(14):
+        # epoch day of 2024-01-01 + i; value encodes 30000 + cos6[d%7]
+        # cents exactly (two-decimal dollars)
+        import datetime
+
+        day = datetime.date(2024, 1, 1) + datetime.timedelta(days=i)
+        epoch_day = (day - datetime.date(1970, 1, 1)).days
+        v100 = 3000000 + _COS6[epoch_day % 7]
+        rows.append(
+            (i + 1, f"{day} 00:00:00", 1, "view", v100 / 100.0)
+        )
+    _write_events(spark, tmp_path, rows)
+    out = {r["f"]: r for r in
+           dft_power_spectrum(spark, str(tmp_path)).collect()}
+    p1, p2, p3 = (int(out[f]["power"]) for f in (1, 2, 3))
+    assert out[1]["n_days"] == 14
+    assert p1 > 100 * p2 and p1 > 100 * p3
+
+
+def test_vocab_drift_identical_and_disjoint(spark, tmp_path):
+    """Same vocabulary in both halves -> Jaccard exactly 1e6;
+    disjoint vocabularies -> 0 with full only-counts."""
+    from dbt_project_spark.queries_corpus import vocab_drift_halves
+
+    same = [(i, "alpha beta gamma delta") for i in range(1, 9)]
+    _docs(spark, tmp_path, same)
+    r = vocab_drift_halves(spark, str(tmp_path)).collect()[0]
+    assert r["jaccard_micro"] == 1000000
+    assert r["only_a"] == 0 and r["only_b"] == 0
+    assert r["vocab_a"] == 4 and r["vocab_b"] == 4
+
+    disj = [(2 * i, "alpha beta") for i in range(1, 5)]
+    disj += [(2 * i + 1, "gamma delta") for i in range(1, 5)]
+    _docs(spark, tmp_path, disj)
+    r = vocab_drift_halves(spark, str(tmp_path)).collect()[0]
+    assert r["jaccard_micro"] == 0
+    assert r["n_common"] == 0
+    assert r["only_a"] == 2 and r["only_b"] == 2
+
+
+def test_ngram_entropy_deterministic_and_ln2(spark, tmp_path):
+    """A strictly alternating corpus has conditional entropy exactly
+    0; a 50/50 branching successor gives exactly round(ln 2 * 1e9)/1
+    nano-nats."""
+    from dbt_project_spark.queries_corpus import ngram_entropy_rate
+
+    _docs(spark, tmp_path, [(1, "a b a b a b"), (2, "a b a b")])
+    r = ngram_entropy_rate(spark, str(tmp_path)).collect()[0]
+    assert r["h_cond_nano"] == 0
+
+    _docs(spark, tmp_path, [(1, "aa bb"), (2, "aa cc")])
+    r = ngram_entropy_rate(spark, str(tmp_path)).collect()[0]
+    assert r["n_bigrams"] == 2 and r["n_distinct"] == 2
+    assert r["h_cond_nano"] == 693147181
