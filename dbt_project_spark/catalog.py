@@ -172,6 +172,8 @@ PRIORITY: list[str] = [
     "dft_power_spectrum",
     "vocab_drift_halves",
     "ngram_entropy_rate",
+    "filter_agreement_kappa",
+    "fulfillment_latency_by_priority",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

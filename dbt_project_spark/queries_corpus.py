@@ -1899,3 +1899,141 @@ def ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         F.expr("CAST((-s9) div nb AS BIGINT)").alias("h_cond_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# filter_agreement_kappa — do two quality filters agree? (r5s10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_agreement_kappa",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n,
+                 CAST(len(list_filter(toks,
+                      x -> x IN {_GOPHER_STOPS})) AS BIGINT) AS n_stop,
+                 CAST(len(list_filter(toks,
+                      x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                 CAST(list_sum(list_transform(toks, x -> length(x)))
+                      AS BIGINT) AS sum_len
+          FROM tk),
+    v AS (SELECT doc_id,
+                 CASE WHEN n_stop >= 2 AND 5 * n_alpha >= 4 * n
+                      THEN 1 ELSE 0 END AS fa,
+                 CASE WHEN n BETWEEN 50 AND 100000
+                           AND sum_len BETWEEN 3 * n AND 10 * n
+                      THEN 1 ELSE 0 END AS fb
+          FROM m),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(SUM(fa * fb) AS BIGINT) AS n11,
+                 CAST(SUM(fa * (1 - fb)) AS BIGINT) AS n10,
+                 CAST(SUM((1 - fa) * fb) AS BIGINT) AS n01,
+                 CAST(SUM((1 - fa) * (1 - fb)) AS BIGINT) AS n00
+          FROM v),
+    k AS (SELECT nd, n11, n10, n01, n00,
+                 CAST(nd AS HUGEINT) * (n11 + n00) AS po_n2,
+                 CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                   + CAST(n00 + n01 AS HUGEINT) * (n00 + n10) AS pe_n2,
+                 CAST(nd AS HUGEINT) * nd AS n2
+          FROM c)
+    SELECT nd AS n_docs, n11, n10, n01, n00,
+           CAST((n11 + n00) * 1000000 // nd AS BIGINT) AS agree_micro,
+           CAST(CASE WHEN n2 = pe_n2 THEN 0
+                     WHEN po_n2 >= pe_n2
+                     THEN (po_n2 - pe_n2) * 1000000 // (n2 - pe_n2)
+                     ELSE -((pe_n2 - po_n2) * 1000000 // (n2 - pe_n2))
+                END AS BIGINT) AS kappa_micro
+    FROM k
+    """,
+)
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent corpus quality filters —
+    a content-based one (Gopher's stopword + alphabetic-fraction
+    rules) and a shape-based one (word-count + mean-word-length
+    bands): raw agreement flatters filters that both pass almost
+    everything, kappa subtracts the chance-agreement floor. Low kappa
+    on filters believed redundant means the ensemble
+    (corpus_selection_composite) is doing real work; kappa ≈ 1 means
+    one filter can be dropped at full speed.
+
+    Exactness: both verdicts are pure-integer inequalities over one
+    shared token-moment pass (the Gopher moments); kappa in the
+    cleared form (N·agree − Σmarginals)/(N² − Σmarginals) runs in
+    DECIMAL(38,0)/HUGEINT with the sign-safe truncating micro
+    division. No floats.
+
+    Scale shape: one array-pass projection per doc (no token
+    explode), one 1-row reduce."""
+    tk = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+    m = tk.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n"),
+        F.expr(
+            f"CAST(size(filter(toks, x -> x IN {_GOPHER_STOPS}))"
+            " AS BIGINT)"
+        ).alias("n_stop"),
+        F.expr(
+            "CAST(size(filter(toks, x -> x rlike '[a-z]')) AS BIGINT)"
+        ).alias("n_alpha"),
+        F.expr(
+            "CAST(aggregate(toks, 0L, (a, x) -> a + length(x)) AS BIGINT)"
+        ).alias("sum_len"),
+    )
+    v = m.select(
+        F.when(
+            (F.col("n_stop") >= 2) & (5 * F.col("n_alpha") >= 4 * F.col("n")),
+            1,
+        )
+        .otherwise(0)
+        .alias("fa"),
+        F.when(
+            F.col("n").between(50, 100000)
+            & F.col("sum_len").between(3 * F.col("n"), 10 * F.col("n")),
+            1,
+        )
+        .otherwise(0)
+        .alias("fb"),
+    )
+    c = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum(F.col("fa") * F.col("fb")).cast("bigint").alias("n11"),
+        F.sum(F.col("fa") * (1 - F.col("fb"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("fa")) * F.col("fb")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("fa")) * (1 - F.col("fb")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    k = c.select(
+        "nd",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("CAST(nd AS DECIMAL(38,0)) * (n11 + n00)").alias("po_n2"),
+        F.expr(
+            "CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            " + CAST(n00 + n01 AS DECIMAL(38,0)) * (n00 + n10)"
+        ).alias("pe_n2"),
+        F.expr("CAST(nd AS DECIMAL(38,0)) * nd").alias("n2"),
+    )
+    return k.select(
+        F.col("nd").alias("n_docs"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("CAST((n11 + n00) * 1000000 div nd AS BIGINT)").alias(
+            "agree_micro"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n2 = pe_n2 THEN 0"
+            " WHEN po_n2 >= pe_n2"
+            " THEN (po_n2 - pe_n2) * 1000000 div (n2 - pe_n2)"
+            " ELSE -((pe_n2 - po_n2) * 1000000 div (n2 - pe_n2))"
+            " END AS BIGINT)"
+        ).alias("kappa_micro"),
+    )

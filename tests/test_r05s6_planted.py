@@ -593,3 +593,66 @@ def test_ngram_entropy_deterministic_and_ln2(spark, tmp_path):
     r = ngram_entropy_rate(spark, str(tmp_path)).collect()[0]
     assert r["n_bigrams"] == 2 and r["n_distinct"] == 2
     assert r["h_cond_nano"] == 693147181
+
+
+def test_kappa_perfect_and_chance_agreement(spark, tmp_path):
+    """Filters engineered to agree on every doc give kappa exactly
+    1e6; a doc set where A passes everything and B rejects everything
+    pins the degenerate chance-floor case to 0."""
+    from dbt_project_spark.queries_corpus import filter_agreement_kappa
+
+    stop_rich = "the a of and to in is that " + " ".join(
+        f"word{i:02d}" for i in range(50)
+    )
+    # fa: >=2 stopwords and 4/5 alphabetic -- passes; fb: 50..100000
+    # words with mean len 3..10 -- passes (58 words, lens ~3)
+    good = [(i, stop_rich) for i in range(1, 5)]
+    # both filters fail: no stopwords, 3 numeric-heavy short tokens
+    bad = [(10 + i, "11111 22222 33333") for i in range(1, 5)]
+    _docs(spark, tmp_path, good + bad)
+    r = filter_agreement_kappa(spark, str(tmp_path)).collect()[0]
+    assert r["n_docs"] == 8
+    assert r["n11"] == 4 and r["n00"] == 4
+    assert r["agree_micro"] == 1000000
+    assert r["kappa_micro"] == 1000000
+
+    # A always passes, B always fails: agreement 0, kappa 0 (pe = po)
+    only_a = [(i, "the a of and to " + " ".join("x" * 3 for _ in range(3)))
+              for i in range(1, 5)]
+    _docs(spark, tmp_path, only_a)
+    r = filter_agreement_kappa(spark, str(tmp_path)).collect()[0]
+    assert r["n10"] == 4 and r["n11"] == 0
+    assert r["agree_micro"] == 0
+    assert r["kappa_micro"] == 0
+
+
+def test_fulfillment_latency_exact_order_stats(spark, tmp_path):
+    """Latencies {1,2,3,10} for one priority: p50 is the smallest day
+    with 2*cum >= n (=2), p90 the smallest with 10*cum >= 9n (=10)."""
+    from dbt_project_spark.queries_retail import (
+        fulfillment_latency_by_priority,
+    )
+
+    _write_orders(
+        spark,
+        tmp_path,
+        [(k, "2024-01-01 00:00:00") for k in (1, 2, 3, 4)],
+    )
+    _write_lineitem(
+        spark,
+        tmp_path,
+        [
+            (1, 1, "2024-01-02 00:00:00"),
+            (2, 1, "2024-01-03 00:00:00"),
+            (3, 1, "2024-01-04 00:00:00"),
+            (4, 1, "2024-01-11 00:00:00"),
+            (4, 2, "2024-01-20 00:00:00"),  # later ship must not matter
+        ],
+    )
+    r = fulfillment_latency_by_priority(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_orders"] == 4
+    assert row["p50_days"] == 2
+    assert row["p90_days"] == 10
+    assert row["max_days"] == 10
