@@ -174,6 +174,9 @@ PRIORITY: list[str] = [
     "ngram_entropy_rate",
     "filter_agreement_kappa",
     "fulfillment_latency_by_priority",
+    "markov_stationary_mix",
+    "ab_sequential_wald",
+    "source_lm_surprisal",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -2037,3 +2037,111 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("kappa_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# source_lm_surprisal — which sources surprise the corpus LM (r5s11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_lm_surprisal",
+    oracle=f"""
+    WITH tk AS (SELECT source, {_TOKS} AS t FROM documents),
+    big AS (SELECT source, t[i] AS w1, t[i + 1] AS w2
+            FROM tk, UNNEST(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2),
+    cs AS (SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+           FROM big GROUP BY 1, 2, 3),
+    cg AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cg
+           FROM cs GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(cg) AS BIGINT) AS cx FROM cg GROUP BY 1),
+    lp AS (SELECT cg.w1, cg.w2,
+                  CAST(round(ln(CAST(cg.cg AS DOUBLE) / c1.cx)
+                             * 1000000000) AS BIGINT) AS l9
+           FROM cg JOIN c1 USING (w1)),
+    terms AS (SELECT cs.source, cs.c * lp.l9 AS t9, cs.c
+              FROM cs JOIN lp ON lp.w1 = cs.w1 AND lp.w2 = cs.w2),
+    per AS (SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS nb,
+                   CAST(SUM(t9) AS BIGINT) AS s9
+            FROM terms GROUP BY source),
+    g AS (SELECT CAST(SUM(nb) AS BIGINT) AS nbg,
+                 CAST(SUM(s9) AS BIGINT) AS s9g
+          FROM per)
+    SELECT per.source, per.nb AS n_bigrams,
+           CAST((-per.s9) // per.nb AS BIGINT) AS h_nano,
+           CAST((-per.s9) // per.nb - (-g.s9g) // g.nbg AS BIGINT)
+               AS delta_vs_corpus_nano
+    FROM per CROSS JOIN g
+    """,
+)
+def source_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cross-entropy under the CORPUS-level bigram model:
+    which sources does the global language model find surprising?
+    High delta_vs_corpus_nano marks a source whose text distribution
+    diverges from the pool — the per-source drilldown of
+    ngram_entropy_rate and the cheap stand-in for CCNet's per-source
+    perplexity ranking when no external LM exists. Surprising sources
+    get up-weighted (diversity) or inspected (contamination,
+    wrong-language ingest) depending on the pipeline's goal.
+
+    Exactness: the global conditional log-probs ln(c₁₂/c₁) are one
+    ×1e9 ln-term per DISTINCT bigram (computed once, joined to every
+    source's counts), per-source sums are exact integer
+    multiply-accumulates, the rate a final truncating nano division.
+
+    Scale shape: bigram explode → per-(source, w1, w2) counts; the
+    global table is a second-level rollup of the SAME aggregate (no
+    second corpus pass); the log-prob join is word-count-shaped."""
+    tk = load_table(spark, sf_dir, "documents").select(
+        "source", tokens_col("text").alias("t")
+    )
+    big = (
+        tk.filter(F.size("t") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("x"),
+        )
+        .select("source", F.col("x.w1").alias("w1"), F.col("x.w2").alias("w2"))
+    )
+    cs = big.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    cs = persist_tracked(cs)
+    cg = cs.groupBy("w1", "w2").agg(F.sum("c").cast("bigint").alias("cg"))
+    c1 = cg.groupBy("w1").agg(F.sum("cg").cast("bigint").alias("cx"))
+    lp = cg.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.expr(
+            "CAST(round(ln(CAST(cg AS DOUBLE) / cx) * 1000000000)"
+            " AS BIGINT)"
+        ).alias("l9"),
+    )
+    terms = cs.join(lp, ["w1", "w2"]).select(
+        "source", (F.col("c") * F.col("l9")).alias("t9"), "c"
+    )
+    per = terms.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("nb"),
+        F.sum("t9").cast("bigint").alias("s9"),
+    )
+    g = per.agg(
+        F.sum("nb").cast("bigint").alias("nbg"),
+        F.sum("s9").cast("bigint").alias("s9g"),
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.col("nb").alias("n_bigrams"),
+        F.expr("CAST((-s9) div nb AS BIGINT)").alias("h_nano"),
+        F.expr(
+            "CAST((-s9) div nb - (-s9g) div nbg AS BIGINT)"
+        ).alias("delta_vs_corpus_nano"),
+    )

@@ -1504,3 +1504,274 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {AB_MDE_TARGET_MICRO} * nn * nn) AS BIGINT)"
         ).alias("n_req_1pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# markov_stationary_mix — steady state of the journey chain (r5s11)
+# ---------------------------------------------------------------------------
+
+MSM_ITERS = 6  # unrolled power-iteration rounds
+MSM_SCALE = 1_000_000
+
+
+def _msm_oracle_sql() -> str:
+    ctes = [
+        f"""s AS (SELECT user_id, event_type,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY {_EP}, event_id)
+                         AS next_type
+              FROM events)""",
+        """c AS (SELECT event_type AS f, next_type AS t,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)""",
+        """rowt AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nf
+               FROM c GROUP BY f)""",
+        f"""p AS (SELECT c.f, c.t,
+                     CAST(c.n * {MSM_SCALE} // rowt.nf AS BIGINT) AS p6
+              FROM c JOIN rowt USING (f))""",
+        """types AS (SELECT f AS ty FROM rowt)""",
+        f"""pi0 AS (SELECT ty, CAST({MSM_SCALE} // (SELECT COUNT(*)
+                                                     FROM types)
+                         AS BIGINT) AS v
+               FROM types)""",
+    ]
+    for i in range(1, MSM_ITERS + 1):
+        prev = f"pi{i - 1}"
+        ctes.append(
+            f"""pi{i} AS (SELECT p.t AS ty,
+                      CAST(SUM({prev}.v * p.p6) // {MSM_SCALE} AS BIGINT)
+                          AS v
+               FROM {prev} JOIN p ON p.f = {prev}.ty
+               GROUP BY p.t)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT pi{MSM_ITERS}.ty AS event_type,
+           pi{MSM_ITERS}.v AS pi_micro,
+           rowt.nf AS n_transitions_from
+    FROM pi{MSM_ITERS} JOIN rowt ON rowt.f = pi{MSM_ITERS}.ty
+    """
+    )
+
+
+@register("markov_stationary_mix", oracle=_msm_oracle_sql())
+def markov_stationary_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-transition
+    chain (event_transitions' matrix iterated to its fixed point):
+    where the user journey settles if today's transition behavior
+    holds — the forward-looking complement to the observed event mix,
+    and the number to diff AGAINST that mix to see whether the
+    product is drifting toward or away from purchase/error states.
+
+    Determinism: the transition matrix is row-normalized to exact
+    truncating ×1e6 integers; each unrolled iteration is an integer
+    multiply-accumulate re-truncated at the same scale — both engines
+    truncate identically, so the fixed point (and any truncation
+    residue) is bit-identical. The uniform start vector covers the
+    reducible-chain edge deterministically.
+
+    Scale shape: one user-partitioned lead() pass over events
+    (the only corpus-sized work, shared with event_transitions);
+    iterations run on the |types|² matrix — constant-size."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.unix_timestamp("ts"), "event_id"
+            )
+        )
+        .alias("next_type"),
+    )
+    c = (
+        s.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("f"), F.col("next_type").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    c = persist_tracked(c)
+    rowt = c.groupBy("f").agg(F.sum("n").cast("bigint").alias("nf"))
+    p = c.join(rowt, "f").select(
+        "f",
+        "t",
+        F.expr(f"CAST(n * {MSM_SCALE} div nf AS BIGINT)").alias("p6"),
+    )
+    p = persist_tracked(p)
+    nt = rowt.count()
+    pi = rowt.select(
+        F.col("f").alias("ty"),
+        F.lit(MSM_SCALE // nt).cast("bigint").alias("v"),
+    )
+    for _ in range(MSM_ITERS):
+        pi = (
+            pi.join(p, pi.ty == p.f)
+            .groupBy(F.col("t").alias("ty2"))
+            .agg(
+                F.expr(f"CAST(SUM(v * p6) div {MSM_SCALE} AS BIGINT)").alias(
+                    "v"
+                )
+            )
+            .select(F.col("ty2").alias("ty"), "v")
+        )
+    return pi.join(rowt, pi.ty == rowt.f).select(
+        F.col("ty").alias("event_type"),
+        F.col("v").alias("pi_micro"),
+        F.col("nf").alias("n_transitions_from"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ab_sequential_wald — SPRT boundary monitor for the A/B arms (r5s11)
+# ---------------------------------------------------------------------------
+
+# Wald SPRT for H0: p = 0.5 vs H1: p = 0.6 at alpha = beta = 0.05.
+# Per-trial log-likelihood increments and the +/- ln(19) decision
+# bounds, Python-precomputed to x1e9 integers (the DCG convention):
+SPRT_L1_NANO = 182_321_557  # ln(0.6/0.5)
+SPRT_L0_NANO = -223_143_551  # ln(0.4/0.5)
+SPRT_BOUND_NANO = 2_944_438_979  # ln(0.95/0.05)
+
+
+@register(
+    "ab_sequential_wald",
+    oracle=f"""
+    WITH u AS (SELECT user_id,
+                      CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1, 8))::BIGINT % 2 = 0
+                           THEN 'A' ELSE 'B' END AS arm,
+                      CAST(MIN({_EP}) // 86400 AS BIGINT) AS enroll_day,
+                      CAST(CASE WHEN SUM({_V100}) >= {AB_CONV_SPEND100}
+                           THEN 1 ELSE 0 END AS BIGINT) AS conv
+               FROM events GROUP BY user_id),
+    d AS (SELECT arm, enroll_day,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(conv) AS BIGINT) AS c
+          FROM u GROUP BY 1, 2),
+    r AS (SELECT arm, enroll_day,
+                 SUM(c) OVER w AS cumc,
+                 SUM(n) OVER w AS cumn
+          FROM d
+          WINDOW w AS (PARTITION BY arm ORDER BY enroll_day)),
+    l AS (SELECT arm, enroll_day,
+                 cumc * {SPRT_L1_NANO}
+                   + (cumn - cumc) * ({SPRT_L0_NANO}) AS llr9
+          FROM r),
+    fin AS (SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(MAX(enroll_day) AS BIGINT) AS last_day,
+                   CAST(max_by(llr9, enroll_day) AS BIGINT) AS final_llr9,
+                   MIN(CASE WHEN llr9 >= {SPRT_BOUND_NANO}
+                            THEN enroll_day END) AS up_day,
+                   MIN(CASE WHEN llr9 <= -{SPRT_BOUND_NANO}
+                            THEN enroll_day END) AS down_day
+            FROM l GROUP BY arm)
+    SELECT arm, n_days, final_llr9,
+           CAST(COALESCE(LEAST(up_day, down_day),
+                         LEAST(COALESCE(up_day, down_day),
+                               COALESCE(down_day, up_day)),
+                         -1) AS BIGINT) AS cross_day,
+           CASE WHEN up_day IS NOT NULL
+                     AND (down_day IS NULL OR up_day <= down_day)
+                THEN 'accept_h1'
+                WHEN down_day IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM fin
+    """,
+)
+def ab_sequential_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential monitor over each A/B arm's conversion
+    stream, users ordered by enrollment day: the cumulative
+    log-likelihood ratio for H1: p=0.6 against H0: p=0.5 with ±ln 19
+    decision bounds (α=β=5%) — the 'peek every day without inflating
+    false positives' machinery fixed-horizon tests (ab_test_conversion,
+    ab_power_mde) can't offer. Reports each arm's final LLR, the
+    first boundary-crossing day, and the standing decision.
+
+    Exactness: per-trial increments and the bounds are
+    Python-precomputed ×1e9 integer constants, so the entire LLR
+    path is pure BIGINT multiply-accumulate over exact cumulative
+    counts; crossings are integer comparisons (cross_day −1 = never).
+
+    Scale shape: one events-sized per-user aggregate, an
+    (arm × enroll-day)-sized cumulative window, 2-row output."""
+    from dbt_project_spark.functions import md5_int
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(MIN(unix_timestamp(ts)) div 86400 AS BIGINT)").alias(
+                "enroll_day"
+            ),
+            F.when(
+                F.sum(F.expr(_V100)) >= AB_CONV_SPEND100, 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("conv"),
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                md5_int(F.col("user_id").cast("string")) % 2 == 0, "A"
+            ).otherwise("B"),
+        )
+    )
+    d = u.groupBy("arm", "enroll_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("arm").orderBy("enroll_day")
+    r = d.select(
+        "arm",
+        "enroll_day",
+        F.sum("c").over(w).alias("cumc"),
+        F.sum("n").over(w).alias("cumn"),
+    )
+    l = r.select(
+        "arm",
+        "enroll_day",
+        (
+            F.col("cumc") * SPRT_L1_NANO
+            + (F.col("cumn") - F.col("cumc")) * SPRT_L0_NANO
+        ).alias("llr9"),
+    )
+    fin = l.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("enroll_day").cast("bigint").alias("last_day"),
+        F.expr("CAST(max_by(llr9, enroll_day) AS BIGINT)").alias(
+            "final_llr9"
+        ),
+        F.min(
+            F.when(
+                F.col("llr9") >= SPRT_BOUND_NANO, F.col("enroll_day")
+            )
+        ).alias("up_day"),
+        F.min(
+            F.when(
+                F.col("llr9") <= -SPRT_BOUND_NANO, F.col("enroll_day")
+            )
+        ).alias("down_day"),
+    )
+    return fin.select(
+        "arm",
+        "n_days",
+        "final_llr9",
+        F.expr(
+            "CAST(COALESCE(LEAST(up_day, down_day),"
+            " LEAST(COALESCE(up_day, down_day),"
+            " COALESCE(down_day, up_day)), -1) AS BIGINT)"
+        ).alias("cross_day"),
+        F.expr(
+            "CASE WHEN up_day IS NOT NULL"
+            " AND (down_day IS NULL OR up_day <= down_day)"
+            " THEN 'accept_h1'"
+            " WHEN down_day IS NOT NULL THEN 'accept_h0'"
+            " ELSE 'continue' END"
+        ).alias("decision"),
+    )

@@ -656,3 +656,70 @@ def test_fulfillment_latency_exact_order_stats(spark, tmp_path):
     assert row["p50_days"] == 2
     assert row["p90_days"] == 10
     assert row["max_days"] == 10
+
+
+def test_markov_stationary_two_state(spark, tmp_path):
+    """A strictly alternating two-state chain has stationary
+    distribution (1/2, 1/2) exactly at the x1e6 scale."""
+    from dbt_project_spark.queries_product import markov_stationary_mix
+
+    rows, eid = [], 0
+    for k in range(8):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                f"2024-01-01 {k:02d}:00:00",
+                1,
+                "view" if k % 2 == 0 else "purchase",
+                1.00,
+            )
+        )
+    _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           markov_stationary_mix(spark, str(tmp_path)).collect()}
+    assert out["view"]["pi_micro"] == 500000
+    assert out["purchase"]["pi_micro"] == 500000
+
+
+def test_sprt_crosses_upper_on_all_converters(spark, tmp_path):
+    """Every user converts: the per-arm LLR climbs ln(1.2) per user
+    and crosses +ln 19 after ceil(2.944/0.182) = 17 users."""
+    from dbt_project_spark.queries_product import ab_sequential_wald
+
+    rows, eid = [], 0
+    # 40 users, each with one 4000.00-dollar event (converts), each
+    # enrolling on their own day
+    for u in range(1, 41):
+        eid += 1
+        rows.append((eid, f"2024-{1 + (u - 1) // 28:02d}-{1 + (u - 1) % 28:02d} 00:00:00", u, "purchase", 4000.00))
+    _write_events(spark, tmp_path, rows)
+    out = {r["arm"]: r for r in
+           ab_sequential_wald(spark, str(tmp_path)).collect()}
+    for arm in ("A", "B"):
+        assert out[arm]["decision"] == "accept_h1"
+        assert out[arm]["cross_day"] >= 0
+        assert out[arm]["final_llr9"] > 0
+
+
+def test_source_surprisal_flags_divergent_source(spark, tmp_path):
+    """A source whose bigrams are rare in the pool carries higher
+    cross-entropy than one matching the pool."""
+    from dbt_project_spark.queries_corpus import source_lm_surprisal
+
+    rows = [(i, "alpha beta", "en", "srcA", 10) for i in range(1, 9)]
+    rows += [(10 + i, "alpha gamma", "en", "srcA", 11) for i in range(1, 9)]
+    # srcB's successor of 'alpha' is rare in the pool (1 of 17)
+    rows.append((100, "alpha delta", "en", "srcB", 11))
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["source"]: r for r in
+           source_lm_surprisal(spark, str(tmp_path)).collect()}
+    assert out["srcB"]["h_nano"] > out["srcA"]["h_nano"]
+    assert out["srcB"]["delta_vs_corpus_nano"] > 0
+    assert out["srcA"]["delta_vs_corpus_nano"] <= 0
