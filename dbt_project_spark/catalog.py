@@ -177,6 +177,9 @@ PRIORITY: list[str] = [
     "markov_stationary_mix",
     "ab_sequential_wald",
     "source_lm_surprisal",
+    "linreg_two_factor",
+    "holdout_perplexity_bigram",
+    "knn_langid_eval",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

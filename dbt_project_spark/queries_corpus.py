@@ -2145,3 +2145,130 @@ def source_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((-s9) div nb - (-s9g) div nbg AS BIGINT)"
         ).alias("delta_vs_corpus_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# holdout_perplexity_bigram — true train/test LM evaluation (r5s12)
+# ---------------------------------------------------------------------------
+
+LM_TEST_MOD = 5  # doc_id % 5 == 0 is the held-out split (NB convention)
+
+
+@register(
+    "holdout_perplexity_bigram",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM tk, UNNEST(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2),
+    trn AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM big WHERE doc_id % {LM_TEST_MOD} <> 0 GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cx FROM trn GROUP BY 1),
+    voc AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM trn),
+    tst AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM big WHERE doc_id % {LM_TEST_MOD} = 0 GROUP BY 1, 2),
+    terms AS (SELECT tst.c,
+                     CASE WHEN trn.c IS NULL THEN 1 ELSE 0 END AS unseen,
+                     tst.c * CAST(round(
+                       ln((COALESCE(trn.c, 0) + 1)
+                          / CAST(COALESCE(ctx.cx, 0) + voc.v AS DOUBLE))
+                       * 1000000000) AS BIGINT) AS t9
+              FROM tst
+              LEFT JOIN trn ON trn.w1 = tst.w1 AND trn.w2 = tst.w2
+              LEFT JOIN ctx ON ctx.w1 = tst.w1
+              CROSS JOIN voc)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_test_bigrams,
+           CAST(SUM(unseen * c) AS BIGINT) AS n_unseen,
+           CAST(SUM(unseen * c) * 1000000 // SUM(c) AS BIGINT)
+               AS oov_micro,
+           CAST((-CAST(SUM(t9) AS BIGINT)) // SUM(c) AS BIGINT) AS h_nano
+    FROM terms
+    """,
+)
+def holdout_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE held-out evaluation of the corpus bigram LM: train
+    add-one-smoothed conditional probabilities on doc_id %
+    {LM_TEST_MOD} != 0, score the held-out docs' bigrams, report
+    cross-entropy (nano-nats; perplexity = e^H) and the unseen-bigram
+    rate. bigram_lm_quality and source_lm_surprisal both score
+    against the model's OWN training data — this is the number that
+    honestly generalizes, and the one to watch when the corpus mix
+    changes (rising holdout H with flat train H = the mix got more
+    diverse; both rising = quality regression).
+
+    Exactness: add-one smoothing makes every test bigram's
+    probability a ratio of exact integers — (c+1)/(ctx+V) — so each
+    distinct test bigram contributes count × one ×1e9 ln-term
+    (fixed-point-sum convention); unseen contexts degrade to 1/V by
+    the same formula (COALESCE(0)), no special case. The OOV rate is
+    a truncating micro division.
+
+    Scale shape: ONE bigram explode feeds both splits (predicate on
+    doc_id, no second pass); the scoring join is
+    (test-bigram-types × train) — word-count shape; V and the final
+    reduce are 1-row."""
+    tk = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("t")
+    )
+    big = (
+        tk.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("x"),
+        )
+        .select(
+            "doc_id", F.col("x.w1").alias("w1"), F.col("x.w2").alias("w2")
+        )
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    big = persist_tracked(big)
+    trn = (
+        big.filter(F.col("doc_id") % LM_TEST_MOD != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    trn = persist_tracked(trn)
+    ctx = trn.groupBy("w1").agg(F.sum("c").cast("bigint").alias("cx"))
+    voc = trn.agg(F.countDistinct("w2").cast("bigint").alias("v"))
+    tst = (
+        big.filter(F.col("doc_id") % LM_TEST_MOD == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+    )
+    terms = (
+        tst.join(
+            trn.select("w1", "w2", F.col("c").alias("trc")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "tc",
+            F.when(F.col("trc").isNull(), 1).otherwise(0).alias("unseen"),
+            (
+                F.col("tc")
+                * F.expr(
+                    "CAST(round(ln((COALESCE(trc, 0) + 1)"
+                    " / CAST(COALESCE(cx, 0) + v AS DOUBLE))"
+                    " * 1000000000) AS BIGINT)"
+                )
+            ).alias("t9"),
+        )
+    )
+    return terms.agg(
+        F.sum("tc").cast("bigint").alias("n_test_bigrams"),
+        F.sum(F.col("unseen") * F.col("tc")).cast("bigint").alias("n_unseen"),
+        F.expr(
+            "CAST(SUM(unseen * tc) * 1000000 div SUM(tc) AS BIGINT)"
+        ).alias("oov_micro"),
+        F.expr(
+            "CAST((-CAST(SUM(t9) AS BIGINT)) div SUM(tc) AS BIGINT)"
+        ).alias("h_nano"),
+    )

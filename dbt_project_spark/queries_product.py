@@ -1775,3 +1775,155 @@ def ab_sequential_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'continue' END"
         ).alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# linreg_two_factor — exact 3x3 Cramer OLS (r5s12)
+# ---------------------------------------------------------------------------
+
+_SGN_DIV = (
+    "CAST(CASE WHEN dd = 0 THEN 0"
+    " WHEN ({num}) * 1000000 >= 0 AND dd > 0"
+    " THEN (({num}) * 1000000) div dd"
+    " WHEN ({num}) * 1000000 < 0 AND dd < 0"
+    " THEN ((-({num})) * 1000000) div (-dd)"
+    " WHEN dd < 0 THEN -((({num}) * 1000000) div (-dd))"
+    " ELSE -(((-({num})) * 1000000) div dd) END AS BIGINT)"
+)
+
+
+@register(
+    "linreg_two_factor",
+    oracle=f"""
+    WITH e AS (SELECT {_V100} AS y,
+                      CAST(hour(ts) AS BIGINT) AS x1,
+                      CASE WHEN ({_EP} // 86400) % 7 IN (2, 3)
+                           THEN 1 ELSE 0 END AS x2
+               FROM events),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x1) AS BIGINT) AS s1,
+                 CAST(SUM(x2) AS BIGINT) AS s2,
+                 CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+                 CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+                 CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+                 CAST(SUM(x2 * y) AS BIGINT) AS s2y
+          FROM e),
+    d AS (SELECT n, s1, s2, sy,
+                 CAST(n AS HUGEINT) * (CAST(s11 AS HUGEINT) * s22
+                                       - CAST(s12 AS HUGEINT) * s12)
+                 - CAST(s1 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s22
+                                          - CAST(s12 AS HUGEINT) * s2)
+                 + CAST(s2 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s12
+                                          - CAST(s11 AS HUGEINT) * s2)
+                     AS dd,
+                 CAST(sy AS HUGEINT) * (CAST(s11 AS HUGEINT) * s22
+                                        - CAST(s12 AS HUGEINT) * s12)
+                 - CAST(s1 AS HUGEINT) * (CAST(s1y AS HUGEINT) * s22
+                                          - CAST(s12 AS HUGEINT) * s2y)
+                 + CAST(s2 AS HUGEINT) * (CAST(s1y AS HUGEINT) * s12
+                                          - CAST(s11 AS HUGEINT) * s2y)
+                     AS d0,
+                 CAST(n AS HUGEINT) * (CAST(s1y AS HUGEINT) * s22
+                                       - CAST(s12 AS HUGEINT) * s2y)
+                 - CAST(sy AS HUGEINT) * (CAST(s1 AS HUGEINT) * s22
+                                          - CAST(s12 AS HUGEINT) * s2)
+                 + CAST(s2 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s2y
+                                          - CAST(s1y AS HUGEINT) * s2)
+                     AS d1,
+                 CAST(n AS HUGEINT) * (CAST(s11 AS HUGEINT) * s2y
+                                       - CAST(s1y AS HUGEINT) * s12)
+                 - CAST(s1 AS HUGEINT) * (CAST(s1 AS HUGEINT) * s2y
+                                          - CAST(s1y AS HUGEINT) * s2)
+                 + CAST(sy AS HUGEINT) * (CAST(s1 AS HUGEINT) * s12
+                                          - CAST(s11 AS HUGEINT) * s2)
+                     AS d2
+          FROM m)
+    SELECT n AS n_events,
+           {_SGN_DIV.format(num="d0")} AS b0_micro,
+           {_SGN_DIV.format(num="d1")} AS b1_micro,
+           {_SGN_DIV.format(num="d2")} AS b2_micro
+    FROM d
+    """.replace("//", "//").replace(" div ", " // "),
+)
+def linreg_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS with intercept — value(cents) regressed on
+    hour-of-day AND an is-weekend flag, solved EXACTLY by Cramer's
+    rule on the 3×3 normal equations: linreg_value_trend and
+    simpson_slope_reversal handle one regressor; this is the
+    multivariate step that separates 'values rise late in the day'
+    from 'values rise on weekends' when the two correlate. All nine
+    moments come from ONE pass; the three coefficient determinants
+    and the system determinant are exact DECIMAL(38,0)/HUGEINT
+    polynomials (largest term n·Σx²·Σy ≈ 1e25 at sf1 — inside 38
+    digits to ~10⁷× that), finished by sign-safe truncating micro
+    divisions. The weekend flag is pure epoch-day arithmetic
+    ((d+4)%7-free form: Saturday = epoch_day%7 = 2, Sunday = 3) — no
+    calendar functions to diverge on.
+
+    Scale shape: one map-side-combinable 9-moment aggregate
+    (word-count shape), 1-row scalar assembly."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(_V100).alias("y"),
+        F.hour("ts").cast("bigint").alias("x1"),
+        F.expr(
+            "CASE WHEN (unix_timestamp(ts) div 86400) % 7 IN (2, 3)"
+            " THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("x2"),
+    )
+    m = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+    )
+
+    def det(c1, c2, c3):
+        """3x3 determinant with columns c1,c2,c3 of the symmetric
+        moment matrix rows (r1, r2, r3) as SQL text in DECIMAL."""
+        (a1, a2, a3), (b1, b2, b3), (c1_, c2_, c3_) = c1, c2, c3
+        return (
+            f"CAST({a1} AS DECIMAL(38,0)) * (CAST({b2} AS DECIMAL(38,0))"
+            f" * {c3_} - CAST({b3} AS DECIMAL(38,0)) * {c2_})"
+            f" - CAST({a2} AS DECIMAL(38,0)) * (CAST({b1} AS DECIMAL(38,0))"
+            f" * {c3_} - CAST({b3} AS DECIMAL(38,0)) * {c1_})"
+            f" + CAST({a3} AS DECIMAL(38,0)) * (CAST({b1} AS DECIMAL(38,0))"
+            f" * {c2_} - CAST({b2} AS DECIMAL(38,0)) * {c1_})"
+        )
+
+    # matrix rows: (n, s1, s2), (s1, s11, s12), (s2, s12, s22);
+    # rhs (sy, s1y, s2y); Cramer replaces one column by the rhs
+    dd = det(("n", "s1", "s2"), ("s1", "s11", "s12"), ("s2", "s12", "s22"))
+    d0 = det(("sy", "s1", "s2"), ("s1y", "s11", "s12"), ("s2y", "s12", "s22"))
+    d1 = det(("n", "sy", "s2"), ("s1", "s1y", "s12"), ("s2", "s2y", "s22"))
+    d2 = det(("n", "s1", "sy"), ("s1", "s11", "s1y"), ("s2", "s12", "s2y"))
+    d = m.select(
+        "n",
+        F.expr(dd).alias("dd"),
+        F.expr(d0).alias("d0"),
+        F.expr(d1).alias("d1"),
+        F.expr(d2).alias("d2"),
+    )
+    sgn = (
+        "CAST(CASE WHEN dd = 0 THEN 0"
+        " WHEN ({num}) * 1000000 >= 0 AND dd > 0"
+        " THEN (({num}) * 1000000) div dd"
+        " WHEN ({num}) * 1000000 < 0 AND dd < 0"
+        " THEN ((-({num})) * 1000000) div (-dd)"
+        " WHEN dd < 0 THEN -((({num}) * 1000000) div (-dd))"
+        " ELSE -(((-({num})) * 1000000) div dd) END AS BIGINT)"
+    )
+    return d.select(
+        F.col("n").alias("n_events"),
+        F.expr(sgn.format(num="d0")).alias("b0_micro"),
+        F.expr(sgn.format(num="d1")).alias("b1_micro"),
+        F.expr(sgn.format(num="d2")).alias("b2_micro"),
+    )

@@ -402,3 +402,110 @@ def ann_recall_truncated_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matched",
         F.round(F.col("n_matched") * 1.0 / TOPK, 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_langid_eval — supervised kNN eval over embeddings (r5s12)
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_TEST_MOD = 5  # vec_id % 5 == 0 held out (the NB split convention)
+
+
+@register(
+    "knn_langid_eval",
+    oracle=f"""
+    WITH lab AS (SELECT e.vec_id, e.embedding, d.lang
+                 FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, lang AS true_lang
+          FROM lab WHERE vec_id % {KNN_TEST_MOD} = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce, lang
+          FROM lab WHERE vec_id % {KNN_TEST_MOD} <> 0),
+    pairs AS (SELECT q.query_id, c.neighbor_id, q.qe, c.ce
+              FROM q CROSS JOIN c),
+    flat AS (SELECT query_id, neighbor_id,
+                    unnest(qe)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
+             FROM pairs),
+    sims AS (SELECT query_id, neighbor_id,
+                    ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6)
+                        AS cosine
+             FROM flat GROUP BY 1, 2),
+    nn AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id)
+                        AS rk
+             FROM sims) WHERE rk <= {KNN_K}),
+    vote AS (SELECT nn.query_id, c.lang, CAST(COUNT(*) AS BIGINT) AS v
+             FROM nn JOIN c ON c.neighbor_id = nn.neighbor_id
+             GROUP BY 1, 2),
+    pred AS (SELECT query_id, lang AS pred_lang FROM (
+               SELECT query_id, lang,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY v DESC, lang) AS rk
+               FROM vote) WHERE rk = 1)
+    SELECT q.true_lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred p JOIN q ON q.query_id = p.query_id
+    GROUP BY 1, 2
+    """,
+)
+def knn_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor label prediction over the embedding corpus,
+    evaluated on the held-out fifth (vec_id % {KNN_TEST_MOD} = 0, the
+    NB split): each test vector takes the majority language of its
+    {KNN_K} nearest TRAIN vectors by exact cosine, and the output is
+    the confusion matrix — directly comparable to
+    nb_lang_classifier's (same split, same shape). The vector-side
+    answer to 'do the embeddings carry the label signal at all?' —
+    run after any encoder change; chance-level accuracy on a corpus
+    whose NB text model scores high means the embeddings, not the
+    labels, are broken.
+
+    Determinism: cosines are 6-dp rounded, neighbor and vote ranks
+    tie-broken totally ((cosine, neighbor_id), (votes, lang)); the
+    confusion counts are exact integers.
+
+    Scale shape: brute-force test×train pairs — the CORRECTNESS
+    baseline, test-set-sized × corpus (documented: at 10⁹ vectors
+    serve the neighbor search from the persisted IVF/LSH index
+    exactly as ann_ivf_topk does; the vote/confusion layers are
+    unchanged). Votes and the matrix are k·|test|-sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lab = e.join(d, e.vec_id == d.doc_id).select("vec_id", "embedding", "lang")
+    from dbt_project_spark.caching import persist_tracked
+
+    lab = persist_tracked(lab)
+    q = lab.filter(F.col("vec_id") % KNN_TEST_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("lang").alias("true_lang"),
+    )
+    c = lab.filter(F.col("vec_id") % KNN_TEST_MOD != 0).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "lang"
+    )
+    nn = bruteforce_topk(
+        q.select("query_id", "qe"),
+        c.select("neighbor_id", "embedding"),
+        KNN_K,
+    )
+    vote = (
+        nn.join(
+            c.select("neighbor_id", "lang"), "neighbor_id"
+        )
+        .groupBy("query_id", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    from pyspark.sql import Window
+
+    pk = Window.partitionBy("query_id").orderBy(F.desc("v"), "lang")
+    pred = (
+        vote.withColumn("rk", F.row_number().over(pk))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        pred.join(q.select("query_id", "true_lang"), "query_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

@@ -723,3 +723,71 @@ def test_source_surprisal_flags_divergent_source(spark, tmp_path):
     assert out["srcB"]["h_nano"] > out["srcA"]["h_nano"]
     assert out["srcB"]["delta_vs_corpus_nano"] > 0
     assert out["srcA"]["delta_vs_corpus_nano"] <= 0
+
+
+def test_linreg_two_factor_exact_plane(spark, tmp_path):
+    """Values generated exactly on the plane y = 500 + 100*hour +
+    700*weekend (cents): Cramer recovers all three coefficients to
+    the exact micro integers."""
+    from dbt_project_spark.queries_product import linreg_two_factor
+
+    rows, eid = [], 0
+    # 2024-01-06 is a Saturday (epoch day % 7 == 2), 2024-01-08 Monday
+    for day, wk in (("2024-01-06", 1), ("2024-01-08", 0)):
+        for h in (0, 3, 7, 12, 21):
+            eid += 1
+            v100 = 500 + 100 * h + 700 * wk
+            rows.append((eid, f"{day} {h:02d}:00:00", 1, "view", v100 / 100.0))
+    _write_events(spark, tmp_path, rows)
+    r = linreg_two_factor(spark, str(tmp_path)).collect()[0]
+    assert r["n_events"] == 10
+    assert r["b0_micro"] == 500 * 1000000
+    assert r["b1_micro"] == 100 * 1000000
+    assert r["b2_micro"] == 700 * 1000000
+
+
+def test_holdout_perplexity_unseen_and_uniform(spark, tmp_path):
+    """A test doc repeating the train corpus's only bigram scores
+    ln((c+1)/(ctx+V)) exactly; a fully unseen test bigram is flagged
+    and scored at the smoothed floor."""
+    from dbt_project_spark.queries_corpus import holdout_perplexity_bigram
+
+    # train docs (doc_id 1,2): "aa bb" twice -> c(aa,bb)=2, ctx(aa)=2, V=1
+    # test doc (doc_id 5): "aa bb aa" -> bigrams (aa,bb) seen, (bb,aa) unseen
+    _docs(spark, tmp_path, [(1, "aa bb"), (2, "aa bb"), (5, "aa bb aa")])
+    r = holdout_perplexity_bigram(spark, str(tmp_path)).collect()[0]
+    assert r["n_test_bigrams"] == 2
+    assert r["n_unseen"] == 1
+    assert r["oov_micro"] == 500000
+    # terms: seen (aa,bb): ln(3/3)=0; unseen (bb,aa): ln(1/1)=0
+    # (ctx(bb)=0, V=1) -> H = 0 exactly
+    assert r["h_nano"] == 0
+
+
+def test_knn_langid_separable_clusters(spark, tmp_path):
+    """Embeddings clustered by language along different axes: every
+    held-out vector's 5 nearest neighbors share its language, so the
+    confusion matrix is diagonal."""
+    from dbt_project_spark.queries_similarity import knn_langid_eval
+
+    rows, vecs = [], []
+    for i in range(20):
+        vid = i + 1
+        if vid % 2 == 0:
+            lang, vec = "en", [1.0, 0.01 * i, 0.0, 0.0]
+        else:
+            lang, vec = "fr", [0.0, 0.0, 1.0, 0.01 * i]
+        rows.append((vid, f"text {vid}", lang, "src0", 8))
+        vecs.append((vid, vec))
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    _write_embeddings(spark, tmp_path, vecs)
+    out = knn_langid_eval(spark, str(tmp_path)).collect()
+    for r in out:
+        assert r["true_lang"] == r["pred_lang"]
+    assert sum(r["n_docs"] for r in out) == 4  # vec_id in {5,10,15,20}
