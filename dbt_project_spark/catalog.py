@@ -180,6 +180,8 @@ PRIORITY: list[str] = [
     "linreg_two_factor",
     "holdout_perplexity_bigram",
     "knn_langid_eval",
+    "dedup_cross_batch",
+    "simhash_radius_sweep",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

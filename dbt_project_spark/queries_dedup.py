@@ -1686,3 +1686,161 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_shared_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cross_batch — does new data duplicate old data? (r5s12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cross_batch",
+    oracle=f"""
+    WITH pr AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN doc_a % 2 = 0 AND doc_b % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS within_even,
+           CAST(SUM(CASE WHEN doc_a % 2 = 1 AND doc_b % 2 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS within_odd,
+           CAST(SUM(CASE WHEN doc_a % 2 <> doc_b % 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS cross_pairs,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                ELSE SUM(CASE WHEN doc_a % 2 <> doc_b % 2
+                              THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                END AS BIGINT) AS cross_micro
+    FROM pr
+    """,
+)
+def dedup_cross_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch duplication profile: the verified MinHash near-dup
+    pairs (dedup_minhash_lsh's exact dataflow) classified by whether
+    they fall within the even half, within the odd half, or STRADDLE
+    the two — the number an ingest pipeline watches batch-over-batch
+    to distinguish 'the crawler is re-fetching what we already have'
+    (cross share high) from 'the new batch is internally redundant'
+    (within-new high). In production the parity split is the
+    batch-id; the machinery is identical.
+
+    Exactness: the pair set is the oracle-shared MinHash pipeline
+    verbatim (same bands, caps, thresholds); the classification and
+    the cross share are pure integer arithmetic.
+
+    Scale shape: identical to dedup_minhash_lsh (banded LSH bucket
+    join, capped hot buckets) plus one pairs-sized classification
+    aggregate."""
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_T
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(
+                (F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("within_even"),
+        F.sum(
+            F.when(
+                (F.col("doc_a") % 2 == 1) & (F.col("doc_b") % 2 == 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("within_odd"),
+        F.sum(
+            F.when(F.col("doc_a") % 2 != F.col("doc_b") % 2, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cross_pairs"),
+        F.expr(
+            "CAST(CASE WHEN COUNT(*) = 0 THEN 0"
+            " ELSE SUM(CASE WHEN doc_a % 2 <> doc_b % 2 THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*) END AS BIGINT)"
+        ).alias("cross_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash_radius_sweep — hamming-threshold calibration (r5s12)
+# ---------------------------------------------------------------------------
+
+SH_SWEEP_MAX = 3  # radii 0..3: exact recall with 4 bands (pigeonhole)
+
+
+@register(
+    "simhash_radius_sweep",
+    oracle=f"""
+    WITH sg AS ({_simhash_oracle()}),
+    st AS (SELECT doc, simhash, 0 AS bid, band0 AS bv FROM sg
+           UNION ALL SELECT doc, simhash, 1, band1 FROM sg
+           UNION ALL SELECT doc, simhash, 2, band2 FROM sg
+           UNION ALL SELECT doc, simhash, 3, band3 FROM sg),
+    cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                    a.simhash AS sa, b.simhash AS sb
+             FROM st a JOIN st b ON a.bid = b.bid AND a.bv = b.bv
+                                AND a.doc < b.doc),
+    hd AS (SELECT bit_count(CAST(xor(sa, sb) AS BIT)) AS h FROM cand
+           WHERE bit_count(CAST(xor(sa, sb) AS BIT)) <= {SH_SWEEP_MAX}),
+    radii AS (SELECT unnest(range(0, {SH_SWEEP_MAX} + 1)) AS radius)
+    SELECT CAST(radii.radius AS BIGINT) AS radius,
+           CAST(COALESCE(SUM(CASE WHEN hd.h = radii.radius
+                                  THEN 1 END), 0) AS BIGINT) AS n_at,
+           CAST(COALESCE(SUM(CASE WHEN hd.h <= radii.radius
+                                  THEN 1 END), 0) AS BIGINT) AS n_within
+    FROM radii LEFT JOIN hd ON TRUE
+    GROUP BY radii.radius
+    """,
+)
+def simhash_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-radius calibration table: verified near-dup
+    pair counts at exact distance r and within radius r, for r =
+    0..{SH_SWEEP_MAX} — the knee-finding table an operator reads
+    before fixing the production hamming threshold (the SimHash
+    sibling of minhash_band_tuning's (b×r) S-curve and
+    semantic_threshold_sweep's τ grid). Recall at every listed
+    radius is EXACT: with 4 bands, any pair within hamming 3 must
+    agree on one band (pigeonhole), so the banded candidates lose
+    nothing.
+
+    Exactness: signatures and bands are the dedup_simhash pipeline
+    verbatim; distances are integer popcounts over XOR; counts pure
+    integers.
+
+    Scale shape: band-bucketed candidate join (bucket-local, as
+    dedup_simhash), one pairs-sized popcount filter, a 4-row
+    fan-out aggregate."""
+    from dbt_project_spark.operators.dedup import simhash_pairs
+
+    pairs = simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_hamming=SH_SWEEP_MAX,
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    pairs = persist_tracked(pairs)
+    radii = spark.range(0, SH_SWEEP_MAX + 1).select(
+        F.col("id").alias("radius")
+    )
+    return (
+        radii.join(pairs.select("hamming"), F.lit(True), "left")
+        .groupBy("radius")
+        .agg(
+            F.sum(F.when(F.col("hamming") == F.col("radius"), 1))
+            .cast("bigint")
+            .alias("n_at"),
+            F.sum(F.when(F.col("hamming") <= F.col("radius"), 1))
+            .cast("bigint")
+            .alias("n_within"),
+        )
+        .select(
+            F.col("radius").cast("bigint").alias("radius"),
+            F.coalesce(F.col("n_at"), F.lit(0)).cast("bigint").alias("n_at"),
+            F.coalesce(F.col("n_within"), F.lit(0))
+            .cast("bigint")
+            .alias("n_within"),
+        )
+    )

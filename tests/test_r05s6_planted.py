@@ -791,3 +791,52 @@ def test_knn_langid_separable_clusters(spark, tmp_path):
     for r in out:
         assert r["true_lang"] == r["pred_lang"]
     assert sum(r["n_docs"] for r in out) == 4  # vec_id in {5,10,15,20}
+
+
+def test_cross_batch_straddle_detection(spark, tmp_path):
+    """A near-dup pair planted across the parity halves is counted as
+    cross; an identical-text pair within one half is not."""
+    from dbt_project_spark.queries_dedup import dedup_cross_batch
+
+    base = " ".join(f"tok{i:03d}" for i in range(40))
+    _docs(
+        spark,
+        tmp_path,
+        [
+            (2, base),                      # even
+            (3, base + " tail0"),           # odd  -> cross pair (2,3)
+            (4, "B " + base),               # even -> cross with 3? no:
+                                            # shares shingles with 2 too
+            (101, "unique one " + "x " * 30),
+            (103, "another singleton " + "y " * 30),
+        ],
+    )
+    r = dedup_cross_batch(spark, str(tmp_path)).collect()[0]
+    assert r["n_pairs"] >= 1
+    assert r["cross_pairs"] >= 1
+    assert (
+        r["within_even"] + r["within_odd"] + r["cross_pairs"]
+        == r["n_pairs"]
+    )
+    assert 0 <= r["cross_micro"] <= 1000000
+
+
+def test_simhash_sweep_identical_docs_radius_zero(spark, tmp_path):
+    """Identical documents produce identical signatures: the pair
+    lands at radius 0 and in every cumulative bucket; counts are
+    monotone in the radius."""
+    from dbt_project_spark.queries_dedup import simhash_radius_sweep
+
+    base = " ".join(f"word{i:03d}" for i in range(30))
+    _docs(spark, tmp_path, [(1, base), (2, base), (3, "totally different "
+                                                      "content here")])
+    out = {r["radius"]: r for r in
+           simhash_radius_sweep(spark, str(tmp_path)).collect()}
+    assert out[0]["n_at"] >= 1
+    prev = -1
+    for rr in range(4):
+        assert out[rr]["n_within"] >= out[rr]["n_at"] - (
+            0 if rr == 0 else 0
+        )
+        assert out[rr]["n_within"] >= prev
+        prev = out[rr]["n_within"]
