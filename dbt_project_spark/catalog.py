@@ -182,6 +182,8 @@ PRIORITY: list[str] = [
     "knn_langid_eval",
     "dedup_cross_batch",
     "simhash_radius_sweep",
+    "gumbel_block_maxima",
+    "conversion_window_sensitivity",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -1927,3 +1927,107 @@ def linreg_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(sgn.format(num="d1")).alias("b1_micro"),
         F.expr(sgn.format(num="d2")).alias("b2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# conversion_window_sensitivity — how the window choice moves the KPI
+# ---------------------------------------------------------------------------
+
+CWS_HOURS = (1, 6, 24, 72)
+
+
+@register(
+    "conversion_window_sensitivity",
+    oracle=f"""
+    WITH su AS (SELECT user_id, MIN({_EP}) AS s_ep FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    pu AS (SELECT e.user_id, MIN({_EP}) AS p_ep
+           FROM events e JOIN su ON su.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND {_EP} >= su.s_ep
+           GROUP BY e.user_id),
+    delta AS (SELECT su.user_id, pu.p_ep - su.s_ep AS gap_s
+              FROM su LEFT JOIN pu ON pu.user_id = su.user_id),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signup FROM delta),
+    win AS (SELECT unnest([{", ".join(str(h) for h in CWS_HOURS)}]) AS wh)
+    SELECT CAST(win.wh AS BIGINT) AS window_hours,
+           base.n_signup,
+           CAST(SUM(CASE WHEN delta.gap_s IS NOT NULL
+                              AND delta.gap_s <= win.wh * 3600
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN delta.gap_s IS NOT NULL
+                              AND delta.gap_s <= win.wh * 3600
+                         THEN 1 ELSE 0 END) * 1000000 // base.n_signup
+                AS BIGINT) AS conv_micro
+    FROM win CROSS JOIN base LEFT JOIN delta ON TRUE
+    GROUP BY win.wh, base.n_signup
+    """,
+)
+def conversion_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Signup-to-purchase conversion under a SWEEP of attribution
+    windows (1h / 6h / 24h / 72h): the table that shows how much of
+    the headline conversion rate is a window-choice artifact before
+    anyone standardizes on funnel_windowed's 24 h. A KPI that doubles
+    between 24h and 72h is measuring patience, not product.
+
+    Exactness: per-user signup→first-subsequent-purchase gaps are
+    exact epoch-second integers; each window's verdict is an integer
+    inequality and the rate a truncating micro division over the
+    signup population.
+
+    Scale shape: two per-user MIN aggregates (the corpus-sized work,
+    shared across all windows — the sweep reruns NOTHING), a 4-row
+    fan-out over the users-sized gap table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
+    )
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("s_ep"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ep") >= F.col("s_ep"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("p_ep"))
+    )
+    delta = su.join(pu, "user_id", "left").select(
+        "user_id", (F.col("p_ep") - F.col("s_ep")).alias("gap_s")
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    delta = persist_tracked(delta)
+    base = delta.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+    win = spark.createDataFrame(
+        [(h,) for h in CWS_HOURS], "wh bigint"
+    )
+    return (
+        win.crossJoin(F.broadcast(base))
+        .join(delta, F.lit(True), "left")
+        .groupBy("wh", "n_signup")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap_s").isNotNull()
+                    & (F.col("gap_s") <= F.col("wh") * 3600),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_converted"),
+            F.expr(
+                "CAST(SUM(CASE WHEN gap_s IS NOT NULL"
+                " AND gap_s <= wh * 3600 THEN 1 ELSE 0 END)"
+                " * 1000000 div n_signup AS BIGINT)"
+            ).alias("conv_micro"),
+        )
+        .select(
+            F.col("wh").alias("window_hours"),
+            "n_signup",
+            "n_converted",
+            "conv_micro",
+        )
+    )

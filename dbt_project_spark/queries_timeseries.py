@@ -1604,3 +1604,102 @@ def dft_power_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(fs AS DECIMAL(38,0)) * fs AS STRING)"
         ).alias("power"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gumbel_block_maxima — extreme-value fit of daily peaks (r5s13)
+# ---------------------------------------------------------------------------
+
+# Python-precomputed double constants (full repr precision — both
+# engines parse the identical literal): sqrt(6)/pi, Euler-Mascheroni,
+# and the 1-in-365 Gumbel return-level quantile -ln(-ln(1 - 1/365)).
+GUM_S6PI = "0.779696801233676"
+GUM_GAMMA = "0.5772156649015329"
+GUM_C365 = "5.8985259242227315"
+
+
+@register(
+    "gumbel_block_maxima",
+    oracle=f"""
+    WITH d AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                        // 86400 AS day,
+                      CAST(MAX({_V100}) AS BIGINT) AS mx
+               FROM events GROUP BY 1),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(mx) AS BIGINT) AS s,
+                 CAST(SUM(mx * mx) AS BIGINT) AS q
+          FROM d),
+    st AS (SELECT n,
+                  CAST(s AS DOUBLE) / n AS mean,
+                  sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / n) * s)
+                       / (n - 1.0)) AS sd
+           FROM m),
+    fit AS (SELECT n, mean, sd,
+                   sd * {GUM_S6PI} AS sigma
+            FROM st)
+    SELECT n AS n_days,
+           ROUND(mean, 6) AS mean100,
+           ROUND(sigma, 6) AS sigma100,
+           ROUND(mean - {GUM_GAMMA} * sigma, 6) AS mu100,
+           ROUND(mean - {GUM_GAMMA} * sigma + sigma * {GUM_C365}, 6)
+               AS return_level_365_100
+    FROM fit
+    """,
+)
+def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis of daily peak values: fit a Gumbel
+    distribution to the block maxima (one max per day) by method of
+    moments — σ = s·√6/π, μ = m − γσ — and report the 1-in-365-day
+    return level μ + σ·5.8985… . This is the capacity-planning
+    number percentiles can't give: p99.9 of the OBSERVED days says
+    nothing about the once-a-year spike; EVT extrapolates the tail
+    law the maxima actually follow (Fisher–Tippett). Pairs with
+    ts_anomaly_sigma (which flags today) by pricing how bad 'bad'
+    gets over a horizon.
+
+    Exactness: block maxima and their two moments are exact BIGINTs;
+    the fit is a fixed scalar double expression over them with ONE
+    sqrt and three full-precision Python-precomputed constants —
+    identical literals parse to identical doubles in both engines —
+    ROUND 6 (the welch convention).
+
+    Scale shape: one map-side-combinable per-day MAX, a 1-row moment
+    reduce, scalar math."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr("unix_timestamp(ts) div 86400").alias("day"))
+        .agg(F.max(F.expr(_V100)).cast("bigint").alias("mx"))
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mx").cast("bigint").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).cast("bigint").alias("q"),
+    )
+    st = m.select(
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (
+                F.col("q").cast("double")
+                - (F.col("s").cast("double") / F.col("n")) * F.col("s")
+            )
+            / (F.col("n") - 1.0)
+        ).alias("sd"),
+    )
+    fit = st.select(
+        "n", "mean", "sd", (F.col("sd") * float(GUM_S6PI)).alias("sigma")
+    )
+    return fit.select(
+        F.col("n").alias("n_days"),
+        F.round("mean", 6).alias("mean100"),
+        F.round("sigma", 6).alias("sigma100"),
+        F.round(
+            F.col("mean") - float(GUM_GAMMA) * F.col("sigma"), 6
+        ).alias("mu100"),
+        F.round(
+            F.col("mean")
+            - float(GUM_GAMMA) * F.col("sigma")
+            + F.col("sigma") * float(GUM_C365),
+            6,
+        ).alias("return_level_365_100"),
+    )

@@ -840,3 +840,50 @@ def test_simhash_sweep_identical_docs_radius_zero(spark, tmp_path):
         )
         assert out[rr]["n_within"] >= prev
         prev = out[rr]["n_within"]
+
+
+def test_gumbel_constant_maxima_degenerate(spark, tmp_path):
+    """Identical daily maxima: sigma is exactly 0, so mu equals the
+    mean and the 1-in-365 return level collapses onto it."""
+    from dbt_project_spark.queries_timeseries import gumbel_block_maxima
+
+    rows, eid = [], 0
+    for day in (1, 2, 3, 4):
+        for v in (1.00, 5.00):  # max 500 cents every day
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-0{day} 0{eid % 10}:00:00", 1, "view", v)
+            )
+    _write_events(spark, tmp_path, rows)
+    r = gumbel_block_maxima(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 4
+    assert r["mean100"] == 500.0
+    assert r["sigma100"] == 0.0
+    assert r["mu100"] == 500.0
+    assert r["return_level_365_100"] == 500.0
+
+
+def test_conversion_window_sweep_monotone(spark, tmp_path):
+    """Three signups converting after 30min / 10h / never: the sweep
+    counts 1 at 1h, 2 at 24h and 72h; rates are exact micro."""
+    from dbt_project_spark.queries_product import (
+        conversion_window_sensitivity,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "signup", 1.00),
+        (2, "2024-01-01 00:30:00", 1, "purchase", 5.00),
+        (3, "2024-01-01 00:00:00", 2, "signup", 1.00),
+        (4, "2024-01-01 10:00:00", 2, "purchase", 5.00),
+        (5, "2024-01-01 00:00:00", 3, "signup", 1.00),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r["window_hours"]: r for r in
+           conversion_window_sensitivity(spark, str(tmp_path)).collect()}
+    assert out[1]["n_converted"] == 1
+    assert out[6]["n_converted"] == 1
+    assert out[24]["n_converted"] == 2
+    assert out[72]["n_converted"] == 2
+    assert out[1]["conv_micro"] == 333333
+    assert out[24]["conv_micro"] == 666666
+    assert all(out[h]["n_signup"] == 3 for h in (1, 6, 24, 72))
