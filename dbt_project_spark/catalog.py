@@ -184,6 +184,10 @@ PRIORITY: list[str] = [
     "simhash_radius_sweep",
     "gumbel_block_maxima",
     "conversion_window_sensitivity",
+    "bm25_param_sensitivity",
+    "embedding_centroid_separation",
+    "shard_interleave_runs_test",
+    "weekend_conversion_odds",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

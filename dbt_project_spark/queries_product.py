@@ -2031,3 +2031,105 @@ def conversion_window_sensitivity(
             "conv_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weekend_conversion_odds — odds ratio with Woolf CI (r5s14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekend_conversion_odds",
+    oracle=f"""
+    WITH u AS (SELECT user_id,
+                      CAST(MAX(CASE WHEN ({_EP} // 86400) % 7 IN (2, 3)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS exposed,
+                      CAST(CASE WHEN SUM({_V100}) >= {AB_CONV_SPEND100}
+                           THEN 1 ELSE 0 END AS BIGINT) AS conv
+               FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(exposed * conv) AS BIGINT) AS a,
+                 CAST(SUM(exposed * (1 - conv)) AS BIGINT) AS b,
+                 CAST(SUM((1 - exposed) * conv) AS BIGINT) AS c,
+                 CAST(SUM((1 - exposed) * (1 - conv)) AS BIGINT) AS d
+          FROM u)
+    SELECT a AS n_exp_conv, b AS n_exp_not, c AS n_unexp_conv,
+           d AS n_unexp_not,
+           CAST(CAST(a AS HUGEINT) * d AS VARCHAR) AS or_num,
+           CAST(CAST(b AS HUGEINT) * c AS VARCHAR) AS or_den,
+           CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                ELSE ROUND(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE)
+                     * c)) - 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c
+                     + 1.0/d), 6) END AS ln_or_lo95,
+           CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                ELSE ROUND(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE)
+                     * c)) + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c
+                     + 1.0/d), 6) END AS ln_or_hi95
+    FROM t
+    """,
+)
+def weekend_conversion_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of high-value conversion for weekend-active vs
+    weekday-only users, with the Woolf 95% CI on ln OR — the
+    case-control readout for an exposure no one can randomize (you
+    cannot assign users to weekends; ab_test_conversion's hash arms
+    don't apply). A CI excluding 0 says weekend engagement MARKS
+    high-value users (association, not causation — the docstring is
+    the reminder).
+
+    Exactness: the 2×2 comes from one per-user aggregate with the
+    epoch-day weekend flag (no calendar functions); the odds ratio
+    ships as exact HUGEINT/DECIMAL(38,0) num/den STRINGS, and only
+    the CI touches doubles — one ln + one sqrt over the four exact
+    integers with the z constant a shared full-precision literal,
+    ROUND 6; degenerate margins emit NULL identically.
+
+    Scale shape: one events-sized per-user aggregate, a 1-row 2×2."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.expr("(unix_timestamp(ts) div 86400) % 7 IN (2, 3)"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("exposed"),
+            F.when(F.sum(F.expr(_V100)) >= AB_CONV_SPEND100, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("conv"),
+        )
+    )
+    t = u.agg(
+        F.sum(F.col("exposed") * F.col("conv")).cast("bigint").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("conv")))
+        .cast("bigint")
+        .alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("conv"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("conv")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    ci = (
+        "ROUND(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))"
+        " {sign} 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d), 6)"
+    )
+    guard = "CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL ELSE {x} END"
+    return t.select(
+        F.col("a").alias("n_exp_conv"),
+        F.col("b").alias("n_exp_not"),
+        F.col("c").alias("n_unexp_conv"),
+        F.col("d").alias("n_unexp_not"),
+        F.expr("CAST(CAST(a AS DECIMAL(38,0)) * d AS STRING)").alias(
+            "or_num"
+        ),
+        F.expr("CAST(CAST(b AS DECIMAL(38,0)) * c AS STRING)").alias(
+            "or_den"
+        ),
+        F.expr(guard.format(x=ci.format(sign="-"))).alias("ln_or_lo95"),
+        F.expr(guard.format(x=ci.format(sign="+"))).alias("ln_or_hi95"),
+    )

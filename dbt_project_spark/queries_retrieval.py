@@ -780,3 +780,151 @@ def query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_new"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bm25_param_sensitivity — (k1, b) tuning table (r5s14)
+# ---------------------------------------------------------------------------
+
+# (label, k1 = p/q, b = r/s) — baseline first (the corpus scorers'
+# 1.2 / 0.75), then the short-doc-friendly and high-saturation points.
+BM25_VARIANTS = (
+    ("k1_1.2_b_0.75", 6, 5, 3, 4),
+    ("k1_0.9_b_0.40", 9, 10, 2, 5),
+    ("k1_2.0_b_0.75", 2, 1, 3, 4),
+)
+BPS_K = 10
+
+
+def _bm25_general_score(p: int, q: int, r: int, s: int) -> str:
+    """Per-term BM25 with k1=p/q, b=r/s restated over exact integers:
+    tf(k1+1)/(tf + k1(1-b+b·dl/avgdl)) =
+    tf(p+q)·s·SDL / (tf·q·s·SDL + p(s-r)·SDL + p·r·dl·N)."""
+    terms = []
+    for i in range(3):  # len(BM25_TERMS)
+        idf6 = f"round(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1), 6)"
+        ratio = (
+            f"((tf{i} * {(p + q) * s} * sdl)"
+            f" / CAST(tf{i} * {q * s} * sdl + {p * (s - r)} * sdl"
+            f" + {p * r} * dl * n AS DOUBLE))"
+        )
+        terms.append(
+            f"CASE WHEN tf{i} > 0 THEN round({idf6} * {ratio}, 6)"
+            " ELSE 0.0 END"
+        )
+    return "round(" + " + ".join(terms) + ", 6)"
+
+
+def _bps_oracle_sql() -> str:
+    base = bm25_oracle_cte(BM25_TERMS, _TOKS)
+    tops = []
+    for lbl, p, q, r, s in BM25_VARIANTS:
+        sc = _bm25_general_score(p, q, r, s)
+        tops.append(
+            f"""t_{lbl.replace('.', '_')} AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, {sc} AS sc FROM d CROSS JOIN st
+            WHERE {sc} > 0)
+          ORDER BY sc DESC, doc_id LIMIT {BPS_K})"""
+        )
+    rows = []
+    base_t = "t_" + BM25_VARIANTS[0][0].replace(".", "_")
+    for lbl, p, q, r, s in BM25_VARIANTS:
+        t = "t_" + lbl.replace(".", "_")
+        rows.append(
+            f"""SELECT '{lbl}' AS variant,
+                   CAST({p} * 1000 // {q} AS BIGINT) AS k1_milli,
+                   CAST({r} * 1000 // {s} AS BIGINT) AS b_milli,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {t}
+                    WHERE doc_id IN (SELECT doc_id FROM {base_t}))
+                       AS overlap_with_base,
+                   (SELECT CAST(MIN(doc_id) AS BIGINT) FROM {t}) AS min_doc"""
+        )
+    return (
+        "WITH "
+        + base
+        + ",\n    "
+        + ",\n    ".join(tops)
+        + "\n    "
+        + "\n    UNION ALL ".join(rows)
+    )
+
+
+@register("bm25_param_sensitivity", oracle=_bps_oracle_sql())
+def bm25_param_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1, b) sensitivity: the top-10 under the production
+    parameters vs a low-saturation/low-normalization point (0.9, 0.4
+    — the short-field convention) and a high-k1 point (2.0, 0.75),
+    reported as overlap with the baseline list. If overlap stays
+    high, parameter tuning is cosmetic for this corpus; if it
+    collapses, bm25_topk's ranking is a knife-edge and needs an eval
+    set (bm25_ndcg_eval) before anyone ships a tweak.
+
+    Exactness: the general-(k1,b) term keeps the integer-ratio
+    restatement — tf(p+q)·s·SDL / (tf·q·s·SDL + p(s−r)·SDL +
+    p·r·dl·N) with k1=p/q, b=r/s as exact rationals — so every
+    variant scores by the same fixed scalar shape as the production
+    scorer; lists are tie-broken TakeOrdered heaps, overlaps exact
+    integers.
+
+    Scale shape: ONE corpus pass builds the shared (dl, tf) table
+    (the bm25_scored dataflow); each variant adds only a scalar
+    projection + a k-bounded heap."""
+    docs = load_table(spark, sf_dir, "documents")
+    from dbt_project_spark.operators.dedup import tokens_col
+
+    toks = tokens_col("text")
+
+    def _eq(term):
+        return lambda x: x == F.lit(term)
+
+    cols = [F.col("doc_id"), F.size(toks).alias("dl")]
+    for i, t in enumerate(BM25_TERMS):
+        cols.append(F.size(F.filter(toks, _eq(t))).alias(f"tf{i}"))
+    d = docs.select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")]
+    for i in range(len(BM25_TERMS)):
+        aggs.append(
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+        )
+    st = d.agg(*aggs)
+    scored = d.crossJoin(F.broadcast(st))
+    from dbt_project_spark.caching import persist_tracked
+
+    scored = persist_tracked(scored)
+    tops = {}
+    for lbl, p, q, r, s in BM25_VARIANTS:
+        sc = _bm25_general_score(p, q, r, s)
+        tops[lbl] = (
+            scored.select("doc_id", F.expr(sc).alias("sc"))
+            .filter(F.col("sc") > 0)
+            .orderBy(F.desc("sc"), "doc_id")
+            .limit(BPS_K)
+            .select("doc_id")
+        )
+    base_lbl = BM25_VARIANTS[0][0]
+    out = None
+    for lbl, p, q, r, s in BM25_VARIANTS:
+        ov = (
+            tops[lbl]
+            .join(
+                tops[base_lbl].select(F.col("doc_id").alias("bdoc")),
+                tops[lbl].doc_id == F.col("bdoc"),
+                "left",
+            )
+            .agg(
+                F.sum(F.when(F.col("bdoc").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("overlap_with_base"),
+                F.min("doc_id").cast("bigint").alias("min_doc"),
+            )
+            .select(
+                F.lit(lbl).alias("variant"),
+                F.lit(p * 1000 // q).cast("bigint").alias("k1_milli"),
+                F.lit(r * 1000 // s).cast("bigint").alias("b_milli"),
+                "overlap_with_base",
+                "min_doc",
+            )
+        )
+        out = ov if out is None else out.unionByName(ov)
+    return out

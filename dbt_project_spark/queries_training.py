@@ -1586,3 +1586,96 @@ def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("dev_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shard_interleave_runs_test — does the shuffle actually mix? (r5s14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shard_interleave_runs_test",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, source,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          ::BIGINT AS hkey
+               FROM documents),
+    s AS (SELECT doc_id, source, hkey, hkey % {N_SHARDS} AS shard FROM h),
+    seq AS (SELECT shard, source,
+                   LAG(source) OVER (PARTITION BY shard
+                                     ORDER BY hkey, doc_id) AS prev
+            FROM s),
+    obs AS (SELECT shard,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN prev = source THEN 1 ELSE 0 END)
+                        AS BIGINT) AS same_adj
+            FROM seq GROUP BY shard),
+    kc AS (SELECT shard, CAST(SUM(CAST(k AS HUGEINT) * (k - 1)) AS HUGEINT)
+                             AS sk2
+           FROM (SELECT shard, source, COUNT(*) AS k
+                 FROM s GROUP BY 1, 2)
+           GROUP BY shard)
+    SELECT CAST(obs.shard AS BIGINT) AS shard, obs.n AS n_docs,
+           obs.same_adj,
+           CAST(CASE WHEN kc.sk2 = 0 THEN 0
+                ELSE CAST(obs.same_adj AS HUGEINT) * obs.n * 1000000
+                     // kc.sk2 END AS BIGINT) AS clump_micro
+    FROM obs JOIN kc ON kc.shard = obs.shard
+    """,
+)
+def shard_interleave_runs_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Runs-test audit of the training-shard shuffle: within each of
+    corpus_shard_shuffle's shards, in its exact read order, count
+    adjacent same-SOURCE pairs and compare to the random-arrangement
+    expectation Σk(k−1)/n. clump_micro ≈ 1e6 means the hash shuffle
+    interleaves sources as designed; ≫1e6 means consecutive
+    same-source training batches — gradient correlation a curriculum
+    didn't ask for. The health check run on every repack.
+
+    Exactness: observed same-adjacent counts are integers off one
+    LAG pass; the expectation's numerator/denominator are exact
+    HUGEINT/DECIMAL(38,0) products, one truncating micro division
+    (obs·n·1e6 // Σk(k−1) — the obs/exp ratio in micro).
+
+    Scale shape: the LAG window runs per shard on the shard's own
+    hash order — the same partitioning the shuffle writes, no extra
+    exchange; the source-count rollup is shards×sources-sized."""
+    from dbt_project_spark.functions.expressions import md5_int
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", md5_int(F.col("doc_id").cast("string")).alias("hkey")
+    )
+    s = docs.withColumn("shard", F.col("hkey") % N_SHARDS)
+    from dbt_project_spark.caching import persist_tracked
+
+    s = persist_tracked(s)
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    seq = s.select(
+        "shard", "source", F.lag("source").over(w).alias("prev")
+    )
+    obs = seq.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("prev") == F.col("source"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("same_adj"),
+    )
+    kc = (
+        s.groupBy("shard", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        .groupBy("shard")
+        .agg(
+            F.expr("SUM(CAST(k AS DECIMAL(38,0)) * (k - 1))").alias("sk2")
+        )
+    )
+    return obs.join(kc, "shard").select(
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("n").alias("n_docs"),
+        "same_adj",
+        F.expr(
+            "CAST(CASE WHEN sk2 = 0 THEN 0"
+            " ELSE CAST(same_adj AS DECIMAL(38,0)) * n * 1000000"
+            " div sk2 END AS BIGINT)"
+        ).alias("clump_micro"),
+    )

@@ -2118,3 +2118,99 @@ def embedding_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("dev").cast("bigint").alias("dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroid_separation — per-language centroid geometry (r5s14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroid_separation",
+    oracle="""
+    WITH lab AS (SELECT e.vec_id, e.embedding, d.lang
+                 FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+    comp AS (SELECT lang, unnest(range(len(embedding))) AS dim,
+                    CAST(round(unnest(embedding)::DOUBLE * 1000000, 0)
+                         AS BIGINT) AS c
+             FROM lab),
+    cen AS (SELECT lang, dim,
+                   CASE WHEN SUM(c) >= 0 THEN SUM(c) // COUNT(*)
+                        ELSE -((-SUM(c)) // COUNT(*)) END AS m
+            FROM comp GROUP BY 1, 2),
+    pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                  CAST(SUM(CAST(a.m AS HUGEINT) * b.m) AS HUGEINT) AS dot,
+                  CAST(SUM(CAST(a.m AS HUGEINT) * a.m) AS HUGEINT) AS na,
+                  CAST(SUM(CAST(b.m AS HUGEINT) * b.m) AS HUGEINT) AS nb
+           FROM cen a JOIN cen b ON b.dim = a.dim AND a.lang < b.lang
+           GROUP BY 1, 2)
+    SELECT lang_a, lang_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                 6) AS centroid_cosine
+    FROM pr
+    """,
+)
+def embedding_centroid_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise cosine between per-language embedding CENTROIDS: the
+    one-table geometry check behind knn_langid_eval's accuracy — if
+    centroids sit near cosine 1 the labels are not linearly carried
+    by the embedding space and no k or index will fix it; well-
+    separated centroids license the cheap nearest-centroid classifier
+    before anyone pays for kNN. Run after every encoder change.
+
+    Exactness: components quantize to ×1e6 BIGINTs and centroids use
+    the sign-safe truncating mean (the PCA chain's conventions);
+    centroid dots and norms are exact DECIMAL(38,0)/HUGEINT sums with
+    two sqrts in one fixed scalar expression, ROUND 6.
+
+    Scale shape: one explode → (lang, dim) mean aggregate (word-count
+    shape); the pair join runs on |langs|·d rows — constant."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lab = e.join(d, e.vec_id == d.doc_id).select("lang", "embedding")
+    comp = lab.select(
+        "lang", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "lang",
+        "dim",
+        F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)").alias(
+            "c"
+        ),
+    )
+    cen = comp.groupBy("lang", "dim").agg(
+        F.expr(
+            "CASE WHEN SUM(c) >= 0 THEN SUM(c) div COUNT(*)"
+            " ELSE -((-SUM(c)) div COUNT(*)) END"
+        ).alias("m")
+    )
+    a = cen.select(
+        F.col("lang").alias("lang_a"), "dim", F.col("m").alias("ma")
+    )
+    b = cen.select(
+        F.col("lang").alias("lang_b"), "dim", F.col("m").alias("mb")
+    )
+    pr = (
+        a.join(b, "dim")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.expr("SUM(CAST(ma AS DECIMAL(38,0)) * mb)").alias("dot"),
+            F.expr("SUM(CAST(ma AS DECIMAL(38,0)) * ma)").alias("na"),
+            F.expr("SUM(CAST(mb AS DECIMAL(38,0)) * mb)").alias("nb"),
+        )
+    )
+    return pr.select(
+        "lang_a",
+        "lang_b",
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+    )

@@ -887,3 +887,92 @@ def test_conversion_window_sweep_monotone(spark, tmp_path):
     assert out[1]["conv_micro"] == 333333
     assert out[24]["conv_micro"] == 666666
     assert all(out[h]["n_signup"] == 3 for h in (1, 6, 24, 72))
+
+
+def test_bm25_sensitivity_baseline_self_overlap(spark, tmp_path):
+    """The baseline variant's overlap with itself equals its own list
+    size; every overlap is bounded by it."""
+    from dbt_project_spark.queries_retrieval import bm25_param_sensitivity
+
+    _docs(
+        spark,
+        tmp_path,
+        [(1, "dup vector merge alpha"), (2, "dup dup vector beta"),
+         (3, "merge gamma delta"), (4, "nothing relevant here")],
+    )
+    out = {r["variant"]: r for r in
+           bm25_param_sensitivity(spark, str(tmp_path)).collect()}
+    base = out["k1_1.2_b_0.75"]
+    assert base["overlap_with_base"] == 3  # docs 1,2,3 score > 0
+    for r in out.values():
+        assert 0 <= r["overlap_with_base"] <= base["overlap_with_base"]
+
+
+def test_centroid_separation_orthogonal_langs(spark, tmp_path):
+    """Two languages planted on orthogonal axes: centroid cosine is
+    exactly 0."""
+    from dbt_project_spark.queries_vectors import (
+        embedding_centroid_separation,
+    )
+
+    rows, vecs = [], []
+    for i in range(1, 5):
+        rows.append((i, f"t{i}", "en", "s", 2))
+        vecs.append((i, [0.5, 0.0, 0.0, 0.0]))
+    for i in range(5, 9):
+        rows.append((i, f"t{i}", "fr", "s", 2))
+        vecs.append((i, [0.0, 0.5, 0.0, 0.0]))
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    _write_embeddings(spark, tmp_path, vecs)
+    r = embedding_centroid_separation(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert r[0]["centroid_cosine"] == 0.0
+
+
+def test_runs_test_single_source_pins_ratio(spark, tmp_path):
+    """A single-source corpus makes every adjacency a same-source
+    pair: observed equals expected exactly (clump_micro = 1e6) in
+    every shard with >= 2 docs."""
+    from dbt_project_spark.queries_training import (
+        shard_interleave_runs_test,
+    )
+
+    _docs(spark, tmp_path, [(i, f"doc number {i}") for i in range(1, 41)])
+    out = shard_interleave_runs_test(spark, str(tmp_path)).collect()
+    for r in out:
+        if r["n_docs"] >= 2:
+            assert r["same_adj"] == r["n_docs"] - 1
+            assert r["clump_micro"] == 1000000
+
+
+def test_weekend_odds_exact_two_by_two(spark, tmp_path):
+    """Planted 3/1/1/3 table: OR = 9/1 as exact strings and a CI that
+    brackets ln 9."""
+    from dbt_project_spark.queries_product import weekend_conversion_odds
+
+    rows, eid = [], 0
+    # 2024-01-06 = Saturday (exposed); 2024-01-08 = Monday
+    for u in (1, 2, 3):  # exposed converters
+        eid += 1
+        rows.append((eid, "2024-01-06 01:00:00", u, "purchase", 4000.00))
+    eid += 1
+    rows.append((eid, "2024-01-06 02:00:00", 4, "view", 1.00))  # exp, not
+    eid += 1
+    rows.append((eid, "2024-01-08 01:00:00", 5, "purchase", 4000.00))
+    for u in (6, 7, 8):  # unexposed non-converters
+        eid += 1
+        rows.append((eid, "2024-01-08 02:00:00", u, "view", 1.00))
+    _write_events(spark, tmp_path, rows)
+    r = weekend_conversion_odds(spark, str(tmp_path)).collect()[0]
+    assert (r["n_exp_conv"], r["n_exp_not"]) == (3, 1)
+    assert (r["n_unexp_conv"], r["n_unexp_not"]) == (1, 3)
+    assert r["or_num"] == "9" and r["or_den"] == "1"
+    import math
+
+    assert r["ln_or_lo95"] < math.log(9) < r["ln_or_hi95"]
