@@ -188,6 +188,8 @@ PRIORITY: list[str] = [
     "embedding_centroid_separation",
     "shard_interleave_runs_test",
     "weekend_conversion_odds",
+    "dedup_pair_transitivity",
+    "ingest_gap_report",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

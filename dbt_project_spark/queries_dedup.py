@@ -1844,3 +1844,94 @@ def simhash_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_within"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_pair_transitivity — are near-dup pairs cliques or chains? (r5s15)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_pair_transitivity",
+    oracle=f"""
+    WITH pr AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM pr
+            UNION ALL SELECT doc_b, doc_a FROM pr),
+    wedge AS (SELECT a.v AS ctr, a.u AS x, b.u AS y
+              FROM und a JOIN und b
+                ON b.v = a.v AND a.u < b.u),
+    closed AS (SELECT COUNT(*) AS n_closed
+               FROM wedge w
+               WHERE EXISTS (SELECT 1 FROM pr
+                             WHERE pr.doc_a = w.x AND pr.doc_b = w.y)),
+    wt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges FROM wedge)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS n_pairs,
+           wt.n_wedges,
+           CAST(closed.n_closed AS BIGINT) AS n_closed,
+           CAST(CASE WHEN wt.n_wedges = 0 THEN 1000000
+                ELSE closed.n_closed * 1000000 // wt.n_wedges END
+                AS BIGINT) AS closure_micro
+    FROM wt CROSS JOIN closed
+    """,
+)
+def dedup_pair_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the verified near-dup pair graph: of all
+    wedges (a–b, b–c), how many close into triangles (a–c also a
+    pair)? closure_micro ≈ 1e6 means the threshold carves clean
+    CLIQUES — cluster representatives are safe and dedup_clusters'
+    connected components just relabel; a low ratio means CHAINS
+    (a≈b≈c but a≉c), where CC glues non-duplicates together and the
+    keep-one-per-component policy silently drops distinct documents.
+    This is the number that justifies (or indicts) the τ threshold
+    BEFORE the keep-list ships.
+
+    Exactness: the pair set is the shared MinHash SQL verbatim;
+    wedges, closures, and the ratio are pure integer set arithmetic
+    (empty wedge set reports 1e6 — vacuously transitive).
+
+    Scale shape: the pair graph is pairs-sized (already ≪ corpus);
+    the wedge join is degree-bounded on it, the closure an
+    equi-join — the triangle_count machinery one level up."""
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_T
+    ).select("doc_a", "doc_b")
+    from dbt_project_spark.caching import persist_tracked
+
+    pairs = persist_tracked(pairs)
+    und = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    a = und.select(F.col("v").alias("ctr"), F.col("u").alias("x"))
+    b = und.select(F.col("v").alias("ctr2"), F.col("u").alias("y"))
+    wedge = (
+        a.join(b, a.ctr == F.col("ctr2"))
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+    )
+    wedge = persist_tracked(wedge)
+    closed = (
+        wedge.join(
+            pairs.select(
+                F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+            ),
+            ["x", "y"],
+            "left_semi",
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_closed"))
+    )
+    wt = wedge.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
+    np = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return (
+        np.crossJoin(F.broadcast(wt))
+        .crossJoin(F.broadcast(closed))
+        .select(
+            "n_pairs",
+            "n_wedges",
+            "n_closed",
+            F.expr(
+                "CAST(CASE WHEN n_wedges = 0 THEN 1000000"
+                " ELSE n_closed * 1000000 div n_wedges END AS BIGINT)"
+            ).alias("closure_micro"),
+        )
+    )

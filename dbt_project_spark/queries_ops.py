@@ -636,3 +636,113 @@ def count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("overdispersed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ingest_gap_report — empty-hour outage islands (r5s15)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ingest_gap_report",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT {_EP} // 3600 AS hr FROM events),
+    rng AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1,
+                   CAST(COUNT(*) AS BIGINT) AS n_present
+            FROM h),
+    isl AS (SELECT hr, hr - ROW_NUMBER() OVER (ORDER BY hr) AS grp
+            FROM h),
+    runs AS (SELECT grp, MIN(hr) AS lo, MAX(hr) AS hi
+             FROM isl GROUP BY grp),
+    gaps AS (SELECT hi + 1 AS gap_start,
+                    LEAD(lo) OVER (ORDER BY lo) - 1 AS gap_end
+             FROM runs),
+    gg AS (SELECT gap_start, gap_end, gap_end - gap_start + 1 AS len
+           FROM gaps WHERE gap_end IS NOT NULL)
+    SELECT rng.n_present AS n_hours_present,
+           CAST(rng.h1 - rng.h0 + 1 AS BIGINT) AS n_hours_span,
+           CAST(COALESCE((SELECT SUM(len) FROM gg), 0) AS BIGINT)
+               AS n_hours_missing,
+           CAST(COALESCE((SELECT COUNT(*) FROM gg), 0) AS BIGINT)
+               AS n_gaps,
+           CAST(COALESCE((SELECT MAX(len) FROM gg), 0) AS BIGINT)
+               AS longest_gap_hours,
+           CAST(COALESCE((SELECT MIN(gap_start) FROM gg
+                          WHERE len = (SELECT MAX(len) FROM gg)), -1)
+                AS BIGINT) AS longest_gap_start_hr
+    FROM rng
+    """,
+)
+def ingest_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-outage report: the hours between the first and last
+    event that contain ZERO events, merged into contiguous gap
+    islands — count, total missing hours, and the longest outage
+    with its start hour. wt_gap_filled_series interpolates over these
+    for analytics; THIS query is what the on-call reads to know the
+    pipeline was down (and error_burst_detect's inverse — silence is
+    also a failure mode). On a healthy stream the report is all
+    zeros, which is the assertion a freshness SLO monitors.
+
+    Exactness: pure integer epoch-hour arithmetic; islands via the
+    classic hr − ROW_NUMBER grouping, gaps via LEAD over the
+    present-islands — no calendar functions, no floats; -1 marks
+    'no gaps' identically in both engines.
+
+    Scale shape: events collapse to DISTINCT hours first (the only
+    corpus-sized work, a map-side-combinable distinct); islands,
+    gaps, and the report run on the hours table."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .select(F.expr("unix_timestamp(ts) div 3600").alias("hr"))
+        .distinct()
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    h = persist_tracked(h)
+    rng = h.agg(
+        F.min("hr").alias("h0"),
+        F.max("hr").alias("h1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+    )
+    isl = h.select(
+        "hr",
+        (F.col("hr") - F.row_number().over(Window.orderBy("hr"))).alias(
+            "grp"
+        ),
+    )
+    runs = isl.groupBy("grp").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    gaps = runs.select(
+        (F.col("hi") + 1).alias("gap_start"),
+        (F.lead("lo").over(Window.orderBy("lo")) - 1).alias("gap_end"),
+    )
+    gg = gaps.filter(F.col("gap_end").isNotNull()).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("len"),
+    )
+    gsum = gg.agg(
+        F.coalesce(F.sum("len"), F.lit(0))
+        .cast("bigint")
+        .alias("n_hours_missing"),
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.coalesce(F.max("len"), F.lit(0))
+        .cast("bigint")
+        .alias("longest_gap_hours"),
+        F.coalesce(
+            F.expr("min_by(gap_start, struct(-len, gap_start))"), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("longest_gap_start_hr"),
+    )
+    return rng.crossJoin(F.broadcast(gsum)).select(
+        F.col("n_present").alias("n_hours_present"),
+        (F.col("h1") - F.col("h0") + 1)
+        .cast("bigint")
+        .alias("n_hours_span"),
+        "n_hours_missing",
+        "n_gaps",
+        "longest_gap_hours",
+        "longest_gap_start_hr",
+    )

@@ -976,3 +976,47 @@ def test_weekend_odds_exact_two_by_two(spark, tmp_path):
     import math
 
     assert r["ln_or_lo95"] < math.log(9) < r["ln_or_hi95"]
+
+
+def test_pair_transitivity_clique_and_vacuous(spark, tmp_path):
+    """Three identical docs form a closed triangle (closure exactly
+    1e6); an all-distinct corpus is vacuously transitive."""
+    from dbt_project_spark.queries_dedup import dedup_pair_transitivity
+
+    base = " ".join(f"tok{i:03d}" for i in range(40))
+    _docs(spark, tmp_path, [(1, base), (2, base), (3, base)])
+    r = dedup_pair_transitivity(spark, str(tmp_path)).collect()[0]
+    assert r["n_pairs"] == 3
+    assert r["n_wedges"] == 3 and r["n_closed"] == 3
+    assert r["closure_micro"] == 1000000
+
+    _docs(spark, tmp_path, [
+        (1, " ".join(f"aa{i}" for i in range(20))),
+        (2, " ".join(f"bb{i}" for i in range(20))),
+    ])
+    r = dedup_pair_transitivity(spark, str(tmp_path)).collect()[0]
+    assert r["n_pairs"] == 0 and r["closure_micro"] == 1000000
+
+
+def test_ingest_gap_islands_exact(spark, tmp_path):
+    """Hours {0,1,2, 5,6, 10} of one day: two gaps (3-4 and 7-9),
+    5 missing hours, longest 3 starting at hour 7."""
+    from dbt_project_spark.queries_ops import ingest_gap_report
+
+    rows = []
+    for i, hr in enumerate((0, 1, 2, 5, 6, 10)):
+        rows.append((i + 1, f"2024-01-01 {hr:02d}:30:00", 1, "view", 1.00))
+    _write_events(spark, tmp_path, rows)
+    r = ingest_gap_report(spark, str(tmp_path)).collect()[0]
+    assert r["n_hours_present"] == 6
+    assert r["n_hours_span"] == 11
+    assert r["n_hours_missing"] == 5
+    assert r["n_gaps"] == 2
+    assert r["longest_gap_hours"] == 3
+    # epoch hour of 2024-01-01 07:00 UTC
+    import datetime
+
+    h7 = int(datetime.datetime(2024, 1, 1, 7,
+                               tzinfo=datetime.timezone.utc).timestamp()
+             // 3600)
+    assert r["longest_gap_start_hr"] == h7
