@@ -190,6 +190,8 @@ PRIORITY: list[str] = [
     "weekend_conversion_odds",
     "dedup_pair_transitivity",
     "ingest_gap_report",
+    "negbin_moment_fit",
+    "capture_recapture_users",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

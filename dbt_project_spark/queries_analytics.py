@@ -1641,3 +1641,99 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.max("len").cast("bigint").alias("max_streak_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# capture_recapture_users — Lincoln-Petersen population estimate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "capture_recapture_users",
+    oracle="""
+    WITH e AS (SELECT user_id,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                          AS ep
+               FROM events WHERE user_id IS NOT NULL),
+    mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS m FROM e),
+    u AS (SELECT user_id,
+                 CAST(MAX(CASE WHEN ep < (SELECT m FROM mid)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS in_ref,
+                 CAST(MAX(CASE WHEN ep >= (SELECT m FROM mid)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS in_cur
+          FROM e GROUP BY user_id),
+    t AS (SELECT CAST(SUM(in_ref) AS BIGINT) AS n1,
+                 CAST(SUM(in_cur) AS BIGINT) AS n2,
+                 CAST(SUM(in_ref * in_cur) AS BIGINT) AS m12,
+                 CAST(COUNT(*) AS BIGINT) AS n_seen
+          FROM u)
+    SELECT n1, n2, m12, n_seen,
+           CASE WHEN m12 = 0 THEN NULL
+                ELSE CAST(CAST(n1 AS HUGEINT) * n2 // m12 AS BIGINT)
+           END AS n_hat,
+           CASE WHEN m12 = 0 THEN NULL
+                ELSE CAST((CAST(n1 AS HUGEINT) * n2 // m12 - n_seen)
+                          * 1000000 // n_seen AS BIGINT)
+           END AS unseen_share_micro
+    FROM t
+    """,
+)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture estimate of the TOTAL user
+    population from two observation windows (first vs second half of
+    the time range): N̂ = n₁·n₂ / m — how many users exist that the
+    log never saw, from nothing but the overlap between two sightings.
+    The 'how much of the population does my telemetry cover?' number
+    a growth or instrumentation review starts from (assumes equal
+    catchability across halves — heavy one-window cohorts bias N̂
+    up, which stickiness_dau_mau then diagnoses).
+
+    Exactness: the per-user capture flags, the overlap, and N̂'s
+    n₁·n₂ // m are exact HUGEINT/DECIMAL(38,0) integer arithmetic;
+    the never-seen share a truncating micro ratio; zero overlap
+    emits NULL identically.
+
+    Scale shape: one events-sized per-user flag aggregate (map-side
+    MAX), a 1-row reduce."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select("user_id", F.unix_timestamp("ts").alias("ep"))
+    mid = e.agg(
+        F.expr("(min(ep) + max(ep)) div 2").cast("bigint").alias("m")
+    )
+    u = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("ep") < F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("in_ref"),
+            F.max(F.when(F.col("ep") >= F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("in_cur"),
+        )
+    )
+    t = u.agg(
+        F.sum("in_ref").cast("bigint").alias("n1"),
+        F.sum("in_cur").cast("bigint").alias("n2"),
+        F.sum(F.col("in_ref") * F.col("in_cur"))
+        .cast("bigint")
+        .alias("m12"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+    )
+    return t.select(
+        "n1",
+        "n2",
+        "m12",
+        "n_seen",
+        F.expr(
+            "CASE WHEN m12 = 0 THEN NULL"
+            " ELSE CAST(CAST(n1 AS DECIMAL(38,0)) * n2 div m12 AS BIGINT)"
+            " END"
+        ).alias("n_hat"),
+        F.expr(
+            "CASE WHEN m12 = 0 THEN NULL"
+            " ELSE CAST((CAST(n1 AS DECIMAL(38,0)) * n2 div m12 - n_seen)"
+            " * 1000000 div n_seen AS BIGINT) END"
+        ).alias("unseen_share_micro"),
+    )

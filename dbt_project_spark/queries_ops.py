@@ -746,3 +746,112 @@ def ingest_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "longest_gap_hours",
         "longest_gap_start_hr",
     )
+
+
+# ---------------------------------------------------------------------------
+# negbin_moment_fit — the model overdispersion demands (r5s16)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "negbin_moment_fit",
+    oracle=f"""
+    WITH e AS (SELECT event_type, {_EP} // 86400 AS d FROM events),
+    days AS (SELECT DISTINCT d FROM e),
+    types AS (SELECT DISTINCT event_type FROM e),
+    c AS (SELECT t.event_type, dy.d,
+                 CAST(COALESCE(x.c, 0) AS BIGINT) AS c
+          FROM types t CROSS JOIN days dy
+          LEFT JOIN (SELECT event_type, d, COUNT(*) AS c
+                     FROM e GROUP BY 1, 2) x
+            ON x.event_type = t.event_type AND x.d = dy.d),
+    m AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS s,
+                 CAST(SUM(c * c) AS BIGINT) AS q
+          FROM c GROUP BY event_type),
+    f AS (SELECT event_type, n, s,
+                 CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS vnum,
+                 (CAST(n AS HUGEINT) - 1) * s AS vden
+          FROM m)
+    SELECT event_type, n AS n_days,
+           CAST(s * 1000000 // n AS BIGINT) AS mean_micro,
+           CASE WHEN vnum > vden
+                THEN CAST(CAST(s AS HUGEINT) * s * (n - 1) AS VARCHAR)
+                ELSE NULL END AS r_num,
+           CASE WHEN vnum > vden
+                THEN CAST(CAST(n AS HUGEINT) * (vnum - vden) AS VARCHAR)
+                ELSE NULL END AS r_den,
+           CASE WHEN vnum > vden
+                THEN CAST(vden * 1000000 // vnum AS BIGINT)
+                ELSE NULL END AS p_micro
+    FROM f
+    """,
+)
+def negbin_moment_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit of the daily count series by method of
+    moments — the model count_overdispersion says you need when
+    Var/Mean > 1: r = m²/(v − m), p = m/v. r prices HOW clumped the
+    traffic is (small r = heavy bursts); the NB(r, p) quantiles then
+    replace the Poisson thresholds in the alerting stack. Types whose
+    variance does not exceed the mean emit NULLs — Poisson is fine
+    there, and the NULL is the verdict.
+
+    Exactness: same zero-filled day spine and exact moments as
+    count_overdispersion; r ships as an exact
+    HUGEINT/DECIMAL(38,0) num/den PAIR — r = s²(n−1) / (n·(vnum −
+    vden)) with vnum = n·q − s², vden = (n−1)·s, all integer — and
+    p = vden/vnum as a truncating micro ratio. No floats.
+
+    Scale shape: identical to count_overdispersion (one counts pass,
+    spine fill, |types|-row rollup)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    )
+    days = e.select("d").distinct()
+    types = e.select("event_type").distinct()
+    x = e.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    c = (
+        types.crossJoin(days)
+        .join(x, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    f = m.select(
+        "event_type",
+        "n",
+        "s",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s"
+        ).alias("vnum"),
+        F.expr("(CAST(n AS DECIMAL(38,0)) - 1) * s").alias("vden"),
+    )
+    return f.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr("CAST(s * 1000000 div n AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "CASE WHEN vnum > vden"
+            " THEN CAST(CAST(s AS DECIMAL(38,0)) * s * (n - 1) AS STRING)"
+            " ELSE NULL END"
+        ).alias("r_num"),
+        F.expr(
+            "CASE WHEN vnum > vden"
+            " THEN CAST(CAST(n AS DECIMAL(38,0)) * (vnum - vden) AS STRING)"
+            " ELSE NULL END"
+        ).alias("r_den"),
+        F.expr(
+            "CASE WHEN vnum > vden"
+            " THEN CAST(vden * 1000000 div vnum AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("p_micro"),
+    )

@@ -1020,3 +1020,52 @@ def test_ingest_gap_islands_exact(spark, tmp_path):
                                tzinfo=datetime.timezone.utc).timestamp()
              // 3600)
     assert r["longest_gap_start_hr"] == h7
+
+
+def test_negbin_fit_exact_and_null_verdict(spark, tmp_path):
+    """Clumped counts (0,0,6): r = m^2/(v-m) = 4/4... exact rational
+    strings; a constant series emits the Poisson-is-fine NULLs."""
+    from dbt_project_spark.queries_ops import negbin_moment_fit
+
+    rows, eid = [], 0
+    for day in (1, 2, 3):
+        for _ in range(2):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-0{day} 0{eid % 10}:00:00", 1, "view", 1.00)
+            )
+    for _ in range(6):
+        eid += 1
+        rows.append((eid, f"2024-01-03 1{eid % 10}:00:00", 1, "error", 1.00))
+    _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           negbin_moment_fit(spark, str(tmp_path)).collect()}
+    # error: n=3, s=6, q=36 -> r = s^2(n-1)/(n(vnum-vden)) with
+    # vnum = 108-36 = 72, vden = 12 -> r = 36*2/(3*60) = 72/180
+    assert out["error"]["r_num"] == "72"
+    assert out["error"]["r_den"] == "180"
+    assert out["error"]["p_micro"] == 12 * 1000000 // 72
+    assert out["view"]["r_num"] is None
+    assert out["view"]["p_micro"] is None
+
+
+def test_capture_recapture_exact_estimate(spark, tmp_path):
+    """4 users in half one, 3 in half two, 2 in both: N-hat = 4*3//2
+    = 6 with 5 seen -> unseen share 200000 micro."""
+    from dbt_project_spark.queries_analytics import capture_recapture_users
+
+    rows, eid = [], 0
+    # half boundary: events span 00:00..10:00, mid = 05:00
+    for u in (1, 2, 3, 4):  # captured in first half
+        eid += 1
+        rows.append((eid, f"2024-01-01 0{u - 1}:00:00", u, "view", 1.00))
+    for u in (1, 2, 5):  # captured in second half (1,2 recaptured)
+        eid += 1
+        rows.append((eid, "2024-01-01 09:00:00", u, "view", 1.00))
+    eid += 1
+    rows.append((eid, "2024-01-01 10:00:00", 5, "view", 1.00))
+    _write_events(spark, tmp_path, rows)
+    r = capture_recapture_users(spark, str(tmp_path)).collect()[0]
+    assert (r["n1"], r["n2"], r["m12"], r["n_seen"]) == (4, 3, 2, 5)
+    assert r["n_hat"] == 6
+    assert r["unseen_share_micro"] == 200000
