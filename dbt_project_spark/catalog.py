@@ -192,6 +192,8 @@ PRIORITY: list[str] = [
     "ingest_gap_report",
     "negbin_moment_fit",
     "capture_recapture_users",
+    "good_turing_unseen_mass",
+    "source_distinctive_terms",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -2272,3 +2272,198 @@ def holdout_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((-CAST(SUM(t9) AS BIGINT)) div SUM(tc) AS BIGINT)"
         ).alias("h_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# good_turing_unseen_mass — how much vocabulary is still unseen (r5s17)
+# ---------------------------------------------------------------------------
+
+GT_MAX_R = 5
+
+
+@register(
+    "good_turing_unseen_mass",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM t GROUP BY w),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM wf),
+    ff AS (SELECT f AS r, CAST(COUNT(*) AS BIGINT) AS nr
+           FROM wf WHERE f <= {GT_MAX_R} + 1 GROUP BY f),
+    grid AS (SELECT unnest(range(1, {GT_MAX_R} + 1)) AS r)
+    SELECT CAST(grid.r AS BIGINT) AS r,
+           CAST(COALESCE(ff.nr, 0) AS BIGINT) AS n_r,
+           CAST(COALESCE(f2.nr, 0) AS BIGINT) AS n_r1,
+           CASE WHEN COALESCE(ff.nr, 0) = 0 THEN NULL
+                ELSE CAST(CAST((grid.r + 1) AS HUGEINT)
+                          * COALESCE(f2.nr, 0) * 1000000
+                          // (CAST(COALESCE(ff.nr, 0) AS HUGEINT) * grid.r)
+                          AS BIGINT) END AS rstar_ratio_micro,
+           (SELECT CAST(COALESCE(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END),
+                             0) * 1000000 // SUM(f) AS BIGINT)
+            FROM wf) AS p0_micro,
+           tot.n AS n_tokens, tot.v AS vocab
+    FROM grid LEFT JOIN ff ON ff.r = grid.r
+              LEFT JOIN ff f2 ON f2.r = grid.r + 1
+              CROSS JOIN tot
+    """,
+)
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table: N_r for r = 1..5,
+    the unseen-mass estimate P₀ = N₁/N (the probability the NEXT
+    token is a word never seen — the number that decides whether the
+    corpus is big enough for the vocabulary it claims), and the
+    Simple-GT discount ratio r*/r = (r+1)·N_{r+1}/(r·N_r) per row.
+    Heaps' law fits vocabulary GROWTH; this prices what's still
+    missing. A tokenizer or dedup change that moves P₀ moved the
+    long tail.
+
+    Exactness: the frequency-of-frequencies table is two exact
+    count aggregates; P₀ and the discount ratios are truncating
+    micro divisions in HUGEINT/DECIMAL(38,0); empty N_r rows emit
+    NULL ratios identically.
+
+    Scale shape: word-count pass → vocab-sized second count → a
+    5-row grid join. Nothing else."""
+    t = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens_col("text")).alias("w")
+    )
+    wf = t.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    from dbt_project_spark.caching import persist_tracked
+
+    wf = persist_tracked(wf)
+    tot = wf.agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    ff = (
+        wf.filter(F.col("f") <= GT_MAX_R + 1)
+        .groupBy(F.col("f").alias("r"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+    )
+    from pyspark.sql import Window as _W
+
+    grid = spark.range(1, GT_MAX_R + 1).select(F.col("id").alias("r"))
+    p0 = wf.agg(
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END), 0)"
+            " * 1000000 div SUM(f) AS BIGINT)"
+        ).alias("p0_micro")
+    )
+    f2 = ff.select((F.col("r") - 1).alias("r"), F.col("nr").alias("nr1"))
+    return (
+        grid.join(ff, "r", "left")
+        .join(f2, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(p0))
+        .select(
+            F.col("r").cast("bigint").alias("r"),
+            F.coalesce(F.col("nr"), F.lit(0)).cast("bigint").alias("n_r"),
+            F.coalesce(F.col("nr1"), F.lit(0)).cast("bigint").alias("n_r1"),
+            F.expr(
+                "CASE WHEN COALESCE(nr, 0) = 0 THEN NULL"
+                " ELSE CAST(CAST((r + 1) AS DECIMAL(38,0))"
+                " * COALESCE(nr1, 0) * 1000000"
+                " div (CAST(COALESCE(nr, 0) AS DECIMAL(38,0)) * r)"
+                " AS BIGINT) END"
+            ).alias("rstar_ratio_micro"),
+            "p0_micro",
+            F.col("n").alias("n_tokens"),
+            F.col("v").alias("vocab"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_distinctive_terms — what makes each source different (r5s17)
+# ---------------------------------------------------------------------------
+
+SDT_TOP = 3  # distinctive terms reported per source
+SDT_MIN_F = 5  # minimum in-source frequency considered
+
+
+@register(
+    "source_distinctive_terms",
+    oracle=f"""
+    WITH t AS (SELECT source, unnest({_TOKS}) AS w FROM documents),
+    sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+           FROM t GROUP BY 1, 2),
+    st AS (SELECT source, CAST(SUM(f) AS BIGINT) AS nt
+           FROM sw GROUP BY 1),
+    gw AS (SELECT w, CAST(SUM(f) AS BIGINT) AS g FROM sw GROUP BY 1),
+    gt AS (SELECT CAST(SUM(f) AS BIGINT) AS ng FROM sw),
+    sc AS (SELECT sw.source, sw.w, sw.f,
+                  CAST(round(ln((CAST(sw.f + 1 AS DOUBLE) / (st.nt + 1))
+                                / (CAST(gw.g - sw.f + 1 AS DOUBLE)
+                                   / (gt.ng - st.nt + 1)))
+                             * 1000000) AS BIGINT) AS lo6
+           FROM sw JOIN st USING (source)
+                   JOIN gw USING (w)
+                   CROSS JOIN gt
+           WHERE sw.f >= {SDT_MIN_F}),
+    rk AS (SELECT source, w, f, lo6,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY lo6 DESC, w) AS r
+           FROM sc)
+    SELECT source, CAST(r AS BIGINT) AS rank, w AS term, f, lo6
+    FROM rk WHERE r <= {SDT_TOP}
+    """,
+)
+def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: the top terms by smoothed
+    log-odds of appearing in THIS source vs the REST of the corpus
+    (add-one on both rates — the Monroe et al. 'fightin' words'
+    score without the variance term). The interpretability drilldown
+    behind source_lm_surprisal's single number: surprisal says source
+    X diverges, this says WHICH words carry it — the table a curator
+    reads before deciding up-weight vs investigate.
+
+    Exactness: both smoothed rates are ratios of exact integers, so
+    each candidate's score is count × one ×1e6 ln-term (single
+    scalar expression — the fixed-point convention); ranking is a
+    per-source tie-broken top-3; the SDT_MIN_F floor keeps
+    noise-words out and the candidate set word-count-shaped.
+
+    Scale shape: one (source, word) count, two rollups of it, a
+    broadcast 1-row total; the window runs per source."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens_col("text")).alias("w")
+    )
+    sw = t.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    sw = persist_tracked(sw)
+    st = sw.groupBy("source").agg(F.sum("f").cast("bigint").alias("nt"))
+    gw = sw.groupBy("w").agg(F.sum("f").cast("bigint").alias("g"))
+    gt = sw.agg(F.sum("f").cast("bigint").alias("ng"))
+    sc = (
+        sw.filter(F.col("f") >= SDT_MIN_F)
+        .join(st, "source")
+        .join(gw, "w")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            "w",
+            "f",
+            F.expr(
+                "CAST(round(ln((CAST(f + 1 AS DOUBLE) / (nt + 1))"
+                " / (CAST(g - f + 1 AS DOUBLE) / (ng - nt + 1)))"
+                " * 1000000) AS BIGINT)"
+            ).alias("lo6"),
+        )
+    )
+    wk = Window.partitionBy("source").orderBy(F.desc("lo6"), "w")
+    return (
+        sc.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= SDT_TOP)
+        .select(
+            "source",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("w").alias("term"),
+            "f",
+            "lo6",
+        )
+    )

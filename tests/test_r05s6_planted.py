@@ -1069,3 +1069,47 @@ def test_capture_recapture_exact_estimate(spark, tmp_path):
     assert (r["n1"], r["n2"], r["m12"], r["n_seen"]) == (4, 3, 2, 5)
     assert r["n_hat"] == 6
     assert r["unseen_share_micro"] == 200000
+
+
+def test_good_turing_hapax_mass(spark, tmp_path):
+    """A corpus of 4 singletons and one word seen twice: P0 = 4/6
+    and the r=1 discount ratio (r+1)N2/(rN1) = 2*1/4."""
+    from dbt_project_spark.queries_corpus import good_turing_unseen_mass
+
+    _docs(spark, tmp_path, [(1, "aa bb cc"), (2, "dd ee ee")])
+    out = {r["r"]: r for r in
+           good_turing_unseen_mass(spark, str(tmp_path)).collect()}
+    assert out[1]["n_r"] == 4 and out[1]["n_r1"] == 1
+    assert out[1]["p0_micro"] == 4 * 1000000 // 6
+    assert out[1]["rstar_ratio_micro"] == 2 * 1 * 1000000 // 4
+    assert out[2]["n_r"] == 1
+    assert out[3]["n_r"] == 0 and out[3]["rstar_ratio_micro"] is None
+    assert out[1]["n_tokens"] == 6 and out[1]["vocab"] == 5
+
+
+def test_distinctive_terms_planted_marker(spark, tmp_path):
+    """A marker word concentrated in one source tops that source's
+    distinctive list; shared filler does not."""
+    from dbt_project_spark.queries_corpus import source_distinctive_terms
+
+    rows = []
+    for i in range(1, 6):
+        rows.append(
+            (i, "common filler words everywhere " + "zyggurat " * 6,
+             "en", "srcA", 60)
+        )
+    for i in range(6, 11):
+        rows.append(
+            (i, "common filler words everywhere plain", "en", "srcB", 40)
+        )
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = source_distinctive_terms(spark, str(tmp_path)).collect()
+    a_top = [r for r in out if r["source"] == "srcA" and r["rank"] == 1][0]
+    assert a_top["term"] == "zyggurat"
+    assert a_top["lo6"] > 0
