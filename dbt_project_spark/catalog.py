@@ -194,6 +194,7 @@ PRIORITY: list[str] = [
     "capture_recapture_users",
     "good_turing_unseen_mass",
     "source_distinctive_terms",
+    "forecast_backtest_coverage",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -1703,3 +1703,124 @@ def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("return_level_365_100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# forecast_backtest_coverage — does the naive band hold up? (r5s18)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_backtest_coverage",
+    oracle=f"""
+    WITH d AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                        // 86400 AS day,
+                      CAST(SUM({_V100}) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    r AS (SELECT a.day, a.y - b.y AS resid
+          FROM d a JOIN d b ON b.day = a.day - 7),
+    mid AS (SELECT (MIN(day) + MAX(day)) // 2 AS m FROM r),
+    trn AS (SELECT resid FROM r WHERE day < (SELECT m FROM mid)),
+    tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM trn),
+    cum AS (SELECT resid,
+                   ROW_NUMBER() OVER (ORDER BY resid) AS rk
+            FROM trn),
+    band AS (SELECT
+               (SELECT MIN(resid) FROM cum CROSS JOIN tc
+                WHERE rk * 10 >= tc.n) AS lo,
+               (SELECT MIN(resid) FROM cum CROSS JOIN tc
+                WHERE rk * 10 >= tc.n * 9) AS hi),
+    tst AS (SELECT resid FROM r WHERE day >= (SELECT m FROM mid))
+    SELECT tc.n AS n_train,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tst) AS n_test,
+           CAST(band.lo AS BIGINT) AS band_lo_cents,
+           CAST(band.hi AS BIGINT) AS band_hi_cents,
+           (SELECT CAST(SUM(CASE WHEN resid BETWEEN band.lo AND band.hi
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM tst) AS n_covered,
+           (SELECT CAST(SUM(CASE WHEN resid BETWEEN band.lo AND band.hi
+                                 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                    AS BIGINT)
+            FROM tst) AS coverage_micro
+    FROM tc CROSS JOIN band
+    """,
+)
+def forecast_backtest_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecast's prediction interval:
+    one-step residuals y_d − y_{d−7} over the daily total-value
+    series, the [p10, p90] residual band estimated on the FIRST half
+    of the backtest window, and the fraction of SECOND-half residuals
+    the band actually covers. A well-calibrated band covers ≈ 80%;
+    materially less means the series drifted and every alert
+    threshold derived from historical residuals (ts_anomaly_sigma's
+    sigma, spc limits) is stale. This is the eval
+    seasonal_naive_forecast ships without.
+
+    Exactness: residuals are exact integer cents; the band edges are
+    pure order statistics (10·rank ≥ n and 10·rank ≥ 9n — the QQ
+    convention, no interpolation); coverage a truncating micro
+    division.
+
+    Scale shape: one daily aggregate, a days-sized lag-7 self-join,
+    rank/coverage work on the residual table (hundreds of rows at
+    any corpus size)."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr("unix_timestamp(ts) div 86400").alias("day"))
+        .agg(F.sum(F.expr(_V100)).cast("bigint").alias("y"))
+    )
+    a = d.select("day", "y")
+    b = d.select((F.col("day") + 7).alias("day"), F.col("y").alias("yprev"))
+    r = a.join(b, "day").select(
+        "day", (F.col("y") - F.col("yprev")).alias("resid")
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    r = persist_tracked(r)
+    mid = r.agg(
+        F.expr("(min(day) + max(day)) div 2").cast("bigint").alias("m")
+    )
+    rm = r.crossJoin(F.broadcast(mid))
+    trn = rm.filter(F.col("day") < F.col("m")).select("resid")
+    trn = persist_tracked(trn)
+    tc = trn.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cum = trn.select(
+        "resid", F.row_number().over(Window.orderBy("resid")).alias("rk")
+    ).crossJoin(F.broadcast(tc))
+    lo = cum.filter(F.col("rk") * 10 >= F.col("n")).agg(
+        F.min("resid").alias("lo")
+    )
+    hi = cum.filter(F.col("rk") * 10 >= F.col("n") * 9).agg(
+        F.min("resid").alias("hi")
+    )
+    tst = rm.filter(F.col("day") >= F.col("m")).select("resid")
+    cov = (
+        tst.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("resid").between(F.col("lo"), F.col("hi")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+            F.expr(
+                "CAST(SUM(CASE WHEN resid BETWEEN lo AND hi"
+                " THEN 1 ELSE 0 END) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("coverage_micro"),
+            F.min("lo").cast("bigint").alias("band_lo_cents"),
+            F.min("hi").cast("bigint").alias("band_hi_cents"),
+        )
+    )
+    return tc.crossJoin(F.broadcast(cov)).select(
+        F.col("n").alias("n_train"),
+        "n_test",
+        "band_lo_cents",
+        "band_hi_cents",
+        "n_covered",
+        "coverage_micro",
+    )

@@ -1113,3 +1113,26 @@ def test_distinctive_terms_planted_marker(spark, tmp_path):
     a_top = [r for r in out if r["source"] == "srcA" and r["rank"] == 1][0]
     assert a_top["term"] == "zyggurat"
     assert a_top["lo6"] > 0
+
+
+def test_forecast_backtest_constant_series_full_coverage(spark, tmp_path):
+    """A perfectly 7-periodic series has all-zero residuals: the band
+    is [0, 0] and second-half coverage is exactly 1e6."""
+    from dbt_project_spark.queries_timeseries import (
+        forecast_backtest_coverage,
+    )
+
+    import datetime
+
+    rows, eid = [], 0
+    for i in range(28):
+        day = datetime.date(2024, 1, 1) + datetime.timedelta(days=i)
+        v = 10.00 + (i % 7)  # exact weekly pattern
+        eid += 1
+        rows.append((eid, f"{day} 00:00:00", 1, "view", v))
+    _write_events(spark, tmp_path, rows)
+    r = forecast_backtest_coverage(spark, str(tmp_path)).collect()[0]
+    assert r["n_train"] + r["n_test"] == 21  # 28 days - 7 lag
+    assert r["band_lo_cents"] == 0 and r["band_hi_cents"] == 0
+    assert r["n_covered"] == r["n_test"]
+    assert r["coverage_micro"] == 1000000
