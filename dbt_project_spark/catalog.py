@@ -195,6 +195,7 @@ PRIORITY: list[str] = [
     "good_turing_unseen_mass",
     "source_distinctive_terms",
     "forecast_backtest_coverage",
+    "ratio_metric_delta_method",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

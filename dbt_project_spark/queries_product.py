@@ -2133,3 +2133,127 @@ def weekend_conversion_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(guard.format(x=ci.format(sign="-"))).alias("ln_or_lo95"),
         F.expr(guard.format(x=ci.format(sign="+"))).alias("ln_or_hi95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ratio_metric_delta_method — SE of revenue-per-event (r5s19)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ratio_metric_delta_method",
+    oracle=f"""
+    WITH u AS (SELECT user_id,
+                      CAST(SUM({_V100}) AS BIGINT) AS x,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY user_id),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                 CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          FROM u),
+    d AS (SELECT n, sx, sy,
+                 CAST(sx AS DOUBLE) / n AS mx,
+                 CAST(sy AS DOUBLE) / n AS my,
+                 (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * sx)
+                     / (n - 1.0) AS vx,
+                 (CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) / n) * sy)
+                     / (n - 1.0) AS vy,
+                 (CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * sy)
+                     / (n - 1.0) AS cxy
+          FROM m),
+    f AS (SELECT n, mx, my, vx, vy, cxy,
+                 mx / my AS ratio
+          FROM d)
+    SELECT n AS n_users,
+           CAST(sx * 1000000 // sy AS BIGINT) AS ratio_micro,
+           ROUND(sqrt((vx - 2.0 * (mx / my) * cxy
+                       + (mx / my) * (mx / my) * vy)
+                      / (my * my * n)), 6) AS se_delta,
+           ROUND(mx / my, 6) AS ratio_dbl
+    FROM f CROSS JOIN (SELECT sx, sy FROM m) q
+    """,
+)
+def ratio_metric_delta_method(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Standard error of the RATIO metric revenue-per-event by the
+    delta method over per-user totals: ratio metrics violate the
+    independence the plain two-sample tests assume (events cluster
+    within users — the 'analysis unit ≠ randomization unit' trap),
+    and this is the experimentation-stack fix: Var(x̄/ȳ) ≈ (σ²ₓ −
+    2R·σₓᵧ + R²·σ²ᵧ)/(μ²ᵧ·n). The SE that makes ab_test_conversion's
+    machinery legal for per-user-normalized KPIs.
+
+    Exactness: the five second moments are exact
+    DECIMAL(38,0)/HUGEINT sums over per-user integers; the ratio
+    itself ships BOTH as an exact truncating micro integer and as
+    the double the SE formula uses — the SE is one fixed scalar
+    expression with a single sqrt, ROUND 6 (the welch convention).
+
+    Scale shape: one events-sized per-user aggregate, one 5-moment
+    1-row reduce, scalar math."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr(_V100)).cast("bigint").alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("y"),
+        )
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    d = m.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+        (
+            (
+                F.col("sxx").cast("double")
+                - (F.col("sx").cast("double") / F.col("n")) * F.col("sx")
+            )
+            / (F.col("n") - 1.0)
+        ).alias("vx"),
+        (
+            (
+                F.col("syy").cast("double")
+                - (F.col("sy").cast("double") / F.col("n")) * F.col("sy")
+            )
+            / (F.col("n") - 1.0)
+        ).alias("vy"),
+        (
+            (
+                F.col("sxy").cast("double")
+                - (F.col("sx").cast("double") / F.col("n")) * F.col("sy")
+            )
+            / (F.col("n") - 1.0)
+        ).alias("cxy"),
+    )
+    return d.select(
+        F.col("n").alias("n_users"),
+        F.expr("CAST(sx * 1000000 div sy AS BIGINT)").alias("ratio_micro"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("vx")
+                    - 2.0 * (F.col("mx") / F.col("my")) * F.col("cxy")
+                    + (F.col("mx") / F.col("my"))
+                    * (F.col("mx") / F.col("my"))
+                    * F.col("vy")
+                )
+                / (F.col("my") * F.col("my") * F.col("n"))
+            ),
+            6,
+        ).alias("se_delta"),
+        F.round(F.col("mx") / F.col("my"), 6).alias("ratio_dbl"),
+    )

@@ -1136,3 +1136,24 @@ def test_forecast_backtest_constant_series_full_coverage(spark, tmp_path):
     assert r["band_lo_cents"] == 0 and r["band_hi_cents"] == 0
     assert r["n_covered"] == r["n_test"]
     assert r["coverage_micro"] == 1000000
+
+
+def test_delta_method_zero_variance_ratio(spark, tmp_path):
+    """Every user has identical (spend, events): all variances and
+    the covariance are zero, so the delta-method SE is exactly 0 and
+    the ratio is exact."""
+    from dbt_project_spark.queries_product import ratio_metric_delta_method
+
+    rows, eid = [], 0
+    for u in (1, 2, 3, 4):
+        for k in range(2):  # 2 events of 3.00 each -> x=600, y=2
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-01 0{eid}:00:00", u, "view", 3.00)
+            )
+    _write_events(spark, tmp_path, rows)
+    r = ratio_metric_delta_method(spark, str(tmp_path)).collect()[0]
+    assert r["n_users"] == 4
+    assert r["ratio_micro"] == 600 * 1000000 // 2
+    assert r["se_delta"] == 0.0
+    assert r["ratio_dbl"] == 300.0
