@@ -196,6 +196,8 @@ PRIORITY: list[str] = [
     "source_distinctive_terms",
     "forecast_backtest_coverage",
     "ratio_metric_delta_method",
+    "minhash_vs_exact_recall",
+    "nb_mcc_score",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -1935,3 +1935,96 @@ def dedup_pair_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("closure_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash_vs_exact_recall — the LSH index against ground truth (r5s20)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_vs_exact_recall",
+    oracle=f"""
+    WITH lsh AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+    ext AS (
+      SELECT doc_a, doc_b FROM (
+        WITH {_EX_CTE},
+        capped AS (
+          SELECT doc, sz, sg FROM (
+            SELECT doc, sz, sg, COUNT(*) OVER (PARTITION BY sg) AS bn
+            FROM ex)
+          WHERE bn <= {MAX_BUCKET}),
+        pairs AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter,
+                 MAX(a.sz) AS sa, MAX(b.sz) AS sb
+          FROM capped a JOIN capped b ON a.sg = b.sg AND a.doc < b.doc
+          GROUP BY doc_a, doc_b)
+        SELECT doc_a, doc_b FROM pairs
+        WHERE inter / (sa + sb - inter) >= {JACCARD_T})),
+    j AS (SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM ext) AS n_exact,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh) AS n_lsh,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh
+             WHERE (doc_a, doc_b) IN (SELECT (doc_a, doc_b) FROM ext))
+                AS n_both)
+    SELECT n_exact, n_lsh, n_both,
+           CAST(CASE WHEN n_exact = 0 THEN 1000000
+                ELSE n_both * 1000000 // n_exact END AS BIGINT)
+               AS recall_micro,
+           CAST(CASE WHEN n_lsh = 0 THEN 1000000
+                ELSE n_both * 1000000 // n_lsh END AS BIGINT)
+               AS precision_micro
+    FROM j
+    """,
+)
+def minhash_vs_exact_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH measured against the exact shingle-join ground
+    truth ON THE SAME CORPUS: recall (what fraction of true ≥τ pairs
+    the banded index surfaces) and precision (both pipelines verify
+    with exact Jaccard, so precision < 1e6 can only come from the
+    hot-bucket caps differing) — the one-row answer to 'what does
+    the production index actually lose?'. minhash_estimate_error
+    prices the SIGNATURE's Jaccard estimate; this prices the INDEX's
+    candidate generation, which is what recall rides on at 100 TB
+    (the exact join is only feasible at audit scale — run this on a
+    sampled slice in production, exactly as here).
+
+    Exactness: both pair sets are the repo's oracle-shared pipelines
+    verbatim; overlap and the two ratios are pure integer set
+    arithmetic (empty denominators report 1e6 vacuously).
+
+    Scale shape: the two pipelines' own shapes plus one pairs-sized
+    semi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = minhash_lsh_pairs(docs, "doc_id", "text", JACCARD_T).select(
+        "doc_a", "doc_b"
+    )
+    ext = jaccard_pairs(
+        docs, "doc_id", "text", JACCARD_T, max_bucket=MAX_BUCKET
+    ).select("doc_a", "doc_b")
+    from dbt_project_spark.caching import persist_tracked
+
+    lsh = persist_tracked(lsh)
+    ext = persist_tracked(ext)
+    n_exact = ext.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh"))
+    n_both = lsh.join(ext, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(n_both))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_both",
+            F.expr(
+                "CAST(CASE WHEN n_exact = 0 THEN 1000000"
+                " ELSE n_both * 1000000 div n_exact END AS BIGINT)"
+            ).alias("recall_micro"),
+            F.expr(
+                "CAST(CASE WHEN n_lsh = 0 THEN 1000000"
+                " ELSE n_both * 1000000 div n_lsh END AS BIGINT)"
+            ).alias("precision_micro"),
+        )
+    )

@@ -1679,3 +1679,116 @@ def shard_interleave_runs_test(
             " div sk2 END AS BIGINT)"
         ).alias("clump_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# nb_mcc_score — one-number multi-class eval of the classifier (r5s20)
+# ---------------------------------------------------------------------------
+
+
+def _nb_mcc_oracle_sql() -> str:
+    from dbt_project_spark.catalog import ORACLES
+
+    return f"""
+    WITH cm AS ({ORACLES["nb_lang_classifier"]}),
+    tk AS (SELECT true_lang AS k, CAST(SUM(n_docs) AS BIGINT) AS t
+           FROM cm GROUP BY 1),
+    pk AS (SELECT pred_lang AS k, CAST(SUM(n_docs) AS BIGINT) AS p
+           FROM cm GROUP BY 1),
+    tots AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+                    CAST(SUM(CASE WHEN true_lang = pred_lang
+                             THEN n_docs ELSE 0 END) AS BIGINT) AS tr
+             FROM cm),
+    tp AS (SELECT CAST(SUM(CAST(COALESCE(tk.t, 0) AS HUGEINT)
+                           * COALESCE(pk.p, 0)) AS HUGEINT) AS stp
+           FROM tk FULL JOIN pk ON pk.k = tk.k),
+    s2 AS (SELECT (SELECT CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT)
+                   FROM tk) AS st2,
+                  (SELECT CAST(SUM(CAST(p AS HUGEINT) * p) AS HUGEINT)
+                   FROM pk) AS sp2)
+    SELECT tots.n AS n_test, tots.tr AS n_correct,
+           CAST(tots.tr * 1000000 // tots.n AS BIGINT) AS accuracy_micro,
+           CASE WHEN CAST(tots.n AS HUGEINT) * tots.n = s2.st2
+                     OR CAST(tots.n AS HUGEINT) * tots.n = s2.sp2
+                THEN NULL
+                ELSE ROUND((CAST(tots.n AS DOUBLE) * tots.tr
+                            - CAST(tp.stp AS DOUBLE))
+                     / (sqrt(CAST(tots.n AS DOUBLE) * tots.n
+                             - CAST(s2.st2 AS DOUBLE))
+                        * sqrt(CAST(tots.n AS DOUBLE) * tots.n
+                               - CAST(s2.sp2 AS DOUBLE))), 6) END AS mcc
+    FROM tots CROSS JOIN tp CROSS JOIN s2
+    """
+
+
+@register("nb_mcc_score", oracle=_nb_mcc_oracle_sql())
+def nb_mcc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class Matthews correlation (the Gorodkin Rk) of the NB
+    language classifier — the single chance-corrected number on top
+    of nb_lang_classifier's confusion matrix: accuracy flatters any
+    classifier on imbalanced labels (predict the majority and score
+    its prevalence); MCC is 0 for that strategy and 1 only for a
+    perfect diagonal. The headline that goes on the model dashboard;
+    the matrix stays for the debugging.
+
+    Exactness: row/column sums, N·tr, and Σt_k·p_k are exact
+    HUGEINT/DECIMAL(38,0) integers off the registered confusion
+    matrix (the oracle embeds nb_lang_classifier's SQL verbatim);
+    the MCC is one fixed scalar double expression with two sqrts,
+    ROUND 6; a degenerate all-one-class margin emits NULL.
+
+    Scale shape: the classifier's own dataflow plus a
+    |langs|²-sized rollup."""
+    cm = nb_lang_classifier(spark, sf_dir)
+    from dbt_project_spark.caching import persist_tracked
+
+    cm = persist_tracked(cm)
+    tk = cm.groupBy(F.col("true_lang").alias("k")).agg(
+        F.sum("n_docs").cast("bigint").alias("t")
+    )
+    pk = cm.groupBy(F.col("pred_lang").alias("k")).agg(
+        F.sum("n_docs").cast("bigint").alias("p")
+    )
+    tots = cm.agg(
+        F.sum("n_docs").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("true_lang") == F.col("pred_lang"), F.col("n_docs")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tr"),
+    )
+    tp = (
+        tk.join(pk, "k", "full")
+        .agg(
+            F.expr(
+                "SUM(CAST(COALESCE(t, 0) AS DECIMAL(38,0))"
+                " * COALESCE(p, 0))"
+            ).alias("stp")
+        )
+    )
+    s2 = tk.agg(
+        F.expr("SUM(CAST(t AS DECIMAL(38,0)) * t)").alias("st2")
+    ).crossJoin(
+        pk.agg(F.expr("SUM(CAST(p AS DECIMAL(38,0)) * p)").alias("sp2"))
+    )
+    return (
+        tots.crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(s2))
+        .select(
+            F.col("n").alias("n_test"),
+            F.col("tr").alias("n_correct"),
+            F.expr("CAST(tr * 1000000 div n AS BIGINT)").alias(
+                "accuracy_micro"
+            ),
+            F.expr(
+                "CASE WHEN CAST(n AS DECIMAL(38,0)) * n = st2"
+                " OR CAST(n AS DECIMAL(38,0)) * n = sp2 THEN NULL"
+                " ELSE ROUND((CAST(n AS DOUBLE) * tr - CAST(stp AS DOUBLE))"
+                " / (sqrt(CAST(n AS DOUBLE) * n - CAST(st2 AS DOUBLE))"
+                " * sqrt(CAST(n AS DOUBLE) * n - CAST(sp2 AS DOUBLE))), 6)"
+                " END"
+            ).alias("mcc"),
+        )
+    )

@@ -1157,3 +1157,45 @@ def test_delta_method_zero_variance_ratio(spark, tmp_path):
     assert r["ratio_micro"] == 600 * 1000000 // 2
     assert r["se_delta"] == 0.0
     assert r["ratio_dbl"] == 300.0
+
+
+def test_minhash_vs_exact_identical_docs(spark, tmp_path):
+    """Identical docs: both pipelines find the same pair set —
+    recall and precision exactly 1e6."""
+    from dbt_project_spark.queries_dedup import minhash_vs_exact_recall
+
+    base = " ".join(f"tok{i:03d}" for i in range(40))
+    _docs(spark, tmp_path, [(1, base), (2, base),
+                            (3, "something else entirely here today")])
+    r = minhash_vs_exact_recall(spark, str(tmp_path)).collect()[0]
+    assert r["n_exact"] == 1 and r["n_lsh"] == 1 and r["n_both"] == 1
+    assert r["recall_micro"] == 1000000
+    assert r["precision_micro"] == 1000000
+
+
+def test_nb_mcc_bounds_and_accuracy_consistency(spark, tmp_path):
+    """On a tiny separable corpus MCC is defined (or NULL on a
+    degenerate margin) and accuracy matches the matrix trace."""
+    from dbt_project_spark.queries_training import nb_mcc_score
+
+    rows = []
+    for i in range(1, 21):
+        lang = "en" if i % 2 == 0 else "fr"
+        text = ("hello world common words " if lang == "en"
+                else "bonjour monde mots communs ") * 3
+        rows.append((i, text, lang, "src0", len(text)))
+    import pyspark.sql.functions as SF  # noqa: F401
+
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    r = nb_mcc_score(spark, str(tmp_path)).collect()[0]
+    assert r["n_test"] == 4  # doc_id % 5 == 0 -> 5,10,15,20
+    assert 0 <= r["n_correct"] <= r["n_test"]
+    assert r["accuracy_micro"] == r["n_correct"] * 1000000 // r["n_test"]
+    if r["mcc"] is not None:
+        assert -1.0 <= r["mcc"] <= 1.0
