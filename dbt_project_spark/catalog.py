@@ -198,6 +198,8 @@ PRIORITY: list[str] = [
     "ratio_metric_delta_method",
     "minhash_vs_exact_recall",
     "nb_mcc_score",
+    "ts_variance_ratio",
+    "dedup_survivorship_by_source",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

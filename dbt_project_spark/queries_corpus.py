@@ -2467,3 +2467,78 @@ def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lo6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_survivorship_by_source — what the keep-list costs each source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_survivorship_by_source",
+    oracle=f"""
+    WITH kl AS ({_keep_list_oracle()}),
+    ds AS (SELECT doc_id, source,
+                  CAST(len({_TOKS}) AS BIGINT) AS n_toks
+           FROM documents),
+    j AS (SELECT ds.source, ds.n_toks,
+                 CASE WHEN kl.keep THEN 1 ELSE 0 END AS keep
+          FROM ds JOIN kl ON kl.doc_id = ds.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS kept_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(keep * n_toks) AS BIGINT) AS kept_tokens,
+           CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT)
+               AS doc_survival_micro,
+           CAST(SUM(keep * n_toks) * 1000000 // SUM(n_toks) AS BIGINT)
+               AS token_survival_micro
+    FROM j GROUP BY source
+    """,
+)
+def dedup_survivorship_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What the dedup keep-list costs each SOURCE: per-source doc and
+    token survival rates after corpus_keep_list's
+    one-representative-per-cluster policy. Uniform survival means
+    duplication is spread evenly; one source cratering means it's
+    re-serving content the others already contributed (syndication,
+    mirrors) — the evidence behind a down-weight decision, and the
+    number to diff against dedup_cross_batch's straddle share.
+
+    Exactness: verdicts are the registered keep-list dataflow
+    verbatim (oracle embeds its recursive-CTE SQL); survival rates
+    are truncating micro divisions over exact counts.
+
+    Scale shape: the keep-list's own shape plus one corpus-scan
+    join and a |sources|-row rollup — token counts via one array
+    pass, never an explode."""
+    kl = corpus_keep_list(spark, sf_dir).select("doc_id", "keep")
+    ds = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+            " AS BIGINT)"
+        ).alias("n_toks"),
+    )
+    j = ds.join(kl, "doc_id").select(
+        "source",
+        "n_toks",
+        F.when(F.col("keep"), 1).otherwise(0).alias("keep"),
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("keep").cast("bigint").alias("kept_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("keep") * F.col("n_toks"))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.expr("CAST(SUM(keep) * 1000000 div COUNT(*) AS BIGINT)").alias(
+            "doc_survival_micro"
+        ),
+        F.expr(
+            "CAST(SUM(keep * n_toks) * 1000000 div SUM(n_toks) AS BIGINT)"
+        ).alias("token_survival_micro"),
+    )

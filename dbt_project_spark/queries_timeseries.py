@@ -1824,3 +1824,94 @@ def forecast_backtest_coverage(
         "n_covered",
         "coverage_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_variance_ratio — random walk or mean reversion? (r5s21)
+# ---------------------------------------------------------------------------
+
+VR_LAGS = (1, 2, 4, 8)
+
+
+@register(
+    "ts_variance_ratio",
+    oracle=f"""
+    WITH d AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                        // 86400 AS day,
+                      CAST(SUM({_V100}) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+    lg AS (SELECT unnest([{", ".join(str(q) for q in VR_LAGS)}]) AS q),
+    df AS (SELECT lg.q, a.y - b.y AS dv
+           FROM lg JOIN d a ON TRUE
+           JOIN d b ON b.day = a.day - lg.q),
+    m AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dv) AS BIGINT) AS s,
+                 CAST(SUM(CAST(dv AS HUGEINT) * dv) AS HUGEINT) AS ss
+          FROM df GROUP BY q),
+    v AS (SELECT q, n,
+                 (CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) / n) * s)
+                     / (n - 1.0) AS var
+          FROM m),
+    base AS (SELECT var AS v1 FROM v WHERE q = 1)
+    SELECT CAST(v.q AS BIGINT) AS q, v.n AS n_diffs,
+           CASE WHEN base.v1 = 0 THEN NULL
+                ELSE ROUND(v.var / (v.q * base.v1), 6) END AS vr
+    FROM v CROSS JOIN base
+    """,
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio table of the daily total-value
+    series: VR(q) = Var(q-day difference)/(q·Var(1-day difference))
+    at q = 1, 2, 4, 8 — a random walk holds VR ≈ 1 at every horizon,
+    mean reversion pulls it below 1, trending pushes above. The
+    one-table answer to 'is this series forecastable at all?' that
+    decides whether the smoothing/forecast family (ts_ewma,
+    seasonal_naive, Brown) can beat a naive carry-forward.
+
+    Exactness: q-day differences are exact integer cents; per-q
+    moments are exact DECIMAL(38,0)/HUGEINT sums; each variance and
+    the ratio are one fixed scalar double expression, ROUND 6; a
+    degenerate zero base variance emits NULL.
+
+    Scale shape: one daily aggregate; the 4-lag fan-out self-joins
+    only the days table."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr("unix_timestamp(ts) div 86400").alias("day"))
+        .agg(F.sum(F.expr(_V100)).cast("bigint").alias("y"))
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    d = persist_tracked(d)
+    lg = spark.createDataFrame([(q,) for q in VR_LAGS], "q bigint")
+    a = d.select("day", "y")
+    b = d.select(F.col("day").alias("bday"), F.col("y").alias("by"))
+    df = (
+        lg.crossJoin(a)
+        .join(b, F.col("bday") == F.col("day") - F.col("q"))
+        .select("q", (F.col("y") - F.col("by")).alias("dv"))
+    )
+    m = df.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dv").cast("bigint").alias("s"),
+        F.expr("SUM(CAST(dv AS DECIMAL(38,0)) * dv)").alias("ss"),
+    )
+    v = m.select(
+        "q",
+        "n",
+        (
+            (
+                F.col("ss").cast("double")
+                - (F.col("s").cast("double") / F.col("n")) * F.col("s")
+            )
+            / (F.col("n") - 1.0)
+        ).alias("var"),
+    )
+    base = v.filter(F.col("q") == 1).select(F.col("var").alias("v1"))
+    return v.crossJoin(F.broadcast(base)).select(
+        F.col("q").cast("bigint").alias("q"),
+        F.col("n").alias("n_diffs"),
+        F.when(F.col("v1") == 0, F.lit(None))
+        .otherwise(F.round(F.col("var") / (F.col("q") * F.col("v1")), 6))
+        .alias("vr"),
+    )

@@ -1199,3 +1199,52 @@ def test_nb_mcc_bounds_and_accuracy_consistency(spark, tmp_path):
     assert r["accuracy_micro"] == r["n_correct"] * 1000000 // r["n_test"]
     if r["mcc"] is not None:
         assert -1.0 <= r["mcc"] <= 1.0
+
+
+def test_variance_ratio_iid_steps(spark, tmp_path):
+    """An exact alternating +1/-1 daily series is strongly mean
+    reverting: VR(2) is far below 1 (2-day differences are zero)."""
+    from dbt_project_spark.queries_timeseries import ts_variance_ratio
+
+    import datetime
+
+    rows = []
+    for i in range(20):
+        day = datetime.date(2024, 1, 1) + datetime.timedelta(days=i)
+        v = 10.00 if i % 2 == 0 else 11.00
+        rows.append((i + 1, f"{day} 00:00:00", 1, "view", v))
+    _write_events(spark, tmp_path, rows)
+    out = {r["q"]: r for r in
+           ts_variance_ratio(spark, str(tmp_path)).collect()}
+    assert out[1]["vr"] == 1.0
+    assert out[2]["vr"] == 0.0  # 2-day diffs identically zero
+    assert out[4]["vr"] == 0.0 and out[8]["vr"] == 0.0
+
+
+def test_survivorship_duplicated_source_penalized(spark, tmp_path):
+    """A source made of clones keeps one doc; a unique source keeps
+    everything."""
+    from dbt_project_spark.queries_corpus import (
+        dedup_survivorship_by_source,
+    )
+
+    base = " ".join(f"tok{i:03d}" for i in range(40))
+    rows = [(i, base, "en", "srcDup", len(base)) for i in range(1, 5)]
+    rows += [
+        (10 + i, f"unique text number {i} " + " ".join(
+            f"w{i}{j}" for j in range(20)), "en", "srcUniq", 100)
+        for i in range(1, 5)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["source"]: r for r in
+           dedup_survivorship_by_source(spark, str(tmp_path)).collect()}
+    assert out["srcDup"]["n_docs"] == 4 and out["srcDup"]["kept_docs"] == 1
+    assert out["srcDup"]["doc_survival_micro"] == 250000
+    assert out["srcUniq"]["kept_docs"] == 4
+    assert out["srcUniq"]["doc_survival_micro"] == 1000000
