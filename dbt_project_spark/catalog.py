@@ -200,6 +200,8 @@ PRIORITY: list[str] = [
     "nb_mcc_score",
     "ts_variance_ratio",
     "dedup_survivorship_by_source",
+    "recency_churn_auc",
+    "markov_reach_purchase",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -2257,3 +2257,241 @@ def ratio_metric_delta_method(
         ).alias("se_delta"),
         F.round(F.col("mx") / F.col("my"), 6).alias("ratio_dbl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# recency_churn_auc — exact AUC of the simplest churn model (r5s22)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recency_churn_auc",
+    oracle=f"""
+    WITH e AS (SELECT user_id, {_EP} AS ep FROM events
+               WHERE user_id IS NOT NULL),
+    mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS m FROM e),
+    u AS (SELECT user_id,
+                 CAST(MAX(CASE WHEN ep < (SELECT m FROM mid)
+                          THEN ep END) AS BIGINT) AS last_before,
+                 CAST(MAX(CASE WHEN ep >= (SELECT m FROM mid)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS active_after
+          FROM e GROUP BY user_id),
+    sc AS (SELECT user_id,
+                  (SELECT m FROM mid) - last_before AS recency_s,
+                  active_after
+           FROM u WHERE last_before IS NOT NULL),
+    r AS (SELECT active_after,
+                 ROW_NUMBER() OVER (ORDER BY recency_s DESC, user_id)
+                     AS rk
+          FROM sc),
+    t AS (SELECT CAST(SUM(active_after) AS BIGINT) AS n_pos,
+                 CAST(SUM(1 - active_after) AS BIGINT) AS n_neg,
+                 CAST(SUM(CASE WHEN active_after = 1 THEN rk END)
+                      AS BIGINT) AS rank_sum
+          FROM r)
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE CAST((CAST(rank_sum AS HUGEINT)
+                           - CAST(n_pos AS HUGEINT) * (n_pos + 1) / 2)
+                          * 1000000 // (CAST(n_pos AS HUGEINT) * n_neg)
+                          AS BIGINT) END AS auc_micro
+    FROM t
+    """,
+)
+def recency_churn_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC of the simplest churn predictor there is — 'the more
+    recently you were seen, the more likely you return': score =
+    recency at the observation midpoint, outcome = any activity
+    after it. AUC via the Mann-Whitney identity (U from the rank sum
+    of positives under the score ordering) — the BASELINE every
+    churn model must beat, and the yardstick that makes
+    user_decay_score's fancier half-life score auditable.
+
+    Exactness: recency scores are integer seconds with tie-free
+    (score, user_id) ranks (the ranker_kendall_tau convention — no
+    tie correction), so U and AUC = (ΣR₊ − n₊(n₊+1)/2)/(n₊·n₋) are
+    PURE INTEGERS to the final truncating micro division (n₊(n₊+1)
+    is always even — the /2 is exact). Degenerate single-class
+    populations emit NULL.
+
+    Scale shape: one events-sized per-user aggregate, one users-sized
+    rank sort (rangepartition at scale), a 1-row reduce."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select("user_id", F.unix_timestamp("ts").alias("ep"))
+    mid = e.agg(
+        F.expr("(min(ep) + max(ep)) div 2").cast("bigint").alias("m")
+    )
+    u = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("ep") < F.col("m"), F.col("ep")))
+            .cast("bigint")
+            .alias("last_before"),
+            F.max(F.when(F.col("ep") >= F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("active_after"),
+            F.max("m").alias("m"),
+        )
+    )
+    sc = u.filter(F.col("last_before").isNotNull()).select(
+        "user_id",
+        (F.col("m") - F.col("last_before")).alias("recency_s"),
+        "active_after",
+    )
+    r = sc.select(
+        "active_after",
+        F.row_number()
+        .over(Window.orderBy(F.desc("recency_s"), "user_id"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    t = r.agg(
+        F.sum("active_after").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("active_after")).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("active_after") == 1, F.col("rk")))
+        .cast("bigint")
+        .alias("rank_sum"),
+    )
+    return t.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL"
+            " ELSE CAST((CAST(rank_sum AS DECIMAL(38,0))"
+            " - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) / 2)"
+            " * 1000000 div (CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+            " AS BIGINT) END"
+        ).alias("auc_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# markov_reach_purchase — bounded hitting probability (r5s22)
+# ---------------------------------------------------------------------------
+
+MRP_STEPS = 4
+MRP_TARGET = "purchase"
+
+
+def _mrp_oracle_sql() -> str:
+    ctes = [
+        f"""s AS (SELECT user_id, event_type,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY {_EP}, event_id)
+                         AS next_type
+              FROM events)""",
+        """c AS (SELECT event_type AS f, next_type AS t,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)""",
+        """rowt AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nf
+               FROM c GROUP BY f)""",
+        f"""p AS (SELECT c.f, c.t,
+                     CAST(c.n * 1000000 // rowt.nf AS BIGINT) AS p6
+              FROM c JOIN rowt USING (f))""",
+        f"""r0 AS (SELECT f AS ty, CAST(0 AS BIGINT) AS v FROM rowt)""",
+    ]
+    for k in range(1, MRP_STEPS + 1):
+        prev = f"r{k - 1}"
+        ctes.append(
+            f"""r{k} AS (SELECT p.f AS ty,
+                      CAST(SUM(CASE WHEN p.t = '{MRP_TARGET}'
+                                    THEN p.p6
+                                    ELSE p.p6 * {prev}.v // 1000000
+                               END) AS BIGINT) AS v
+               FROM p JOIN {prev} ON {prev}.ty = p.t
+               GROUP BY p.f)"""
+        )
+    sel = ", ".join(
+        f"r{k}.v AS reach{k}_micro" for k in range(1, MRP_STEPS + 1)
+    )
+    joins = " ".join(
+        f"JOIN r{k} ON r{k}.ty = r1.ty" for k in range(2, MRP_STEPS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT r1.ty AS event_type, {sel}
+    FROM r1 {joins}
+    """
+    )
+
+
+@register("markov_reach_purchase", oracle=_mrp_oracle_sql())
+def markov_reach_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded hitting probability of the PURCHASE state: from each
+    event type, the chance the chain reaches 'purchase' within 1-4
+    transitions — the recursion R_k(i) = Σ_j P(i,j)·(1 if j=purchase
+    else R_{k−1}(j)) unrolled. Where markov_stationary_mix says where
+    journeys settle eventually, this prices the SHORT game: which
+    current state is k clicks from money, the number a ranking or
+    nudge system keys on.
+
+    Determinism: the row-normalized ×1e6 transition matrix and every
+    iteration's re-truncated integer multiply-accumulate follow
+    markov_stationary_mix's conventions exactly — bit-identical
+    fixed points on both engines.
+
+    Scale shape: one user-partitioned lead() pass (shared with the
+    transition family); iterations on the |types|² matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.unix_timestamp("ts"), "event_id"
+            )
+        )
+        .alias("next_type"),
+    )
+    c = (
+        s.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("f"), F.col("next_type").alias("t"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    c = persist_tracked(c)
+    rowt = c.groupBy("f").agg(F.sum("n").cast("bigint").alias("nf"))
+    p = c.join(rowt, "f").select(
+        "f",
+        "t",
+        F.expr("CAST(n * 1000000 div nf AS BIGINT)").alias("p6"),
+    )
+    p = persist_tracked(p)
+    r = rowt.select(F.col("f").alias("ty"), F.lit(0).cast("bigint").alias("v"))
+    outs = []
+    for _ in range(MRP_STEPS):
+        r = (
+            p.join(r, p.t == r.ty)
+            .groupBy(F.col("f").alias("ty2"))
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("t") == MRP_TARGET, F.col("p6")
+                    ).otherwise(
+                        F.expr("p6 * v div 1000000")
+                    )
+                )
+                .cast("bigint")
+                .alias("v")
+            )
+            .select(F.col("ty2").alias("ty"), "v")
+        )
+        outs.append(r)
+    out = outs[0].select("ty", F.col("v").alias("reach1_micro"))
+    for k in range(2, MRP_STEPS + 1):
+        out = out.join(
+            outs[k - 1].select(
+                "ty", F.col("v").alias(f"reach{k}_micro")
+            ),
+            "ty",
+        )
+    return out.select(
+        F.col("ty").alias("event_type"),
+        *[f"reach{k}_micro" for k in range(1, MRP_STEPS + 1)],
+    )

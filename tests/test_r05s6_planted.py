@@ -1248,3 +1248,51 @@ def test_survivorship_duplicated_source_penalized(spark, tmp_path):
     assert out["srcDup"]["doc_survival_micro"] == 250000
     assert out["srcUniq"]["kept_docs"] == 4
     assert out["srcUniq"]["doc_survival_micro"] == 1000000
+
+
+def test_recency_auc_perfect_separation(spark, tmp_path):
+    """Returners were seen just before the midpoint, churners long
+    before: recency separates perfectly -> AUC exactly 1e6."""
+    from dbt_project_spark.queries_product import recency_churn_auc
+
+    rows, eid = [], 0
+    # span 00:00 .. 20:00, midpoint 10:00
+    eid += 1; rows.append((eid, "2024-01-01 00:00:00", 99, "view", 1.00))
+    eid += 1; rows.append((eid, "2024-01-01 20:00:00", 98, "view", 1.00))
+    # churners: last seen at 01:00 (huge recency), silent after mid
+    for u in (1, 2):
+        eid += 1
+        rows.append((eid, "2024-01-01 01:00:00", u, "view", 1.00))
+    # returners: seen at 09:00 (small recency) AND after the midpoint
+    for u in (3, 4):
+        eid += 1
+        rows.append((eid, "2024-01-01 09:00:00", u, "view", 1.00))
+        eid += 1
+        rows.append((eid, "2024-01-01 12:00:00", u, "view", 1.00))
+    _write_events(spark, tmp_path, rows)
+    r = recency_churn_auc(spark, str(tmp_path)).collect()[0]
+    # user 99 (00:00) churns, user 98 only after mid (excluded: no
+    # pre-mid event? 98's event is at 20:00 -> last_before NULL)
+    assert r["n_pos"] == 2 and r["n_neg"] == 3
+    assert r["auc_micro"] == 1000000
+
+
+def test_markov_reach_deterministic_chain(spark, tmp_path):
+    """view -> purchase always: reach from 'view' is 1e6 at every
+    horizon; from 'purchase' it is whatever purchase's successor
+    distribution gives (here purchase -> view -> purchase: reach1 0,
+    reach2 1e6)."""
+    from dbt_project_spark.queries_product import markov_reach_purchase
+
+    rows, eid = [], 0
+    seq = ["view", "purchase"] * 6
+    for i, t in enumerate(seq):
+        eid += 1
+        rows.append((eid, f"2024-01-01 {i:02d}:00:00", 1, t, 1.00))
+    _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           markov_reach_purchase(spark, str(tmp_path)).collect()}
+    assert out["view"]["reach1_micro"] == 1000000
+    assert out["view"]["reach4_micro"] == 1000000
+    assert out["purchase"]["reach1_micro"] == 0
+    assert out["purchase"]["reach2_micro"] == 1000000
