@@ -202,6 +202,7 @@ PRIORITY: list[str] = [
     "dedup_survivorship_by_source",
     "recency_churn_auc",
     "markov_reach_purchase",
+    "hill_tail_index",
     # --- changed in r04/r05 (previously driver-green, re-verified
     # locally after the change, plus the vanilla-session gate) —
     # verdict refreshes; these rotate into the r06 window ---

@@ -1733,3 +1733,92 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# hill_tail_index — how heavy is the value tail, really (r5s23)
+# ---------------------------------------------------------------------------
+
+HILL_K = 100  # tail order statistics used
+
+
+@register(
+    "hill_tail_index",
+    oracle=f"""
+    WITH e AS (SELECT event_id, {_V100} AS v FROM events WHERE {_V100} > 0),
+    top AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, event_id) AS rk
+            FROM e ORDER BY v DESC, event_id LIMIT {HILL_K} + 1),
+    thr AS (SELECT v AS vk FROM top WHERE rk = {HILL_K} + 1),
+    terms AS (SELECT CAST(round(ln(CAST(top.v AS DOUBLE) / thr.vk)
+                                * 1000000000) AS BIGINT) AS l9
+              FROM top CROSS JOIN thr WHERE top.rk <= {HILL_K}),
+    s AS (SELECT CAST(SUM(l9) AS BIGINT) AS s9,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM terms)
+    SELECT s.k AS k_tail, thr.vk AS threshold_v100,
+           CAST(s.s9 // s.k AS BIGINT) AS hill_gamma_nano,
+           CASE WHEN s.s9 = 0 THEN NULL
+                ELSE ROUND(CAST(s.k AS DOUBLE) * 1000000000 / s.s9, 6)
+           END AS alpha_hat
+    FROM s CROSS JOIN thr
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the value distribution's tail index over the
+    top-{K} order statistics: γ̂ = (1/k)·Σ ln(x_(i)/x_(k+1)), α̂ =
+    1/γ̂. α below ~2 means infinite variance — every mean-based
+    statistic in the stack (welch, CUPED, the delta method) is on
+    thin ice and the medians/winsorized family should lead. The
+    power-law sibling of gumbel_block_maxima's bounded-tail fit; read
+    the two together to pick the EVT regime.
+
+    Exactness: the tail set is a deterministic (value, event_id)
+    top-(k+1); each order statistic contributes ONE ×1e9 ln-term
+    BIGINT against the exact threshold value (fixed-point-sum
+    convention), γ̂ is a truncating nano division and α̂ one scalar
+    double, ROUND 6; an all-equal tail (Σ = 0) emits NULL α̂.
+
+    Scale shape: one TakeOrdered heap over the corpus, then
+    constant-size arithmetic."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr(_V100).alias("v")
+    ).filter(F.col("v") > 0)
+    top = (
+        e.orderBy(F.desc("v"), "event_id")
+        .limit(HILL_K + 1)
+        .select(
+            "v",
+            F.row_number()
+            .over(Window.orderBy(F.desc("v"), "event_id"))
+            .alias("rk"),
+        )
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    top = persist_tracked(top)
+    thr = top.filter(F.col("rk") == HILL_K + 1).select(
+        F.col("v").alias("vk")
+    )
+    terms = (
+        top.filter(F.col("rk") <= HILL_K)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.expr(
+                "CAST(round(ln(CAST(v AS DOUBLE) / vk) * 1000000000)"
+                " AS BIGINT)"
+            ).alias("l9")
+        )
+    )
+    s = terms.agg(
+        F.sum("l9").cast("bigint").alias("s9"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return s.crossJoin(F.broadcast(thr)).select(
+        F.col("k").alias("k_tail"),
+        F.col("vk").alias("threshold_v100"),
+        F.expr("CAST(s9 div k AS BIGINT)").alias("hill_gamma_nano"),
+        F.expr(
+            "CASE WHEN s9 = 0 THEN NULL"
+            " ELSE ROUND(CAST(k AS DOUBLE) * 1000000000 / s9, 6) END"
+        ).alias("alpha_hat"),
+    )

@@ -1296,3 +1296,32 @@ def test_markov_reach_deterministic_chain(spark, tmp_path):
     assert out["view"]["reach4_micro"] == 1000000
     assert out["purchase"]["reach1_micro"] == 0
     assert out["purchase"]["reach2_micro"] == 1000000
+
+
+def test_hill_index_exact_pareto_ratios(spark, tmp_path):
+    """A tail of doubled values over the threshold: every ln ratio is
+    a known constant, so gamma is the exact integer mean of the two
+    rounded ln terms."""
+    from dbt_project_spark.queries_quality import (
+        HILL_K,
+        hill_tail_index,
+    )
+
+    # HILL_K = 100 needs 101 positive values; make the top three
+    # 40.00, 20.00, 10.00 and the remaining 98 all 10.00 -> the
+    # k+1-th value is 10.00 and only the top two contribute nonzero
+    rows = [(1, "2024-01-01 00:00:00", 1, "view", 40.00),
+            (2, "2024-01-01 00:01:00", 1, "view", 20.00)]
+    for i in range(3, HILL_K + 2):
+        rows.append((i, f"2024-01-01 {i % 24:02d}:{i % 60:02d}:00",
+                     1, "view", 10.00))
+    _write_events(spark, tmp_path, rows)
+    r = hill_tail_index(spark, str(tmp_path)).collect()[0]
+    assert r["k_tail"] == HILL_K
+    assert r["threshold_v100"] == 1000
+    import math
+
+    ln4 = round(math.log(4.0) * 1e9)
+    ln2 = round(math.log(2.0) * 1e9)
+    assert r["hill_gamma_nano"] == (ln4 + ln2) // HILL_K
+    assert r["alpha_hat"] is not None
