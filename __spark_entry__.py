@@ -39,7 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered by ``catalog.PRIORITY`` so the driver's 50-query
+    Ordered by ``catalog.priority_names()`` (derived at call time
+    from the checked-in CORRECTNESS_r*.json) so the driver's 50-query
     correctness window always covers never-verified / changed / new
     queries first; prior-round driver-green queries overflow the
     window but stay covered by the local replica gate.

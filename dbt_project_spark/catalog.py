@@ -42,192 +42,80 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# The driver's correctness gate checks only the FIRST 50 registrations
-# it sees in ``queries()``.  PRIORITY curates that window: queries that
-# have never had a driver verdict, were changed this round, or are new
-# come first; queries already driver-green in a prior round rotate to
-# the overflow tail (they stay verified by the local replica gate,
-# ``python -m dbt_project_spark.oracle_check``).  Names listed here are
-# emitted first (in this order); everything else follows in
-# registration order.
-PRIORITY: list[str] = [
-    # --- r05 window curation (VERDICT r04 task 1): the 37 queries
-    # with NO driver verdict yet (union of CORRECTNESS_r01..r04)
-    # come first, so the 50-slot r05 window finally hard-gates them.
-    # All 37 are green in the local replica gate at sf0.01.
-    "priority_sample_weighted",
-    "minhash_estimate_error",
-    "text_readability",
-    "ann_recall_quantized",
-    "ann_recall_truncated_dims",
-    "fd_profile",
-    "rapid_repeat_orders",
-    "mm_chunk_dedup",
-    "cumulative_reach_daily",
-    "pq_train_encode",
-    "pq_ann_topk",
-    "dedup_cluster_histogram",
-    "collocation_pmi",
-    "zipf_vocab_fit",
-    "heaps_law_fit",
-    "error_burst_detect",
-    "interarrival_stats",
-    "mk_trend_sen_slope",
-    "ks_exponential_interarrival",
-    "dft_weekly_power",
-    "cohort_revenue_retention",
-    "cuped_variance_reduction",
-    "lift_chart_deciles",
-    "user_item_recs",
-    "clustering_coefficient",
-    "lpa_communities",
-    "link_prediction_jaccard",
-    "repurchase_intervals",
-    "price_elasticity_parts",
-    "segment_migration_matrix",
-    "revenue_bridge_pvm",
-    "activity_bitmask_stats",
-    "watermark_lateness_stats",
-    "spc_pchart_error_rate",
-    "profile_drift_halves",
-    "kaplan_meier_retention",
-    "table_file_stats",
-    # --- new in r05 (no driver verdict yet), complexity-first: the 13
-    # here fill window slots 38..50; dp_noisy_daily_counts (simplest,
-    # locally + vanilla green) and the changed-refresh block below
-    # overflow to the r06 window. ---
-    "ivf_build_index",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_residual_topk",
-    "mm_chunk_dedup_cdc",
-    "attribution_markov_removal",
-    "minhash_band_tuning",
-    "ann_recall_ivfpq",
-    "ann_recall_ivfpq_residual",
-    "ann_recall_ivf",
-    "corpus_gopher_rules",
-    "welch_ttest_value",
-    "slo_burn_rate",
-    "price_index_laspeyres",
-    "dp_noisy_daily_counts",
-    "vocab_coverage_curve",
-    "hits_trade",
-    "ivf_cell_balance",
-    "ann_probe_recall_sweep",
-    "bpe_train_merges",
-    "bpe_tokenize_stats",
-    "dedup_semantic",
-    "dedup_semantic_recall",
-    "dsir_importance_weights",
-    "nb_lang_classifier",
-    "ccnet_perplexity_buckets",
-    "moore_lewis_selection",
-    "embedding_dim_drift",
-    "dedup_semantic_keeplist",
-    "exact_substr_spans",
-    "degree_assortativity",
-    "bpe_fertility_by_lang",
-    "ts_double_exp_smoothing",
-    "ann_ivfpq_refine",
-    "ann_recall_ivfpq_refine",
-    "bm25_ndcg_eval",
-    "ab_srm_check",
-    "mm_byte_entropy",
-    "semantic_threshold_sweep",
-    "corpus_selection_composite",
-    "trade_reciprocity",
-    "bpe_pack_budget",
-    "bootstrap_mean_ci",
-    "negative_sampling_dist",
-    "attribution_time_decay",
-    "user_activity_streaks",
-    "corpus_novelty_curve",
-    "nb_margin_calibration",
-    "ranker_agreement_topk",
-    "winnowing_fingerprints",
-    "ranker_kendall_tau",
-    "source_temperature_mix",
-    "did_estimator",
-    "pack_padding_waste_sweep",
-    "simpson_slope_reversal",
-    "ab_power_mde",
-    "anova_oneway",
-    "jarque_bera_value",
-    "spearman_user_value",
-    "l_diversity_audit",
-    "xcorr_lead_lag",
-    "embedding_pca_power",
-    "quantile_drift_qq",
-    "order_backlog_series",
-    "pca_explained_variance",
-    "query_expansion_prf",
-    "pii_density_report",
-    "stratified_kfold_assignment",
-    "degree_powerlaw_fit",
-    "lorenz_curve_deciles",
-    "weibull_survival_fit",
-    "count_overdispersion",
-    "hash_uniformity_audit",
-    "embedding_pca_outliers",
-    "dft_power_spectrum",
-    "vocab_drift_halves",
-    "ngram_entropy_rate",
-    "filter_agreement_kappa",
-    "fulfillment_latency_by_priority",
-    "markov_stationary_mix",
-    "ab_sequential_wald",
-    "source_lm_surprisal",
-    "linreg_two_factor",
-    "holdout_perplexity_bigram",
-    "knn_langid_eval",
-    "dedup_cross_batch",
-    "simhash_radius_sweep",
-    "gumbel_block_maxima",
-    "conversion_window_sensitivity",
-    "bm25_param_sensitivity",
-    "embedding_centroid_separation",
-    "shard_interleave_runs_test",
-    "weekend_conversion_odds",
-    "dedup_pair_transitivity",
-    "ingest_gap_report",
-    "negbin_moment_fit",
-    "capture_recapture_users",
-    "good_turing_unseen_mass",
-    "source_distinctive_terms",
-    "forecast_backtest_coverage",
-    "ratio_metric_delta_method",
-    "minhash_vs_exact_recall",
-    "nb_mcc_score",
-    "ts_variance_ratio",
-    "dedup_survivorship_by_source",
-    "recency_churn_auc",
-    "markov_reach_purchase",
-    "hill_tail_index",
-    # --- changed in r04/r05 (previously driver-green, re-verified
-    # locally after the change, plus the vanilla-session gate) —
-    # verdict refreshes; these rotate into the r06 window ---
-    "ann_ivf_topk",
-    "ivf_train_centroids",
-    "triangle_count",
-    "dedup_clusters",
-    "corpus_keep_list",
-    "bfs_hops_trade",
-    "twa_by_type_day",
-    "win_time_range_avg",
-    "bigram_lm_quality",
-]
+# The driver's correctness gate checks only the FIRST 50 entries it
+# sees in ``queries()``.  That window is DERIVED MECHANICALLY here from
+# the checked-in per-round driver verdicts (CORRECTNESS_r*.json at the
+# repo root), so it can never go stale (VERDICT r05 task 1; the manual
+# curation went stale in r04 and again in r05):
+#
+#   1. ``REFRESH`` — queries whose semantics changed this round, so
+#      their prior driver verdict no longer applies (manual, usually
+#      empty; treat as debt).
+#   2. driver debt — registered queries with no green driver verdict
+#      in any checked-in CORRECTNESS file, in registration order.
+#   3. driver-green queries rotate to the tail (they stay verified by
+#      the local replica gate, ``python -m dbt_project_spark.oracle_check``).
+#
+# After each round the driver checks in CORRECTNESS_r{N}.json, the
+# freshly verified names fall out of tier 2 automatically, and the
+# next 50 debt queries float to the front.
+
+# Queries changed this round whose prior driver verdict is stale.
+REFRESH: list[str] = []
+
+
+def _repo_root():
+    import pathlib
+
+    return pathlib.Path(__file__).resolve().parent.parent
+
+
+@functools.lru_cache(maxsize=1)
+def driver_green() -> frozenset[str]:
+    """Names with a green driver verdict in any CORRECTNESS_r*.json.
+
+    Green = the driver recorded rows+schema(+hash where computed)
+    matches with no error. Missing/unparseable files are skipped, so a
+    fresh checkout degrades to "everything is debt" (registration
+    order) rather than failing."""
+    import json
+
+    green: set[str] = set()
+    for path in sorted(_repo_root().glob("CORRECTNESS_r*.json")):
+        try:
+            records = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(records, dict):
+            continue
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = (
+                rec.get("err") in (None, "")
+                and rec.get("rows_match") is True
+                and rec.get("schema_match") is not False
+                and rec.get("hash_match") is not False
+            )
+            if ok:
+                green.add(name)
+    return frozenset(green)
+
+
+def priority_names() -> list[str]:
+    """The derived window order: REFRESH, then driver debt, then green."""
+    green = driver_green()
+    refresh = [n for n in REFRESH if n in QUERIES]
+    taken = set(refresh)
+    debt = [n for n in QUERIES if n not in green and n not in taken]
+    taken.update(debt)
+    tail = [n for n in QUERIES if n not in taken]
+    return refresh + debt + tail
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """QUERIES reordered so PRIORITY names come first."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in PRIORITY:
-        if name in QUERIES:
-            out[name] = QUERIES[name]
-    for name, fn in QUERIES.items():
-        if name not in out:
-            out[name] = fn
-    return out
+    """QUERIES reordered so the derived priority names come first."""
+    return {name: QUERIES[name] for name in priority_names()}
 
 
 def load_all() -> None:
@@ -254,3 +142,4 @@ def load_all() -> None:
     import dbt_project_spark.queries_retrieval  # noqa: F401
     import dbt_project_spark.queries_governance  # noqa: F401
     import dbt_project_spark.queries_ops  # noqa: F401
+    import dbt_project_spark.queries_streaming_parity  # noqa: F401

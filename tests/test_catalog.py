@@ -10,10 +10,12 @@ import pytest
 
 from dbt_project_spark.catalog import (
     ORACLES,
-    PRIORITY,
     QUERIES,
+    REFRESH,
+    driver_green,
     load_all,
     ordered_queries,
+    priority_names,
 )
 from dbt_project_spark.oracle_check import check_query, duckdb_conn
 from tests.conftest import SF_SMOKE
@@ -28,12 +30,31 @@ def test_every_query_has_oracle_or_is_documented():
 
 
 def test_priority_order_is_well_formed():
-    # No stale names, no duplicates, and reordering loses no queries.
-    assert set(PRIORITY) <= set(QUERIES), sorted(set(PRIORITY) - set(QUERIES))
-    assert len(PRIORITY) == len(set(PRIORITY))
+    # No duplicates, and reordering loses no queries.
+    names = priority_names()
+    assert len(names) == len(set(names))
     ordered = ordered_queries()
-    assert list(ordered)[: len(PRIORITY)] == [n for n in PRIORITY if n in QUERIES]
+    assert list(ordered) == names
     assert set(ordered) == set(QUERIES)
+    assert set(REFRESH) <= set(QUERIES), sorted(set(REFRESH) - set(QUERIES))
+
+
+def test_driver_window_covers_debt():
+    """The driver's 50-query window must hard-gate driver-unverified
+    queries while debt remains (VERDICT r05 task 1: the manually
+    curated window went stale two rounds running; the order is now
+    derived from the checked-in CORRECTNESS_r*.json at import)."""
+    green = driver_green()
+    debt = [n for n in QUERIES if n not in green]
+    window = list(ordered_queries())[:50]
+    # REFRESH names are allowed in the window even if driver-green:
+    # their semantics changed, so the old verdict is stale.
+    stale_green = set(window) & (set(green) - set(REFRESH))
+    if len(debt) + len(set(REFRESH) & set(QUERIES)) >= 50:
+        assert not stale_green, sorted(stale_green)
+    else:
+        # Debt no longer fills the window — every debt name must be in it.
+        assert set(debt) <= set(window), sorted(set(debt) - set(window))
 
 
 def test_no_hugeint_oracle_columns():
