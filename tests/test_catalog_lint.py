@@ -69,21 +69,20 @@ ORACLE_GATE_ONLY = {
 # query ships without a test and without joining ORACLE_GATE_ONLY.
 PENDING_NAMED_TESTS = {
     "asof_nearest_error", "basket_rules",
-    "bfs_hops_trade", "bm25_topk", "bpe_fertility_by_lang", "bpe_pack_budget",
-    "clustering_coefficient", "corpus_keep_list", "corpus_mix_sample",
+    "bm25_topk", "bpe_fertility_by_lang", "bpe_pack_budget",
+    "corpus_keep_list", "corpus_mix_sample",
     "corpus_novelty_curve", "corpus_sample_stratified",
     "corpus_selection_composite", "corpus_shard_shuffle",
     "dedup_cluster_histogram", "dedup_clusters", "dedup_incremental",
-    "dedup_pair_evidence", "dedup_simhash", "degree_assortativity",
-    "hits_trade", "hll_sketch_rollup", "inverted_index",
-    "kcore_parts", "kmv_user_overlap",
-    "lpa_communities", "mm_arrow_byte_stats", "mm_audio_windows",
+    "dedup_pair_evidence", "dedup_simhash", "hll_sketch_rollup", "inverted_index",
+    "kmv_user_overlap",
+    "mm_arrow_byte_stats", "mm_audio_windows",
     "mm_binary_features", "mm_chunk_dedup_cdc", "mm_frame_sample",
     "ranker_agreement_topk", "rrf_hybrid_topk",
     "semantic_threshold_sweep", "skew_salted_join", "split_group_aware",
     "table_diff_cdc", "text_chunking", "text_fingerprint", "text_langid",
     "text_quality", "text_tokens", "tfidf_top_terms", "theta_set_ops",
-    "trade_graph_diagnostics", "trade_reciprocity", "vec_normalize",
+    "vec_normalize",
     "vec_quantize_int8", "zorder_locality",
 }
 
