@@ -73,8 +73,7 @@ PENDING_NAMED_TESTS = {
     "corpus_keep_list", "corpus_mix_sample",
     "corpus_novelty_curve", "corpus_sample_stratified",
     "corpus_selection_composite", "corpus_shard_shuffle",
-    "dedup_cluster_histogram", "dedup_clusters", "dedup_incremental",
-    "dedup_pair_evidence", "dedup_simhash", "hll_sketch_rollup", "inverted_index",
+    "hll_sketch_rollup", "inverted_index",
     "kmv_user_overlap",
     "mm_arrow_byte_stats", "mm_audio_windows",
     "mm_binary_features", "mm_chunk_dedup_cdc", "mm_frame_sample",
