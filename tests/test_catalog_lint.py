@@ -69,18 +69,15 @@ ORACLE_GATE_ONLY = {
 # query ships without a test and without joining ORACLE_GATE_ONLY.
 PENDING_NAMED_TESTS = {
     "asof_nearest_error", "basket_rules",
-    "bm25_topk", "bpe_fertility_by_lang", "bpe_pack_budget",
+    "bpe_fertility_by_lang", "bpe_pack_budget",
     "corpus_keep_list", "corpus_mix_sample",
     "corpus_novelty_curve", "corpus_sample_stratified",
     "corpus_selection_composite", "corpus_shard_shuffle",
-    "hll_sketch_rollup", "inverted_index",
-    "kmv_user_overlap",
+    "hll_sketch_rollup", "kmv_user_overlap",
     "mm_arrow_byte_stats", "mm_audio_windows",
     "mm_binary_features", "mm_chunk_dedup_cdc", "mm_frame_sample",
-    "ranker_agreement_topk", "rrf_hybrid_topk",
     "semantic_threshold_sweep", "skew_salted_join", "split_group_aware",
-    "table_diff_cdc", "text_chunking", "text_fingerprint", "text_langid",
-    "text_quality", "text_tokens", "tfidf_top_terms", "theta_set_ops",
+    "table_diff_cdc", "theta_set_ops",
     "vec_normalize",
     "vec_quantize_int8", "zorder_locality",
 }
