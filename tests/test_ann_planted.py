@@ -140,6 +140,22 @@ def test_ivf_build_index_planted(spark, ann_dir):
     assert got == want
 
 
+def test_semantic_threshold_sweep_planted(spark, ann_dir):
+    # every within-cluster cosine is exactly 1.0 and every cross-
+    # cluster cosine exactly 0.0 — so the τ sweep (0.80..0.95) is
+    # FLAT: the same pair count and drop count at every threshold
+    rows = QUERIES["semantic_threshold_sweep"](spark, ann_dir).collect()
+    taus = sorted(r["tau_centi"] for r in rows)
+    assert len(taus) >= 3 and taus[0] >= 80 and taus[-1] <= 95
+    assert len({r["n_pairs"] for r in rows}) == 1
+    assert len({r["n_dropped_docs"] for r in rows}) == 1
+    assert all(r["n_pairs"] > 0 for r in rows)
+    # dropped = every non-minimum cluster member (N − C) plus the
+    # sweep's planted clones (vec_id % 20 == 0 → N/16 of them), each
+    # a cosine-1.0 higher-id pair member at every τ
+    assert all(r["n_dropped_docs"] == (N - C) + N // 16 for r in rows)
+
+
 def test_ivf_train_centroids_planted(spark, ann_dir):
     # K=16 centroids; every trained centroid (and every empty-cluster
     # carried seed) is one of the planted one-hot points, so each

@@ -74,12 +74,9 @@ PENDING_NAMED_TESTS = {
     "corpus_novelty_curve", "corpus_sample_stratified",
     "corpus_selection_composite", "corpus_shard_shuffle",
     "hll_sketch_rollup", "kmv_user_overlap",
-    "mm_arrow_byte_stats", "mm_audio_windows",
-    "mm_binary_features", "mm_chunk_dedup_cdc", "mm_frame_sample",
-    "semantic_threshold_sweep", "skew_salted_join", "split_group_aware",
+    "skew_salted_join", "split_group_aware",
     "table_diff_cdc", "theta_set_ops",
-    "vec_normalize",
-    "vec_quantize_int8", "zorder_locality",
+    "zorder_locality",
 }
 
 
