@@ -68,16 +68,12 @@ ORACLE_GATE_ONLY = {
 # below fails if a name gains a test but stays listed, or if any NEW
 # query ships without a test and without joining ORACLE_GATE_ONLY.
 PENDING_NAMED_TESTS = {
-    "asof_nearest_error", "basket_rules",
     "bpe_fertility_by_lang", "bpe_pack_budget",
     "corpus_keep_list", "corpus_mix_sample",
     "corpus_novelty_curve", "corpus_sample_stratified",
     "corpus_selection_composite", "corpus_shard_shuffle",
-    "hll_sketch_rollup", "kmv_user_overlap",
-    "skew_salted_join", "split_group_aware",
-    "table_diff_cdc", "theta_set_ops",
-    "zorder_locality",
-}
+    "split_group_aware",
+    }
 
 
 def _test_corpus() -> str:

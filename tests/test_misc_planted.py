@@ -1,0 +1,252 @@
+"""Planted tests for the remaining events/orders/lineitem catalog
+queries (r06 lint burn-down): sketch set-algebra (KMV / theta / HLL
+rollup), the salted skew join, Z-order locality, the nearest as-of
+join, snapshot CDC diff, and market-basket rules. Every expectation is
+recomputed in plain Python from the planted rows (sketches stay below
+their exact-mode cardinality, so even the "estimates" are exact).
+"""
+
+import math
+import os
+from datetime import datetime, timedelta
+
+import pytest
+
+from dbt_project_spark.catalog import QUERIES, load_all
+
+load_all()
+
+D1 = datetime(2024, 1, 1)
+D2 = datetime(2024, 1, 2)
+D3 = datetime(2024, 1, 3)
+
+
+def _events() -> list[tuple]:
+    rows = []
+    eid = 0
+
+    def add(ts, user, etype, value):
+        nonlocal eid
+        rows.append((eid, ts, user, etype, value, '{"k": 1}'))
+        eid += 1
+
+    for u in range(1, 101):  # purchase cohort, day 1
+        add(D1 + timedelta(minutes=u), u, "purchase", u + 0.25)
+    for u in range(51, 151):  # error cohort, day 2
+        add(D2 + timedelta(minutes=u), u, "error", u + 0.5)
+    # as-of geometry, day 3 (tolerance = 600 s)
+    add(D3 + timedelta(hours=10), 201, "error", 201.25)
+    add(D3 + timedelta(hours=10, seconds=200), 201, "purchase", 201.25)
+    add(D3 + timedelta(hours=10, seconds=1000), 201, "error", 201.25)
+    add(D3 + timedelta(hours=11), 202, "purchase", 202.25)
+    add(D3 + timedelta(hours=11, seconds=300), 202, "error", 202.25)
+    add(D3 + timedelta(hours=12), 203, "purchase", 203.25)
+    add(D3 + timedelta(hours=12, seconds=1200), 203, "error", 203.25)
+    add(D3 + timedelta(hours=13), 204, "error", 204.25)
+    add(D3 + timedelta(hours=13, seconds=100), 204, "purchase", 204.25)
+    add(D3 + timedelta(hours=13, seconds=200), 204, "error", 204.25)
+    return rows
+
+
+EVENTS = _events()
+
+
+@pytest.fixture(scope="module")
+def ev_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("misc_planted") / "evsf")
+    spark.createDataFrame(
+        EVENTS,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def _users(etype):
+    return {u for _, _, u, t, _, _ in EVENTS if t == etype}
+
+
+def test_kmv_user_overlap_planted(spark, ev_dir):
+    # all three sketched sets are below k=256, so estimates are exact
+    p, e = _users("purchase"), _users("error")
+    rows = QUERIES["kmv_user_overlap"](spark, ev_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["est_purchase_users"] == float(len(p))
+    assert r["est_error_users"] == float(len(e))
+    assert r["est_union"] == float(len(p | e))
+    assert r["est_overlap"] == float(len(p) + len(e) - len(p | e))
+    assert r["exact_overlap"] == len(p & e) == 54
+
+
+def test_theta_set_ops_planted(spark, ev_dir):
+    p, e = _users("purchase"), _users("error")
+    rows = QUERIES["theta_set_ops"](spark, ev_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["exact_purchase"] == len(p) == 104
+    assert r["exact_error"] == len(e) == 104
+    assert r["exact_inter"] == len(p & e) == 54
+    assert r["exact_a_not_b"] == len(p - e) == 50
+    assert r["inter_within_5pct"] and r["a_not_b_within_5pct"]
+    assert r["union_within_5pct"]
+
+
+def test_hll_sketch_rollup_planted(spark, ev_dir):
+    rows = QUERIES["hll_sketch_rollup"](spark, ev_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_days"] == 3
+    assert r["exact_month_users"] == len({u for _, _, u, _, _, _ in EVENTS})
+    assert r["union_within_5pct"] is True
+
+
+def test_skew_salted_join_planted(spark, ev_dir):
+    # salting must reproduce the plain join+aggregate exactly
+    want = {}
+    for _, _, u, _, v, _ in EVENTS:
+        key = 0 if u % 10 < 9 else u
+        n, tot = want.get(key, (0, 0))
+        want[key] = (n + 1, tot + round(v * 100))
+    got = {r["skew_key"]: (r["key_rows"], r["n"], r["total_value"]) for r in
+           QUERIES["skew_salted_join"](spark, ev_dir).collect()}
+    assert got == {k: (n, n, t / 100.0) for k, (n, t) in want.items()}
+    assert got[0][1] == sum(
+        1 for _, _, u, _, _, _ in EVENTS if u % 10 < 9
+    )  # the planted hot key
+
+
+def _morton(u: int, v: int) -> int:
+    z = 0
+    for b in range(16):
+        z |= ((u >> b) & 1) << (2 * b)
+        z |= ((v >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_locality_planted(spark, ev_dir):
+    want = {}
+    for _, _, u, _, val, _ in EVENTS:
+        uu, vv = u & 65535, round(val * 100) & 65535
+        bucket = _morton(uu, vv) >> 24
+        if bucket not in want:
+            want[bucket] = [0, uu, uu, vv, vv]
+        w = want[bucket]
+        w[0] += 1
+        w[1], w[2] = min(w[1], uu), max(w[2], uu)
+        w[3], w[4] = min(w[3], vv), max(w[4], vv)
+    got = {r["z_bucket"]: [r["n_rows"], r["u_min"], r["u_max"],
+                           r["v_min"], r["v_max"]] for r in
+           QUERIES["zorder_locality"](spark, ev_dir).collect()}
+    assert got == want
+
+
+def test_asof_nearest_error_planted(spark, ev_dir):
+    # python replica of merge_asof(direction='nearest', tolerance=600s)
+    per_user_errors = {}
+    for eid, ts, u, t, _, _ in EVENTS:
+        if t == "error":
+            per_user_errors.setdefault(u, []).append((ts, eid))
+    want = {}
+    for eid, ts, u, t, _, _ in EVENTS:
+        if t != "purchase":
+            continue
+        before = [(ts - e_ts, e_id) for e_ts, e_id in
+                  per_user_errors.get(u, []) if e_ts <= ts
+                  and (ts - e_ts).total_seconds() <= 600]
+        after = [(e_ts - ts, e_id) for e_ts, e_id in
+                 per_user_errors.get(u, []) if e_ts > ts
+                 and (e_ts - ts).total_seconds() <= 600]
+        b = min(before) if before else None
+        a = min(after) if after else None
+        if b is not None and (a is None or b[0] <= a[0]):
+            want[eid] = ("before", b[1], int(b[0].total_seconds()))
+        elif a is not None:
+            want[eid] = ("after", a[1], int(a[0].total_seconds()))
+        else:
+            want[eid] = ("none", -1, -1)
+    got = {r["event_id"]: (r["side"], r["nearest_error_id"], r["delta_s"])
+           for r in QUERIES["asof_nearest_error"](spark, ev_dir).collect()}
+    assert got == want
+    # the planted shapes all occurred: nearer-before, after-only,
+    # out-of-tolerance, and the equidistant tie (resolves to before)
+    sides = [got[eid][0] for eid, _, u, t, _, _ in EVENTS
+             if t == "purchase" and u > 200]
+    assert sides == ["before", "after", "none", "before"]
+    assert got[max(e for e, _, u, t, _, _ in EVENTS
+                   if u == 204 and t == "purchase")][2] == 100
+
+
+@pytest.fixture(scope="module")
+def orders_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cdc_orders") / "odsf")
+    rows = [
+        # key, date, status, price — exercising every diff rule
+        (1, "1996-05-01", "O", 10.00),    # unchanged → filtered out
+        (29, "1996-05-02", "O", 20.00),   # status flips to 'P'
+        (13, "1996-05-03", "F", 10.00),   # price 1000 → 1100 cents
+        (97, "1996-05-04", "O", 30.00),   # deleted from new snapshot
+        (2, "1997-09-01", "O", 40.00),    # insert (new snapshot only)
+        (377, "1996-06-01", "O", 50.00),  # 13·29: both columns change
+    ]
+    spark.createDataFrame(
+        [(k, 5, "x", s, p, dt, "1-URGENT") for k, dt, s, p in rows],
+        "o_orderkey bigint, o_custkey bigint, o_name string, "
+        "o_orderstatus string, o_totalprice double, o_orderdate string, "
+        "o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "cast(o_orderdate as timestamp) o_orderdate", "o_orderpriority",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    return d
+
+
+def test_table_diff_cdc_planted(spark, orders_dir):
+    got = {r["order_id"]: (r["op"], r["changed"], r["status_old"],
+                           r["status_new"], r["price100_old"],
+                           r["price100_new"]) for r in
+           QUERIES["table_diff_cdc"](spark, orders_dir).collect()}
+    assert got == {
+        29: ("U", "status", "O", "P", 2000, 2000),
+        13: ("U", "price100", "F", "F", 1000, 1100),
+        97: ("D", "", "O", None, 3000, None),
+        2: ("I", "", None, "O", None, 4000),
+        377: ("U", "status,price100", "O", "P", 5000, 5500),
+    }  # key 1 is unchanged and must not appear
+
+
+@pytest.fixture(scope="module")
+def baskets_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("baskets") / "bksf")
+    li = []
+    for ok, parts in ((1, (1, 2)), (2, (1, 2)), (3, (1, 2, 3)), (4, (3,))):
+        for ln, p in enumerate(parts, start=1):
+            li.append((ok, p, 1, ln, 1.0, 100.0, 0.0, 0.0, "N", "O",
+                       "1996-01-02 00:00:00"))
+    import pyspark.sql.functions as F  # noqa: F401
+
+    spark.createDataFrame(
+        li,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "cast(l_shipdate as timestamp) l_shipdate",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+def test_basket_rules_planted(spark, baskets_dir):
+    # only (1,2) reaches MB_MIN_PAIR=3; both directed rules emitted
+    got = {(r["antecedent"], r["consequent"]):
+           (r["support_n"], r["confidence"], r["lift"]) for r in
+           QUERIES["basket_rules"](spark, baskets_dir).collect()}
+    # item counts: part1=3, part2=3; n_orders=4
+    lift = round(3 * 4 / (3 * 3), 6)
+    assert got == {
+        (1, 2): (3, 1.0, lift),
+        (2, 1): (3, 1.0, lift),
+    }
