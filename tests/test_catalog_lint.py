@@ -62,18 +62,11 @@ ORACLE_GATE_ONLY = {
 }
 
 
-# Ratchet (r6): algorithmic queries still awaiting a by-name planted
-# test — being burned down this round in themed batches (ANN, graph,
-# dedup, text/retrieval, corpus, misc). Shrink-only: the ratchet test
-# below fails if a name gains a test but stays listed, or if any NEW
-# query ships without a test and without joining ORACLE_GATE_ONLY.
-PENDING_NAMED_TESTS = {
-    "bpe_fertility_by_lang", "bpe_pack_budget",
-    "corpus_keep_list", "corpus_mix_sample",
-    "corpus_novelty_curve", "corpus_sample_stratified",
-    "corpus_selection_composite", "corpus_shard_shuffle",
-    "split_group_aware",
-    }
+# The r6 burn-down closed every gap: algorithmic queries all carry a
+# by-name planted test now. Kept as an empty set so the lint stays
+# strict — any NEW registration must ship with a by-name test or a
+# documented ORACLE_GATE_ONLY entry in the same commit.
+PENDING_NAMED_TESTS: set[str] = set()
 
 
 def _test_corpus() -> str:
