@@ -855,3 +855,110 @@ def negbin_moment_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE NULL END"
         ).alias("p_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint — tabular CUSUM level-shift detector (r6)
+# ---------------------------------------------------------------------------
+
+CUSUM_H_SD = 4  # alarm threshold: 4 standard deviations of the daily count
+
+
+@register(
+    "cusum_changepoint",
+    oracle=f"""
+    WITH x AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS d,
+                 CAST(SUM(n) AS BIGINT) AS sx,
+                 CAST(SUM(n::HUGEINT * n) AS HUGEINT) AS sxx
+          FROM x),
+    m AS (SELECT d, sx * 1000000 // d AS mean_micro,
+                 CAST(round(sqrt((d * sxx - sx::HUGEINT * sx)::DOUBLE)
+                            / d * 1000000) AS BIGINT) AS sd_micro
+          FROM s),
+    p AS (SELECT x.day, x.n,
+                 CAST(SUM(x.n * 1000000 - m.mean_micro)
+                      OVER (ORDER BY x.day) AS BIGINT) AS pf,
+                 m.sd_micro
+          FROM x CROSS JOIN m),
+    c AS (SELECT day, n, sd_micro,
+                 pf - LEAST(CAST(0 AS BIGINT),
+                            MIN(pf) OVER (ORDER BY day)) AS cpos,
+                 GREATEST(CAST(0 AS BIGINT),
+                          MAX(pf) OVER (ORDER BY day)) - pf AS cneg
+          FROM p)
+    SELECT day, n AS n_events,
+           CAST(cpos AS BIGINT) AS cusum_pos_micro,
+           CAST(cneg AS BIGINT) AS cusum_neg_micro,
+           cpos > {CUSUM_H_SD} * sd_micro AS alarm_pos,
+           cneg > {CUSUM_H_SD} * sd_micro AS alarm_neg
+    FROM c
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM change-point detector over the daily event-rate
+    series (Page 1954): the sequential level-shift monitor SPC teams
+    run next to the p-chart (spc_pchart_error_rate watches a RATE
+    against fixed limits; this watches the LEVEL for a persistent
+    shift, which single-day limits miss when the shift is small but
+    sustained).
+
+    The one-sided recursions S+_d = max(0, S+_{d-1} + dev_d) and
+    S-_d = max(0, S-_{d-1} - dev_d) look sequential but are exactly
+    window-expressible: with P the prefix sum of deviations,
+    S+ = P - min(0, running_min(P)) and S- = max(0, running_max(P)) -
+    P — two frames over ONE day-ordered sort. Deviations are exact
+    micro-units around the floor-mean; the only irrational step is
+    one sqrt for the alarm threshold (4·sd), written as the
+    textually identical IEEE expression in both engines. Moment sums
+    run in DECIMAL(38,0)/HUGEINT so 10⁹-events/day counts can't
+    overflow the x² sum.
+
+    Scale shape: events collapse to the days-sized count table first
+    (one map-side-combinable aggregate — the only corpus-sized work);
+    the windows run over days, so the unpartitioned sort is bounded
+    by the calendar, not the data."""
+    x = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    x = persist_tracked(x)
+    s = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("n").cast("bigint").alias("sx"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("sxx"),
+    )
+    m = s.select(
+        F.expr("CAST(sx * 1000000 div d AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "CAST(round(sqrt(CAST(d * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+            " AS DOUBLE)) / d * 1000000) AS BIGINT)"
+        ).alias("sd_micro"),
+    )
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = x.crossJoin(F.broadcast(m)).withColumn(
+        "pf",
+        F.sum(F.col("n") * 1_000_000 - F.col("mean_micro")).over(wp)
+        .cast("bigint"),
+    )
+    c = p.select(
+        "day",
+        "n",
+        "sd_micro",
+        (F.col("pf") - F.least(F.lit(0).cast("bigint"),
+                               F.min("pf").over(wp))).alias("cpos"),
+        (F.greatest(F.lit(0).cast("bigint"), F.max("pf").over(wp))
+         - F.col("pf")).alias("cneg"),
+    )
+    return c.select(
+        "day",
+        F.col("n").alias("n_events"),
+        F.col("cpos").cast("bigint").alias("cusum_pos_micro"),
+        F.col("cneg").cast("bigint").alias("cusum_neg_micro"),
+        (F.col("cpos") > CUSUM_H_SD * F.col("sd_micro")).alias("alarm_pos"),
+        (F.col("cneg") > CUSUM_H_SD * F.col("sd_micro")).alias("alarm_neg"),
+    )

@@ -250,3 +250,50 @@ def test_basket_rules_planted(spark, baskets_dir):
         (1, 2): (3, 1.0, lift),
         (2, 1): (3, 1.0, lift),
     }
+
+
+@pytest.fixture(scope="module")
+def shift_dir(spark, tmp_path_factory):
+    # 20 days of events: 10/day for days 1-10, then a sustained level
+    # shift to 30/day for days 11-20
+    d = str(tmp_path_factory.mktemp("cusum_planted") / "cssf")
+    rows, eid = [], 0
+    for day in range(20):
+        rate = 10 if day < 10 else 30
+        for j in range(rate):
+            rows.append((eid, D1 + timedelta(days=day, minutes=j), 1 + j,
+                         "view", 1.25, '{"k": 1}'))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_cusum_changepoint_planted(spark, shift_dir):
+    # python replica: S+ = P - min(0, runmin P), S- = max(0, runmax P) - P
+    counts = [(10 if day < 10 else 30) for day in range(20)]
+    d, sx = len(counts), sum(counts)
+    sxx = sum(n * n for n in counts)
+    mean_micro = sx * 1_000_000 // d
+    sd_micro = round(math.sqrt(d * sxx - sx * sx) / d * 1_000_000)
+    pf, run_min, run_max = 0, 0, 0
+    want = {}
+    for day, n in enumerate(counts):
+        pf += n * 1_000_000 - mean_micro
+        run_min, run_max = min(run_min, pf), max(run_max, pf)
+        cpos = pf - min(0, run_min)
+        cneg = max(0, run_max) - pf
+        key = (D1 + timedelta(days=day)).strftime("%Y-%m-%d")
+        want[key] = (n, cpos, cneg, cpos > 4 * sd_micro,
+                     cneg > 4 * sd_micro)
+    got = {r["day"]: (r["n_events"], r["cusum_pos_micro"],
+                      r["cusum_neg_micro"], r["alarm_pos"], r["alarm_neg"])
+           for r in QUERIES["cusum_changepoint"](spark, shift_dir).collect()}
+    assert got == want
+    # the negative side accumulates during the low regime and the
+    # positive side fires after the level shift, never before it
+    assert not any(got[k][3] for k in sorted(got)[:10])
+    assert any(got[k][3] for k in sorted(got)[10:])
