@@ -1915,3 +1915,131 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.col("var") / (F.col("q") * F.col("v1")), 6))
         .alias("vr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal_strength — STL-style seasonal-strength diagnostic (r6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_strength",
+    oracle="""
+    WITH x AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+    o AS (SELECT day, n,
+                 CAST(SUM(n * 1000000) OVER w AS BIGINT) AS s7,
+                 COUNT(*) OVER w AS c7
+          FROM x
+          WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                       AND 3 FOLLOWING)),
+    det AS (SELECT day, isodow(CAST(day AS DATE)) AS dow,
+                   n * 1000000 - (s7 // 7) AS det
+            FROM o WHERE c7 = 7),
+    seam AS (SELECT dow,
+                    CAST(SUM(det) AS BIGINT) AS sd,
+                    CAST(COUNT(*) AS BIGINT) AS cd
+             FROM det GROUP BY dow),
+    sea AS (SELECT dow,
+                   CASE WHEN sd < 0 THEN -(abs(sd) // cd)
+                        ELSE sd // cd END AS sea
+            FROM seam),
+    r AS (SELECT d.det, d.det - s.sea AS resid
+          FROM det d JOIN sea s ON s.dow = d.dow),
+    v AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+                 CAST(SUM(det::HUGEINT * det) AS HUGEINT) AS sdd,
+                 CAST(SUM(det) AS HUGEINT) AS sd1,
+                 CAST(SUM(resid::HUGEINT * resid) AS HUGEINT) AS srr,
+                 CAST(SUM(resid) AS HUGEINT) AS sr1
+          FROM r)
+    SELECT CAST(m AS BIGINT) AS n_days_interior,
+           CAST(m * sdd - sd1 * sd1 AS VARCHAR) AS var_detrended_num,
+           CAST(m * srr - sr1 * sr1 AS VARCHAR) AS var_resid_num,
+           CASE WHEN m * sdd - sd1 * sd1 = 0 THEN NULL
+                ELSE CAST(GREATEST(CAST(0 AS HUGEINT),
+                          (m * sdd - sd1 * sd1) - (m * srr - sr1 * sr1))
+                          * 1000000 // (m * sdd - sd1 * sd1) AS BIGINT)
+           END AS strength_micro
+    FROM v
+    """,
+)
+def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal strength of the daily event-rate series (Hyndman &
+    Athanasopoulos FPP: F_s = max(0, 1 − Var(remainder)/Var(detrended))
+    for a weekly period): the one number that says whether weekday
+    seasonality is real enough to adjust for — ~0 means weekday means
+    explain nothing, → 1 means the weekly profile dominates. The
+    decomposition sibling of weekday_seasonality (which reports the
+    per-day indices) and dft_weekly_power (spectrum form).
+
+    STL-lite, exact: trend = centered 7-day moving average over FULL
+    windows only (edges drop — a partial window would bias the level);
+    detrended values are micro-units with a floor trend; the weekly
+    component is the per-ISO-weekday mean with sign-safe truncating
+    division (Spark div truncates toward zero, DuckDB // floors — the
+    CASE makes both truncate); both variance numerators are exact
+    DECIMAL(38,0)/HUGEINT moments over the SAME row count, so the
+    ratio needs no separate denominators and ships as exact decimal
+    strings next to the clamped micro strength.
+
+    Scale shape: one corpus-sized daily aggregate, then everything
+    runs on the days-sized table (a 7-row frame, a ≤7-row weekday
+    aggregate, one 1-row moment reduce)."""
+    x = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    o = x.select(
+        "day",
+        "n",
+        F.sum(F.col("n") * 1_000_000).over(w7).cast("bigint").alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    det = o.filter(F.col("c7") == 7).select(
+        F.expr("weekday(to_date(day)) + 1").alias("dow"),
+        (F.col("n") * 1_000_000 - F.expr("s7 div 7")).alias("det"),
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    det = persist_tracked(det)
+    sea = (
+        det.groupBy("dow")
+        .agg(
+            F.sum("det").cast("bigint").alias("sd"),
+            F.count(F.lit(1)).cast("bigint").alias("cd"),
+        )
+        .select(
+            "dow",
+            F.expr(
+                "CASE WHEN sd < 0 THEN -(abs(sd) div cd)"
+                " ELSE sd div cd END"
+            ).alias("sea"),
+        )
+    )
+    r = det.join(F.broadcast(sea), "dow").select(
+        "det", (F.col("det") - F.col("sea")).alias("resid")
+    )
+    v = r.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum(F.col("det").cast("decimal(38,0)") * F.col("det")).alias("sdd"),
+        F.sum("det").cast("decimal(38,0)").alias("sd1"),
+        F.sum(F.col("resid").cast("decimal(38,0)") * F.col("resid")).alias(
+            "srr"
+        ),
+        F.sum("resid").cast("decimal(38,0)").alias("sr1"),
+    )
+    return v.select(
+        F.col("m").cast("bigint").alias("n_days_interior"),
+        F.expr("CAST(m * sdd - sd1 * sd1 AS STRING)").alias(
+            "var_detrended_num"
+        ),
+        F.expr("CAST(m * srr - sr1 * sr1 AS STRING)").alias("var_resid_num"),
+        F.expr(
+            "CASE WHEN m * sdd - sd1 * sd1 = 0 THEN NULL"
+            " ELSE CAST(GREATEST(CAST(0 AS DECIMAL(38,0)),"
+            " (m * sdd - sd1 * sd1) - (m * srr - sr1 * sr1))"
+            " * 1000000 div (m * sdd - sd1 * sd1) AS BIGINT) END"
+        ).alias("strength_micro"),
+    )

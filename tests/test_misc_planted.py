@@ -297,3 +297,42 @@ def test_cusum_changepoint_planted(spark, shift_dir):
     # positive side fires after the level shift, never before it
     assert not any(got[k][3] for k in sorted(got)[:10])
     assert any(got[k][3] for k in sorted(got)[10:])
+
+
+@pytest.fixture(scope="module")
+def seasonal_dir(spark, tmp_path_factory):
+    # 28 days from a Monday: linear trend + exact weekly pattern whose
+    # period sum (49) is divisible by 7, so the centered 7-day MA and
+    # the weekday means are exact and the residual is identically zero
+    d = str(tmp_path_factory.mktemp("seasonal_planted") / "sssf")
+    pattern = [0, 7, 14, 7, 0, 21, 0]  # Mon..Sun additions
+    rows, eid = [], 0
+    for day in range(28):
+        n = 100 + 3 * day + pattern[day % 7]
+        for j in range(n):
+            rows.append((eid, D1 + timedelta(days=day, seconds=j), 1 + j,
+                         "view", 1.25, '{"k": 1}'))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_seasonal_strength_planted(spark, seasonal_dir):
+    rows = QUERIES["seasonal_strength"](spark, seasonal_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 28 days minus 3 edge days each side
+    assert r["n_days_interior"] == 22
+    # detrended value depends only on the weekday: (pattern − 7)·10⁶
+    pattern = [0, 7, 14, 7, 0, 21, 0]
+    dets = [(pattern[(3 + i) % 7] - 7) * 1_000_000 for i in range(22)]
+    m, sd1 = len(dets), sum(dets)
+    sdd = sum(x * x for x in dets)
+    assert r["var_detrended_num"] == str(m * sdd - sd1 * sd1)
+    # pure trend + seasonality → zero remainder → strength exactly 1
+    assert r["var_resid_num"] == "0"
+    assert r["strength_micro"] == 1_000_000
