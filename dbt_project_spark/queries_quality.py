@@ -1822,3 +1822,120 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE ROUND(CAST(k AS DOUBLE) * 1000000000 / s9, 6) END"
         ).alias("alpha_hat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_value_drift — exact W1 distance between time halves (r6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wasserstein_value_drift",
+    oracle=f"""
+    WITH e AS (SELECT {_V100} AS v100,
+                      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+               FROM events),
+    mid AS (SELECT (MIN(ep) + MAX(ep)) // 2 AS m FROM e),
+    d AS (SELECT v100,
+                 CAST(SUM(CASE WHEN ep < (SELECT m FROM mid)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+                 CAST(SUM(CASE WHEN ep >= (SELECT m FROM mid)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS cc
+          FROM e GROUP BY v100),
+    t AS (SELECT CAST(SUM(cr) AS HUGEINT) AS nr,
+                 CAST(SUM(cc) AS HUGEINT) AS nc FROM d),
+    c AS (SELECT v100,
+                 CAST(SUM(cr) OVER w AS HUGEINT) AS cumr,
+                 CAST(SUM(cc) OVER w AS HUGEINT) AS cumc,
+                 LEAD(v100) OVER (ORDER BY v100) AS nxt
+          FROM d WINDOW w AS (ORDER BY v100
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)),
+    s AS (SELECT CAST(SUM(abs(c.cumr * t.nc - c.cumc * t.nr)
+                          * (c.nxt - c.v100)) AS HUGEINT) AS w1n
+          FROM c CROSS JOIN t WHERE c.nxt IS NOT NULL)
+    SELECT CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
+           CAST(COALESCE(s.w1n, 0) AS VARCHAR) AS w1_num,
+           CASE WHEN t.nr = 0 OR t.nc = 0 THEN NULL
+                ELSE CAST(COALESCE(s.w1n, 0) * 10000 // (t.nr * t.nc)
+                          AS BIGINT) END AS w1_value_micro
+    FROM t CROSS JOIN s
+    """,
+)
+def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between the value
+    distributions of the first and second time halves — the
+    distributional-drift number with UNITS (how far, in value terms,
+    did mass move), where PSI (drift_psi_value) is bucket-relative and
+    the QQ table (quantile_drift_qq) is rank-relative. W1 is what a
+    monitoring threshold in business units wants.
+
+    Exact integer form: W1 = ∫|F_ref − F_cur| dx over the empirical
+    CDFs = Σ_gaps |cumr·n_cur − cumc·n_ref| · Δv / (n_ref·n_cur),
+    computed on the DISTINCT-value grid (cents) with
+    DECIMAL(38,0)/HUGEINT products — no per-row floats anywhere; the
+    one floor division to micro value-units happens at the end.
+
+    Scale shape: one corpus-sized (value-cent, half) count aggregate;
+    the CDF windows run over the bounded distinct-value grid (the
+    value domain in cents — thousands of rows, independent of corpus
+    size), one 1-row reduce after."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(_V100).alias("v100"),
+        F.unix_timestamp("ts").alias("ep"),
+    )
+    from dbt_project_spark.caching import persist_tracked
+
+    e = persist_tracked(e)
+    mid = e.agg(
+        F.expr("CAST((MIN(ep) + MAX(ep)) div 2 AS BIGINT)").alias("m")
+    )
+    d = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("v100")
+        .agg(
+            F.sum(F.when(F.col("ep") < F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cr"),
+            F.sum(F.when(F.col("ep") >= F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cc"),
+        )
+    )
+    d = persist_tracked(d)
+    t = d.agg(
+        F.sum("cr").cast("decimal(38,0)").alias("nr"),
+        F.sum("cc").cast("decimal(38,0)").alias("nc"),
+    )
+    w = Window.orderBy("v100").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "v100",
+        F.sum("cr").over(w).cast("decimal(38,0)").alias("cumr"),
+        F.sum("cc").over(w).cast("decimal(38,0)").alias("cumc"),
+        F.lead("v100").over(Window.orderBy("v100")).alias("nxt"),
+    )
+    s = (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("nxt").isNotNull())
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cumr") * F.col("nc") - F.col("cumc") * F.col("nr")
+                )
+                * (F.col("nxt") - F.col("v100"))
+            ).alias("w1n")
+        )
+    )
+    return (
+        t.crossJoin(F.broadcast(s))
+        .select(
+            F.col("nr").cast("bigint").alias("n_ref"),
+            F.col("nc").cast("bigint").alias("n_cur"),
+            F.expr("CAST(COALESCE(w1n, 0) AS STRING)").alias("w1_num"),
+            F.expr(
+                "CASE WHEN nr = 0 OR nc = 0 THEN NULL"
+                " ELSE CAST(COALESCE(w1n, 0) * 10000 div (nr * nc)"
+                " AS BIGINT) END"
+            ).alias("w1_value_micro"),
+        )
+    )

@@ -336,3 +336,46 @@ def test_seasonal_strength_planted(spark, seasonal_dir):
     # pure trend + seasonality → zero remainder → strength exactly 1
     assert r["var_resid_num"] == "0"
     assert r["strength_micro"] == 1_000_000
+
+
+@pytest.fixture(scope="module")
+def w1_dir(spark, tmp_path_factory):
+    # ref half: values {1.00 x2, 2.00 x2}; cur half: {3.00 x2, 4.00 x2}
+    # → W1 between the empirical CDFs is exactly 2.00 value units
+    d = str(tmp_path_factory.mktemp("w1_planted") / "w1sf")
+    rows, eid = [], 0
+    for v in (1.0, 1.0, 2.0, 2.0):
+        rows.append((eid, D1 + timedelta(minutes=eid), 1, "view", v,
+                     '{"k": 1}'))
+        eid += 1
+    for v in (3.0, 3.0, 4.0, 4.0):
+        rows.append((eid, D3 + timedelta(minutes=eid), 1, "view", v,
+                     '{"k": 1}'))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_wasserstein_value_drift_planted(spark, w1_dir):
+    rows = QUERIES["wasserstein_value_drift"](spark, w1_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_ref"], r["n_cur"]) == (4, 4)
+    # python replica over the cent grid {100, 200, 300, 400}:
+    # |F_ref−F_cur| is 1/2 on [100,200), 1 on [200,300), 1/2 on
+    # [300,400) → W1 = 200 cents = 2.0 value units
+    grid = [(100, 2, 0), (200, 2, 0), (300, 0, 2), (400, 0, 2)]
+    nr = nc = 4
+    cumr = cumc = 0
+    w1n = 0
+    for (v, cr, cc), nxt in zip(grid, [g[0] for g in grid[1:]] + [None]):
+        cumr += cr
+        cumc += cc
+        if nxt is not None:
+            w1n += abs(cumr * nc - cumc * nr) * (nxt - v)
+    assert r["w1_num"] == str(w1n)
+    assert r["w1_value_micro"] == w1n * 10_000 // (nr * nc) == 2_000_000
