@@ -897,12 +897,16 @@ CUSUM_H_SD = 4  # alarm threshold: 4 standard deviations of the daily count
     """,
 )
 def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tabular CUSUM change-point detector over the daily event-rate
-    series (Page 1954): the sequential level-shift monitor SPC teams
-    run next to the p-chart (spc_pchart_error_rate watches a RATE
-    against fixed limits; this watches the LEVEL for a persistent
-    shift, which single-day limits miss when the shift is small but
-    sustained).
+    """Tabular CUSUM monitor over the daily event-rate series (Page
+    1954): the SEQUENTIAL alarm form — per-day one-sided cumulative
+    sums with a 4σ decision threshold, i.e. what an SPC dashboard
+    evaluates every morning. Distinct from its retrospective sibling
+    ts_cusum_changepoint (which locates the single best split point
+    by argmax of the n-scaled prefix deviation, after the fact): this
+    one answers "has a sustained shift emerged as of day d, and on
+    which side", which the p-chart's single-day limits
+    (spc_pchart_error_rate) miss when the shift is small but
+    persistent.
 
     The one-sided recursions S+_d = max(0, S+_{d-1} + dev_d) and
     S-_d = max(0, S-_{d-1} - dev_d) look sequential but are exactly

@@ -1969,8 +1969,12 @@ def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a weekly period): the one number that says whether weekday
     seasonality is real enough to adjust for — ~0 means weekday means
     explain nothing, → 1 means the weekly profile dominates. The
-    decomposition sibling of weekday_seasonality (which reports the
-    per-day indices) and dft_weekly_power (spectrum form).
+    one-number summary ON TOP of the ts_decompose_daily machinery
+    (which emits the full trend/seasonal/residual component table):
+    same centered-MA trend and weekday means, reduced to Hyndman's
+    variance ratio so a pipeline can threshold it; weekday_seasonality
+    reports the per-day indices and dft_weekly_power the spectrum
+    form.
 
     STL-lite, exact: trend = centered 7-day moving average over FULL
     windows only (edges drop — a partial window would bias the level);
