@@ -17,7 +17,7 @@ An additional sf1 section re-times the 10 most expensive queries at
 10× the base scale (data generated once into benchdata/ by
 dbt_project_spark.sfgen, key-offset replication) to catch constants
 that hide at sf0.1. The section is wall-clock budgeted
-($SPARK_GRAFT_SF1_BUDGET sec, default 240): extra passes are dropped
+($SPARK_GRAFT_SF1_BUDGET sec, default 420): extra passes are dropped
 first, then remaining queries are skipped — whatever was dropped is
 listed in the JSON, never silently.
 """
@@ -217,7 +217,10 @@ def main() -> None:
     global _SPARK
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "240"))
+    # 420 s: one full pass of the 18-query sf1 section (~280 s warm)
+    # plus partial second samples — 240 s left the r6 additions
+    # entirely unsampled ("skipped"), which defeats the section.
+    sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "420"))
     sf1_on = os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -267,6 +270,15 @@ def main() -> None:
             "noop"
         ).save()
         QUERIES["win_lag_delta"](_SPARK, sf1_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        # Warm the PQ serving path untimed: the first-ever IVF-PQ call
+        # on a corpus trains codebooks + encodes it (the once-per-
+        # corpus build — ivf_build_index times the coarse half
+        # explicitly). Inside the budget-limited single-run sf1
+        # section that build would masquerade as serving time (r6
+        # measured 32 s build+serve vs ~3 s warm serving).
+        QUERIES["ann_ivfpq_topk"](_SPARK, sf1_dir).write.mode(
             "overwrite"
         ).format("noop").save()
         sf1 = _bench(SF1_QUERIES, sf1_dir, runs, budget_s=sf1_budget)
