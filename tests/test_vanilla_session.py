@@ -75,6 +75,10 @@ _TS_QUERIES = [
     "simpson_slope_reversal",  # hour(ts) regressor
     # r05s6 additions with ts access patterns:
     "xcorr_lead_lag",  # to_date + epoch-day datediff lag join
+    # r06 additions with ts access patterns:
+    "cusum_changepoint",  # date_format day grid + day-ordered windows
+    "seasonal_strength",  # date_format + weekday(to_date()) ISO mapping
+    "wasserstein_value_drift",  # unix_timestamp half-split + value grid
 ]
 
 
