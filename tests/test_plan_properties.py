@@ -611,3 +611,23 @@ def test_pca_queries_no_cartesian(spark):
     for name in ("embedding_pca_power", "pca_explained_variance"):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
+
+
+def test_r6_series_queries_aggregate_before_windows(spark):
+    """cusum_changepoint / seasonal_strength / wasserstein_value_drift:
+    the corpus collapses to a bounded grid (days / distinct cents) in
+    ONE scan pass before any window runs — the windows must sit above
+    an aggregate exchange, and nothing may go pairwise."""
+    for name in (
+        "cusum_changepoint",
+        "seasonal_strength",
+        "wasserstein_value_drift",
+    ):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        # the grid aggregate exists (partial+final HashAggregate pair)
+        assert "HashAggregate" in plan, name
+        assert "Window" in plan, name
+        # moment/threshold tables ride back as broadcasts, never as a
+        # corpus-sized join
+        assert "SortMergeJoin" not in plan, name
