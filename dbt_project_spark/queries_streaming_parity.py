@@ -218,3 +218,65 @@ def serving_parity_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "serving_parity_windowed",
+    oracle="""
+    WITH g AS (SELECT DISTINCT
+                 CAST(floor(epoch(ts)/300) AS BIGINT) AS wb, event_type
+               FROM events)
+    SELECT 'windowed_dist_online' AS endpoint,
+           CAST(COUNT(*) AS BIGINT) AS n_inputs,
+           CAST(COUNT(*) AS BIGINT) AS matching_records,
+           CAST(0 AS BIGINT) AS stream_only,
+           CAST(0 AS BIGINT) AS batch_only,
+           CAST(100.0 AS DOUBLE) AS accuracy_percentage
+    FROM g
+    """,
+)
+def serving_parity_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN reconciliation, end to end: the update-mode
+    streaming windowed distribution (spark_streaming_new.py:142-153
+    run as a real multi-trigger file stream through the versioned
+    foreachBatch upsert of streaming/update_dist.py) must converge to
+    the batch windowed distribution row-for-row — count AND
+    recomputed pct-of-window — with exactly one row per
+    (5-min window, event_type) group (comparision.sql:25-41).
+    Completes the oracled serving-parity trio: retrieval
+    ([[serving_parity_ann]]), classification
+    ([[serving_parity_classifier]]), and the reference's original
+    windowed-analytics topology."""
+    from dbt_project_spark.operators.windows import (
+        windowed_count_distribution,
+    )
+    from dbt_project_spark.streaming.update_dist import (
+        read_current_distribution,
+        run_update_distribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="parity_win_")
+    try:
+        src = os.path.join(tmp, "src")
+        # 4 time-ranged files → 4 triggers; unbounded watermark keeps
+        # every event (update mode needs no eviction for correctness)
+        events.repartitionByRange(4, "ts").write.parquet(src)
+        run_update_distribution(
+            spark,
+            src,
+            state_dir=os.path.join(tmp, "state"),
+            out_dir=os.path.join(tmp, "out"),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            width_sec=300,
+            key_col="event_type",
+            watermark="3650 days",
+        )
+        final = read_current_distribution(spark, os.path.join(tmp, "out"))
+        streamed = spark.createDataFrame(final.collect(), final.schema)
+        batch = windowed_count_distribution(events, "ts", 300, ["event_type"])
+        return _parity_summary(
+            spark, "windowed_dist_online", streamed, batch, batch.count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -44,3 +44,21 @@ def test_serving_parity_classifier_reconciles(spark):
     assert r["matching_records"] == n_test
     assert r["stream_only"] == 0 and r["batch_only"] == 0
     assert r["accuracy_percentage"] == 100.0
+
+
+def test_serving_parity_windowed_reconciles(spark):
+    from dbt_project_spark.operators.windows import (
+        windowed_count_distribution,
+    )
+    from dbt_project_spark.sources import load_table
+
+    n_groups = windowed_count_distribution(
+        load_table(spark, SF_SMOKE, "events"), "ts", 300, ["event_type"]
+    ).count()
+    r = _row(spark, "serving_parity_windowed")
+    assert r["endpoint"] == "windowed_dist_online"
+    # one row per (5-min window, event_type) group, streamed == batch
+    assert r["n_inputs"] == n_groups
+    assert r["matching_records"] == n_groups
+    assert r["stream_only"] == 0 and r["batch_only"] == 0
+    assert r["accuracy_percentage"] == 100.0
