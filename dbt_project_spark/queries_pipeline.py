@@ -401,3 +401,104 @@ def rapid_repeat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ca") == F.col("cb")).alias("exact_amount_match"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# csv_roundtrip_integrity — connector-fidelity gate as an oracled row (r6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "csv_roundtrip_integrity",
+    oracle="""
+    WITH x AS (SELECT event_id, ts, user_id, event_type, value, props
+               FROM events),
+    chk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_v100,
+                   CAST(SUM(user_id) AS BIGINT) AS sum_user,
+                   CAST(SUM(('0x' || substr(md5(
+                        CAST(event_id AS VARCHAR) || '|' || event_type
+                        || '|' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                        || '|' || props), 1, 8))::BIGINT) AS BIGINT)
+                       AS row_checksum
+            FROM x)
+    SELECT n_rows, sum_v100, sum_user, row_checksum,
+           CAST(0 AS BIGINT) AS rows_lost,
+           CAST(0 AS BIGINT) AS rows_gained
+    FROM chk
+    """,
+)
+def csv_roundtrip_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector fidelity gate (data_input.py parity, upgraded
+    from test-only to an oracled row): the events table is written to
+    CSV with explicit micro-precision timestamp formatting and read
+    back with an explicit schema; the row is computed over the
+    ROUND-TRIPPED data, while the oracle computes the same aggregates
+    from the parquet directly — any CSV loss surface (timestamp
+    truncation, float formatting drift, quoting damage to the JSON
+    props column) changes a checksum and fails the hash gate. The
+    exceptAll diff against the original ships as rows_lost/rows_gained
+    so the gate pins exact multiset equality, not just aggregate
+    collisions.
+
+    Scale shape: one write + one read of the corpus (both fully
+    parallel, CSV splits by 128 MB chunks), two map-side-combinable
+    checksum aggregates, and a distributed anti-diff; no windows, no
+    driver state beyond the 1-row summary."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    try:
+        path = os.path.join(tmp, "events_csv")
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ev.write.option("header", "true").option(
+            "timestampFormat", fmt
+        ).csv(path)
+        back = (
+            spark.read.schema(ev.schema)
+            .option("header", "true")
+            .option("timestampFormat", fmt)
+            .csv(path)
+        )
+        from dbt_project_spark.functions.expressions import md5_int
+
+        key = F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            "event_type",
+            F.date_format("ts", fmt),
+            "props",
+        )
+        chk = back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_v100"),
+            F.sum("user_id").cast("bigint").alias("sum_user"),
+            F.sum(md5_int(key)).cast("bigint").alias("row_checksum"),
+        )
+        lost = ev.exceptAll(back).count()
+        gained = back.exceptAll(ev).count()
+        row = chk.collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_rows"],
+                    row["sum_v100"],
+                    row["sum_user"],
+                    row["row_checksum"],
+                    lost,
+                    gained,
+                )
+            ],
+            "n_rows bigint, sum_v100 bigint, sum_user bigint, "
+            "row_checksum bigint, rows_lost bigint, rows_gained bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

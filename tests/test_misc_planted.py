@@ -379,3 +379,51 @@ def test_wasserstein_value_drift_planted(spark, w1_dir):
             w1n += abs(cumr * nc - cumc * nr) * (nxt - v)
     assert r["w1_num"] == str(w1n)
     assert r["w1_value_micro"] == w1n * 10_000 // (nr * nc) == 2_000_000
+
+
+@pytest.fixture(scope="module")
+def csv_tricky_dir(spark, tmp_path_factory):
+    # payloads chosen to stress CSV quoting: commas, embedded quotes,
+    # leading/trailing spaces, and micro-precision timestamps
+    d = str(tmp_path_factory.mktemp("csv_planted") / "csvsf")
+    rows = [
+        (1, D1 + timedelta(microseconds=123456), 7, "view", 1.25,
+         '{"k": 1, "s": "a,b"}'),
+        (2, D1 + timedelta(seconds=1, microseconds=999999), 8, "purchase",
+         2.50, '{"k": 2, "s": "he said \\"hi\\""}'),
+        (3, D1 + timedelta(seconds=2), 9, "error", 3.75,
+         '{"k": 3, "s": " padded "}'),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_csv_roundtrip_integrity_planted(spark, csv_tricky_dir):
+    import hashlib
+
+    rows = QUERIES["csv_roundtrip_integrity"](spark, csv_tricky_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["rows_lost"] == 0 and r["rows_gained"] == 0
+    assert r["n_rows"] == 3
+    assert r["sum_v100"] == 125 + 250 + 375
+    assert r["sum_user"] == 24
+    # python replica of the row checksum over the PLANTED data — the
+    # round-tripped checksum matching it proves byte fidelity through
+    # CSV quoting and micro-precision timestamp formatting
+    want = 0
+    planted = [
+        (1, D1 + timedelta(microseconds=123456), "view",
+         '{"k": 1, "s": "a,b"}'),
+        (2, D1 + timedelta(seconds=1, microseconds=999999), "purchase",
+         '{"k": 2, "s": "he said \\"hi\\""}'),
+        (3, D1 + timedelta(seconds=2), "error", '{"k": 3, "s": " padded "}'),
+    ]
+    for eid, ts, et, props in planted:
+        key = f"{eid}|{et}|{ts.strftime('%Y-%m-%d %H:%M:%S.%f')}|{props}"
+        want += int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    assert r["row_checksum"] == want
