@@ -502,3 +502,88 @@ def csv_roundtrip_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "jsonl_roundtrip_integrity",
+    oracle="""
+    WITH x AS (SELECT event_id, ts, user_id, event_type, value, props
+               FROM events),
+    chk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_v100,
+                   CAST(SUM(user_id) AS BIGINT) AS sum_user,
+                   CAST(SUM(('0x' || substr(md5(
+                        CAST(event_id AS VARCHAR) || '|' || event_type
+                        || '|' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                        || '|' || props), 1, 8))::BIGINT) AS BIGINT)
+                       AS row_checksum
+            FROM x)
+    SELECT n_rows, sum_v100, sum_user, row_checksum,
+           CAST(0 AS BIGINT) AS rows_lost,
+           CAST(0 AS BIGINT) AS rows_gained
+    FROM chk
+    """,
+)
+def jsonl_roundtrip_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector fidelity gate — the reference's actual
+    wire format (kafka_producer.py ships each event as one JSON
+    object; the JSON-lines source is the broker-less twin). Same
+    contract as [[csv_roundtrip_integrity]]: events round-trip
+    through .json files (the props column is itself a JSON string, so
+    this exercises nested escaping), checksums run over the
+    round-tripped rows against the oracle's parquet-direct aggregates,
+    and exceptAll lost/gained counts pin exact multiset equality."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    try:
+        path = os.path.join(tmp, "events_jsonl")
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ev.write.option("timestampFormat", fmt).json(path)
+        back = (
+            spark.read.schema(ev.schema)
+            .option("timestampFormat", fmt)
+            .json(path)
+        )
+        from dbt_project_spark.functions.expressions import md5_int
+
+        key = F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            "event_type",
+            F.date_format("ts", fmt),
+            "props",
+        )
+        chk = back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_v100"),
+            F.sum("user_id").cast("bigint").alias("sum_user"),
+            F.sum(md5_int(key)).cast("bigint").alias("row_checksum"),
+        )
+        lost = ev.exceptAll(back).count()
+        gained = back.exceptAll(ev).count()
+        row = chk.collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    row["n_rows"],
+                    row["sum_v100"],
+                    row["sum_user"],
+                    row["row_checksum"],
+                    lost,
+                    gained,
+                )
+            ],
+            "n_rows bigint, sum_v100 bigint, sum_user bigint, "
+            "row_checksum bigint, rows_lost bigint, rows_gained bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -427,3 +427,30 @@ def test_csv_roundtrip_integrity_planted(spark, csv_tricky_dir):
         key = f"{eid}|{et}|{ts.strftime('%Y-%m-%d %H:%M:%S.%f')}|{props}"
         want += int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
     assert r["row_checksum"] == want
+
+
+def test_jsonl_roundtrip_integrity_planted(spark, csv_tricky_dir):
+    # same tricky corpus through the JSON-lines connector: the props
+    # column is a JSON string INSIDE the JSON record, so embedded
+    # quotes exercise nested escaping
+    import hashlib
+
+    rows = QUERIES["jsonl_roundtrip_integrity"](
+        spark, csv_tricky_dir
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["rows_lost"] == 0 and r["rows_gained"] == 0
+    assert (r["n_rows"], r["sum_v100"], r["sum_user"]) == (3, 750, 24)
+    want = 0
+    planted = [
+        (1, D1 + timedelta(microseconds=123456), "view",
+         '{"k": 1, "s": "a,b"}'),
+        (2, D1 + timedelta(seconds=1, microseconds=999999), "purchase",
+         '{"k": 2, "s": "he said \\"hi\\""}'),
+        (3, D1 + timedelta(seconds=2), "error", '{"k": 3, "s": " padded "}'),
+    ]
+    for eid, ts, et, props in planted:
+        key = f"{eid}|{et}|{ts.strftime('%Y-%m-%d %H:%M:%S.%f')}|{props}"
+        want += int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    assert r["row_checksum"] == want
