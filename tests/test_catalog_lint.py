@@ -1,5 +1,5 @@
-"""Catalog hygiene lint (VERDICT r05 task 8): at 323 registrations
-across 24 modules, every query must carry its full contract —
+"""Catalog hygiene lint (VERDICT r05 task 8): at 320+ registrations
+across 25 modules, every query must carry its full contract —
 (a) an ORACLES entry (the driver hash gate),
 (b) a SURVEY.md §2 line naming it (the judge's coverage checklist),
 (c) a pytest that references it BY NAME (planted/property semantics
@@ -57,8 +57,7 @@ ORACLE_GATE_ONLY = {
     "ts_anomaly_sigma", "ts_ewma_dyadic", "drift_psi_value",
     "user_profile_variant", "pipeline_nation_revenue",
     "corpus_token_stats", "corpus_filter_funnel", "ab_srm_check",
-    "nb_margin_calibration", "negative_sampling_dist",
-    "vocab_coverage_curve",
+    "nb_margin_calibration",
 }
 
 

@@ -235,3 +235,48 @@ def test_bpe_pack_budget_planted(spark, bpe_dir):
         2: (300, 300, 0, 1, 2),
         3: (50, 600, 1, 1, 1),
     }
+
+
+def test_negative_sampling_dist_planted(spark, mix_dir):
+    # python replica of the word2vec noise table: f^0.75 in rounded
+    # micro units, exact integer probabilities, total (fp6 desc, word)
+    # order
+    freq = {}
+    for t, _, _ in MIX_DOCS.values():
+        for w in _toks(t):
+            freq[w] = freq.get(w, 0) + 1
+    fp6 = {w: round(f ** 0.75 * 1_000_000) for w, f in freq.items()}
+    tot = sum(fp6.values())
+    order = sorted(freq, key=lambda w: (-fp6[w], w))
+    cum = 0
+    want = {}
+    for rk, w in enumerate(order[:20], start=1):
+        cum += fp6[w]
+        want[rk] = (w, freq[w], fp6[w], fp6[w] * 1_000_000 // tot,
+                    cum * 1_000_000 // tot)
+    got = {r["rank"]: (r["word"], r["f"], r["fp6"], r["p_micro"],
+                       r["cum_p_micro"]) for r in
+           QUERIES["negative_sampling_dist"](spark, mix_dir).collect()}
+    assert got == want
+
+
+def test_vocab_coverage_curve_planted(spark, mix_dir):
+    freq = {}
+    for t, _, _ in MIX_DOCS.values():
+        for w in _toks(t):
+            freq[w] = freq.get(w, 0) + 1
+    order = sorted(freq, key=lambda w: (-freq[w], w))
+    tot = sum(freq.values())
+    want = {}
+    for v in (50, 100, 200, 500):
+        c = sum(freq[w] for w in order[:v])
+        want[v] = (tot, c, c * 1_000_000 // tot)
+    got = {r["vocab_size"]: (r["n_tokens_total"], r["n_covered"],
+                             r["coverage_micro"]) for r in
+           QUERIES["vocab_coverage_curve"](spark, mix_dir).collect()}
+    assert got == want
+    # the planted corpus has >500 distinct tokens, so the curve is
+    # strictly increasing and never saturates at 100%
+    assert len(freq) > 500
+    covs = [want[v][2] for v in (50, 100, 200, 500)]
+    assert covs == sorted(covs) and covs[-1] < 1_000_000
