@@ -54,7 +54,7 @@ ORACLE_GATE_ONLY = {
     "props_json_stats", "profile_table", "robust_value_stats",
     "equidepth_histogram", "skew_key_histogram",
     "approx_percentiles_by_type", "approx_distinct_users_daily",
-    "ts_anomaly_sigma", "ts_ewma_dyadic", "drift_psi_value",
+    "drift_psi_value",
     "user_profile_variant", "pipeline_nation_revenue",
     "corpus_token_stats", "corpus_filter_funnel", "ab_srm_check",
     "nb_margin_calibration",

@@ -454,3 +454,90 @@ def test_jsonl_roundtrip_integrity_planted(spark, csv_tricky_dir):
         key = f"{eid}|{et}|{ts.strftime('%Y-%m-%d %H:%M:%S.%f')}|{props}"
         want += int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
     assert r["row_checksum"] == want
+
+
+def _user_series():
+    """Per-user event series from EVENTS in okey order: the okey is
+    (ts-format, zero-padded event_id), and planted timestamps are
+    unique per user, so plain (ts, event_id) ordering replicates it."""
+    per = {}
+    for eid, ts, u, _t, v, _p in EVENTS:
+        per.setdefault(u, []).append((ts, eid, round(v * 100)))
+    for series in per.values():
+        series.sort()
+    return per
+
+
+def test_ts_ewma_dyadic_planted(spark, ev_dir):
+    # replica of the 8-point dyadic kernel: weights 2^(7-k) over the
+    # trailing lags, one final rounded division
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = {}
+    for _u, series in _user_series().items():
+        vals = [v for _, _, v in series]
+        for i, (_, eid, _) in enumerate(series):
+            num = den = 0
+            for k in range(8):
+                if i - k >= 0:
+                    wgt = 2 ** (7 - k)
+                    num += vals[i - k] * wgt
+                    den += wgt
+            ewma = Decimal(num) / (Decimal(den) * 100)
+            want[eid] = float(ewma.quantize(Decimal("0.000001"),
+                                            rounding=ROUND_HALF_UP))
+    got = {r["event_id"]: r["ewma"] for r in
+           QUERIES["ts_ewma_dyadic"](spark, ev_dir).collect()}
+    assert got == want
+    # multi-event users actually exercised the kernel depth
+    assert any(len(s) > 1 for s in _user_series().values())
+
+
+def test_ts_anomaly_sigma_planted(spark, ev_dir):
+    # replica of the division-free rolling z-test: (x·n − Σx)² >
+    # 4·(n·Σx² − (Σx)²) over the trailing-16 window excluding self,
+    # flagged only with ≥8 points of history
+    want = {}
+    for _u, series in _user_series().items():
+        vals = [v for _, _, v in series]
+        for i, (_, eid, _) in enumerate(series):
+            window = vals[max(0, i - 16):i]
+            n = len(window)
+            sx, sxx = sum(window), sum(x * x for x in window)
+            x = vals[i]
+            flag = n >= 8 and (x * n - sx) ** 2 > 4 * (n * sxx - sx * sx)
+            want[eid] = (x, n, flag)
+    got = {r["event_id"]: (r["value100"], r["n_window"], r["is_anomaly"])
+           for r in QUERIES["ts_anomaly_sigma"](spark, ev_dir).collect()}
+    assert got == want
+    # no planted user has ≥8 prior events, so every flag is False —
+    # the gate must be the history floor, not the z-test
+    assert all(not f for _, _, f in want.values())
+
+
+def test_ts_anomaly_sigma_flags_planted_spike(spark, tmp_path):
+    # 12 steady-but-jittered readings then a spike: the z-test must
+    # flag the spike and nothing else once history ≥ 8
+    d = str(tmp_path / "spike")
+    vals = [10.00, 10.02, 9.98, 10.01, 9.99, 10.03, 9.97, 10.02, 9.98,
+            10.01, 9.99, 10.00, 25.00]
+    rows = [
+        (i, D1 + timedelta(minutes=i), 7, "view", v, '{"k": 1}')
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    got = {r["event_id"]: r["is_anomaly"] for r in
+           QUERIES["ts_anomaly_sigma"](spark, d).collect()}
+    v100 = [round(v * 100) for v in vals]
+    want = {}
+    for i in range(len(vals)):
+        w = v100[max(0, i - 16):i]
+        n, sx, sxx = len(w), sum(w), sum(x * x for x in w)
+        want[i] = n >= 8 and (v100[i] * n - sx) ** 2 > 4 * (n * sxx - sx * sx)
+    assert got == want
+    assert got[12] is True  # the spike
+    assert sum(got.values()) == 1  # and only the spike
