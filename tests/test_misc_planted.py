@@ -541,3 +541,57 @@ def test_ts_anomaly_sigma_flags_planted_spike(spark, tmp_path):
     assert got == want
     assert got[12] is True  # the spike
     assert sum(got.values()) == 1  # and only the spike
+
+
+def test_linreg_value_trend_planted(spark, ev_dir):
+    # replica of the min-shifted exact-rational OLS slope per type
+    pts = {}
+    for _eid, ts, _u, t, v, _p in EVENTS:
+        pts.setdefault(t, []).append((int(ts.timestamp()), round(v * 100)))
+    want = {}
+    for t, xy in pts.items():
+        x0 = min(x for x, _ in xy)
+        y0 = min(y for _, y in xy)
+        xs = [x - x0 for x, _ in xy]
+        ys = [y - y0 for _, y in xy]
+        n = len(xy)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        want[t] = (n, str((n * sxy - sx * sy) * 86400),
+                   str(n * sxx - sx * sx))
+    got = {r["event_type"]: (r["n"], r["slope_day_num"], r["slope_day_den"])
+           for r in QUERIES["linreg_value_trend"](spark, ev_dir).collect()}
+    assert got == want
+    # planted: purchase values rise with user id which rises with ts
+    # on day 1 → strictly positive slope for the purchase cohort
+    num, den = int(want["purchase"][1]), int(want["purchase"][2])
+    assert num > 0 and den > 0
+
+
+def test_chi2_type_weekday_planted(spark, ev_dir):
+    # replica of the cleared-form chi-square with the x1e9 integer-sum
+    # convention; planted events span 3 distinct weekdays
+    cells = {}
+    for _eid, ts, _u, t, _v, _p in EVENTS:
+        dow = ts.isoweekday()
+        cells[(t, dow)] = cells.get((t, dow), 0) + 1
+    rows = sorted({t for t, _ in cells})
+    cols = sorted({d for _, d in cells})
+    rt = {t: sum(v for (a, _), v in cells.items() if a == t) for t in rows}
+    ct = {d: sum(v for (_, b), v in cells.items() if b == d) for d in cols}
+    nt = sum(cells.values())
+    term9 = 0
+    for (t, d), obs in cells.items():
+        num = obs * nt - rt[t] * ct[d]
+        term9 += round((num * 1.0 * num) / (1.0 * nt * rt[t] * ct[d])
+                       * 1_000_000_000)
+    want = (len(rows), len(cols), (len(rows) - 1) * (len(cols) - 1),
+            round(term9 / 1_000_000_000.0, 6))
+    out = QUERIES["chi2_type_weekday"](spark, ev_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_rows"], r["n_cols"], r["dof"], r["chi2"]) == want
+    # purchase lives on day 1 and error on day 2 by construction →
+    # strong dependence, chi2 far from zero
+    assert r["chi2"] > 100.0
