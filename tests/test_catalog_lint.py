@@ -48,11 +48,11 @@ ORACLE_GATE_ONLY = {
     "distinct_users_daily", "percentiles_by_type",
     "session_window_stats", "session_funnel", "funnel_windowed",
     "user_journey_path", "users_purchase_no_error",
-    "concurrent_sessions_timeline", "cohort_retention",
+    "cohort_retention",
     "cohort_revenue_retention",
     "watermark_lateness_stats",
     "props_json_stats", "profile_table", "robust_value_stats",
-    "equidepth_histogram", "skew_key_histogram",
+    "skew_key_histogram",
     "approx_percentiles_by_type", "approx_distinct_users_daily",
     "drift_psi_value",
     "user_profile_variant", "pipeline_nation_revenue",

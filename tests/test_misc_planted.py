@@ -595,3 +595,61 @@ def test_chi2_type_weekday_planted(spark, ev_dir):
     # purchase lives on day 1 and error on day 2 by construction →
     # strong dependence, chi2 far from zero
     assert r["chi2"] > 100.0
+
+
+def test_equidepth_histogram_planted(spark, ev_dir):
+    # replica of exact NTILE(10) over (v100, event_id): first
+    # n mod 10 tiles get the extra row; bucket stats follow
+    vals = sorted((round(v * 100), eid) for eid, _, _, _, v, _ in EVENTS)
+    n = len(vals)
+    base, extra = divmod(n, 10)
+    want, pos = {}, 0
+    for tile in range(1, 11):
+        size = base + (1 if tile <= extra else 0)
+        chunk = vals[pos:pos + size]
+        pos += size
+        want[tile] = (
+            size,
+            chunk[0][0] / 100.0,
+            chunk[-1][0] / 100.0,
+            sum(v for v, _ in chunk) / 100.0,
+        )
+    got = {r["tile"]: (r["n"], r["lo"], r["hi"], r["total"]) for r in
+           QUERIES["equidepth_histogram"](spark, ev_dir).collect()}
+    assert got == want
+    # equi-DEPTH: bucket sizes differ by at most one
+    sizes = [got[t][0] for t in range(1, 11)]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_concurrent_sessions_timeline_planted(spark, ev_dir):
+    # replica: 30-min-gap sessionization per user, per-session hour
+    # interval, interval stabbing onto the hour grid
+    sessions = []
+    for _u, series in _user_series().items():
+        eps = [int(ts.timestamp()) for ts, _, _ in series]
+        start = eps[0]
+        prev = eps[0]
+        for ep in eps[1:]:
+            if ep - prev > 1800:
+                sessions.append((start, prev))
+                start = ep
+            prev = ep
+        sessions.append((start, prev))
+    lo = min(s // 3600 for s, _ in sessions)
+    hi = max(e // 3600 for _, e in sessions)
+    want = {}
+    for h in range(lo, hi + 1):
+        key = datetime.utcfromtimestamp(h * 3600).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        active = sum(1 for s, e in sessions if s // 3600 <= h <= e // 3600)
+        started = sum(1 for s, _ in sessions if s // 3600 == h)
+        want[key] = (active, started)
+    got = {r["hour_start"]: (r["n_active_sessions"], r["n_started"])
+           for r in QUERIES["concurrent_sessions_timeline"](
+               spark, ev_dir).collect()}
+    assert got == want
+    # the day-1 purchase cohort arrives once a minute → one long
+    # multi-hour session per user overlapping its whole span
+    assert max(a for a, _ in want.values()) > 1
