@@ -46,9 +46,8 @@ ORACLE_GATE_ONLY = {
     "win_top3_per_user", "cube_type_daily", "rollup_type_daily",
     "pct_of_parent_revenue", "weekday_seasonality",
     "distinct_users_daily", "percentiles_by_type",
-    "session_window_stats", "session_funnel", "funnel_windowed",
-    "user_journey_path", "users_purchase_no_error",
-    "cohort_retention",
+    "session_window_stats",
+    "user_journey_path",
     "cohort_revenue_retention",
     "watermark_lateness_stats",
     "props_json_stats", "profile_table", "robust_value_stats",

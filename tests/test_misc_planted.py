@@ -653,3 +653,103 @@ def test_concurrent_sessions_timeline_planted(spark, ev_dir):
     # the day-1 purchase cohort arrives once a minute → one long
     # multi-hour session per user overlapping its whole span
     assert max(a for a, _ in want.values()) > 1
+
+
+@pytest.fixture(scope="module")
+def funnel_dir(spark, tmp_path_factory):
+    # planted journeys discriminating the three funnel semantics
+    # (same-session vs 24h-window vs unbounded):
+    #   u1 view→click→purchase within minutes   (every funnel: full)
+    #   u2 view→click, no purchase              (stage 2)
+    #   u3 view only                            (stage 1)
+    #   u4 click+purchase, NO view              (stage 0 / excluded)
+    #   u5 view, click 2h later (same day)      (windowed: click ok;
+    #       gap 7200 > 1800 splits the session  session: two partials)
+    #   u6 view→purchase without click          (stage 1: order enforced)
+    #   u7 view→click, purchase 35 min later    (windowed: full chain;
+    #       gap 2100 splits the session         session: stage 2 max)
+    d = str(tmp_path_factory.mktemp("funnel_planted") / "fnsf")
+    rows = []
+    eid = 0
+
+    def add(u, etype, offset_s):
+        nonlocal eid
+        rows.append((eid, D1 + timedelta(seconds=offset_s), u, etype,
+                     1.25, '{"k": 1}'))
+        eid += 1
+
+    add(1, "view", 0); add(1, "click", 60); add(1, "purchase", 120)
+    add(2, "view", 0); add(2, "click", 90)
+    add(3, "view", 0)
+    add(4, "click", 0); add(4, "purchase", 60)
+    add(5, "view", 0); add(5, "click", 7200)
+    add(6, "view", 0); add(6, "purchase", 60)
+    add(7, "view", 0); add(7, "click", 100); add(7, "purchase", 2200)
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_funnel_windowed_planted(spark, funnel_dir):
+    got = {r["stage"]: (r["n_users"], r["pct_of_top"]) for r in
+           QUERIES["funnel_windowed"](spark, funnel_dir).collect()}
+    # viewers: u1,u2,u3,u5,u6,u7 = 6; in-window ordered clicks:
+    # u1,u2,u5,u7 = 4; ordered purchases after the click: u1,u7 = 2
+    assert got == {
+        "1_view": (6, 100.0),
+        "2_click": (4, round(4 * 10000 // 6 / 100.0, 2)),
+        "3_purchase": (2, round(2 * 10000 // 6 / 100.0, 2)),
+    }
+
+
+def test_session_funnel_planted(spark, funnel_dir):
+    got = {r["stage"]: r["n_sessions"] for r in
+           QUERIES["session_funnel"](spark, funnel_dir).collect()}
+    # sessions: u1 full(3); u2 view+click(2); u3 view(1);
+    # u4 click+purchase no view(0); u5 view(1) + click-only(0);
+    # u6 view+purchase-no-click(1); u7 view+click(2) + purchase-only(0)
+    assert got == {3: 1, 2: 2, 1: 3, 0: 3}
+
+
+def test_users_purchase_no_error_planted(spark, ev_dir):
+    # replica of the (user, day) EXCEPT over the main events fixture
+    p = {(u, ts.strftime("%Y-%m-%d")) for _, ts, u, t, _, _ in EVENTS
+         if t == "purchase"}
+    x = {(u, ts.strftime("%Y-%m-%d")) for _, ts, u, t, _, _ in EVENTS
+         if t == "error"}
+    want = p - x
+    got = {(r["user_id"], r["day"]) for r in
+           QUERIES["users_purchase_no_error"](spark, ev_dir).collect()}
+    assert got == want
+    # day-1 purchases never collide with day-2 errors, but user 201's
+    # day-3 purchase shares its day with errors and must drop out
+    assert all(d != "2024-01-03" or u in (202, 203)
+               for u, d in got)
+
+
+def test_cohort_retention_planted(spark, ev_dir):
+    # replica: cohort = first active day; week_offset = floor days/7
+    days = {}
+    for _, ts, u, _, _, _ in EVENTS:
+        ed = int(ts.timestamp()) // 86400
+        days.setdefault(u, set()).add(ed)
+    triples = set()
+    for u, eds in days.items():
+        c = min(eds)
+        cday = datetime.utcfromtimestamp(c * 86400).strftime("%Y-%m-%d")
+        for ed in eds:
+            triples.add((cday, (ed - c) // 7, u))
+    want = {}
+    for cday, wk, _u in triples:
+        want[(cday, wk)] = want.get((cday, wk), 0) + 1
+    got = {(r["cohort_day"], r["week_offset"]): r["n_users"] for r in
+           QUERIES["cohort_retention"](spark, ev_dir).collect()}
+    assert got == want
+    # the day-1 cohort is users 1..100 (DISTINCT users, week 0 —
+    # users 51..100 being active on day 2 as well must not double
+    # count); users 201..204 form their own day-3 cohort
+    assert got[("2024-01-01", 0)] == 100
+    assert got[("2024-01-03", 0)] == 4
