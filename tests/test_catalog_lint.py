@@ -46,13 +46,9 @@ ORACLE_GATE_ONLY = {
     "win_top3_per_user", "cube_type_daily", "rollup_type_daily",
     "pct_of_parent_revenue", "weekday_seasonality",
     "distinct_users_daily", "percentiles_by_type",
-    "session_window_stats",
-    "user_journey_path",
     "cohort_revenue_retention",
     "watermark_lateness_stats",
-    "props_json_stats", "profile_table", "robust_value_stats",
-    "skew_key_histogram",
-    "approx_percentiles_by_type", "approx_distinct_users_daily",
+    "props_json_stats", "profile_table", "approx_percentiles_by_type", "approx_distinct_users_daily",
     "drift_psi_value",
     "user_profile_variant", "pipeline_nation_revenue",
     "corpus_token_stats", "corpus_filter_funnel", "ab_srm_check",

@@ -753,3 +753,83 @@ def test_cohort_retention_planted(spark, ev_dir):
     # count); users 201..204 form their own day-3 cohort
     assert got[("2024-01-01", 0)] == 100
     assert got[("2024-01-03", 0)] == 4
+
+
+def test_user_journey_path_planted(spark, funnel_dir):
+    # journeys on the funnel fixture are fully scripted: ordered '>'
+    # paths per (user, day)
+    got = {(r["user_id"], str(r["day"])): (r["n_steps"], r["n_types"],
+                                           r["path"]) for r in
+           QUERIES["user_journey_path"](spark, funnel_dir).collect()}
+    day = "2024-01-01"
+    assert got[(1, day)] == (3, 3, "view>click>purchase")
+    assert got[(2, day)] == (2, 2, "view>click")
+    assert got[(3, day)] == (1, 1, "view")
+    assert got[(4, day)] == (2, 2, "click>purchase")
+    assert got[(6, day)] == (2, 2, "view>purchase")
+    assert got[(7, day)] == (3, 3, "view>click>purchase")
+    assert len(got) == 7
+
+
+def test_session_window_stats_planted(spark, funnel_dir):
+    # native session windows on scripted gaps: u5's 2h gap and u7's
+    # 35-min gap split; window end = last event + 30 min
+    got = {}
+    for r in QUERIES["session_window_stats"](spark, funnel_dir).collect():
+        got.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"], r["n_events"],
+             r["total_value"]))
+    for u in got:
+        got[u].sort()
+
+    def w(start_s, end_s, n):
+        fmt = "%Y-%m-%d %H:%M:%S"
+        return ((D1 + timedelta(seconds=start_s)).strftime(fmt),
+                (D1 + timedelta(seconds=end_s + 1800)).strftime(fmt),
+                n, n * 1.25)
+
+    assert got[1] == [w(0, 120, 3)]
+    assert got[2] == [w(0, 90, 2)]
+    assert got[3] == [w(0, 0, 1)]
+    assert got[4] == [w(0, 60, 2)]
+    assert got[5] == [w(0, 0, 1), w(7200, 7200, 1)]
+    assert got[6] == [w(0, 60, 2)]
+    assert got[7] == [w(0, 100, 2), w(2200, 2200, 1)]
+
+
+def test_robust_value_stats_planted(spark, ev_dir):
+    # replica of the doubled-integer median/MAD trick + lowest-value
+    # mode tiebreak over the main events fixture
+    import statistics as st
+
+    per = {}
+    for _, _, _, t, v, _ in EVENTS:
+        per.setdefault(t, []).append(round(v * 100))
+    want = {}
+    for t, vs in per.items():
+        med2 = int(st.median([2 * v for v in vs]))
+        mad4 = int(st.median([2 * abs(2 * v - med2) for v in vs]))
+        counts = {}
+        for v in vs:
+            counts[v] = counts.get(v, 0) + 1
+        mode = max(counts, key=lambda v: (counts[v] * 100000 - v))
+        want[t] = (round(med2 / 200.0, 6), round(mad4 / 400.0, 6),
+                   round(mode / 100.0, 6), len(vs))
+    got = {r["event_type"]: (r["median_value"], r["mad_value"],
+                             r["mode_value"], r["n"]) for r in
+           QUERIES["robust_value_stats"](spark, ev_dir).collect()}
+    assert got == want
+    # all planted values are distinct per type → mode ties break to
+    # the LOWEST value
+    assert got["purchase"][2] == 1.25
+
+
+def test_skew_key_histogram_planted(spark, orders_dir):
+    # the CDC orders fixture: custkey 5 owns all 6 orders → a single
+    # key in the bit-length-of-6 bucket (110b → bucket 3)
+    rows = QUERIES["skew_key_histogram"](spark, orders_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["bucket"] == 3  # len(bin(6)) = len('110')
+    assert r["n_keys"] == 1 and r["n_rows"] == 6 and r["max_cnt"] == 6
+    assert r["rows_share"] == 1.0
