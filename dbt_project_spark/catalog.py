@@ -72,15 +72,20 @@ def _repo_root():
 
 @functools.lru_cache(maxsize=1)
 def driver_green() -> frozenset[str]:
-    """Names with a green driver verdict in any CORRECTNESS_r*.json.
+    """Names whose MOST RECENT driver verdict is green.
 
     Green = the driver recorded rows+schema(+hash where computed)
-    matches with no error. Missing/unparseable files are skipped, so a
-    fresh checkout degrades to "everything is debt" (registration
-    order) rather than failing."""
+    matches with no error. Rounds are read in order and each round's
+    verdict OVERWRITES the previous one per name, so a query that was
+    green in an early round but red in a later round counts as debt
+    again and re-enters the driver window (a green-in-any-round union
+    would hide such a regression forever). Missing/unparseable files
+    are skipped, so a fresh checkout degrades to "everything is debt"
+    (registration order) rather than failing. Round files are
+    zero-padded (r01..r99), so lexical sort IS round order."""
     import json
 
-    green: set[str] = set()
+    latest: dict[str, bool] = {}
     for path in sorted(_repo_root().glob("CORRECTNESS_r*.json")):
         try:
             records = json.loads(path.read_text())
@@ -91,15 +96,13 @@ def driver_green() -> frozenset[str]:
         for name, rec in records.items():
             if not isinstance(rec, dict):
                 continue
-            ok = (
+            latest[name] = (
                 rec.get("err") in (None, "")
                 and rec.get("rows_match") is True
                 and rec.get("schema_match") is not False
                 and rec.get("hash_match") is not False
             )
-            if ok:
-                green.add(name)
-    return frozenset(green)
+    return frozenset(name for name, ok in latest.items() if ok)
 
 
 def priority_names() -> list[str]:

@@ -418,10 +418,12 @@ def rapid_repeat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS sum_v100,
                    CAST(SUM(user_id) AS BIGINT) AS sum_user,
                    CAST(SUM(('0x' || substr(md5(
-                        CAST(event_id AS VARCHAR) || '|' || event_type
-                        || '|' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
-                        || '|' || props), 1, 8))::BIGINT) AS BIGINT)
-                       AS row_checksum
+                        COALESCE(CAST(event_id AS VARCHAR), '<NULL>')
+                        || '|' || COALESCE(event_type, '<NULL>')
+                        || '|' || COALESCE(
+                             strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '<NULL>')
+                        || '|' || COALESCE(props, '<NULL>')), 1, 8))::BIGINT)
+                       AS BIGINT) AS row_checksum
             FROM x)
     SELECT n_rows, sum_v100, sum_user, row_checksum,
            CAST(0 AS BIGINT) AS rows_lost,
@@ -468,12 +470,17 @@ def csv_roundtrip_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         from dbt_project_spark.functions.expressions import md5_int
 
+        # Coalesce each component to an explicit sentinel BEFORE
+        # concatenating (ADVICE r06): concat_ws silently skips NULL
+        # fields while the oracle's || would NULL the whole key, so a
+        # NULL event_type/props would checksum different row sets on
+        # the two engines. With sentinels both sides hash the same key.
         key = F.concat_ws(
             "|",
-            F.col("event_id").cast("string"),
-            "event_type",
-            F.date_format("ts", fmt),
-            "props",
+            F.coalesce(F.col("event_id").cast("string"), F.lit("<NULL>")),
+            F.coalesce(F.col("event_type"), F.lit("<NULL>")),
+            F.coalesce(F.date_format("ts", fmt), F.lit("<NULL>")),
+            F.coalesce(F.col("props"), F.lit("<NULL>")),
         )
         chk = back.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -514,10 +521,12 @@ def csv_roundtrip_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS sum_v100,
                    CAST(SUM(user_id) AS BIGINT) AS sum_user,
                    CAST(SUM(('0x' || substr(md5(
-                        CAST(event_id AS VARCHAR) || '|' || event_type
-                        || '|' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
-                        || '|' || props), 1, 8))::BIGINT) AS BIGINT)
-                       AS row_checksum
+                        COALESCE(CAST(event_id AS VARCHAR), '<NULL>')
+                        || '|' || COALESCE(event_type, '<NULL>')
+                        || '|' || COALESCE(
+                             strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '<NULL>')
+                        || '|' || COALESCE(props, '<NULL>')), 1, 8))::BIGINT)
+                       AS BIGINT) AS row_checksum
             FROM x)
     SELECT n_rows, sum_v100, sum_user, row_checksum,
            CAST(0 AS BIGINT) AS rows_lost,
@@ -553,12 +562,17 @@ def jsonl_roundtrip_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         from dbt_project_spark.functions.expressions import md5_int
 
+        # Coalesce each component to an explicit sentinel BEFORE
+        # concatenating (ADVICE r06): concat_ws silently skips NULL
+        # fields while the oracle's || would NULL the whole key, so a
+        # NULL event_type/props would checksum different row sets on
+        # the two engines. With sentinels both sides hash the same key.
         key = F.concat_ws(
             "|",
-            F.col("event_id").cast("string"),
-            "event_type",
-            F.date_format("ts", fmt),
-            "props",
+            F.coalesce(F.col("event_id").cast("string"), F.lit("<NULL>")),
+            F.coalesce(F.col("event_type"), F.lit("<NULL>")),
+            F.coalesce(F.date_format("ts", fmt), F.lit("<NULL>")),
+            F.coalesce(F.col("props"), F.lit("<NULL>")),
         )
         chk = back.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),

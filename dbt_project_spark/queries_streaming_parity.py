@@ -66,7 +66,14 @@ def _run_file_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # Timed out: stop the query BEFORE reading the sink — otherwise
+        # we would diff a partially-written sink (wrong parity counts)
+        # and the caller would delete src/ckpt under a live stream.
+        q.stop()
+        raise RuntimeError(
+            "availableNow parity stream did not finish within 300s"
+        )
     got = spark.read.parquet(out)
     return spark.createDataFrame(got.collect(), got.schema)
 

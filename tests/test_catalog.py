@@ -57,6 +57,42 @@ def test_driver_window_covers_debt():
         assert set(debt) <= set(window), sorted(set(debt) - set(window))
 
 
+def test_driver_green_latest_verdict_wins(tmp_path, monkeypatch):
+    """ADVICE r06: a query green in an early round but red in a later
+    round must count as debt again (re-enter the driver window), not
+    stay 'verified' via a green-in-any-round union."""
+    import json
+
+    from dbt_project_spark import catalog
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "q_regressed": {"err": None, "rows_match": True, "hash_match": True},
+                "q_recovered": {"err": "boom", "rows_match": False},
+                "q_stays_green": {"err": None, "rows_match": True},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                "q_regressed": {"err": None, "rows_match": True, "hash_match": False},
+                "q_recovered": {"err": None, "rows_match": True, "hash_match": True},
+            }
+        )
+    )
+    monkeypatch.setattr(catalog, "_repo_root", lambda: tmp_path)
+    catalog.driver_green.cache_clear()
+    try:
+        green = catalog.driver_green()
+        assert "q_regressed" not in green  # red in r02 overrides green r01
+        assert "q_recovered" in green  # green in r02 overrides red r01
+        assert "q_stays_green" in green  # untouched later rounds keep verdict
+    finally:
+        catalog.driver_green.cache_clear()
+
+
 def test_no_hugeint_oracle_columns():
     """The driver's value hasher serializes DuckDB HUGEINT (int128)
     differently from Spark BIGINT even for equal values (r01: tpch_q1/

@@ -456,6 +456,80 @@ def test_jsonl_roundtrip_integrity_planted(spark, csv_tricky_dir):
     assert r["row_checksum"] == want
 
 
+@pytest.fixture(scope="module")
+def null_fields_dir(spark, tmp_path_factory):
+    # ADVICE r06: concat_ws skips NULL fields while the oracle's ||
+    # NULLs the whole key — a NULL event_type/props used to checksum
+    # different row sets on the two engines. Plant actual NULLs.
+    d = str(tmp_path_factory.mktemp("null_planted") / "nullsf")
+    rows = [
+        (1, D1 + timedelta(microseconds=123456), 7, "view", 1.25, '{"k": 1}'),
+        (2, D1 + timedelta(seconds=1), 8, None, 2.50, '{"k": 2}'),
+        (3, D1 + timedelta(seconds=2), 9, "error", 3.75, None),
+        (4, D1 + timedelta(seconds=3), 10, None, 4.00, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.parametrize(
+    "name", ["csv_roundtrip_integrity", "jsonl_roundtrip_integrity"]
+)
+def test_roundtrip_checksum_null_fields_cross_engine(
+    spark, null_fields_dir, name
+):
+    """Both engines must checksum the SAME row set when key fields are
+    NULL: the Spark side coalesces each component to the '<NULL>'
+    sentinel before concat_ws, the oracle COALESCEs before ||, and a
+    Python replica pins the expected value independently."""
+    import hashlib
+
+    import duckdb
+
+    from dbt_project_spark.catalog import ORACLES
+
+    r = QUERIES[name](spark, null_fields_dir).collect()[0]
+    # NULLs survive both connectors (CSV reads empty-unquoted as NULL,
+    # JSON omits null fields and schema-reads them back as NULL)...
+    assert r["rows_lost"] == 0 and r["rows_gained"] == 0
+    assert r["n_rows"] == 4
+    # ...and every row contributes to the checksum — none drop out of
+    # the SUM the way a NULL-propagating concat would make them.
+    want = 0
+    planted = [
+        (1, D1 + timedelta(microseconds=123456), "view", '{"k": 1}'),
+        (2, D1 + timedelta(seconds=1), None, '{"k": 2}'),
+        (3, D1 + timedelta(seconds=2), "error", None),
+        (4, D1 + timedelta(seconds=3), None, None),
+    ]
+    for eid, ts, et, props in planted:
+        key = "|".join(
+            [
+                str(eid),
+                et if et is not None else "<NULL>",
+                ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                props if props is not None else "<NULL>",
+            ]
+        )
+        want += int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    assert r["row_checksum"] == want
+    # Cross-engine: the DuckDB oracle over the same parquet agrees.
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{null_fields_dir}/events.parquet/*.parquet')"
+    )
+    orow = con.execute(ORACLES[name]).fetchone()
+    cols = [d[0] for d in con.description]
+    oracle = dict(zip(cols, orow))
+    assert oracle["row_checksum"] == want
+    assert oracle["n_rows"] == 4
+
+
 def _user_series():
     """Per-user event series from EVENTS in okey order: the okey is
     (ts-format, zero-padded event_id), and planted timestamps are
