@@ -368,15 +368,37 @@ def kcore(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
     from dbt_project_spark.caching import persist_tracked
 
     e = persist_tracked(edges.select("u", "v"))
-    n_edges = e.count()
+    e.count()
     prev: DataFrame | None = None
     for i in range(iters):
-        deg = (
+        # Persist the nodes-sized degree table: BOTH semi-joins below
+        # reference `alive`, and Spark does not share subtrees, so an
+        # unpersisted degree aggregate would run TWICE per round over
+        # the edge list (r07 profile at sf0.1: the duplicate agg was
+        # ~40% of each round).
+        deg = persist_tracked(
             e.select(F.col("u").alias("node"))
             .unionAll(e.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
+        # Fixpoint short-circuit BEFORE rebuilding: if no node is
+        # below k, the semi-joins would keep every edge, so this and
+        # all later rounds are no-ops — bit-identical to running the
+        # full unroll (and to the oracle's fixed CTE chain). Checking
+        # the nodes-sized aggregate costs a 1-row scalar, where the
+        # old count-the-rebuilt-edges check paid a full semi-join +
+        # persist + count for the confirming round (r07 profile:
+        # 3.7 s of kcore's 14.6 s at sf0.1 was that final no-op
+        # rebuild). Zero-edge nodes can't break this: they never
+        # appear in the degree table.
+        row = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum((F.col("d") < k).cast("int")).alias("n_below"),
+        ).collect()[0]
+        if not row["n_nodes"] or not row["n_below"]:
+            deg.unpersist()
+            break
         alive = deg.filter(F.col("d") >= k).select("node")
         ne = e.join(
             alive.withColumnRenamed("node", "u"), "u", "leftsemi"
@@ -384,23 +406,12 @@ def kcore(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
         if (i + 1) % _KCORE_CHECKPOINT_EVERY == 0:
             ne = ne.localCheckpoint(eager=False)
         ne = persist_tracked(ne)
-        n_new = ne.count()  # materialize before next round's double ref
+        ne.count()  # materialize before unpersisting deg / next round
+        deg.unpersist()
         if prev is not None:
             prev.unpersist()
         prev = ne
         e = ne
-        # Fixpoint short-circuit: an unchanged edge COUNT means no edge
-        # was removed this round, so every remaining endpoint has
-        # degree ≥ k and all later rounds are no-ops — the result is
-        # bit-identical to running the full unroll (and to the
-        # oracle's fixed CTE chain). Zero-edge nodes can't break this:
-        # they never appear in the degree table. The scalar count is
-        # already materialized above, so the check is free; it turns
-        # the common case (peel converges in 2-3 rounds) from
-        # iters×(agg + 2 semi-joins) into convergence+1 rounds.
-        if n_new == n_edges:
-            break
-        n_edges = n_new
     return (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
