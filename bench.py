@@ -13,7 +13,8 @@ medians plus per-query [min, max] spread — a >15% median shift on an
 unchanged plan is a regression, a uniform shift inside the spread is
 host drift (the r01→r02 +36% was unattributable with n=1).
 
-An additional sf1 section re-times the 10 most expensive queries at
+An additional sf1 section re-times the most expensive queries (23 as
+of r7: the heavy dedup/ANN/graph/recsys/corpus families) at
 10× the base scale (data generated once into benchdata/ by
 dbt_project_spark.sfgen, key-offset replication) to catch constants
 that hide at sf0.1. The section is wall-clock budgeted
@@ -170,6 +171,15 @@ SF1_QUERIES = [
     "dedup_semantic",
     "bpe_train_merges",
     "exact_substr_spans",
+    # r07 (VERDICT r06 task 4): the graph/recsys tail at 10× —
+    # lpa_communities was heavier at sf0.1 (11.6 s) than half the
+    # then-current sf1 set; the others complete the iterative-graph
+    # and co-occurrence-recsys families. Ascending sf0.1 cost.
+    "hits_trade",
+    "user_item_recs",
+    "sssp_weighted_trade",
+    "clustering_coefficient",
+    "lpa_communities",
 ]
 
 
@@ -217,10 +227,12 @@ def main() -> None:
     global _SPARK
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    # 420 s: one full pass of the 18-query sf1 section (~280 s warm)
-    # plus partial second samples — 240 s left the r6 additions
-    # entirely unsampled ("skipped"), which defeats the section.
-    sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "420"))
+    # 620 s: one full pass of the 23-query sf1 section (~280 s warm for
+    # the carried 18 + the r7 graph/recsys tail, whose sf1 pass-0 cost
+    # is ~100-180 s) plus partial second samples — 420 s fit 18 queries
+    # exactly (r6 wall 421.9 s), so +5 queries without +budget would
+    # re-create the "skipped" failure the section exists to prevent.
+    sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "620"))
     sf1_on = os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

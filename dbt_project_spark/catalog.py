@@ -146,3 +146,7 @@ def load_all() -> None:
     import dbt_project_spark.queries_governance  # noqa: F401
     import dbt_project_spark.queries_ops  # noqa: F401
     import dbt_project_spark.queries_streaming_parity  # noqa: F401
+    # NOTE: new-in-r07 modules import LAST so their registrations tail
+    # the driver-debt queue instead of displacing older debt names
+    # from the 50-query window (VERDICT r06 task 1).
+    import dbt_project_spark.queries_lakehouse  # noqa: F401

@@ -1,0 +1,191 @@
+"""Lakehouse MERGE as an oracled catalog row (r07).
+
+The merge materialization (plans/project.py — dbt's incremental
+`merge` strategy: upsert by unique_key, dynamic partition overwrite of
+only the touched partitions) had test-only coverage
+(tests/test_plans.py). This query runs the REAL two-run lifecycle
+inside the catalog entry — first run writes the base snapshot, second
+run merges a CDC-style batch (the table_diff_cdc transform family:
+status flips %29, price bumps %13, plus genuinely new keys) — then
+summarizes the merged table. The oracle restates MERGE INTO semantics
+in ANSI SQL (batch ∪ base-survivors, anti-joined only within the
+batch's partitions), so a dropped partition, double-applied update, or
+resurrected stale row changes the checksum and fails the hash gate.
+
+Reference parity: the reference loads MySQL tables and re-loads them
+on schedule (data_input.py's CREATE-then-INSERT refresh); the merge
+row is that refresh expressed as an idempotent upsert — the lakehouse
+way to run it at 100 TB, where the write cost must be O(affected
+partitions), not O(table).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_project_spark.catalog import register
+from dbt_project_spark.sources import load_table
+
+_P100 = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+
+_BASE_CUT = "1997-07-01"  # base snapshot: orders strictly before
+_BATCH_LO = "1997-04-01"  # batch window: updates (Apr–Jun overlap
+_BATCH_HI = "1998-01-01"  # with base) + inserts (Jul–Dec)
+
+
+def _order_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, batch) order states with the CDC transform family."""
+    orders = load_table(spark, sf_dir, "orders")
+    price100 = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    ym = F.date_format("o_orderdate", "yyyy-MM")
+    base = orders.filter(
+        F.col("o_orderdate") < F.lit(_BASE_CUT).cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        price100.alias("price100"),
+        ym.alias("ym"),
+    )
+    batch = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(_BATCH_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_BATCH_HI).cast("timestamp"))
+        )
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.when(F.col("o_orderkey") % 29 == 0, F.lit("P"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.expr(
+                    "(cast(round(o_totalprice * 100, 0) as bigint) * 11)"
+                    " div 10"
+                ),
+            )
+            .otherwise(price100)
+            .alias("price100"),
+            ym.alias("ym"),
+        )
+    )
+    return base, batch
+
+
+@register(
+    "merge_upsert_orders",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS order_id, o_orderstatus AS status,
+             {_P100} AS price100, strftime(o_orderdate, '%Y-%m') AS ym
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_BASE_CUT}'),
+    batch AS (
+      SELECT o_orderkey AS order_id,
+             CASE WHEN o_orderkey % 29 = 0 THEN 'P'
+                  ELSE o_orderstatus END AS status,
+             CASE WHEN o_orderkey % 13 = 0 THEN {_P100} * 11 // 10
+                  ELSE {_P100} END AS price100,
+             strftime(o_orderdate, '%Y-%m') AS ym
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{_BATCH_LO}'
+                    AND o_orderdate <  TIMESTAMP '{_BATCH_HI}'),
+    aff AS (SELECT DISTINCT ym FROM batch),
+    merged AS (
+      SELECT * FROM base WHERE ym NOT IN (SELECT ym FROM aff)
+      UNION ALL
+      SELECT * FROM base WHERE ym IN (SELECT ym FROM aff)
+        AND order_id NOT IN (SELECT order_id FROM batch)
+      UNION ALL
+      SELECT * FROM batch)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT ym) AS BIGINT) AS n_partitions,
+           CAST(SUM(price100) AS BIGINT) AS sum_price100,
+           CAST(SUM(('0x' || substr(md5(
+                CAST(order_id AS VARCHAR) || '|' || status || '|'
+                || CAST(price100 AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT)
+               AS row_checksum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM batch b
+            JOIN base ON base.order_id = b.order_id) AS n_updated,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM batch b
+            LEFT JOIN base ON base.order_id = b.order_id
+            WHERE base.order_id IS NULL) AS n_inserted
+    FROM merged
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO lifecycle as an oracled row: materialize the base
+    order snapshot with the real merge materialization (first run =
+    partitioned write), apply a CDC batch through the SAME model
+    (second run = partition-scoped anti-join ∪ batch under dynamic
+    partition overwrite), then checksum the merged table. n_updated /
+    n_inserted split the batch by whether the key pre-existed.
+
+    Scale shape: the merge run's write cost is O(affected partitions)
+    — base months before the batch window are never read or written
+    (the merge path filters survivors to the batch's partition list).
+    The summary is one scan of the merged table with map-side
+    combinable aggregates; the checksum uses the md5-prefix integer
+    convention shared with the roundtrip-integrity gates.
+    """
+    from dbt_project_spark.functions.expressions import md5_int
+    from dbt_project_spark.plans.project import Project
+
+    base, batch = _order_snapshots(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="merge_upsert_")
+    try:
+        for snap in (base, batch):
+            proj = Project(spark, sources={}, target_dir=tmp)
+
+            @proj.model(
+                "orders_current",
+                materialized="merge",
+                partition_by="ym",
+                unique_key="order_id",
+            )
+            def _orders_current(p, _df=snap):
+                return _df
+
+            proj.run(["orders_current"])
+        final = spark.read.parquet(os.path.join(tmp, "orders_current"))
+        key = F.concat_ws(
+            "|",
+            F.col("order_id").cast("string"),
+            F.col("status"),
+            F.col("price100").cast("string"),
+        )
+        summary = final.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("ym").cast("bigint").alias("n_partitions"),
+            F.sum("price100").cast("bigint").alias("sum_price100"),
+            F.sum(md5_int(key)).cast("bigint").alias("row_checksum"),
+        )
+        delta = (
+            batch.join(
+                base.select("order_id", F.lit(1).alias("__in_base")),
+                on="order_id",
+                how="left",
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("__in_base").isNotNull(), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_updated"),
+                F.sum(F.when(F.col("__in_base").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_inserted"),
+            )
+        )
+        row = summary.crossJoin(F.broadcast(delta)).collect()[0]
+        return spark.createDataFrame(
+            [tuple(row)],
+            "n_rows bigint, n_partitions bigint, sum_price100 bigint, "
+            "row_checksum bigint, n_updated bigint, n_inserted bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

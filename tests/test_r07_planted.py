@@ -428,6 +428,65 @@ def test_corpus_token_stats_planted(spark, tmp_path_factory):
 
 
 # ---------------------------------------------------------------------------
+# merge_upsert_orders — MERGE lifecycle replica over planted orders
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_orders_planted(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("merge_planted") / "sf")
+    # months: Jan (untouched by the batch window), Apr/May (update
+    # overlap), Aug/Sep (inserts). Keys 29 and 13 trigger the CDC
+    # transforms; key 26 (2×13) gets the price bump as an UPDATE.
+    rows = [
+        # (okey, custkey, status, totalprice, orderdate, priority)
+        (1, 1, "F", 100.00, datetime(1997, 1, 10), "1-URGENT"),
+        (2, 1, "F", 150.00, datetime(1997, 1, 20), "1-URGENT"),
+        (26, 2, "O", 200.00, datetime(1997, 4, 5), "2-HIGH"),
+        (29, 2, "O", 300.00, datetime(1997, 5, 6), "2-HIGH"),
+        (31, 3, "O", 400.00, datetime(1997, 6, 7), "3-MEDIUM"),
+        (40, 3, "O", 500.00, datetime(1997, 8, 8), "3-MEDIUM"),
+        (52, 4, "O", 600.00, datetime(1997, 9, 9), "3-MEDIUM"),
+        (99, 4, "O", 700.00, datetime(1998, 6, 1), "4-LOW"),  # outside
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
+    r = QUERIES["merge_upsert_orders"](spark, d).collect()[0]
+    # python replica of the merged state
+    base = {}  # order_id -> (status, price100, ym)
+    batch = {}
+    for okey, _c, st, price, od, _p in rows:
+        p100 = int(round(price * 100))
+        ym = f"{od.year:04d}-{od.month:02d}"
+        if od < datetime(1997, 7, 1):
+            base[okey] = (st, p100, ym)
+        if datetime(1997, 4, 1) <= od < datetime(1998, 1, 1):
+            st2 = "P" if okey % 29 == 0 else st
+            p2 = (p100 * 11) // 10 if okey % 13 == 0 else p100
+            batch[okey] = (st2, p2, ym)
+    # MERGE: batch wins on key collision; every other base row
+    # survives (keys never move partitions here, so the partition-
+    # scoped anti-join equals the global one).
+    merged = dict(batch)
+    for k, v in base.items():
+        merged.setdefault(k, v)
+    assert r["n_rows"] == len(merged) == 7  # 99 is outside both windows
+    # Jan (untouched) + Apr/May/Jun (update overlap) + Aug/Sep (inserts)
+    assert r["n_partitions"] == len({v[2] for v in merged.values()}) == 6
+    assert r["sum_price100"] == sum(v[1] for v in merged.values())
+    want_ck = sum(
+        _md5_int(f"{k}|{v[0]}|{v[1]}") for k, v in merged.items()
+    )
+    assert r["row_checksum"] == want_ck
+    # updates: keys 26, 29, 31 pre-exist; inserts: 40, 52
+    assert (r["n_updated"], r["n_inserted"]) == (3, 2)
+    # the CDC transforms actually landed in the merged state
+    assert merged[29][0] == "P" and merged[26][1] == 22000
+
+
+# ---------------------------------------------------------------------------
 # nb_margin_calibration — full python replica of the NB model + margins
 # ---------------------------------------------------------------------------
 
