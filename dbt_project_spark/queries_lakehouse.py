@@ -189,3 +189,92 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_INC_CUT = "2024-01-20"  # run-1 high-water mark (events span Jan 1-30)
+
+
+@register(
+    "incremental_daily_rollup",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_v100
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (high-water-mark) materialization as an oracled
+    row, completing the lakehouse lifecycle trio next to
+    [[merge_upsert_orders]] and time_travel_asof: run 1 materializes
+    the daily (day, event_type) rollup through the days up to
+    _INC_CUT; run 2 re-runs the SAME model over the full source —
+    with the ALREADY-LOADED days' values deliberately TAMPERED
+    (doubled) — and must append only days past the stored high-water
+    mark. The oracle is the plain full-range rollup of the ORIGINAL
+    events: a rebuild-instead-of-append (tampered history leaks in) or
+    a filterless append (old days double-count) both flip the hash.
+
+    Scale shape: each run aggregates only its source slice map-side
+    and writes O(new days) partitions; the high-water mark is one
+    MAX over the target's partition column. This is how a 100 TB
+    daily pipeline stays O(day), not O(history).
+    """
+    from dbt_project_spark.plans.project import Project
+
+    # day is a DATE throughout the model: the partition directory
+    # values (day=2024-01-05) are re-inferred as DateType when the
+    # target is read back for the high-water MAX, so a string model
+    # column would make that comparison cross-type. The final output
+    # casts to string to match the oracle's strftime.
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v100"),
+    )
+
+    def _rollup(src: DataFrame) -> DataFrame:
+        return src.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v100").cast("bigint").alias("sum_v100"),
+        )
+
+    cut = F.lit(_INC_CUT).cast("date")
+    first = ev.filter(F.col("day") <= cut)
+    tampered = ev.withColumn(
+        "v100",
+        F.when(F.col("day") <= cut, F.col("v100") * 2).otherwise(
+            F.col("v100")
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="incremental_rollup_")
+    try:
+        for src in (first, tampered):
+            proj = Project(spark, sources={}, target_dir=tmp)
+
+            @proj.model(
+                "events_daily", materialized="incremental",
+                partition_by="day",
+            )
+            def _events_daily(p, _df=_rollup(src)):
+                return _df
+
+            proj.run(["events_daily"])
+        final = spark.read.parquet(os.path.join(tmp, "events_daily"))
+        # day comes back as the partition directory column: re-select
+        # to pin column order and types; the rows are collected so the
+        # temp dir can be deleted before returning.
+        out = final.select(
+            F.col("day").cast("string"),
+            "event_type",
+            F.col("n_events").cast("bigint"),
+            F.col("sum_v100").cast("bigint"),
+        )
+        return spark.createDataFrame(
+            [tuple(r) for r in out.collect()],
+            "day string, event_type string, n_events bigint, "
+            "sum_v100 bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

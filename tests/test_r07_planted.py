@@ -487,6 +487,39 @@ def test_merge_upsert_orders_planted(spark, tmp_path_factory):
 
 
 # ---------------------------------------------------------------------------
+# incremental_daily_rollup — high-water-mark lifecycle replica
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_daily_rollup_planted(spark, tmp_path_factory):
+    # Two days at/below the 2024-01-20 high-water mark, two past it.
+    # The query's run-2 source doubles the old days' values — a
+    # correct incremental run must keep the ORIGINAL old-day sums.
+    rows = [
+        (1, datetime(2024, 1, 5, 10), 1, "view", 1.00, "{}"),
+        (2, datetime(2024, 1, 5, 11), 2, "view", 2.00, "{}"),
+        (3, datetime(2024, 1, 20, 12), 1, "purchase", 3.50, "{}"),
+        (4, datetime(2024, 1, 25, 13), 2, "view", 4.00, "{}"),
+        (5, datetime(2024, 1, 25, 14), 1, "error", 5.25, "{}"),
+        (6, datetime(2024, 1, 30, 15), 3, "view", 6.00, "{}"),
+    ]
+    d = _write_events(spark, tmp_path_factory, "inc_planted", rows)
+    got = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_v100"])
+        for r in QUERIES["incremental_daily_rollup"](spark, d).collect()
+    }
+    want = {}
+    for _e, ts, _u, et, v, _p in rows:
+        key = (ts.strftime("%Y-%m-%d"), et)
+        n, s = want.get(key, (0, 0))
+        want[key] = (n + 1, s + int(round(v * 100)))
+    assert got == want
+    # the tamper really targeted the old days (sanity on the fixture)
+    assert want[("2024-01-05", "view")] == (2, 300)
+    assert want[("2024-01-25", "view")] == (1, 400)
+
+
+# ---------------------------------------------------------------------------
 # nb_margin_calibration — full python replica of the NB model + margins
 # ---------------------------------------------------------------------------
 
