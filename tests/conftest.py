@@ -16,3 +16,18 @@ def spark_session_holder():
     """Session fixture usable inside @given-decorated hypothesis tests
     (hypothesis forbids function-scoped fixtures there)."""
     return get_spark(app_name="dbt-project-spark-tests", shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _release_tracked_caches():
+    """Tests that call operators DIRECTLY (not through the catalog
+    wrapper) leave persist_tracked blocks cached — production releases
+    them when the next catalog query is built, but a 850-test session
+    has no such release point and the accumulated blocks eventually
+    OOM'd the shared JVM (r07: test_graph's double-peel convergence
+    test failed in localCheckpoint after 37 min of suite). Release per
+    module: no module hands persisted DataFrames to another."""
+    yield
+    from dbt_project_spark.caching import release_tracked
+
+    release_tracked()

@@ -222,12 +222,21 @@ def test_kcore_converged_at_catalog_params(spark):
 
     from tests.conftest import SF_SMOKE as sf_dir
 
+    from dbt_project_spark.caching import release_tracked
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity"
     )
-    a = kcore(copurchase_edges(li), k=KCORE_K, iters=KCORE_ITERS)
-    b = kcore(copurchase_edges(li), k=KCORE_K, iters=KCORE_ITERS + 1)
-    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    release_tracked()  # two full peels back-to-back: start cache-clean
+    a = [tuple(r) for r in kcore(
+        copurchase_edges(li), k=KCORE_K, iters=KCORE_ITERS
+    ).collect()]
+    release_tracked()  # drop run 1's edge/degree caches before run 2
+    b = [tuple(r) for r in kcore(
+        copurchase_edges(li), k=KCORE_K, iters=KCORE_ITERS + 1
+    ).collect()]
+    release_tracked()
+    assert sorted(a) == sorted(b)
 
 
 # ---------------------------------------------------------------------------

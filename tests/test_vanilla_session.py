@@ -79,6 +79,9 @@ _TS_QUERIES = [
     "cusum_changepoint",  # date_format day grid + day-ordered windows
     "seasonal_strength",  # date_format + weekday(to_date()) ISO mapping
     "wasserstein_value_drift",  # unix_timestamp half-split + value grid
+    # r07 additions (face the driver fresh in the r8 window):
+    "merge_upsert_orders",  # timestamp-literal cutoffs + date_format ym
+    "incremental_daily_rollup",  # to_date(ts) day partitions + date cut
 ]
 
 
