@@ -41,18 +41,19 @@ ORACLE_GATE_ONLY = {
     "wt_hourly_patterns", "wt_quarterly_trend",
     "wt_session_categories", "wt_stream_batch_compare",
     "wt_value_histogram",
-    # Window/rollup/pivot SQL shapes over events.
-    "win_lag_delta", "win_moving_avg", "win_percent_rank_ntile",
-    "win_top3_per_user", "cube_type_daily", "rollup_type_daily",
-    "weekday_seasonality",
-    "distinct_users_daily", "percentiles_by_type",
-    "props_json_stats", "pipeline_nation_revenue",
-    # r07 burn-down (tests/test_r07_planted.py) moved the 12 remaining
-    # algorithmic names off: drift_psi_value, watermark_lateness_stats,
-    # ab_srm_check, cohort_revenue_retention, profile_table,
-    # user_profile_variant, pct_of_parent_revenue, both approx_* sketch
-    # gates, corpus_filter_funnel, corpus_token_stats,
-    # nb_margin_calibration.
+    # The staging→marts DAG whose oracle (the fixed-point revenue SQL)
+    # is the spec; the Project machinery beneath it is planted-tested
+    # in tests/test_plans.py.
+    "pipeline_nation_revenue",
+    # r07 burn-down: tests/test_r07_planted.py moved the 12 remaining
+    # algorithmic names off (PSI, lateness, SRM, NDR, profiling,
+    # VARIANT, pct-of-parent, both approx_* sketch gates, the corpus
+    # funnel/stats pair, NB margin calibration);
+    # tests/test_r07s2_planted.py moved the 10 window/rollup/pivot
+    # shapes (lag/moving-avg/top-k/percent-rank, CUBE, ROLLUP,
+    # weekday seasonality, daily distincts, percentiles, JSON-path
+    # stats). Only the TPC-H and wt_* literal SQL restatements plus
+    # the DAG row above remain.
 }
 
 
