@@ -41,10 +41,6 @@ ORACLE_GATE_ONLY = {
     "wt_hourly_patterns", "wt_quarterly_trend",
     "wt_session_categories", "wt_stream_batch_compare",
     "wt_value_histogram",
-    # The staging→marts DAG whose oracle (the fixed-point revenue SQL)
-    # is the spec; the Project machinery beneath it is planted-tested
-    # in tests/test_plans.py.
-    "pipeline_nation_revenue",
     # r07 burn-down: tests/test_r07_planted.py moved the 12 remaining
     # algorithmic names off (PSI, lateness, SRM, NDR, profiling,
     # VARIANT, pct-of-parent, both approx_* sketch gates, the corpus
@@ -52,8 +48,9 @@ ORACLE_GATE_ONLY = {
     # tests/test_r07s2_planted.py moved the 10 window/rollup/pivot
     # shapes (lag/moving-avg/top-k/percent-rank, CUBE, ROLLUP,
     # weekday seasonality, daily distincts, percentiles, JSON-path
-    # stats). Only the TPC-H and wt_* literal SQL restatements plus
-    # the DAG row above remain.
+    # stats) and the staging→marts DAG row. Only the TPC-H and wt_*
+    # literal SQL restatements remain — the oracle IS the published
+    # query / the reference's own SQL for every name left here.
 }
 
 

@@ -236,6 +236,79 @@ def test_props_json_stats_planted(spark, ev2_dir):
     assert ("purchase", 10) in got  # k=100 lands in decile 10
 
 
+def test_pipeline_nation_revenue_planted(spark, tmp_path_factory):
+    """The staging→marts DAG result replicated in plain Python over a
+    planted 4-table micro-warehouse: P-status orders filtered at
+    staging, fixed-point revenue ep100·(100−disc100), per-order
+    rollup, customer→nation enrichment, (nation, month) mart."""
+    d = str(tmp_path_factory.mktemp("dag_planted") / "sf")
+    orders = [
+        # (okey, custkey, status, totalprice, orderdate, priority)
+        (1, 10, "O", 0.0, datetime(1997, 1, 5), "1"),
+        (2, 10, "F", 0.0, datetime(1997, 1, 25), "1"),
+        (3, 20, "O", 0.0, datetime(1997, 2, 5), "1"),
+        (4, 20, "P", 0.0, datetime(1997, 2, 6), "1"),  # filtered at stg
+        (5, 30, "F", 0.0, datetime(1997, 2, 9), "1"),
+    ]
+    li = [
+        # (okey, partkey, suppkey, linenumber, qty, extprice, disc, ...)
+        (1, 1, 1, 1, 1.0, 100.00, 0.10),
+        (1, 2, 1, 2, 1.0, 50.00, 0.00),
+        (2, 3, 1, 1, 1.0, 200.00, 0.05),
+        (3, 4, 1, 1, 1.0, 300.00, 0.00),
+        (4, 5, 1, 1, 1.0, 999.00, 0.00),  # parent filtered out
+        (5, 6, 1, 1, 1.0, 80.00, 0.25),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(k, p, s, ln, q, ep, disc, 0.0, "N", "O", datetime(1997, 3, 1))
+         for (k, p, s, ln, q, ep, disc) in li],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, "c10", 0, 0.0, "BUILDING"), (20, "c20", 0, 0.0, "BUILDING"),
+         (30, "c30", 1, 0.0, "AUTOMOBILE")],
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        [(0, "BRAZIL", 0), (1, "JAPAN", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.parquet(os.path.join(d, "nation.parquet"))
+    got = {
+        (r["nation"], r["order_month"]): (r["n_orders"], r["revenue"])
+        for r in QUERIES["pipeline_nation_revenue"](spark, d).collect()
+    }
+    # replica
+    nation = {10: "BRAZIL", 20: "BRAZIL", 30: "JAPAN"}
+    month = {1: "1997-01", 2: "1997-01", 3: "1997-02", 5: "1997-02"}
+    cust = {1: 10, 2: 10, 3: 20, 5: 30}
+    rev = {}
+    for okey, _p, _s, _ln, _q, ep, disc in li:
+        if okey not in month:  # order 4 filtered at staging
+            continue
+        rev[okey] = rev.get(okey, 0) + int(round(ep * 100)) * (
+            100 - int(round(disc * 100))
+        )
+    want = {}
+    for okey, r10000 in rev.items():
+        key = (nation[cust[okey]], month[okey])
+        n, s = want.get(key, (0, 0))
+        want[key] = (n + 1, s + r10000)
+    want = {k: (n, s / 10000.0) for k, (n, s) in want.items()}
+    assert got == want
+    # hand numbers: order 1 = 100·0.90 + 50 = 140; order 2 = 200·0.95
+    # = 190 → BRAZIL/1997-01 = (2 orders, 330.0)
+    assert want[("BRAZIL", "1997-01")] == (2, 330.0)
+
+
 def test_weekday_seasonality_planted(spark, ev2_dir):
     got = {
         (r["event_type"], r["dow"]): (
