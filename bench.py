@@ -194,9 +194,16 @@ def _run_once(name: str, sf_dir: str) -> float:
 def _bench(
     names: list[str], sf_dir: str, runs: int, budget_s: float | None = None
 ) -> dict:
+    from dbt_project_spark.caching import reclaim_jvm
+
     t_start = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _pass in range(runs):
+        # One full-GC sweep per pass (~0.2 s against a multi-minute
+        # pass): frees localCheckpoint blocks and dead plan trees that
+        # unpersist can't reach (caching.reclaim_jvm), so a long bench
+        # session's heap stays flat. Outside every timed _run_once.
+        reclaim_jvm()
         for name in names:
             over = (
                 budget_s is not None

@@ -47,3 +47,36 @@ def release_tracked() -> int:
             pass
     _TRACKED.clear()
     return n
+
+
+def reclaim_jvm() -> None:
+    """Reclaim JVM heap that ``unpersist`` cannot touch.
+
+    ``localCheckpoint`` blocks (the lineage-truncation convention in the
+    iterative graph/CC/BPE operators) are NOT freed by unpersisting the
+    DataFrame: Spark's ContextCleaner releases them only once the
+    checkpointed RDD object is unreachable AND a JVM GC enqueues its
+    weak reference. In a long single-JVM session the Python-side py4j
+    proxies keep thousands of Dataset/plan objects reachable until
+    Python's own GC runs, so neither collector ever fires and the heap
+    fills with dead checkpoint blocks and analyzed plan trees (r07: the
+    full 867-test suite OOM'd an 8g driver 39 minutes in, inside a
+    kcore ``localCheckpoint`` — with per-module ``release_tracked``
+    already in place).
+
+    Fix: collect Python first (drops py4j proxies, which detaches the
+    JVM objects), then ask the JVM for a full GC so ContextCleaner can
+    sweep. Costs one full GC (~0.1-0.5 s on an 8g heap) — callers place
+    it OUTSIDE timed regions (test module teardown, oracle-gate loop,
+    bench pass boundaries), never inside a measured query."""
+    import gc
+
+    gc.collect()
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            s._jvm.System.gc()
+    except Exception:  # no active session / JVM gone — nothing to do
+        pass

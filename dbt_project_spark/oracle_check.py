@@ -108,9 +108,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
     load_all()
     spark = get_spark()
     failures = 0
+    from dbt_project_spark.caching import reclaim_jvm
+
+    checked = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        # A 300+-query sweep in one JVM accumulates localCheckpoint
+        # blocks / plan trees that unpersist can't free — sweep
+        # periodically (see caching.reclaim_jvm; this loop is untimed).
+        checked += 1
+        if checked % 25 == 0:
+            reclaim_jvm()
         try:
             r = check_query(spark, sf_dir, name, fn, ORACLES.get(name))
         except Exception as e:  # noqa: BLE001

@@ -26,8 +26,13 @@ def _release_tracked_caches():
     has no such release point and the accumulated blocks eventually
     OOM'd the shared JVM (r07: test_graph's double-peel convergence
     test failed in localCheckpoint after 37 min of suite). Release per
-    module: no module hands persisted DataFrames to another."""
+    module: no module hands persisted DataFrames to another.
+
+    release_tracked alone proved insufficient (the OOM recurred in the
+    same test): localCheckpoint blocks and py4j-held plan trees are
+    only freed by an actual GC sweep — see caching.reclaim_jvm."""
     yield
-    from dbt_project_spark.caching import release_tracked
+    from dbt_project_spark.caching import release_tracked, reclaim_jvm
 
     release_tracked()
+    reclaim_jvm()

@@ -222,16 +222,22 @@ def test_kcore_converged_at_catalog_params(spark):
 
     from tests.conftest import SF_SMOKE as sf_dir
 
-    from dbt_project_spark.caching import release_tracked
+    from dbt_project_spark.caching import release_tracked, reclaim_jvm
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity"
     )
-    release_tracked()  # two full peels back-to-back: start cache-clean
+    # Two full peels back-to-back is the heaviest single test in the
+    # suite: start from a clean heap AND sweep between the runs —
+    # unpersist alone leaves run 1's localCheckpoint blocks resident
+    # (this exact test OOM'd an 8g driver 39 min into the full suite).
+    release_tracked()
+    reclaim_jvm()
     a = [tuple(r) for r in kcore(
         copurchase_edges(li), k=KCORE_K, iters=KCORE_ITERS
     ).collect()]
     release_tracked()  # drop run 1's edge/degree caches before run 2
+    reclaim_jvm()
     b = [tuple(r) for r in kcore(
         copurchase_edges(li), k=KCORE_K, iters=KCORE_ITERS + 1
     ).collect()]
