@@ -334,6 +334,12 @@ def main() -> None:
         "value": result["value"],
         "unit": "sec",
         "queries": slowest,
+        # min/max per slowest query (VERDICT r07 #3): without sf0.1
+        # spreads in the driver-captured line, a ±15% host-noise band
+        # is indistinguishable from a real regression and each round
+        # burns a task re-measuring (r6: dedup_embedding; r7:
+        # ivf_train_centroids).
+        "spread": {n: base["spread"][n] for n in slowest},
         "n_queries": len(base["queries"]),
         "sf": sf,
         "runs": runs,
@@ -351,6 +357,7 @@ def main() -> None:
         )
         # Hard-degrade: totals only, guaranteed to parse driver-side.
         compact["queries"] = {}
+        compact["spread"] = {}
         line = json.dumps(compact)
     print(line)
 

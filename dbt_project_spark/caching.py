@@ -26,6 +26,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_CHECKPOINTS: list["Checkpoint"] = []
 
 
 def persist_tracked(
@@ -37,15 +38,119 @@ def persist_tracked(
     return df
 
 
+class Checkpoint:
+    """Handle to a localCheckpoint'ed DataFrame whose blocks can be freed
+    deterministically.
+
+    ``Dataset.unpersist`` cannot free localCheckpoint blocks (they live
+    on the internal RDD, not in the CacheManager); without a handle
+    they are reclaimed only when the JVM GC happens to collect the RDD
+    object and ContextCleaner's weak-ref queue drains — which a
+    long-lived driver under py4j proxies may never do (the r07 full-
+    suite OOM). ``release`` unpersists the internal RDD directly: the
+    blocks drop immediately, no GC involved.
+
+    After ``release`` the checkpointed plan is UNRECOMPUTABLE (local
+    checkpoints truncate lineage; Spark raises
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on re-execution) — so release
+    only once every plan referencing ``df`` has been materialized.
+    Iterative operators release checkpoint N−1 the moment checkpoint N
+    (eager) lands; the FINAL checkpoint stays registered here and is
+    freed by the next ``release_tracked``, which all consumers call
+    only after fully materializing the previous query.
+    """
+
+    __slots__ = ("df", "_jrdd", "_released")
+
+    def __init__(self, df: DataFrame, jrdd) -> None:
+        self.df = df
+        self._jrdd = jrdd
+        self._released = False
+
+    def release(self) -> None:
+        if self._released:
+            return
+        self._released = True
+        try:
+            self._jrdd.unpersist(False)
+        except Exception:  # session/JVM already gone — nothing to free
+            pass
+
+
+def local_checkpoint_tracked(df: DataFrame) -> Checkpoint:
+    """Eager ``localCheckpoint`` + a handle that frees its blocks.
+
+    Eager (not lazy-then-persist): the checkpoint blocks themselves are
+    the materialized cache, so adding a Dataset-level ``persist`` on
+    top would store every row TWICE (checkpoint RDD blocks + an
+    InMemoryRelation over them) — the double-storage the pre-r08
+    iterative operators paid on every checkpoint round.
+    """
+    cp = df.localCheckpoint(eager=True)
+    # The analyzed plan of a checkpointed Dataset is a LogicalRDD whose
+    # ``rdd`` field IS the internal RDD holding the checkpoint blocks.
+    jrdd = cp._jdf.queryExecution().analyzed().rdd()
+    handle = Checkpoint(cp, jrdd)
+    _CHECKPOINTS.append(handle)
+    return handle
+
+
+class RoundCache:
+    """Bounded per-round cache for unrolled iterative operators.
+
+    The shared convention of BFS / SSSP / LPA / k-core / connected
+    components / BPE: each round's table is referenced ≥2× by the next
+    round, so it must be persisted + materialized; lineage (and the
+    logical plan, which otherwise doubles per round) is truncated by a
+    localCheckpoint every ``checkpoint_every`` rounds. ``advance(df)``
+    applies that convention and BOUNDS resident storage: it eagerly
+    materializes the round (checkpoint blocks double as the cache on
+    checkpoint rounds — no second persist), unpersists the previous
+    round's cache, and frees the superseded checkpoint's blocks the
+    moment a newer checkpoint lands. Steady state: one round's cache +
+    one live checkpoint, regardless of ``iters`` or how many operator
+    calls share the JVM. The final checkpoint stays live (the returned
+    plan reads it) and is freed by the next ``release_tracked``.
+    """
+
+    __slots__ = ("every", "_round", "_prev_df", "_prev_cp")
+
+    def __init__(self, checkpoint_every: int) -> None:
+        self.every = checkpoint_every
+        self._round = 0
+        self._prev_df: DataFrame | None = None
+        self._prev_cp: Checkpoint | None = None
+
+    def advance(self, df: DataFrame) -> DataFrame:
+        self._round += 1
+        if self._round % self.every == 0:
+            cp = local_checkpoint_tracked(df)  # eager: materializes now
+            out = cp.df
+            if self._prev_cp is not None:
+                self._prev_cp.release()
+            self._prev_cp = cp
+        else:
+            out = persist_tracked(df)
+            out.count()  # materialize before dropping the previous round
+        if self._prev_df is not None:
+            self._prev_df.unpersist()  # no-op on checkpoint-round frames
+        self._prev_df = out
+        return out
+
+
 def release_tracked() -> int:
-    """Unpersist every tracked DataFrame; returns how many were live."""
-    n = len(_TRACKED)
+    """Unpersist every tracked DataFrame AND free every tracked
+    checkpoint's blocks; returns how many were live."""
+    n = len(_TRACKED) + len(_CHECKPOINTS)
     for df in _TRACKED:
         try:
             df.unpersist()
         except Exception:  # session already stopped — nothing to free
             pass
     _TRACKED.clear()
+    for handle in _CHECKPOINTS:
+        handle.release()
+    _CHECKPOINTS.clear()
     return n
 
 

@@ -81,12 +81,19 @@ def driver_green() -> frozenset[str]:
     again and re-enters the driver window (a green-in-any-round union
     would hide such a regression forever). Missing/unparseable files
     are skipped, so a fresh checkout degrades to "everything is debt"
-    (registration order) rather than failing. Round files are
-    zero-padded (r01..r99), so lexical sort IS round order."""
+    (registration order) rather than failing. Files sort by the PARSED
+    round integer, not lexically — an unpadded CORRECTNESS_r8.json or
+    a 3-digit r100 must not misorder rounds and resurrect stale
+    verdicts (ADVICE r07)."""
     import json
+    import re
+
+    def _round_no(p) -> int:
+        m = re.search(r"_r(\d+)\.json$", p.name)
+        return int(m.group(1)) if m else -1
 
     latest: dict[str, bool] = {}
-    for path in sorted(_repo_root().glob("CORRECTNESS_r*.json")):
+    for path in sorted(_repo_root().glob("CORRECTNESS_r*.json"), key=_round_no):
         try:
             records = json.loads(path.read_text())
         except (OSError, ValueError):

@@ -479,10 +479,12 @@ def connected_components(
     rounds: persistence alone does NOT truncate the logical plan, and
     the per-round lineage growth otherwise makes driver-side plan
     processing (UI/AQE descriptions) quadratic — measured as a
-    driver OOM on deep graphs. Deterministic: the fixpoint (min
-    reachable id per node) is independent of iteration or partition
-    order."""
-    from dbt_project_spark.caching import persist_tracked
+    driver OOM on deep graphs. Checkpoints are the bounded tracked
+    kind (caching.RoundCache): eager, no double-store, superseded
+    blocks freed as soon as the next checkpoint lands. Deterministic:
+    the fixpoint (min reachable id per node) is independent of
+    iteration or partition order."""
+    from dbt_project_spark.caching import RoundCache, persist_tracked
 
     # Persist the raw edge list BEFORE symmetrizing: the union has two
     # branches over the same (possibly expensive — e.g. MinHash) edge
@@ -511,6 +513,8 @@ def connected_components(
         ).collect()[0]["s"]
 
     prev_sig = _sig(labels)
+    rounds = RoundCache(_CC_CHECKPOINT_EVERY)
+    init_labels = labels
     for i in range(max_iter):
         prop = sym.join(labels, sym.u == labels.node).select(
             F.col("v").alias("node"), "lab"
@@ -536,11 +540,10 @@ def connected_components(
             )
         else:
             new = hop
-        if (i + 1) % _CC_CHECKPOINT_EVERY == 0:
-            new = new.localCheckpoint(eager=False)
-        new = persist_tracked(new)
+        new = rounds.advance(new)  # materialize, drop round i−1, bound cps
+        if i == 0:
+            init_labels.unpersist()
         new_sig = _sig(new)
-        labels.unpersist()
         labels = new
         if new_sig == prev_sig:
             break

@@ -199,7 +199,10 @@ def hits_fixedpoint(
     are broadcast only below ``broadcast_threshold`` nodes; the
     per-step max is a 1-row aggregate broadcast onto the score table.
     """
-    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.caching import (
+        local_checkpoint_tracked,
+        persist_tracked,
+    )
 
     edges = persist_tracked(edges)
     edges.count()
@@ -214,18 +217,20 @@ def hits_fixedpoint(
     def _side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small_graph else df
 
-    def _normalize(raw: DataFrame, key: str, col: str) -> DataFrame:
-        """(key, raw) -> (node, col) max-normalized to scale.
+    def _normalize(raw: DataFrame, key: str, col: str):
+        """(key, raw) -> Checkpoint of (node, col) max-normalized.
 
         ``raw`` is PERSISTED before use: it feeds both the 1-row max
         aggregate and the value projection — unpersisted, Spark would
         recompute the whole upstream half-step chain for each
         consumer, doubling work per half-step (2^(2·iters) blowup).
-        The result is localCheckpoint-truncated: persistence alone
-        leaves the LOGICAL plan tree doubling per half-step, and the
-        2^(2·iters)-subtree plan string OOMs the driver before a
-        single task runs (the BFS/connected-components convention —
-        see bfs_hops/_BFS_CHECKPOINT_EVERY)."""
+        The result is an EAGER tracked localCheckpoint: persistence
+        alone leaves the LOGICAL plan tree doubling per half-step, and
+        the 2^(2·iters)-subtree plan string OOMs the driver before a
+        single task runs. Eager means the checkpoint blocks ARE the
+        half-step's cache (no second persist — the pre-r08 version
+        stored every half-step twice), and ``raw``'s cache is dropped
+        as soon as the checkpoint lands."""
         raw = persist_tracked(raw)
         mx = raw.agg(F.max("raw").alias("mx"))
         out = raw.crossJoin(F.broadcast(mx)).select(
@@ -234,23 +239,37 @@ def hits_fixedpoint(
             .cast("bigint")
             .alias(col),
         )
-        return persist_tracked(out.localCheckpoint(eager=False))
+        cp = local_checkpoint_tracked(out)
+        raw.unpersist()
+        return cp
 
     auth = nodes.select("node", F.lit(scale).cast("bigint").alias("a"))
     hub = None
+    hub_cp = auth_cp = None
     for _ in range(iters):
         hraw = (
             edges.join(_side(auth), edges.dst == auth.node)
             .groupBy("src")
             .agg(F.sum("a").alias("raw"))
         )
-        hub = _normalize(hraw, "src", "h")
+        new_hub = _normalize(hraw, "src", "h")
+        # Once the new hub checkpoint lands, the PREVIOUS iteration's
+        # hub/auth pair (which fed only this hraw chain) can never be
+        # read again — free both now. Resident checkpoints stay ≤3
+        # regardless of iters; the final (hub, auth) pair survives for
+        # the output join and is freed by the next release_tracked.
+        if hub_cp is not None:
+            hub_cp.release()
+        if auth_cp is not None:
+            auth_cp.release()
+        hub_cp, hub = new_hub, new_hub.df
         araw = (
             edges.join(_side(hub), edges.src == hub.node)
             .groupBy("dst")
             .agg(F.sum("h").alias("raw"))
         )
-        auth = _normalize(araw, "dst", "a")
+        auth_cp = _normalize(araw, "dst", "a")
+        auth = auth_cp.df
     out = (
         nodes.join(_side(hub).withColumnRenamed("node", "hn"),
                    nodes.node == F.col("hn"), "left")
@@ -302,7 +321,7 @@ def bfs_hops(
     ``connected_components`` (see dedup.py: persistence alone does
     not truncate the logical plan).
     """
-    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.caching import RoundCache, persist_tracked
 
     edges = persist_tracked(edges.select("src", "dst"))
     n_nodes = (
@@ -323,7 +342,7 @@ def bfs_hops(
             .agg(F.min("node").alias("node"))
         )
     dist = source.select("node", F.lit(0).alias("hops"))
-    prev: DataFrame | None = None
+    rounds = RoundCache(_BFS_CHECKPOINT_EVERY)
     for i in range(iters):
         nxt = edges.join(
             _dist_side(dist), edges.src == dist.node
@@ -331,14 +350,7 @@ def bfs_hops(
         new = (
             dist.unionAll(nxt).groupBy("node").agg(F.min("hops").alias("hops"))
         )
-        if (i + 1) % _BFS_CHECKPOINT_EVERY == 0:
-            new = new.localCheckpoint(eager=False)
-        new = persist_tracked(new)
-        new.count()  # materialize before the next round's double ref
-        if prev is not None:
-            prev.unpersist()
-        prev = new
-        dist = new
+        dist = rounds.advance(new)
     return dist
 
 
@@ -361,15 +373,21 @@ def kcore(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
     is ever broadcast except what AQE promotes. Every round
     references the current edge list twice (degree + filter), so each
     round's edges are persisted and materialized, the previous
-    round's cache is dropped eagerly, and lineage is truncated by a
-    localCheckpoint every ``_KCORE_CHECKPOINT_EVERY`` rounds — the
-    bfs_hops/connected_components convention.
+    round's cache is dropped eagerly, and lineage is truncated by an
+    EAGER tracked localCheckpoint every ``_KCORE_CHECKPOINT_EVERY``
+    rounds whose blocks are freed deterministically the moment the
+    next checkpoint lands (caching.local_checkpoint_tracked):
+    resident storage is bounded at one round's edge cache + one live
+    checkpoint regardless of iters or how many peels share the JVM —
+    the lazy-checkpoint variant left every checkpoint's blocks to the
+    GC/ContextCleaner race and OOM'd an 8 g driver in the r07 full
+    suite.
     """
-    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.caching import RoundCache, persist_tracked
 
     e = persist_tracked(edges.select("u", "v"))
     e.count()
-    prev: DataFrame | None = None
+    rounds = RoundCache(_KCORE_CHECKPOINT_EVERY)
     for i in range(iters):
         # Persist the nodes-sized degree table: BOTH semi-joins below
         # reference `alive`, and Spark does not share subtrees, so an
@@ -403,14 +421,8 @@ def kcore(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
         ne = e.join(
             alive.withColumnRenamed("node", "u"), "u", "leftsemi"
         ).join(alive.withColumnRenamed("node", "v"), "v", "leftsemi")
-        if (i + 1) % _KCORE_CHECKPOINT_EVERY == 0:
-            ne = ne.localCheckpoint(eager=False)
-        ne = persist_tracked(ne)
-        ne.count()  # materialize before unpersisting deg / next round
+        ne = rounds.advance(ne)  # materialize, drop round i−1, bound cps
         deg.unpersist()
-        if prev is not None:
-            prev.unpersist()
-        prev = ne
         e = ne
     return (
         e.select(F.col("u").alias("node"))
@@ -444,7 +456,7 @@ def weighted_sssp(
     materializes, drops the previous cache, and localCheckpoints
     every ``_BFS_CHECKPOINT_EVERY`` rounds.
     """
-    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.caching import RoundCache, persist_tracked
 
     edges = persist_tracked(edges.select("src", "dst", "cost"))
     n_nodes = (
@@ -465,7 +477,7 @@ def weighted_sssp(
             .agg(F.min("node").alias("node"))
         )
     dist = source.select("node", F.lit(0).cast("bigint").alias("cost"))
-    prev: DataFrame | None = None
+    rounds = RoundCache(_BFS_CHECKPOINT_EVERY)
     for i in range(iters):
         nxt = edges.join(
             _dist_side(dist), edges.src == dist.node
@@ -476,14 +488,7 @@ def weighted_sssp(
         new = (
             dist.unionAll(nxt).groupBy("node").agg(F.min("cost").alias("cost"))
         )
-        if (i + 1) % _BFS_CHECKPOINT_EVERY == 0:
-            new = new.localCheckpoint(eager=False)
-        new = persist_tracked(new)
-        new.count()  # materialize before the next round's double ref
-        if prev is not None:
-            prev.unpersist()
-        prev = new
-        dist = new
+        dist = rounds.advance(new)
     return dist
 
 
@@ -602,7 +607,7 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     and drops the previous cache; lineage is truncated on the BFS
     checkpoint cadence.
     """
-    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.caching import RoundCache, persist_tracked
 
     edges = persist_tracked(edges.select("u", "v"))
     # Symmetrize ONCE: one persisted adjacency join per round instead
@@ -617,7 +622,7 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     nodes = persist_tracked(adj.select("node").distinct())
     nodes.count()
     lab = nodes.select("node", F.col("node").alias("lab"))
-    prev: DataFrame | None = None
+    rounds = RoundCache(_BFS_CHECKPOINT_EVERY)
     for i in range(iters):
         ln = lab.select(F.col("node").alias("nbr"), F.col("lab").alias("nl"))
         nbr = adj.join(ln, "nbr").select("node", "nl")
@@ -637,12 +642,5 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
                 "node", F.coalesce("new_lab", "lab").alias("lab")
             )
         )
-        if (i + 1) % _BFS_CHECKPOINT_EVERY == 0:
-            new = new.localCheckpoint(eager=False)
-        new = persist_tracked(new)
-        new.count()  # materialize before next round's double ref
-        if prev is not None:
-            prev.unpersist()
-        prev = new
-        lab = new
+        lab = rounds.advance(new)
     return lab

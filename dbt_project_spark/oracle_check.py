@@ -137,5 +137,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    # All trailing args are query names, comma- or space-separated —
+    # silently dropping argv[3:] made "gated" queries never run
+    # (ADVICE r07).
+    only = [n for a in sys.argv[2:] for n in a.split(",") if n] or None
+    if only:
+        from dbt_project_spark.catalog import QUERIES, load_all
+
+        load_all()
+        unknown = [n for n in only if n not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown query names: {unknown}")
     raise SystemExit(1 if main(sf, only) else 0)

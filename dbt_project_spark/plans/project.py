@@ -196,8 +196,15 @@ class Project:
                 )
                 merged = survivors.unionByName(df)
                 # we read and overwrite the same files: cut the lineage
-                # onto local storage before the commit deletes them
-                merged = merged.localCheckpoint(eager=True)
+                # onto local storage before the commit deletes them;
+                # the checkpoint's only reader is the write below, so
+                # its blocks are freed as soon as the commit lands
+                from dbt_project_spark.caching import (
+                    local_checkpoint_tracked,
+                )
+
+                cp = local_checkpoint_tracked(merged)
+                merged = cp.df
                 conf = "spark.sql.sources.partitionOverwriteMode"
                 prev = self.spark.conf.get(conf)
                 self.spark.conf.set(conf, "dynamic")
@@ -209,6 +216,7 @@ class Project:
                     )
                 finally:
                     self.spark.conf.set(conf, prev)
+                    cp.release()
         else:
             raise ValueError(f"unknown materialization {m.materialized!r}")
         return self.spark.read.parquet(path)

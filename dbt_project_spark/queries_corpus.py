@@ -1317,7 +1317,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_loop(spark: SparkSession, sf_dir: str):
     """(per-round 1-row merge DFs, final vocab (w, f, seg)) — the
     Spark twin of ``_bpe_chain_sql``."""
-    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.caching import local_checkpoint_tracked
 
     toks = load_table(spark, sf_dir, "documents").select(
         F.explode(
@@ -1336,7 +1336,12 @@ def _bpe_loop(spark: SparkSession, sf_dir: str):
     )
     merges = []
     for i in range(1, BPE_MERGES + 1):
-        vocab = persist_tracked(vocab.localCheckpoint(eager=False))
+        # Tracked eager checkpoint (not persist-over-lazy-checkpoint,
+        # which stored every round's vocab twice): every round's vocab
+        # stays legitimately live — round i's 1-row merge DF in the
+        # returned list reads it — so none is superseded mid-loop; the
+        # handles free all blocks at the next release_tracked.
+        vocab = local_checkpoint_tracked(vocab).df
         pairs = (
             vocab.filter(F.length(F.trim("seg")) > 0)
             .select(F.split(F.trim("seg"), " ").alias("sym"), "f")

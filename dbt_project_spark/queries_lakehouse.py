@@ -191,6 +191,110 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_EVO_CUT = "1996-01-01"  # run-2 batches (with the new column) start here
+
+
+@register(
+    "schema_evolution_backfill",
+    oracle=f"""
+    WITH unioned AS (
+      SELECT o_orderkey AS order_id, o_orderstatus AS status,
+             {_P100} AS price100,
+             strftime(o_orderdate, '%Y') AS yr,
+             CASE WHEN o_orderdate >= TIMESTAMP '{_EVO_CUT}'
+                  THEN o_orderpriority END AS prio
+      FROM orders)
+    SELECT yr, coalesce(prio, 'UNKNOWN') AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price100) AS BIGINT) AS sum_price100,
+           CAST(SUM(('0x' || substr(md5(
+                CAST(order_id AS VARCHAR) || '|' || status || '|'
+                || CAST(price100 AS VARCHAR) || '|'
+                || coalesce(prio, 'UNKNOWN')), 1, 8))::BIGINT) AS BIGINT)
+               AS row_checksum
+    FROM unioned GROUP BY 1, 2
+    """,
+)
+def schema_evolution_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution lifecycle as an oracled row, completing the
+    lakehouse trio's drift case next to [[merge_upsert_orders]] and
+    [[incremental_daily_rollup]]: run 1 writes the year-partitioned
+    order table WITHOUT the ``prio`` column (the pre-drift producer);
+    run 2 appends later years WITH it (a new column arrives
+    mid-stream). The read side must mergeSchema the footers (old files
+    simply lack the column) and apply the documented backfill —
+    ``coalesce(prio, 'UNKNOWN')`` — before any aggregate. The oracle
+    restates exactly that: pre-cut rows have no priority, post-cut
+    rows carry the real one; a read that drops the column (no
+    mergeSchema), mis-assigns it across the cut, or skips the backfill
+    flips the per-(yr, prio) checksum.
+
+    Reference parity: data_input.py re-loads the WHOLE CSV into MySQL
+    on every refresh (data_input.py:21-33) — the shape schema drift
+    breaks first, since one new CSV column fails the fixed-DDL INSERT.
+    This row is the lakehouse answer: additive columns land as new
+    parquet footers, old partitions are never rewritten, and the
+    backfill is a read-side projection.
+
+    Scale shape: both writes are one map-side projection each, append
+    never touches existing files (O(new batch), not O(table)), and
+    mergeSchema costs footer reads only — at 100 TB the alternative
+    (rewriting history to add a column) is the thing this pattern
+    exists to avoid. The summary is one scan with map-side combinable
+    aggregates over ≤ years×priorities groups.
+    """
+    from dbt_project_spark.functions.expressions import md5_int
+
+    orders = load_table(spark, sf_dir, "orders")
+    price100 = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    yr = F.date_format("o_orderdate", "yyyy")
+    cut = F.lit(_EVO_CUT).cast("timestamp")
+    early = orders.filter(F.col("o_orderdate") < cut).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        price100.alias("price100"),
+        yr.alias("yr"),
+    )
+    late = orders.filter(F.col("o_orderdate") >= cut).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        price100.alias("price100"),
+        F.col("o_orderpriority").alias("prio"),  # the drifted-in column
+        yr.alias("yr"),
+    )
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        path = os.path.join(tmp, "orders_evolved")
+        early.write.mode("overwrite").partitionBy("yr").parquet(path)
+        late.write.mode("append").partitionBy("yr").parquet(path)
+        merged = spark.read.option("mergeSchema", "true").parquet(path)
+        key = F.concat_ws(
+            "|",
+            F.col("order_id").cast("string"),
+            F.col("status"),
+            F.col("price100").cast("string"),
+            F.col("prio"),
+        )
+        out = (
+            merged.withColumn("prio", F.coalesce("prio", F.lit("UNKNOWN")))
+            .groupBy(F.col("yr").cast("string").alias("yr"), "prio")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("price100").cast("bigint").alias("sum_price100"),
+                F.sum(md5_int(key)).cast("bigint").alias("row_checksum"),
+            )
+        )
+        # years×priorities-sized (≤ ~40 rows at any SF) — collected so
+        # the temp dir can be deleted before returning.
+        return spark.createDataFrame(
+            [tuple(r) for r in out.collect()],
+            "yr string, prio string, n_rows bigint, sum_price100 bigint, "
+            "row_checksum bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _INC_CUT = "2024-01-20"  # run-1 high-water mark (events span Jan 1-30)
 
 

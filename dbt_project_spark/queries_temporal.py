@@ -780,6 +780,9 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v.count()
+    from dbt_project_spark.caching import RoundCache
+
+    rounds = RoundCache(1)
     for _ in range(MK_ITERS):
         s = (
             tp.join(
@@ -805,15 +808,14 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("vm"),
         )
-        prev = v
         # lineage truncation every round: persistence bounds EXECUTION
         # but the logical plan still nests per iteration — 24 rounds
         # of joins OOM the driver at planning time without a
         # checkpoint (the bfs_hops discipline; tables here are tiny
-        # so every-round truncation is free).
-        v = persist_tracked(nv.localCheckpoint(eager=False))
-        v.count()
-        prev.unpersist()
+        # so every-round truncation is free). RoundCache(1): each
+        # round's checkpoint supersedes the last, so blocks are freed
+        # per round instead of accumulating 24 rounds until a GC.
+        v = rounds.advance(nv)
     res = v.filter(F.col("st") == "START").select("variant", "vm")
     base = res.filter(F.col("variant") == "base").select(
         F.col("vm").alias("bv")

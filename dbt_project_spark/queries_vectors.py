@@ -1855,7 +1855,10 @@ def _pca_iterate(spark: SparkSession, sf_dir: str):
             " ELSE -((-SUM(c)) div COUNT(*)) END"
         ).alias("md")
     )
-    from dbt_project_spark.caching import persist_tracked
+    from dbt_project_spark.caching import (
+        local_checkpoint_tracked,
+        persist_tracked,
+    )
 
     cc = persist_tracked(
         comp.join(F.broadcast(means), "d").select(
@@ -1881,7 +1884,14 @@ def _pca_iterate(spark: SparkSession, sf_dir: str):
         # re-executes the whole chain — O(t^2) corpus passes instead
         # of t (measured 13.2 s -> ~2 s at sf0.1).
         round_mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
-        wmx = w.crossJoin(F.broadcast(round_mx)).localCheckpoint(eager=True)
+        # Tracked checkpoint: every round's (64+1)-row iterate stays
+        # live (the align/lambda tail reads ALL of them), so none can
+        # be superseded mid-loop — but the tracked handle frees the
+        # blocks deterministically at the next release_tracked instead
+        # of waiting on a GC/ContextCleaner race.
+        wmx = local_checkpoint_tracked(
+            w.crossJoin(F.broadcast(round_mx))
+        ).df
         mx = wmx.select("mx").distinct()
         v = wmx.select(
             "d",

@@ -7,12 +7,21 @@ CONTRACT (runs cleanly in every session state, registry drains, plans
 stay recomputable after release) rather than block counts.
 """
 
+import pytest
+
 from dbt_project_spark.caching import (
+    _CHECKPOINTS,
     _TRACKED,
+    RoundCache,
+    local_checkpoint_tracked,
     persist_tracked,
     release_tracked,
     reclaim_jvm,
 )
+
+
+def _n_stored_rdds(spark) -> int:
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
 
 def test_release_tracked_drains_registry(spark):
@@ -42,3 +51,51 @@ def test_reclaim_jvm_is_always_safe(spark):
     reclaim_jvm()
     reclaim_jvm()
     assert release_tracked() == 0
+
+
+def test_checkpoint_tracked_frees_blocks_without_gc(spark):
+    """The r08 OOM fix contract: checkpoint blocks drop SYNCHRONOUSLY
+    on release — no System.gc()/ContextCleaner race (the r07 full
+    suite OOM'd precisely because that race never resolved)."""
+    release_tracked()
+    base = _n_stored_rdds(spark)
+    cp = local_checkpoint_tracked(spark.range(50_000))
+    assert cp.df.count() == 50_000
+    assert _n_stored_rdds(spark) == base + 1  # eager: blocks exist NOW
+    cp.release()
+    assert _n_stored_rdds(spark) == base  # and are GONE now
+    cp.release()  # idempotent
+
+
+def test_release_tracked_drains_checkpoints(spark):
+    release_tracked()
+    base = _n_stored_rdds(spark)
+    cp = local_checkpoint_tracked(spark.range(1_000))
+    assert cp.df.count() == 1_000
+    assert len(_CHECKPOINTS) == 1
+    release_tracked()
+    assert _CHECKPOINTS == []
+    assert _n_stored_rdds(spark) == base
+    # a released checkpoint is NOT recomputable (lineage truncated) —
+    # the documented contract: release only after full materialization
+    with pytest.raises(Exception):
+        cp.df.count()
+
+
+def test_roundcache_bounds_resident_storage(spark):
+    """8 advanced rounds with checkpoint_every=2: at no point may more
+    than one round cache + two checkpoints be resident (the bound that
+    keeps a 2-peel kcore inside an 8 g driver)."""
+    release_tracked()
+    base = _n_stored_rdds(spark)
+    rounds = RoundCache(2)
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS v")
+    peak = 0
+    for _ in range(8):
+        df = rounds.advance(df.selectExpr("id", "v + 1 AS v"))
+        peak = max(peak, _n_stored_rdds(spark) - base)
+    # sum(id % 7) + 8 rounds of +1 per row
+    assert df.selectExpr("sum(v)").collect()[0][0] == 109_994
+    assert peak <= 3
+    release_tracked()
+    assert _n_stored_rdds(spark) == base

@@ -81,36 +81,112 @@ def test_every_query_has_survey_line():
     assert not missing, missing
 
 
+def _code_identifiers(path: str) -> set[str]:
+    """Every identifier a Python file actually DEFINES or USES —
+    function/class/arg names, Name ids, attribute accesses, import
+    aliases, keyword args, plus snake_case tokens inside non-docstring
+    string literals (column names in SQL/F.col). Comments never parse
+    into the AST; docstrings are skipped explicitly — so a phantom
+    inventory name mentioned only in prose can NOT resolve (ADVICE
+    r07: the old full-text substring scan let it)."""
+    import ast
+
+    tree = ast.parse(open(path).read())
+    doc_nodes: set[int] = set()
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef)
+        ):
+            body = getattr(node, "body", [])
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                doc_nodes.add(id(body[0].value))
+    ids: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name):
+            ids.add(node.id)
+        elif isinstance(node, ast.Attribute):
+            ids.add(node.attr)
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            ids.add(node.name)
+        elif isinstance(node, ast.arg):
+            ids.add(node.arg)
+        elif isinstance(node, ast.alias):
+            ids.add((node.asname or node.name).split(".")[-1])
+        elif isinstance(node, ast.keyword) and node.arg:
+            ids.add(node.arg)
+        elif (
+            isinstance(node, ast.Constant)
+            and isinstance(node.value, str)
+            and id(node) not in doc_nodes
+        ):
+            ids.update(re.findall(r"[a-z][a-z0-9_]{3,}", node.value))
+    return ids
+
+
 def test_every_survey_checklist_name_resolves():
     """VERDICT r06 defect 1: SURVEY §2 listed a phantom query name
     (`pipeline_order_revenue`) that existed nowhere in the package —
     the inventory the judge audits must not contain entries that
     resolve to nothing. Every backticked snake_case identifier in §2
-    must be a registered query OR appear as a real symbol somewhere in
-    dbt_project_spark/ or tests/ (operators, fixtures, builders)."""
+    must be a registered query OR a real CODE symbol (def/assignment/
+    attribute/import/string-literal identifier — NOT a comment or
+    docstring mention) somewhere in dbt_project_spark/ or tests/."""
     survey = open(os.path.join(REPO, "SURVEY.md")).read()
     m = re.search(r"## §2.*?(?=\n## §3)", survey, re.S)
     assert m, "SURVEY.md §2 section not found"
     names = set(re.findall(r"`([a-z][a-z0-9_]{3,})`", m.group(0)))
-    # generic prose tokens that are backticked Spark/API vocabulary,
-    # not inventory entries, get resolved by the source scan below.
-    src = []
     here = os.path.abspath(__file__)
-    for root in ("dbt_project_spark", "tests"):
-        for f in glob.glob(os.path.join(REPO, root, "**", "*.py"),
-                           recursive=True):
-            if os.path.abspath(f) == here:
-                continue  # this docstring names the phantom; don't self-resolve
-            src.append(open(f).read())
-    src.append(open(os.path.join(REPO, "bench.py")).read())
-    src.append(open(os.path.join(REPO, "__spark_entry__.py")).read())
-    corpus = "\n".join(src)
-    unresolved = sorted(
-        n for n in names
-        if n not in QUERIES and not re.search(rf"\b{re.escape(n)}\b", corpus)
-    )
+    symbols: set[str] = set()
+    files = [
+        f
+        for root in ("dbt_project_spark", "tests")
+        for f in glob.glob(os.path.join(REPO, root, "**", "*.py"), recursive=True)
+        if os.path.abspath(f) != here  # this file names the phantom
+    ] + [os.path.join(REPO, "bench.py"), os.path.join(REPO, "__spark_entry__.py")]
+    for f in files:
+        symbols |= _code_identifiers(f)
+    unresolved = sorted(n for n in names if n not in QUERIES and n not in symbols)
     assert not unresolved, (
         f"SURVEY §2 names resolving to nothing in the package: {unresolved}"
+    )
+
+
+def test_driver_verdict_files_are_git_tracked():
+    """VERDICT r06 #4 / r07 #2, twice-recurring process defect: the
+    driver window (catalog.priority_names) derives from CHECKED-IN
+    CORRECTNESS_r*.json files; an untracked verdict file means the
+    queries it verified still classify as debt and re-occupy the next
+    round's 50-slot window, starving real debt. Every verdict/bench
+    artifact on disk must be git-tracked."""
+    import subprocess
+
+    on_disk = sorted(
+        os.path.basename(p)
+        for pat in ("CORRECTNESS_r*.json", "BENCH_r*.json")
+        for p in glob.glob(os.path.join(REPO, pat))
+    )
+    try:
+        tracked = set(
+            subprocess.run(
+                ["git", "ls-files", "CORRECTNESS_r*.json", "BENCH_r*.json"],
+                cwd=REPO,
+                capture_output=True,
+                text=True,
+                check=True,
+                timeout=30,
+            ).stdout.split()
+        )
+    except (OSError, subprocess.SubprocessError):
+        return  # not a git checkout (tarball/CI export) — nothing to lint
+    untracked = [f for f in on_disk if f not in tracked]
+    assert not untracked, (
+        f"driver verdict files not committed (the window derives from "
+        f"checked-in files — commit them NOW): {untracked}"
     )
 
 
