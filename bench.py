@@ -11,7 +11,11 @@ query once, then again, ...) so samples are spread across the session
 and a host-load spike doesn't bias one query. The JSON carries the
 medians plus per-query [min, max] spread — a >15% median shift on an
 unchanged plan is a regression, a uniform shift inside the spread is
-host drift (the r01→r02 +36% was unattributable with n=1).
+host drift (the r01→r02 +36% was unattributable with n=1). Each run
+also emits a ``regressions`` verdict per section: queries whose
+CURRENT min exceeds the PREVIOUS round's max (non-overlapping sample
+windows — not noise), against the last full local run or, failing
+that, the newest driver-recorded BENCH_r*.json at the same sf.
 
 An additional sf1 section re-times the most expensive queries (23 as
 of r7: the heavy dedup/ANN/graph/recsys/corpus families) at
@@ -183,6 +187,58 @@ SF1_QUERIES = [
 ]
 
 
+def _prev_spreads(sf: float | None) -> tuple[dict, dict, str | None]:
+    """Previous-round per-query [min, max] spreads for the regression
+    flag (VERDICT r08 task 6). Prefers the last full-detail local run
+    (BENCH_LOCAL.json — read BEFORE this run overwrites it), falling
+    back to the newest driver-recorded BENCH_r*.json (its parsed
+    compact carries the slowest-15 sf0.1 spreads only). Spreads from a
+    different scale factor are never compared. Returns
+    (sf_base_spread, sf1_spread, source_name)."""
+    try:
+        with open(os.path.join(REPO, "BENCH_LOCAL.json")) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf and prev.get("spread"):
+            return (
+                prev["spread"],
+                prev.get("sf1", {}).get("spread", {}),
+                "BENCH_LOCAL.json",
+            )
+    except (OSError, ValueError):
+        pass
+
+    def _round_no(fn: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", fn)
+        return int(m.group(1)) if m else -1
+
+    files = sorted(
+        (fn for fn in os.listdir(REPO) if re.fullmatch(r"BENCH_r\d+\.json", fn)),
+        key=lambda fn: (_round_no(fn), fn),
+    )
+    for fn in reversed(files):
+        try:
+            with open(os.path.join(REPO, fn)) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed") or {}
+        if rec.get("sf") == sf and parsed.get("spread"):
+            return parsed["spread"], {}, fn
+    return {}, {}, None
+
+
+def _regressions(current_spread: dict, prev_spread: dict) -> dict:
+    """Queries whose CURRENT min exceeds the PREVIOUS max — by
+    definition outside host noise (the two sampling windows don't
+    overlap), so a plan/code regression until shown otherwise."""
+    out = {}
+    for name, cur in current_spread.items():
+        prev = prev_spread.get(name)
+        if prev and cur[0] > prev[1]:
+            out[name] = {"min": cur[0], "prev_max": prev[1]}
+    return out
+
+
 def _run_once(name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
     QUERIES[name](sf_dir=sf_dir, spark=_SPARK).write.mode("overwrite").format(
@@ -257,6 +313,8 @@ def main() -> None:
         "noop"
     ).save()
 
+    prev_base_spread, prev_sf1_spread, prev_src = _prev_spreads(sf)
+
     base = _bench(HEADLINE, sf_dir, runs)
 
     result = {
@@ -272,6 +330,11 @@ def main() -> None:
     }
     if base["skipped"]:
         result["skipped"] = base["skipped"]
+    # Spread-aware regression verdict (VERDICT r08 task 6): would have
+    # auto-flagged the r08 CC pair (dedup_clusters/split_group_aware
+    # +14%, min above r07's max on both scale factors).
+    result["regressions"] = _regressions(base["spread"], prev_base_spread)
+    result["regression_baseline"] = prev_src
 
     if sf1_on and sf is not None:
         from dbt_project_spark.sfgen import ensure_scaled
@@ -301,7 +364,9 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
         sf1 = _bench(SF1_QUERIES, sf1_dir, runs, budget_s=sf1_budget)
+        sf1_reg = _regressions(sf1["spread"], prev_sf1_spread)
         result["sf1"] = {
+            "regressions": sf1_reg,
             "sf": round(sf * 10, 4),
             "gen_sec": gen_sec,
             "budget_sec": sf1_budget,
@@ -344,8 +409,13 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
         "detail": "BENCH_LOCAL.json",
+        # One-line verdict: names whose min exceeded the previous
+        # round's max, per section ({} / missing baseline → clean run).
+        "regressions": sorted(result["regressions"]),
+        "regression_baseline": prev_src,
     }
     if "sf1" in result:
+        compact["sf1_regressions"] = sorted(result["sf1"]["regressions"])
         compact["sf1_total"] = round(
             sum(result["sf1"]["queries"].values()), 3
         )

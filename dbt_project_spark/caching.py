@@ -13,11 +13,15 @@ built: every consumer (driver gate, local oracle gate, bench, CLI)
 builds then materializes one query before building the next, so by the
 time query N+1 is constructed, query N's intermediates are dead.
 
-Releasing is never a correctness risk: unpersisting an
-already-collected (or even still-lazy) plan only means a re-execution
-would recompute — Spark keeps the lineage. Double-unpersist (some
-operators release their own per-round intermediates eagerly) is a
-no-op.
+Lifetime contract (narrowed in r08): releasing PERSISTED plans is
+never a correctness risk — a re-execution recomputes from lineage.
+Releasing CHECKPOINT-backed plans is: local checkpoints truncate
+lineage, so once ``release_tracked`` frees their blocks the plan is
+permanently unrecomputable (re-execution raises
+CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). A query result built on a
+checkpoint is therefore valid only until the NEXT catalog entry is
+built — see ``catalog.register``. Double-unpersist (some operators
+release their own per-round intermediates eagerly) is a no-op.
 """
 
 from __future__ import annotations
@@ -64,13 +68,15 @@ class Checkpoint:
 
     def __init__(self, df: DataFrame, jrdd) -> None:
         self.df = df
-        self._jrdd = jrdd
+        self._jrdd = jrdd  # None → untracked fallback, GC reclaims
         self._released = False
 
     def release(self) -> None:
         if self._released:
             return
         self._released = True
+        if self._jrdd is None:
+            return
         try:
             self._jrdd.unpersist(False)
         except Exception:  # session/JVM already gone — nothing to free
@@ -89,7 +95,15 @@ def local_checkpoint_tracked(df: DataFrame) -> Checkpoint:
     cp = df.localCheckpoint(eager=True)
     # The analyzed plan of a checkpointed Dataset is a LogicalRDD whose
     # ``rdd`` field IS the internal RDD holding the checkpoint blocks.
-    jrdd = cp._jdf.queryExecution().analyzed().rdd()
+    # Private-API reach (``_jdf``/``queryExecution``): if a Spark
+    # upgrade wraps the plan (extra Project/alias node) the extraction
+    # breaks — degrade to an untracked checkpoint (blocks reclaimed by
+    # GC/ContextCleaner, pre-r08 behavior) rather than failing every
+    # iterative operator at runtime (ADVICE r08).
+    try:
+        jrdd = cp._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        jrdd = None
     handle = Checkpoint(cp, jrdd)
     _CHECKPOINTS.append(handle)
     return handle
@@ -111,6 +125,15 @@ class RoundCache:
     one live checkpoint, regardless of ``iters`` or how many operator
     calls share the JVM. The final checkpoint stays live (the returned
     plan reads it) and is freed by the next ``release_tracked``.
+
+    Callers that run their own materializing action every round (CC's
+    convergence signal, an aggregate) pass it as ``materialize``:
+    advance runs it IN PLACE of the default ``count()`` — keeping the
+    materialize-before-unpersist ordering — and returns ``(df, value)``
+    so the round pays ONE Spark job, not count + signal (the r08
+    dedup_clusters/split_group_aware +14% regression, VERDICT r08
+    §wrong 2). On checkpoint rounds the eager checkpoint has already
+    materialized, so ``materialize`` runs over checkpoint blocks.
     """
 
     __slots__ = ("every", "_round", "_prev_df", "_prev_cp")
@@ -121,21 +144,28 @@ class RoundCache:
         self._prev_df: DataFrame | None = None
         self._prev_cp: Checkpoint | None = None
 
-    def advance(self, df: DataFrame) -> DataFrame:
+    def advance(self, df: DataFrame, materialize=None):
         self._round += 1
         if self._round % self.every == 0:
             cp = local_checkpoint_tracked(df)  # eager: materializes now
             out = cp.df
+            value = materialize(out) if materialize is not None else None
             if self._prev_cp is not None:
                 self._prev_cp.release()
             self._prev_cp = cp
         else:
             out = persist_tracked(df)
-            out.count()  # materialize before dropping the previous round
+            # Materialize before dropping the previous round: the new
+            # plan reads the previous cache, and recomputing through a
+            # released upstream checkpoint would raise, not just slow.
+            if materialize is not None:
+                value = materialize(out)
+            else:
+                out.count()
         if self._prev_df is not None:
             self._prev_df.unpersist()  # no-op on checkpoint-round frames
         self._prev_df = out
-        return out
+        return out if materialize is None else (out, value)
 
 
 def release_tracked() -> int:

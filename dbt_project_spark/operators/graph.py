@@ -354,8 +354,13 @@ def bfs_hops(
     return dist
 
 
-# Truncate peeling lineage every N rounds (same convention as BFS/CC).
-_KCORE_CHECKPOINT_EVERY = 4
+# Truncate peeling lineage every N rounds (same convention as BFS/CC,
+# but at HALF their cadence: each peel round references the previous
+# edge frame TWICE (degree agg + semi-join filter), so the logical plan
+# — and anything that renders it, e.g. the per-SQL-event explainString —
+# grows 2^cadence between checkpoints. Cadence 2 bounds the
+# doubly-referenced re-print at 4× (VERDICT r08 §wrong 1b).
+_KCORE_CHECKPOINT_EVERY = 2
 
 
 def kcore(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:

@@ -3,8 +3,12 @@
 reclaim_jvm's actual effect (ContextCleaner freeing localCheckpoint
 blocks) is asynchronous and heap-dependent — the full-suite OOM it
 fixes is only observable over a ~40-minute run, so these tests pin the
-CONTRACT (runs cleanly in every session state, registry drains, plans
-stay recomputable after release) rather than block counts.
+CONTRACT rather than block counts: runs cleanly in every session
+state, registry drains, PERSISTED plans stay recomputable after
+release, while CHECKPOINT-backed plans become unrecomputable once
+release_tracked frees their blocks (re-execution raises — pinned by
+test_release_tracked_drains_checkpoints; see catalog.register for the
+consumer-facing lifetime contract).
 """
 
 import pytest
@@ -97,5 +101,27 @@ def test_roundcache_bounds_resident_storage(spark):
     # sum(id % 7) + 8 rounds of +1 per row
     assert df.selectExpr("sum(v)").collect()[0][0] == 109_994
     assert peak <= 3
+    release_tracked()
+    assert _n_stored_rdds(spark) == base
+
+
+def test_roundcache_caller_materializer_replaces_count(spark):
+    """advance(df, materialize=...) runs the caller's action as THE
+    materializing job — one Spark job per round, not count + action
+    (the r08 CC +14% regression) — and returns (df, value). Storage
+    stays bounded exactly as with the default count."""
+    release_tracked()
+    base = _n_stored_rdds(spark)
+    rounds = RoundCache(2)
+    df = spark.range(1_000).selectExpr("id", "id % 5 AS v")
+    sig = lambda d: d.selectExpr("sum(v)").collect()[0][0]  # noqa: E731
+    sigs = []
+    for _ in range(4):  # covers persist rounds AND checkpoint rounds
+        df, s = rounds.advance(df.selectExpr("id", "v + 1 AS v"), sig)
+        sigs.append(s)
+        assert _n_stored_rdds(spark) - base <= 3
+    # baseline sum(id % 5) over 0..999 = 2000; +1000 per round
+    assert sigs == [3000, 4000, 5000, 6000]
+    assert sig(df) == 6000  # returned frame is the materialized round
     release_tracked()
     assert _n_stored_rdds(spark) == base

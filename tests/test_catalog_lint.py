@@ -210,3 +210,15 @@ def test_exemption_lists_are_tight():
         if re.search(rf"\b{re.escape(n)}\b", corpus)
     )
     assert not covered, f"now tested by name — remove from the lists: {covered}"
+
+
+def test_refresh_names_are_registered():
+    """REFRESH (catalog.py) feeds the driver window head — a typo'd or
+    since-renamed name silently drops out of priority_names() and the
+    intended re-verification never happens (the REFRESH-on-restructure
+    rule, VERDICT r08 task 3)."""
+    from dbt_project_spark.catalog import REFRESH
+
+    unknown = sorted(set(REFRESH) - set(QUERIES))
+    assert not unknown, f"REFRESH names not in the catalog: {unknown}"
+    assert len(set(REFRESH)) == len(REFRESH), "duplicate REFRESH names"
