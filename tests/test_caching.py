@@ -125,3 +125,12 @@ def test_roundcache_caller_materializer_replaces_count(spark):
     assert sig(df) == 6000  # returned frame is the materialized round
     release_tracked()
     assert _n_stored_rdds(spark) == base
+
+
+def test_session_factory_caps_plan_string_length(spark):
+    """The engine session bounds explainString rendering: an unbounded
+    (default ~2 GiB) plan string re-prints doubly-referenced subtrees
+    2^cadence× on deep iterative lineages and OOM'd an 8 g driver in
+    the r08 full suite. A production driver wants the same cap, so it
+    lives in session.py's factory, not the test harness."""
+    assert int(spark.conf.get("spark.sql.maxPlanStringLength")) == 65536
