@@ -114,3 +114,18 @@ def test_vanilla_session_reads_ts_as_ntz(vanilla):
     _reset(vanilla)
     df = vanilla.read.parquet(f"{SF_SMOKE}/events.parquet")
     assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+
+
+# RoundCache/checkpoint-discipline queries: the r08/r09 iterative
+# restructure (eager tracked localCheckpoint, private-API block handle,
+# caller-supplied materializer) must hold on a session the engine
+# factory never configured — exactly what the driver gate runs them on,
+# and these names lead the r09 REFRESH window.
+_CHECKPOINT_QUERIES = ["kcore_parts", "dedup_clusters", "split_group_aware"]
+
+
+@pytest.mark.parametrize("name", _CHECKPOINT_QUERIES)
+def test_checkpoint_query_green_on_vanilla_session(vanilla, name):
+    _reset(vanilla)
+    r = check_query(vanilla, SF_SMOKE, name, QUERIES[name], ORACLES.get(name))
+    assert r["ok"], r
