@@ -187,24 +187,40 @@ SF1_QUERIES = [
 ]
 
 
-def _prev_spreads(sf: float | None) -> tuple[dict, dict, str | None]:
+def _prev_spreads(
+    sf: float | None,
+) -> tuple[dict, dict, str | None, dict, dict]:
     """Previous-round per-query [min, max] spreads for the regression
     flag (VERDICT r08 task 6). Prefers the last full-detail local run
     (BENCH_LOCAL.json — read BEFORE this run overwrites it), falling
     back to the newest driver-recorded BENCH_r*.json (its parsed
     compact carries the slowest-15 sf0.1 spreads only). Spreads from a
     different scale factor are never compared. Returns
-    (sf_base_spread, sf1_spread, source_name)."""
+    (sf_base_spread, sf1_spread, source_name, base_n_runs, sf1_n_runs);
+    the n_runs maps qualify single-sample baselines (ADVICE r09).
+    Malformed files (top-level list, non-dict sf1) are skipped, never
+    fatal — a corrupt baseline must not abort the bench run."""
+
+    def _d(x) -> dict:
+        return x if isinstance(x, dict) else {}
+
     try:
         with open(os.path.join(REPO, "BENCH_LOCAL.json")) as f:
             prev = json.load(f)
-        if prev.get("sf") == sf and prev.get("spread"):
+        if (
+            isinstance(prev, dict)
+            and prev.get("sf") == sf
+            and _d(prev.get("spread"))
+        ):
+            sf1 = _d(prev.get("sf1"))
             return (
-                prev["spread"],
-                prev.get("sf1", {}).get("spread", {}),
+                _d(prev.get("spread")),
+                _d(sf1.get("spread")),
                 "BENCH_LOCAL.json",
+                _d(prev.get("n_runs")),
+                _d(sf1.get("n_runs")),
             )
-    except (OSError, ValueError):
+    except (OSError, ValueError, AttributeError, TypeError):
         pass
 
     def _round_no(fn: str) -> int:
@@ -221,22 +237,75 @@ def _prev_spreads(sf: float | None) -> tuple[dict, dict, str | None]:
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
-        parsed = rec.get("parsed") or {}
-        if rec.get("sf") == sf and parsed.get("spread"):
-            return parsed["spread"], {}, fn
-    return {}, {}, None
+        if not isinstance(rec, dict):
+            continue
+        parsed = _d(rec.get("parsed"))
+        if rec.get("sf") == sf and _d(parsed.get("spread")):
+            # The compact line has no per-query n_runs; its global
+            # "runs" config is the per-query sample count unless the
+            # budget truncated (sf1 only, which the compact doesn't
+            # carry spreads for anyway).
+            runs = parsed.get("runs")
+            n = (
+                {q: runs for q in parsed["spread"]}
+                if isinstance(runs, int)
+                else {}
+            )
+            return _d(parsed.get("spread")), {}, fn, n, {}
+    return {}, {}, None, {}, {}
 
 
-def _regressions(current_spread: dict, prev_spread: dict) -> dict:
-    """Queries whose CURRENT min exceeds the PREVIOUS max — by
-    definition outside host noise (the two sampling windows don't
-    overlap), so a plan/code regression until shown otherwise."""
+def _regressions(
+    current_spread: dict,
+    prev_spread: dict,
+    cur_n: dict | None = None,
+    prev_n: dict | None = None,
+    host: dict | None = None,
+) -> dict:
+    """Queries whose CURRENT min exceeds the PREVIOUS max.
+
+    With >=2 samples on BOTH sides the windows genuinely don't overlap
+    and the flag means a plan/code regression until shown otherwise.
+    With a single sample on either side the "window" is a point and
+    the argument collapses (ADVICE r09: r09 flagged 9 single-sample
+    names later adjudicated as host noise) — such entries carry
+    ``"weak_n1": true``. Entries whose samples ran under measured CPU
+    steal (``host`` maps name -> {"steal_pct": max-over-runs, ...})
+    additionally carry ``"noise_suspect": true``: steal is external by
+    definition (our own load cannot create it), so a flag raised while
+    the hypervisor was taking cycles is the documented steal-spike
+    signature, not evidence of a code change."""
     out = {}
     for name, cur in current_spread.items():
         prev = prev_spread.get(name)
         if prev and cur[0] > prev[1]:
-            out[name] = {"min": cur[0], "prev_max": prev[1]}
+            entry = {"min": cur[0], "prev_max": prev[1]}
+            if (cur_n or {}).get(name, 0) < 2 or (prev_n or {}).get(
+                name, 0
+            ) < 2:
+                entry["weak_n1"] = True
+            if (host or {}).get(name, {}).get("steal_pct", 0.0) > 2.0:
+                entry["noise_suspect"] = True
+            out[name] = entry
     return out
+
+
+def _host_sample() -> tuple[float, int, int]:
+    """(loadavg_1min, total_cpu_ticks, steal_ticks) from /proc.
+
+    Steal is the discriminating signal for the recurring external
+    contention this host suffers (SCALE.md r09): 1-min loadavg during
+    a bench run mostly measures OUR OWN executor threads (a single
+    wedge join drives it past 14 on a quiet machine), but steal ticks
+    only accrue when the hypervisor runs someone else on our CPUs."""
+    try:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        with open("/proc/stat") as f:
+            ticks = [int(x) for x in f.readline().split()[1:]]
+        return load1, sum(ticks), ticks[7] if len(ticks) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return 0.0, 0, 0
 
 
 def _run_once(name: str, sf_dir: str) -> float:
@@ -254,6 +323,12 @@ def _bench(
 
     t_start = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n in names}
+    # Per-query host evidence (VERDICT r09 task 2): max 1-min loadavg
+    # and max CPU-steal %% observed across the query's timed runs, so a
+    # regression flag carries its own noise adjudication.
+    host: dict[str, dict] = {n: {"load": 0.0, "steal_pct": 0.0} for n in names}
+    steal_samples: list[float] = []
+    load_samples: list[float] = []
     for _pass in range(runs):
         # One full-GC sweep per pass (~0.2 s against a multi-minute
         # pass): frees localCheckpoint blocks and dead plan trees that
@@ -269,7 +344,15 @@ def _bench(
                 continue  # keep the samples we have
             if over:
                 continue  # no sample yet either — listed as skipped
+            l0, t0, s0 = _host_sample()
             samples[name].append(_run_once(name, sf_dir))
+            l1, t1, s1 = _host_sample()
+            steal_pct = round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
+            h = host[name]
+            h["load"] = max(h["load"], l0, l1)
+            h["steal_pct"] = max(h["steal_pct"], steal_pct)
+            steal_samples.append(steal_pct)
+            load_samples.append(max(l0, l1))
     out = {
         "queries": {
             n: round(statistics.median(s), 3) for n, s in samples.items() if s
@@ -282,6 +365,16 @@ def _bench(
         "n_runs": {n: len(s) for n, s in samples.items() if s},
         "skipped": [n for n, s in samples.items() if not s],
         "wall_sec": round(time.perf_counter() - t_start, 3),
+        "host": {n: h for n, h in host.items() if samples[n]},
+        "host_summary": {
+            "load_max": round(max(load_samples), 2) if load_samples else 0.0,
+            "steal_pct_max": max(steal_samples) if steal_samples else 0.0,
+            "steal_pct_mean": round(
+                statistics.mean(steal_samples), 2
+            )
+            if steal_samples
+            else 0.0,
+        },
     }
     return out
 
@@ -313,7 +406,13 @@ def main() -> None:
         "noop"
     ).save()
 
-    prev_base_spread, prev_sf1_spread, prev_src = _prev_spreads(sf)
+    (
+        prev_base_spread,
+        prev_sf1_spread,
+        prev_src,
+        prev_base_n,
+        prev_sf1_n,
+    ) = _prev_spreads(sf)
 
     base = _bench(HEADLINE, sf_dir, runs)
 
@@ -327,13 +426,22 @@ def main() -> None:
         "methodology": "median of interleaved passes",
         "spread": base["spread"],
         "n_runs": base["n_runs"],
+        "host": base["host"],
+        "host_summary": base["host_summary"],
     }
     if base["skipped"]:
         result["skipped"] = base["skipped"]
     # Spread-aware regression verdict (VERDICT r08 task 6): would have
     # auto-flagged the r08 CC pair (dedup_clusters/split_group_aware
-    # +14%, min above r07's max on both scale factors).
-    result["regressions"] = _regressions(base["spread"], prev_base_spread)
+    # +14%, min above r07's max on both scale factors). Entries carry
+    # weak_n1 / noise_suspect qualifiers (VERDICT r09 task 2).
+    result["regressions"] = _regressions(
+        base["spread"],
+        prev_base_spread,
+        base["n_runs"],
+        prev_base_n,
+        base["host"],
+    )
     result["regression_baseline"] = prev_src
 
     if sf1_on and sf is not None:
@@ -364,7 +472,13 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
         sf1 = _bench(SF1_QUERIES, sf1_dir, runs, budget_s=sf1_budget)
-        sf1_reg = _regressions(sf1["spread"], prev_sf1_spread)
+        sf1_reg = _regressions(
+            sf1["spread"],
+            prev_sf1_spread,
+            sf1["n_runs"],
+            prev_sf1_n,
+            sf1["host"],
+        )
         result["sf1"] = {
             "regressions": sf1_reg,
             "sf": round(sf * 10, 4),
@@ -375,6 +489,8 @@ def main() -> None:
             "n_runs": sf1["n_runs"],
             "skipped": sf1["skipped"],
             "wall_sec": sf1["wall_sec"],
+            "host": sf1["host"],
+            "host_summary": sf1["host_summary"],
         }
 
     # The driver records only the TAIL of this process's output
@@ -394,6 +510,23 @@ def main() -> None:
     slowest = dict(
         sorted(base["queries"].items(), key=lambda kv: -kv[1])[:15]
     )
+
+    def _compact_reg(reg: dict, cap: int = 8) -> dict:
+        """Bounded regression summary for the tail-captured line: a
+        host-wide slowdown can flag dozens of the 78 names (ADVICE r09
+        — unbounded lists blew the 1900 B budget exactly when the
+        degrade path mattered), so carry counts + a capped head, plus
+        the noise_suspect / weak_n1 qualifier subsets."""
+        names = sorted(reg)
+        out: dict = {"n": len(names), "names": names[:cap]}
+        ns = sorted(n for n in reg if reg[n].get("noise_suspect"))
+        weak = sorted(n for n in reg if reg[n].get("weak_n1"))
+        if ns:
+            out["noise_suspect"] = {"n": len(ns), "names": ns[:3]}
+        if weak:
+            out["weak_n1"] = len(weak)
+        return out
+
     compact = {
         "metric": result["metric"],
         "value": result["value"],
@@ -409,25 +542,38 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
         "detail": "BENCH_LOCAL.json",
-        # One-line verdict: names whose min exceeded the previous
-        # round's max, per section ({} / missing baseline → clean run).
-        "regressions": sorted(result["regressions"]),
+        # One-line verdict: bounded {n, names-head [, noise_suspect,
+        # weak_n1]} per section (n=0 / missing baseline → clean run).
+        "regressions": _compact_reg(result["regressions"]),
         "regression_baseline": prev_src,
+        # Section-level host evidence so the artifact self-adjudicates
+        # contention (VERDICT r09 task 2): steal_pct > ~2 during a
+        # section is the external steal-spike signature.
+        "host": base["host_summary"],
     }
     if "sf1" in result:
-        compact["sf1_regressions"] = sorted(result["sf1"]["regressions"])
+        compact["sf1_regressions"] = _compact_reg(
+            result["sf1"]["regressions"]
+        )
         compact["sf1_total"] = round(
             sum(result["sf1"]["queries"].values()), 3
         )
         compact["sf1_n"] = len(result["sf1"]["queries"])
+        compact["sf1_host"] = result["sf1"]["host_summary"]
     line = json.dumps(compact)
     if len(line) > 1900:  # keep the tail-capture contract visible
         sys.stderr.write(
             f"bench: compact line {len(line)}B exceeds tail budget\n"
         )
         # Hard-degrade: totals only, guaranteed to parse driver-side.
+        # Regression summaries are already bounded by _compact_reg;
+        # drop their name heads too so the degraded line's size is
+        # independent of how many queries a host-wide slowdown flagged.
         compact["queries"] = {}
         compact["spread"] = {}
+        for key in ("regressions", "sf1_regressions"):
+            if key in compact:
+                compact[key] = {"n": compact[key]["n"]}
         line = json.dumps(compact)
     print(line)
 

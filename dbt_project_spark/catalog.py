@@ -78,38 +78,60 @@ def register(name: str, oracle: str | None = None):
 # released plans raise instead of recompute) that only the driver's
 # independent gate would catch.
 #
-# r09: the nine iterative families restructured in r08 (never
-# driver-re-verified — VERDICT r08 task 3) plus every consumer of the
-# paths changed THIS round: RoundCache.advance grew a caller-supplied
-# materializer (CC-backed rows), kcore's checkpoint cadence halved,
-# and the session factory caps plan-string rendering.
-REFRESH: list[str] = [
-    # r09 code changes: kcore cadence 4→2; CC rounds materialize via
-    # the convergence signal instead of count().
-    "kcore_parts",
-    "dedup_clusters",
-    "split_group_aware",
-    "corpus_keep_list",
-    "dedup_cluster_histogram",
-    "dedup_semantic_keeplist",
-    # r08 restructure, driver-re-verification owed (VERDICT r08 task 3).
-    "bfs_hops_trade",
-    "sssp_weighted_trade",
-    "lpa_communities",
-    "hits_trade",
-    "attribution_markov_removal",
-    "bpe_train_merges",
-    "embedding_pca_power",
-    "pca_explained_variance",
-    "embedding_pca_outliers",
-    "merge_upsert_orders",
-]
+# r10: cleared — all 16 r09 REFRESH names are green in the checked-in
+# CORRECTNESS_r09.json, so their verdicts are current (ADVICE r09: a
+# stale REFRESH re-burns window slots on already-verified names). No
+# r10 change restructures any catalog row's call graph.
+REFRESH: list[str] = []
 
 
 def _repo_root():
     import pathlib
 
     return pathlib.Path(__file__).resolve().parent.parent
+
+
+@functools.lru_cache(maxsize=1)
+def green_rounds() -> dict:
+    """Latest-verdict bookkeeping: {name: (round, green_bool)}.
+
+    Rounds are read in parsed-integer order and each round's verdict
+    OVERWRITES the previous one per name (latest-verdict-wins — the
+    same rule driver_green applies). The round number is kept so the
+    driver window can burn the STALEST green names first (VERDICT r09
+    task 4: with debt at zero, registration order would re-verify the
+    freshest names forever while r01-verified rows age indefinitely)."""
+    import json
+    import re
+
+    def _round_no(p) -> int:
+        m = re.search(r"_r(\d+)\.json$", p.name)
+        return int(m.group(1)) if m else -1
+
+    latest: dict[str, tuple[int, bool]] = {}
+    files = sorted(
+        _repo_root().glob("CORRECTNESS_r*.json"),
+        key=lambda p: (_round_no(p), p.name),
+    )
+    for path in files:
+        try:
+            records = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(records, dict):
+            continue
+        rno = _round_no(path)
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = (
+                rec.get("err") in (None, "")
+                and rec.get("rows_match") is True
+                and rec.get("schema_match") is not False
+                and rec.get("hash_match") is not False
+            )
+            latest[name] = (rno, ok)
+    return latest
 
 
 @functools.lru_cache(maxsize=1)
@@ -126,50 +148,35 @@ def driver_green() -> frozenset[str]:
     (registration order) rather than failing. Files sort by the PARSED
     round integer, not lexically — an unpadded CORRECTNESS_r8.json or
     a 3-digit r100 must not misorder rounds and resurrect stale
-    verdicts (ADVICE r07)."""
-    import json
-    import re
-
-    def _round_no(p) -> int:
-        m = re.search(r"_r(\d+)\.json$", p.name)
-        return int(m.group(1)) if m else -1
-
-    latest: dict[str, bool] = {}
-    # Tiebreak on name: two files parsing to the same round (e.g.
-    # CORRECTNESS_r8.json vs CORRECTNESS_r08.json) would otherwise keep
-    # pathlib's OS-arbitrary glob order — sorted() is stable — making
-    # which verdict wins nondeterministic (ADVICE r08).
-    files = sorted(
-        _repo_root().glob("CORRECTNESS_r*.json"),
-        key=lambda p: (_round_no(p), p.name),
+    verdicts (ADVICE r07). Tiebreak on name: two files parsing to the
+    same round (e.g. CORRECTNESS_r8.json vs CORRECTNESS_r08.json) would
+    otherwise keep pathlib's OS-arbitrary glob order — sorted() is
+    stable — making which verdict wins nondeterministic (ADVICE r08)."""
+    return frozenset(
+        name for name, (_rno, ok) in green_rounds().items() if ok
     )
-    for path in files:
-        try:
-            records = json.loads(path.read_text())
-        except (OSError, ValueError):
-            continue
-        if not isinstance(records, dict):
-            continue
-        for name, rec in records.items():
-            if not isinstance(rec, dict):
-                continue
-            latest[name] = (
-                rec.get("err") in (None, "")
-                and rec.get("rows_match") is True
-                and rec.get("schema_match") is not False
-                and rec.get("hash_match") is not False
-            )
-    return frozenset(name for name, ok in latest.items() if ok)
 
 
 def priority_names() -> list[str]:
-    """The derived window order: REFRESH, then driver debt, then green."""
+    """The derived window order: REFRESH, then driver debt, then green.
+
+    The green tail sorts STALEST-VERDICT-FIRST (latest green round
+    ascending, registration order within a round — VERDICT r09 task 4):
+    with driver debt at zero, the 50-query window then continuously
+    re-verifies the names whose verdicts are oldest instead of cycling
+    registration order, bounding the max verdict age across the
+    catalog."""
     green = driver_green()
+    rounds = green_rounds()
     refresh = [n for n in REFRESH if n in QUERIES]
     taken = set(refresh)
     debt = [n for n in QUERIES if n not in green and n not in taken]
     taken.update(debt)
-    tail = [n for n in QUERIES if n not in taken]
+    reg_idx = {n: i for i, n in enumerate(QUERIES)}
+    tail = sorted(
+        (n for n in QUERIES if n not in taken),
+        key=lambda n: (rounds.get(n, (0, False))[0], reg_idx[n]),
+    )
     return refresh + debt + tail
 
 

@@ -126,27 +126,66 @@ def _scaled_table(
 
 
 def ensure_scaled(
-    spark: SparkSession, src_dir: str, dst_dir: str, factor: int = 10
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    factor: int = 10,
+    tables: list[str] | None = None,
 ) -> str:
     """Generate ``dst_dir`` as ``factor``× ``src_dir`` if not present.
 
     Idempotent: a ``_DONE`` marker written after the last table makes a
     half-finished generation (killed bench run) regenerate cleanly.
+
+    ``tables`` restricts generation to a subset (r10: the sf10
+    scale-proof needs only documents/embeddings — a full sf10 TPC-H
+    universe would be wasted disk and generation time). The marker
+    records which tables are present; a later call asking for more
+    tables generates only the missing ones. ``None`` means everything.
     """
     marker = os.path.join(dst_dir, "_DONE")
+    want_copy = (
+        list(_COPY_ONCE)
+        if tables is None
+        else [t for t in _COPY_ONCE if t in tables]
+    )
+    want_fact = (
+        list(_OFFSET_KEYS)
+        if tables is None
+        else [t for t in _OFFSET_KEYS if t in tables]
+    )
+    have: set[str] = set()
     if os.path.exists(marker):
+        with open(marker) as fh:
+            text = fh.read()
+        for line in text.splitlines():
+            if line.startswith("tables="):
+                have = set(line.split("=", 1)[1].split(",")) - {""}
+                break
+        else:
+            # legacy marker (pre-subset): all tables are present
+            have = set(_COPY_ONCE) | set(_OFFSET_KEYS)
+    missing_copy = [t for t in want_copy if t not in have]
+    missing_fact = [t for t in want_fact if t not in have]
+    if not missing_copy and not missing_fact:
         return dst_dir
     os.makedirs(dst_dir, exist_ok=True)
     strides = _strides(spark, src_dir)
-    for table in _COPY_ONCE:
+    for table in missing_copy:
         load_table(spark, src_dir, table).write.mode("overwrite").parquet(
             os.path.join(dst_dir, f"{table}.parquet")
         )
-    for table in _OFFSET_KEYS:
+    for table in missing_fact:
         df = _scaled_table(spark, src_dir, table, factor, strides)
-        df.repartition(_N_FILES.get(table, 4)).write.mode("overwrite").parquet(
+        # file-count scales with factor so partitions stay ~the same
+        # byte size at any generated scale (sf10 with sf1's 4 files
+        # per table would make 300+ MB splits the dominant skew)
+        n_files = _N_FILES.get(table, 4) * max(1, factor // 10)
+        df.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(dst_dir, f"{table}.parquet")
         )
+    done = have | set(missing_copy) | set(missing_fact)
     with open(marker, "w") as fh:
         fh.write(f"factor={factor} src={src_dir}\n")
+        fh.write("tables=" + ",".join(sorted(done)) + "\n")
     return dst_dir

@@ -83,12 +83,21 @@ def run_update_distribution(
     key_col: str = "event_type",
     watermark: str = "10 minutes",
     max_files_per_trigger: int | None = 1,
-) -> None:
+) -> list[dict]:
     """availableNow run of the update-mode distribution pipeline.
 
     ``max_files_per_trigger=1`` forces multiple triggers over a
     multi-file source so the per-emit upsert path is actually
     exercised (a single trigger would degenerate to batch).
+
+    Returns the stream's per-trigger progress dicts (r10):
+    ``stateOperators[0].numRowsTotal`` is the LIVE state-store row
+    count after each trigger — with a real watermark over time-ordered
+    input it must plateau at ~(groups inside the watermark horizon)
+    instead of growing with stream lifetime, which is the 100×
+    state-store survival condition (asserted in
+    tests/test_streaming_state_plateau.py, measured at sf1 in
+    SCALE.md r10).
     """
     ensure_runtime_confs(spark)
     static = spark.read.parquet(source_dir)
@@ -169,3 +178,4 @@ def run_update_distribution(
         .start()
     )
     q.awaitTermination()
+    return [p for p in q.recentProgress if p is not None]

@@ -57,6 +57,49 @@ def test_driver_window_covers_debt():
         assert set(debt) <= set(window), sorted(set(debt) - set(window))
 
 
+def test_green_tail_orders_stalest_verdict_first(tmp_path, monkeypatch):
+    """VERDICT r09 task 4: with driver debt at zero, the window must
+    burn the names whose latest green verdict is OLDEST — registration
+    order would re-verify the freshest names forever."""
+    import json
+
+    from dbt_project_spark import catalog
+
+    some = list(QUERIES)[:4]
+    old_round = {some[2]: 1, some[3]: 2}  # stale pair, reversed reg order
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {some[2]: {"err": None, "rows_match": True, "hash_match": True}}
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {some[3]: {"err": None, "rows_match": True, "hash_match": True}}
+        )
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps(
+            {
+                n: {"err": None, "rows_match": True, "hash_match": True}
+                for n in QUERIES
+                if n not in old_round
+            }
+        )
+    )
+    monkeypatch.setattr(catalog, "_repo_root", lambda: tmp_path)
+    catalog.driver_green.cache_clear()
+    catalog.green_rounds.cache_clear()
+    try:
+        names = catalog.priority_names()
+        window = names[: len(catalog.REFRESH) + 2]
+        # the two stale names lead the tail, oldest verdict first,
+        # regardless of registration order
+        assert window[-2:] == [some[2], some[3]]
+    finally:
+        catalog.driver_green.cache_clear()
+        catalog.green_rounds.cache_clear()
+
+
 def test_driver_green_latest_verdict_wins(tmp_path, monkeypatch):
     """ADVICE r06: a query green in an early round but red in a later
     round must count as debt again (re-enter the driver window), not
@@ -84,6 +127,7 @@ def test_driver_green_latest_verdict_wins(tmp_path, monkeypatch):
     )
     monkeypatch.setattr(catalog, "_repo_root", lambda: tmp_path)
     catalog.driver_green.cache_clear()
+    catalog.green_rounds.cache_clear()  # r10: verdict parsing lives here
     try:
         green = catalog.driver_green()
         assert "q_regressed" not in green  # red in r02 overrides green r01
@@ -91,6 +135,7 @@ def test_driver_green_latest_verdict_wins(tmp_path, monkeypatch):
         assert "q_stays_green" in green  # untouched later rounds keep verdict
     finally:
         catalog.driver_green.cache_clear()
+        catalog.green_rounds.cache_clear()
 
 
 def test_no_hugeint_oracle_columns():

@@ -14,9 +14,15 @@ from tests.conftest import SF_SMOKE
 
 
 def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+    # ADVICE r09: the engine session caps plan rendering at 64 KiB
+    # (spark.sql.maxPlanStringLength). A truncated plan would make
+    # ABSENCE assertions ("no CartesianProduct") pass vacuously, so a
+    # plan under test must never carry Spark's truncation marker.
+    assert " more characters" not in plan, "plan truncated; raise cap"
+    return plan
 
 
 def test_broadcast_dim_join_plan_and_result(spark):

@@ -14,9 +14,15 @@ load_all()
 
 
 def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+    # ADVICE r09: the engine session caps plan rendering at 64 KiB
+    # (spark.sql.maxPlanStringLength). A truncated plan would make
+    # ABSENCE assertions ("no CartesianProduct") pass vacuously, so a
+    # plan under test must never carry Spark's truncation marker.
+    assert " more characters" not in plan, "plan truncated; raise cap"
+    return plan
 
 
 def _check_ntile_matches(spark, values, k):

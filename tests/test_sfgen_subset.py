@@ -1,0 +1,59 @@
+"""Subset generation in sfgen.ensure_scaled (r10: the sf10 scale-proof
+generates documents/embeddings only — a full sf10 TPC-H universe would
+be wasted disk). Pins the marker bookkeeping: subset marker records
+the present tables, later calls generate only the missing ones, and a
+legacy marker means everything is present."""
+
+import os
+
+from dbt_project_spark.sfgen import ensure_scaled
+from tests.conftest import SF_SMOKE
+
+
+def _tables(dst):
+    return {
+        n[: -len(".parquet")]
+        for n in os.listdir(dst)
+        if n.endswith(".parquet")
+    }
+
+
+def test_subset_then_incremental(spark, tmp_path):
+    dst = str(tmp_path / "sf_sub")
+    ensure_scaled(spark, SF_SMOKE, dst, factor=2, tables=["documents"])
+    assert _tables(dst) == {"documents"}
+    marker = open(os.path.join(dst, "_DONE")).read()
+    assert "tables=documents" in marker
+
+    # second call with a wider subset generates only the missing table
+    ensure_scaled(
+        spark, SF_SMOKE, dst, factor=2, tables=["documents", "embeddings"]
+    )
+    assert _tables(dst) == {"documents", "embeddings"}
+    assert "tables=documents,embeddings" in open(
+        os.path.join(dst, "_DONE")
+    ).read()
+
+    # already-satisfied request is a no-op (marker unchanged)
+    before = os.path.getmtime(os.path.join(dst, "_DONE"))
+    ensure_scaled(spark, SF_SMOKE, dst, factor=2, tables=["embeddings"])
+    assert os.path.getmtime(os.path.join(dst, "_DONE")) == before
+
+
+def test_legacy_marker_means_complete(spark, tmp_path):
+    dst = str(tmp_path / "sf_legacy")
+    os.makedirs(dst)
+    with open(os.path.join(dst, "_DONE"), "w") as fh:
+        fh.write(f"factor=2 src={SF_SMOKE}\n")  # pre-r10 marker format
+    ensure_scaled(spark, SF_SMOKE, dst, factor=2, tables=["documents"])
+    assert _tables(dst) == set()  # nothing regenerated
+
+
+def test_scaled_rows_multiply(spark, tmp_path):
+    dst = str(tmp_path / "sf_x2")
+    ensure_scaled(spark, SF_SMOKE, dst, factor=2, tables=["documents"])
+    src_n = spark.read.parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    ).count()
+    dst_n = spark.read.parquet(os.path.join(dst, "documents.parquet")).count()
+    assert dst_n == 2 * src_n
