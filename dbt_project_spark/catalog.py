@@ -78,11 +78,29 @@ def register(name: str, oracle: str | None = None):
 # released plans raise instead of recompute) that only the driver's
 # independent gate would catch.
 #
-# r10: cleared — all 16 r09 REFRESH names are green in the checked-in
-# CORRECTNESS_r09.json, so their verdicts are current (ADVICE r09: a
-# stale REFRESH re-burns window slots on already-verified names). No
-# r10 change restructures any catalog row's call graph.
-REFRESH: list[str] = []
+# r10: the 16 r09 names were cleared (green in CORRECTNESS_r09.json —
+# ADVICE r09: a stale REFRESH re-burns window slots). Then the r10
+# verify_jaccard restructure (candidate-local postings semi-join,
+# operators/dedup.py — fixes the full-postings shuffle found at sf10)
+# landed, so every catalog row with verify_jaccard in its call graph
+# owes a driver re-verification.
+REFRESH: list[str] = [
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_pair_evidence",
+    "dedup_cross_batch",
+    "dedup_pair_transitivity",
+    "minhash_vs_exact_recall",
+    "dedup_clusters",
+    "corpus_keep_list",
+    "split_group_aware",
+    "dedup_cluster_histogram",
+    # r10: connected_components now CHECKPOINTS its edge input
+    # (lineage truncation — see operators/dedup.py), touching every
+    # CC-backed row; the four above already carry verify_jaccard, this
+    # one is CC-only (semantic pairs, no shingle verify).
+    "dedup_semantic_keeplist",
+]
 
 
 def _repo_root():

@@ -304,15 +304,54 @@ def minhash_band_stack(sig: DataFrame, bands: int) -> DataFrame:
 
 
 def verify_jaccard(
-    cand: DataFrame, postings: DataFrame, threshold: float
+    cand: DataFrame,
+    postings: DataFrame,
+    threshold: float,
+    broadcast_docs: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate (doc_a, doc_b) pairs from a
     shingle-postings relation — precision 1.0 regardless of how the
-    candidates were generated."""
-    exa = postings.select(
+    candidates were generated.
+
+    Candidate-local (r10): the postings are first semi-joined down to
+    docs that appear in SOME candidate pair, so every later join moves
+    O(|pairs| × shingles-per-doc) rows, independent of corpus size.
+    Without this the (doc_b, sg) join's probe side (cand ⋈ exa) grows
+    with the pair count, and once it crosses the broadcast threshold
+    AQE falls back to shuffling the FULL postings relation — measured
+    at sf10 (500k docs): 1.8 GB of the dedup chain's 1.9 GB shuffle
+    was exactly that, invisible at sf1 where the probe side stayed
+    broadcastable.
+
+    ``broadcast_docs``: the doc list is ids-only (≤ 2·|pairs| rows) —
+    bounded by the near-dup count, so broadcastable for every shipped
+    consumer (banded LSH + hot-bucket caps keep pairs ≈ O(dups)). A
+    caller whose candidate set can be corpus-sized passes False and
+    gets a plain semi-join (postings shuffle once on doc — the honest
+    cost when the pair set itself is corpus-scale). Deliberately NOT
+    decided by an eager count(): a build-time job per verify call
+    re-ordered the whole pipeline's materialization and measured
+    +17 s on the CC-backed catalog rows at sf0.1.
+
+    Both persists are lazy (filled at first materialization): cand
+    fans out to the docs list and the pair join, needed to both verify
+    sides — Spark does not dedup repeated subtrees, so without the
+    caches the LSH pipeline and the postings scan each run twice."""
+    from dbt_project_spark.caching import persist_tracked
+
+    cand = persist_tracked(cand.select("doc_a", "doc_b"))
+    docs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    if broadcast_docs:
+        docs = F.broadcast(docs)
+    needed = persist_tracked(postings.join(docs, on="doc", how="left_semi"))
+    exa = needed.select(
         F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "sg"
     )
-    exb = postings.select(
+    exb = needed.select(
         F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "sg"
     )
     return (
@@ -484,14 +523,25 @@ def connected_components(
     blocks freed as soon as the next checkpoint lands. Deterministic:
     the fixpoint (min reachable id per node) is independent of
     iteration or partition order."""
-    from dbt_project_spark.caching import RoundCache, persist_tracked
+    from dbt_project_spark.caching import (
+        RoundCache,
+        local_checkpoint_tracked,
+        persist_tracked,
+    )
 
-    # Persist the raw edge list BEFORE symmetrizing: the union has two
-    # branches over the same (possibly expensive — e.g. MinHash) edge
-    # pipeline, and Spark does not dedup the subtree. Tracked persists
-    # are released at the next catalog query; sym and per-round labels
-    # are ALSO unpersisted eagerly below (loop-local lifetime).
-    edges = persist_tracked(edges)
+    # CHECKPOINT (not persist) the raw edge list BEFORE symmetrizing:
+    # the union has two branches over the same (possibly expensive —
+    # e.g. MinHash) edge pipeline, and Spark does not dedup the
+    # subtree; beyond that, every CC round REPLANS its whole analyzed
+    # tree (caches substitute only at physical planning), so the edge
+    # pipeline's lineage is re-analyzed per round. With r10's
+    # candidate-local verify lineage (persists + broadcast semi-join)
+    # that replanning measured +17 s over the loop at sf0.1 — the
+    # checkpoint truncates it to a LogicalRDD leaf and returns round
+    # planning to edges-up only. Tracked: blocks freed at the next
+    # catalog query (the checkpointed edges are never re-derivable
+    # afterwards, which every consumer already honors).
+    edges = local_checkpoint_tracked(edges).df
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

@@ -114,13 +114,25 @@ def _scaled_table(
         ).withColumn("n_chars", F.length("text").cast("bigint"))
     if table == "embeddings":
         dim = F.size("embedding")
+        # Rotate by __k mod dim (a raw __k > dim produced negative
+        # slice lengths at factor 100 / dim 64); copies that wrap the
+        # dimension count additionally flip sign (norm-preserving, and
+        # cosine(x, -x_rotated) collapses to noise) so copy dim+k is
+        # never an exact twin of copy k — a verbatim twin would plant
+        # cross-copy duplicate cliques the replication exists to avoid.
+        rot = F.pmod(F.col("__k"), dim)
         rotated = F.concat(
-            F.slice(F.col("embedding"), F.col("__k") + 1, dim - F.col("__k")),
-            F.slice(F.col("embedding"), F.lit(1), F.col("__k")),
+            F.slice(F.col("embedding"), rot + 1, dim - rot),
+            F.slice(F.col("embedding"), F.lit(1), rot),
         )
+        elem_t = df.schema["embedding"].dataType.elementType.simpleString()
+        flipped = F.transform(rotated, lambda x: (-x).cast(elem_t))
+        wrapped = (F.col("__k") / dim).cast("int") % 2 == 1
         out = out.withColumn(
             "embedding",
-            F.when(F.col("__k") == 0, F.col("embedding")).otherwise(rotated),
+            F.when(F.col("__k") == 0, F.col("embedding")).otherwise(
+                F.when(wrapped, flipped).otherwise(rotated)
+            ),
         )
     return out.drop("__k")
 

@@ -26,16 +26,16 @@ from dbt_project_spark.streaming.update_dist import (
 def main():
     spark = get_spark(app_name="r10-state10x")
     spark.sparkContext.setLogLevel("ERROR")
-    # sf1 events (1M rows, 30 days): (event_type × user_id%10) gives
-    # ~10× the r09 measurement's 38,913 groups at real density —
-    # sf0.1's 100k events would saturate group count at ~2.3×.
+    # sf1 events (1M rows, 30 days) keyed by (event_type × RAW
+    # user_id): 999,150 distinct (5-min window, key) groups ≈ 25× the
+    # r09 parity measurement's 38,913 — the per-user-metrics topology.
+    # (Modulo splits saturate: sessions make per-window distinct users
+    # the binding cap — %10 measured 89k groups, %100 only 99k.)
     events = load_table(
         spark, os.path.join(REPO, "benchdata", "sf1"), "events"
     ).select(
         "ts",
-        F.concat(
-            "event_type", F.lit("_"), (F.col("user_id") % 10)
-        ).alias("k"),
+        F.concat("event_type", F.lit("_"), "user_id").alias("k"),
     )
     tmp = tempfile.mkdtemp(prefix="state10x_")
     try:

@@ -12,13 +12,20 @@ load_all()
 
 
 def _plan(df) -> str:
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
     # ADVICE r09: the engine session caps plan rendering at 64 KiB
-    # (spark.sql.maxPlanStringLength). A truncated plan would make
-    # ABSENCE assertions ("no CartesianProduct") pass vacuously, so a
-    # plan under test must never carry Spark's truncation marker.
+    # (spark.sql.maxPlanStringLength), and a truncated plan would make
+    # ABSENCE assertions ("no CartesianProduct") pass vacuously. Render
+    # plans under test at 8 MiB, and fail loudly if even that truncates.
+    spark = df.sparkSession
+    key = "spark.sql.maxPlanStringLength"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(8 * 1024 * 1024))
+    try:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set(key, prev)
     assert " more characters" not in plan, "plan truncated; raise cap"
     return plan
 
@@ -101,7 +108,13 @@ def test_minhash_lsh_exchange_budget(spark):
     plan = _plan(QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE))
     assert "InMemoryTableScan" in plan
     n = _exchanges(plan)
-    assert n <= 8, f"minhash plan grew to {n} exchanges"
+    # r10: +2 over the old budget of 8 for the candidate-local verify
+    # (operators/dedup.py verify_jaccard): an ids-only docs distinct
+    # plus the broadcast of that list into the postings semi-join —
+    # both O(|pairs|) rows, bought in exchange for no longer shuffling
+    # the FULL corpus-sized postings relation at scale (1.8 GB/query
+    # at sf10).
+    assert n <= 10, f"minhash plan grew to {n} exchanges"
 
 
 def test_embedding_lsh_no_cartesian(spark):
