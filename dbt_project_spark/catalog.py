@@ -78,28 +78,37 @@ def register(name: str, oracle: str | None = None):
 # released plans raise instead of recompute) that only the driver's
 # independent gate would catch.
 #
-# r10: the 16 r09 names were cleared (green in CORRECTNESS_r09.json —
-# ADVICE r09: a stale REFRESH re-burns window slots). Then the r10
-# verify_jaccard restructure (candidate-local postings semi-join,
-# operators/dedup.py — fixes the full-postings shuffle found at sf10)
-# landed, so every catalog row with verify_jaccard in its call graph
-# owes a driver re-verification.
+# r11: the 11 r10 names (verify_jaccard / connected_components
+# restructure) were cleared — all green in the same-round
+# CORRECTNESS_r10.json, whose driver gate ran AFTER the restructure
+# commit (VERDICT r10 task 1: a stale REFRESH re-burns window slots
+# on current verdicts). Then the r11 IVF restructure landed
+# (operators/ivf.py two-stage exact assignment — numpy shortlist
+# kernel + exact-SQL re-score — and operators/kmeans.assign_clusters
+# as an exact-integer numpy kernel; VERDICT r10 task 3), so every
+# catalog row whose call graph reaches build_ivf_index /
+# load_pq_index / assign_clusters owes a driver re-verification
+# (transitive call-graph sweep over all submodules, r11).
 REFRESH: list[str] = [
-    "dedup_minhash_lsh",
-    "dedup_incremental",
-    "dedup_pair_evidence",
-    "dedup_cross_batch",
-    "dedup_pair_transitivity",
-    "minhash_vs_exact_recall",
-    "dedup_clusters",
-    "corpus_keep_list",
-    "split_group_aware",
-    "dedup_cluster_histogram",
-    # r10: connected_components now CHECKPOINTS its edge input
-    # (lineage truncation — see operators/dedup.py), touching every
-    # CC-backed row; the four above already carry verify_jaccard, this
-    # one is CC-only (semantic pairs, no shingle verify).
+    "ivf_build_index",
+    "ann_ivf_topk",
+    "ann_recall_ivf",
+    "ivf_cell_balance",
+    "ann_probe_recall_sweep",
+    "ivf_train_centroids",
+    "pq_train_encode",
+    "pq_ann_topk",
+    "ann_ivfpq_topk",
+    "ann_recall_ivfpq",
+    "ann_ivfpq_residual_topk",
+    "ann_recall_ivfpq_residual",
+    "ann_ivfpq_refine",
+    "ann_recall_ivfpq_refine",
+    "dedup_semantic",
     "dedup_semantic_keeplist",
+    "dedup_semantic_recall",
+    "semantic_threshold_sweep",
+    "serving_parity_ann",
 ]
 
 

@@ -58,6 +58,132 @@ def first_k_centroids(e: DataFrame, k: int) -> DataFrame:
     )
 
 
+# Shortlist slack: a centroid can win the ROUNDED-cosine argmax while
+# trailing the unrounded max by one full rounding unit (round is
+# monotone; two values up to 1e-6 apart can round equal, ties then
+# break to the lowest cid), plus headroom for float64 summation-order
+# differences between the numpy matmul and the SQL left-to-right fold
+# (≤ dim·eps·Σ|x·c| ≈ 1e-13 at dim 64 — 1e-9 is 4 orders of slack).
+_SHORTLIST_SLACK = 1e-6 + 1e-9
+
+# Kernel blocking: bound per-worker scratch to ROW_BLOCK×K_BLOCK
+# float64 (64 MiB) regardless of corpus size or K — at the K clamp
+# (131072 cells / 10¹⁰ vectors) an unblocked batch×K score matrix
+# would be 10 GiB per worker.
+_ROW_BLOCK = 1024
+_K_BLOCK = 8192
+
+
+def _shortlist_candidates(
+    spark: SparkSession, e: DataFrame, cent: DataFrame
+) -> DataFrame:
+    """(vec_id, embedding, cid) candidate pairs GUARANTEED to contain
+    each vector's exact rounded-cosine argmax centroid.
+
+    The n×K scoring pass is a dense matmul — the one shape Catalyst
+    can't express efficiently (per-pair ``zip_with``/``aggregate``
+    higher-order functions evaluate interpreted, ~100× off BLAS), so
+    it runs as an Arrow-batched numpy kernel (mapInArrow — the same
+    boundary the multimodal kernels use; narrow map over the corpus,
+    zero shuffle, centroids broadcast). The kernel only PRUNES: every
+    centroid within ``_SHORTLIST_SLACK`` of a vector's float-cosine
+    max survives (typically exactly one; near-duplicate cliques keep
+    a few), and the caller re-scores survivors with the exact SQL
+    expression — so the persisted assignment is bit-identical to the
+    full n×K SQL pass, at ~n instead of n×K interpreted evaluations.
+    Degenerate rows (null / zero / ragged embeddings, or an empty
+    shortlist) fall back to ALL K candidates, i.e. exactly the old
+    full-evaluation semantics."""
+    import numpy as np
+
+    crows = cent.orderBy("cid").collect()
+    cids_np = np.asarray([r["cid"] for r in crows], dtype=np.int64)
+    cmat = np.asarray([list(r["ce"]) for r in crows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast((cids_np, cmat / cnorm[:, None]))
+
+    emb_type = e.schema["embedding"].dataType.simpleString()
+    vid_type = e.schema["vec_id"].dataType.simpleString()
+    out_schema = f"vec_id {vid_type}, embedding {emb_type}, cid bigint"
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cids, cn = bc.value  # cn: (K, dim) centroids pre-divided by norm
+        k, dim = cn.shape
+        all_k = np.arange(k)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vid = batch.column(0)
+            emb = batch.column(1)
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            offs = offs - offs[0]
+            lens = offs[1:] - offs[:-1]
+            uniform = bool((lens == dim).all()) and emb.null_count == 0
+            if uniform:
+                flat = emb.flatten().to_numpy(zero_copy_only=False)
+                X = flat.astype(np.float64, copy=False).reshape(n, dim)
+                xn = np.sqrt((X * X).sum(axis=1))
+                xn[xn == 0.0] = 1.0
+                Xn = X / xn[:, None]
+            row_idx, cand_cid = [], []
+            for r0 in range(0, n, _ROW_BLOCK):
+                r1 = min(r0 + _ROW_BLOCK, n)
+                if not uniform:
+                    # exact fallback: stage 2 evaluates every centroid
+                    row_idx.append(np.repeat(np.arange(r0, r1), k))
+                    cand_cid.append(np.tile(cids, r1 - r0))
+                    continue
+                xb = Xn[r0:r1]
+                if k <= _K_BLOCK:
+                    s = xb @ cn.T
+                    smax = s.max(axis=1)
+                else:
+                    smax = np.full(r1 - r0, -np.inf)
+                    for c0 in range(0, k, _K_BLOCK):
+                        part = xb @ cn[c0 : c0 + _K_BLOCK].T
+                        np.maximum(smax, part.max(axis=1), out=smax)
+                thr = smax - _SHORTLIST_SLACK
+                for c0 in range(0, k, _K_BLOCK):
+                    part = (
+                        s[:, c0 : c0 + _K_BLOCK]
+                        if k <= _K_BLOCK
+                        else xb @ cn[c0 : c0 + _K_BLOCK].T
+                    )
+                    ri, ci = np.nonzero(part >= thr[:, None])
+                    row_idx.append(ri + r0)
+                    cand_cid.append(cids[ci + c0])
+                # NaN-laden rows produce an empty shortlist (comparisons
+                # with NaN are false) — fall back to all K for those
+                hit = np.zeros(r1 - r0, dtype=bool)
+                for ri in row_idx:
+                    sel = ri[(ri >= r0) & (ri < r1)]
+                    hit[sel - r0] = True
+                miss = np.nonzero(~hit)[0]
+                if miss.size:
+                    row_idx.append(np.repeat(miss + r0, k))
+                    cand_cid.append(np.tile(cids, miss.size))
+            rows = np.concatenate(row_idx)
+            order = np.argsort(rows, kind="stable")
+            rows = rows[order]
+            ccid = np.concatenate(cand_cid)[order]
+            take = pa.array(rows, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vid.take(take),
+                    emb.take(take),
+                    pa.array(ccid, type=pa.int64()),
+                ],
+                names=["vec_id", "embedding", "cid"],
+            )
+
+    return e.select("vec_id", "embedding").mapInArrow(kernel, out_schema)
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -104,33 +230,37 @@ def build_ivf_index(
 
     cent = first_k_centroids(e, k)
     cent.write.mode("overwrite").parquet(os.path.join(d, "centroids.parquet"))
-    # Norms precomputed ONCE per side (the n×K pair expression then
-    # does dim multiplies + one divide instead of 3×dim): same IEEE
-    # value as the oracle's per-pair SQRT(SUM(x²))·SQRT(SUM(y²)) —
-    # identical operations on identical inputs, just not repeated K
-    # times per vector. Measured ~2× on the sf1 build.
+    # Two-stage exact assignment (r11 — VERDICT r10 task 3: the n×K
+    # interpreted-HOF pass was the one superlinear constant left,
+    # 170 s at sf10): the numpy kernel prunes each vector to a
+    # shortlist guaranteed to contain its rounded-cosine argmax, and
+    # the EXACT SQL expression — identical to every oracle's
+    # ROUND(SUM(x·y)/(√SUM(x²)·√SUM(y²)), 6), left-to-right fold,
+    # norms factored once per side — picks the winner over ~n pairs
+    # instead of n×K. Bit-identical assignment, ~K× less interpreted
+    # work, and the aggregate now carries the embedding (cheap at ~n
+    # rows) so no corpus join-back remains.
     from dbt_project_spark.functions.expressions import dot_product, l2_norm
 
-    ev = e.withColumn("nv", l2_norm("embedding"))
     cn = cent.withColumn("nc", l2_norm("ce"))
+    cand = _shortlist_candidates(spark, e, cent)
     scored = (
-        ev.crossJoin(F.broadcast(cn))
+        cand.join(F.broadcast(cn), on="cid")
+        .withColumn("nv", l2_norm("embedding"))
         .withColumn(
             "s",
             F.round(
                 dot_product("embedding", "ce") / (F.col("nv") * F.col("nc")), 6
             ),
         )
-        .select("vec_id", "cid", "s")
+        .select("vec_id", "cid", "s", "embedding")
     )
-    # max_by reduces with map-side partials over (vec_id, cid, key)
-    # triples; vectors join back in ONE n-row pass afterwards —
-    # carrying the embedding array through the n×K aggregate
-    # (max_by(embedding, key)) measured ~25% slower at sf1.
     asg = scored.groupBy("vec_id").agg(
-        F.max_by("cid", _assign_key()).alias("cid")
+        F.max_by(F.struct("cid", "embedding"), _assign_key()).alias("w")
     )
-    cells = asg.join(e, on="vec_id").select("vec_id", "embedding", "cid")
+    cells = asg.select(
+        "vec_id", F.col("w.embedding").alias("embedding"), F.col("w.cid").alias("cid")
+    )
     cells.write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(d, "cells.parquet")
     )

@@ -122,9 +122,116 @@ def _d2_key() -> Column:
 
 
 def assign_clusters(iv: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vid, cid): nearest centroid by exact integer squared-L2 key."""
-    scored = iv.crossJoin(F.broadcast(cent)).withColumn("key", _d2_key())
-    return scored.groupBy("vid").agg(F.min_by("cid", F.col("key")).alias("cid"))
+    """(vid, cid): nearest centroid by exact integer squared-L2 key.
+
+    r11 (VERDICT r10 task 3 sibling): the n×K scoring runs as an
+    Arrow-batched numpy kernel instead of a crossJoin over per-pair
+    ``zip_with``/``aggregate`` higher-order functions (those evaluate
+    interpreted — the measured ~100×-off-BLAS constant in the IVF
+    build applies identically here). Unlike the float-cosine build,
+    this path needs NO exact-SQL re-score stage: every quantity is a
+    scaled-BIGINT integer, and float64 arithmetic on integer-valued
+    operands is EXACT while every partial stays under 2⁵³ — the
+    kernel checks that bound per batch (max|component| ≤ √(2⁵³/dim)/2
+    covers both the x·c partials and the Σ(a−b)² terms) and falls
+    back to arbitrary-precision python ints when violated, so the
+    assignment is bit-identical to the old min_by(d2·M + cid) for
+    every input, including ragged/null vectors (null key → skipped,
+    all-null → null cid, matching zip_with/min_by semantics).
+    Tie-break: centroids scan in ascending cid and argmin keeps the
+    first minimum — exactly min_by's d2·KM_KEY_M + cid ordering."""
+    spark = iv.sparkSession
+    crows = cent.orderBy("cid").collect()
+    import numpy as np
+
+    cids_np = np.asarray([r["cid"] for r in crows], dtype=np.int64)
+    cmat = np.asarray([list(r["civ"]) for r in crows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((cids_np, cmat))
+    vid_type = iv.schema["vid"].dataType.simpleString()
+    out_schema = f"vid {vid_type}, cid bigint"
+
+    def kernel(batches):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        cids, cint = bc.value
+        k, dim = cint.shape
+        cf = cint.astype(np.float64)
+        csq = (cf * cf).sum(axis=1)
+        cmax = int(np.abs(cint).max()) if cint.size else 0
+        safe_mx = math.floor(math.sqrt(2.0**53 / max(dim, 1)) / 2.0)
+        kblk = 8192
+
+        def slow(vid, ivc, n):
+            # cold path: exact python-int replay of the SQL key
+            out = []
+            pyiv = ivc.to_pylist()
+            cl = cint.tolist()
+            for r in range(n):
+                v = pyiv[r]
+                best = None
+                if v is not None and all(x is not None for x in v):
+                    for ci in range(k):
+                        cv = cl[ci]
+                        if len(v) != len(cv):
+                            continue  # zip_with null-pads → null key
+                        d2 = sum((a - b) * (a - b) for a, b in zip(v, cv))
+                        key = d2 * KM_KEY_M + int(cids[ci])
+                        if best is None or key < best[0]:
+                            best = (key, int(cids[ci]))
+                out.append(None if best is None else best[1])
+            return pa.RecordBatch.from_arrays(
+                [vid, pa.array(out, type=pa.int64())], names=["vid", "cid"]
+            )
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vid = batch.column(0)
+            ivc = batch.column(1)
+            flat = ivc.flatten()
+            offs = ivc.offsets.to_numpy(zero_copy_only=False)
+            lens = offs[1:] - offs[:-1]
+            uniform = (
+                bool((lens == dim).all())
+                and ivc.null_count == 0
+                and flat.null_count == 0
+            )
+            if uniform:
+                x = flat.to_numpy(zero_copy_only=False).reshape(n, dim)
+                mx = int(np.abs(x).max()) if x.size else 0
+            if not uniform or mx > safe_mx or cmax > safe_mx:
+                yield slow(vid, ivc, n)
+                continue
+            xf = x.astype(np.float64)
+            xsq = (xf * xf).sum(axis=1)
+            best_cid = np.empty(n, dtype=np.int64)
+            for r0 in range(0, n, 1024):
+                r1 = min(r0 + 1024, n)
+                bd2 = np.full(r1 - r0, np.inf)
+                bci = np.zeros(r1 - r0, dtype=np.int64)
+                for c0 in range(0, k, kblk):
+                    c1 = min(c0 + kblk, k)
+                    d2 = (
+                        xsq[r0:r1, None]
+                        + csq[None, c0:c1]
+                        - 2.0 * (xf[r0:r1] @ cf[c0:c1].T)
+                    )
+                    am = np.argmin(d2, axis=1)
+                    dm = d2[np.arange(r1 - r0), am]
+                    upd = dm < bd2  # strict: ties keep the lower cid
+                    bd2[upd] = dm[upd]
+                    bci[upd] = cids[am[upd] + c0]
+                best_cid[r0:r1] = bci
+            yield pa.RecordBatch.from_arrays(
+                [vid, pa.array(best_cid, type=pa.int64())],
+                names=["vid", "cid"],
+            )
+
+    return iv.select("vid", "iv").mapInArrow(kernel, out_schema)
 
 
 def probe_clusters(iv: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
