@@ -113,13 +113,27 @@ def _scaled_table(
             "text", F.when(F.col("__k") == 0, F.col("text")).otherwise(marked)
         ).withColumn("n_chars", F.length("text").cast("bigint"))
     if table == "embeddings":
+        # The rotation+flip transform below has period 2·dim: copy k
+        # and copy k+2·dim get the identical rotation AND the same
+        # (even) flip parity — i.e. exact cross-copy embedding twins,
+        # precisely the duplicate cliques the transform exists to
+        # avoid (ADVICE r10). Callers max out at factor=100 against
+        # dim 64; enforce the bound instead of trusting it.
+        dim_val = df.select(F.min(F.size("embedding")).alias("d")).first()["d"]
+        if dim_val is not None and factor > 2 * dim_val:
+            raise ValueError(
+                f"embeddings factor {factor} exceeds the transform period "
+                f"2*dim = {2 * dim_val}: copies k and k+{2 * dim_val} would "
+                "be exact twins; lower the factor or compose generations"
+            )
         dim = F.size("embedding")
         # Rotate by __k mod dim (a raw __k > dim produced negative
         # slice lengths at factor 100 / dim 64); copies that wrap the
         # dimension count additionally flip sign (norm-preserving, and
-        # cosine(x, -x_rotated) collapses to noise) so copy dim+k is
-        # never an exact twin of copy k — a verbatim twin would plant
-        # cross-copy duplicate cliques the replication exists to avoid.
+        # cosine(x, -x_rotated) collapses to noise) so within the
+        # enforced factor ≤ 2·dim bound no copy is an exact twin of
+        # another — a verbatim twin would plant cross-copy duplicate
+        # cliques the replication exists to avoid.
         rot = F.pmod(F.col("__k"), dim)
         rotated = F.concat(
             F.slice(F.col("embedding"), rot + 1, dim - rot),
@@ -156,6 +170,23 @@ def ensure_scaled(
     tables generates only the missing ones. ``None`` means everything.
     """
     marker = os.path.join(dst_dir, "_DONE")
+    # A second call with a DIFFERENT factor against an existing dst
+    # must never silently mix scales: all-present would return
+    # wrong-scale data, and partially-present would generate only the
+    # missing tables at the new factor while the marker records just
+    # the latest one (ADVICE r10). Raise and make the caller choose.
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            for line in fh.read().splitlines():
+                if line.startswith("factor="):
+                    recorded = int(line.split("=", 1)[1].split()[0])
+                    if recorded != factor:
+                        raise ValueError(
+                            f"{dst_dir} was generated at factor={recorded}; "
+                            f"requested factor={factor} would mix scales — "
+                            "delete the directory to regenerate"
+                        )
+                    break
     want_copy = (
         list(_COPY_ONCE)
         if tables is None

@@ -57,3 +57,30 @@ def test_scaled_rows_multiply(spark, tmp_path):
     ).count()
     dst_n = spark.read.parquet(os.path.join(dst, "documents.parquet")).count()
     assert dst_n == 2 * src_n
+
+
+def test_factor_mismatch_raises(spark, tmp_path):
+    """r11 (ADVICE r10): a second call with a different factor against
+    an existing dst must raise, not mix scales silently."""
+    import pytest
+
+    dst = str(tmp_path / "sf_mix")
+    ensure_scaled(spark, SF_SMOKE, dst, factor=2, tables=["documents"])
+    with pytest.raises(ValueError, match="factor=2"):
+        ensure_scaled(
+            spark, SF_SMOKE, dst, factor=3, tables=["documents", "embeddings"]
+        )
+    assert _tables(dst) == {"documents"}  # nothing half-generated
+
+
+def test_embeddings_factor_beyond_transform_period_raises(spark, tmp_path):
+    """r11 (ADVICE r10): the rotate+flip transform has period 2·dim —
+    copies k and k+2·dim would be exact twins, so the bound is
+    enforced instead of trusted (callers max at factor=100 / dim 64)."""
+    import pytest
+
+    dst = str(tmp_path / "sf_twin")
+    with pytest.raises(ValueError, match="exceeds the transform period"):
+        ensure_scaled(
+            spark, SF_SMOKE, dst, factor=129, tables=["embeddings"]
+        )
