@@ -1,9 +1,12 @@
 #!/usr/bin/env python
-"""r10 streaming-state measurement at 10× the r09 group count
+"""r10 streaming-state measurement at 25× the r09 group count
 (VERDICT r09 task 5): the production update-mode topology WITH
-watermark eviction over sf0.1 events keyed by (event_type ×
-user_id%10) — ~389k distinct (5-min window, key) groups vs r09's
-38,913 — asserting live state plateaus at the watermark horizon."""
+watermark eviction over sf0.1 events keyed by RAW user_id — 999,150
+distinct (5-min window, key) groups vs r09's 38,913 (the earlier
+event_type × user_id%10 keying drafted for this script yielded only
+~389k; the raw-user_id keying in main() is what ran and what
+state10x_r10.json records) — asserting live state plateaus at the
+watermark horizon."""
 import json
 import os
 import shutil

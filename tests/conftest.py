@@ -36,3 +36,24 @@ def _release_tracked_caches():
 
     release_tracked()
     reclaim_jvm()
+
+
+def plan_string(df) -> str:
+    """Formatted physical plan at an 8 MiB render cap (shared by the
+    plan-property test files — ADVICE r10 deduplicated four identical
+    copies). ADVICE r09: the engine session caps plan rendering at
+    64 KiB (spark.sql.maxPlanStringLength), and a truncated plan would
+    make ABSENCE assertions ("no CartesianProduct") pass vacuously —
+    fail loudly if even 8 MiB truncates."""
+    spark = df.sparkSession
+    key = "spark.sql.maxPlanStringLength"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(8 * 1024 * 1024))
+    try:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set(key, prev)
+    assert " more characters" not in plan, "plan truncated; raise cap"
+    return plan

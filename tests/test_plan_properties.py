@@ -11,23 +11,7 @@ from tests.conftest import SF_SMOKE
 load_all()
 
 
-def _plan(df) -> str:
-    # ADVICE r09: the engine session caps plan rendering at 64 KiB
-    # (spark.sql.maxPlanStringLength), and a truncated plan would make
-    # ABSENCE assertions ("no CartesianProduct") pass vacuously. Render
-    # plans under test at 8 MiB, and fail loudly if even that truncates.
-    spark = df.sparkSession
-    key = "spark.sql.maxPlanStringLength"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(8 * 1024 * 1024))
-    try:
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-    finally:
-        spark.conf.set(key, prev)
-    assert " more characters" not in plan, "plan truncated; raise cap"
-    return plan
+from tests.conftest import plan_string as _plan  # noqa: E402
 
 
 def _exchanges(plan: str) -> int:
