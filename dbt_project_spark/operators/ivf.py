@@ -105,7 +105,9 @@ def _shortlist_candidates(
 
     emb_type = e.schema["embedding"].dataType.simpleString()
     vid_type = e.schema["vec_id"].dataType.simpleString()
-    out_schema = f"vec_id {vid_type}, embedding {emb_type}, cid bigint"
+    out_schema = (
+        f"vec_id {vid_type}, embedding {emb_type}, cid bigint, n_cand int"
+    )
 
     def kernel(batches):
         import numpy as np
@@ -171,14 +173,22 @@ def _shortlist_candidates(
             order = np.argsort(rows, kind="stable")
             rows = rows[order]
             ccid = np.concatenate(cand_cid)[order]
+            # per-vector candidate count: a SINGLETON shortlist that
+            # provably contains the argmax IS the argmax — the caller
+            # routes n_cand=1 rows straight to the output with no
+            # exact re-score and no shuffle (rows are sorted, so
+            # counts expand positionally via repeat)
+            _, counts = np.unique(rows, return_counts=True)
+            ncand = np.repeat(counts, counts).astype(np.int32)
             take = pa.array(rows, type=pa.int64())
             yield pa.RecordBatch.from_arrays(
                 [
                     vid.take(take),
                     emb.take(take),
                     pa.array(ccid, type=pa.int64()),
+                    pa.array(ncand, type=pa.int32()),
                 ],
-                names=["vec_id", "embedding", "cid"],
+                names=["vec_id", "embedding", "cid", "n_cand"],
             )
 
     return e.select("vec_id", "embedding").mapInArrow(kernel, out_schema)
@@ -244,8 +254,15 @@ def build_ivf_index(
 
     cn = cent.withColumn("nc", l2_norm("ce"))
     cand = _shortlist_candidates(spark, e, cent)
+    # Singleton shortlists (~all vectors on real corpora) ARE their
+    # argmax — they flow map-only from scan to write, zero shuffle.
+    # Only the near-tie sliver pays the exact re-score + a tiny agg.
+    singles = cand.filter(F.col("n_cand") == 1).select(
+        "vec_id", "embedding", "cid"
+    )
     scored = (
-        cand.join(F.broadcast(cn), on="cid")
+        cand.filter(F.col("n_cand") > 1)
+        .join(F.broadcast(cn), on="cid")
         .withColumn("nv", l2_norm("embedding"))
         .withColumn(
             "s",
@@ -255,12 +272,16 @@ def build_ivf_index(
         )
         .select("vec_id", "cid", "s", "embedding")
     )
-    asg = scored.groupBy("vec_id").agg(
-        F.max_by(F.struct("cid", "embedding"), _assign_key()).alias("w")
+    ties = (
+        scored.groupBy("vec_id")
+        .agg(F.max_by(F.struct("cid", "embedding"), _assign_key()).alias("w"))
+        .select(
+            "vec_id",
+            F.col("w.embedding").alias("embedding"),
+            F.col("w.cid").alias("cid"),
+        )
     )
-    cells = asg.select(
-        "vec_id", F.col("w.embedding").alias("embedding"), F.col("w.cid").alias("cid")
-    )
+    cells = singles.unionByName(ties)
     cells.write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(d, "cells.parquet")
     )
