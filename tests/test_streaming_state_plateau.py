@@ -12,6 +12,7 @@ per-trigger progress metrics (stateOperators[0].numRowsTotal).
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_project_spark.streaming.update_dist import (
@@ -45,11 +46,36 @@ def _write_hourly_source(spark, src):
         rows.coalesce(1).write.mode("append").parquet(src)
 
 
-def test_state_plateaus_at_watermark_horizon(spark, tmp_path):
+@pytest.mark.parametrize(
+    "provider",
+    [
+        None,  # session default (HDFSBackedStateStoreProvider)
+        # the 100×-scale provider: state lives in local RocksDB SSTs,
+        # not on the executor heap (r11 — VERDICT r10 task 7; the full
+        # 999k-group run is state_rocksdb_r11.json). rocksdbjni ships
+        # with pyspark; no protobuf needed, unlike transformWithState.
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    ],
+    ids=["hdfs", "rocksdb"],
+)
+def test_state_plateaus_at_watermark_horizon(spark, tmp_path, provider):
     src = str(tmp_path / "src")
     _write_hourly_source(spark, src)
 
-    progress = run_update_distribution(
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    if provider is not None:
+        spark.conf.set(key, provider)
+    try:
+        progress = _run(spark, tmp_path, src)
+    finally:
+        spark.conf.set(key, prev)
+    _assert_plateau(spark, tmp_path, progress)
+
+
+def _run(spark, tmp_path, src):
+    return run_update_distribution(
         spark,
         src,
         state_dir=str(tmp_path / "state"),
@@ -59,6 +85,9 @@ def test_state_plateaus_at_watermark_horizon(spark, tmp_path):
         key_col="k",
         watermark="10 minutes",
     )
+
+
+def _assert_plateau(spark, tmp_path, progress):
     state_rows = [
         op["numRowsTotal"]
         for p in progress
