@@ -281,7 +281,14 @@ def build_ivf_index(
             F.col("w.cid").alias("cid"),
         )
     )
-    cells = singles.unionByName(ties)
+    # One corpus shuffle on the WRITE's clustering key: without it,
+    # every (input task × cid) pair emits its own parquet file —
+    # 20×512 ≈ 10k files at sf10 (measured as 140 s of filesystem
+    # overhead, dwarfing the 8 s kernel), and a billion-file disaster
+    # at 10⁹ vectors × 10k tasks. Hash-clustering by cid caps the
+    # layout at ~K files; this is the one shuffle a partitioned
+    # index write fundamentally needs.
+    cells = singles.unionByName(ties).repartition("cid")
     cells.write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(d, "cells.parquet")
     )
