@@ -72,10 +72,18 @@ _COPY_ONCE = ["region", "nation"]
 _N_FILES = {"lineitem": 16, "orders": 8, "events": 8}
 
 
-def _strides(spark: SparkSession, src_dir: str) -> dict[str, int]:
+def _strides(
+    spark: SparkSession, src_dir: str, keys: list[str] | None = None
+) -> dict[str, int]:
+    """Offset strides for ``keys`` (default: all). Restricting matters
+    when the SOURCE is itself a subset directory (r11: sf100 composes
+    on top of the docs+embeddings-only sf10) — the full sweep would
+    try to read key-source tables the subset never generated."""
     out: dict[str, int] = {}
     cache: dict[tuple[str, str], int] = {}
     for key, (table, col) in _KEY_SOURCE.items():
+        if keys is not None and key not in keys:
+            continue
         if (table, col) not in cache:
             cache[(table, col)] = (
                 load_table(spark, src_dir, table)
@@ -92,6 +100,7 @@ def _scaled_table(
     table: str,
     factor: int,
     strides: dict[str, int],
+    decorrelate: bool = False,
 ) -> DataFrame:
     df = load_table(spark, src_dir, table)
     copies = spark.range(factor).select(F.col("id").cast("int").alias("__k"))
@@ -120,11 +129,13 @@ def _scaled_table(
         # avoid (ADVICE r10). Callers max out at factor=100 against
         # dim 64; enforce the bound instead of trusting it.
         dim_val = df.select(F.min(F.size("embedding")).alias("d")).first()["d"]
-        if dim_val is not None and factor > 2 * dim_val:
+        if dim_val is not None and factor > 2 * dim_val and not decorrelate:
             raise ValueError(
                 f"embeddings factor {factor} exceeds the transform period "
                 f"2*dim = {2 * dim_val}: copies k and k+{2 * dim_val} would "
-                "be exact twins; lower the factor or compose generations"
+                "be exact twins; lower the factor, or pass decorrelate=True "
+                "(per-copy hash-sign diagonal; also required when COMPOSING "
+                "generations, where rotations add up and collide)"
             )
         dim = F.size("embedding")
         # Rotate by __k mod dim (a raw __k > dim produced negative
@@ -142,11 +153,26 @@ def _scaled_table(
         elem_t = df.schema["embedding"].dataType.elementType.simpleString()
         flipped = F.transform(rotated, lambda x: (-x).cast(elem_t))
         wrapped = (F.col("__k") / dim).cast("int") % 2 == 1
+        xf = F.when(wrapped, flipped).otherwise(rotated)
+        if decorrelate:
+            # Per-copy ±1 diagonal keyed by xxhash64(__k, position):
+            # norm-preserving, distinct per copy up to a 64-bit
+            # pattern collision, and — unlike rotation — does NOT
+            # compose additively, so sf10→sf100-style CHAINED
+            # generations stop colliding (copies (k1,k2)=(0,1) and
+            # (1,0) share rot 1 + even parity and would otherwise be
+            # verbatim twins). Opt-in: the default path is untouched
+            # so the existing sf1/sf10 benchdata lineage (and its
+            # bench history) stays byte-reproducible.
+            xf = F.transform(
+                xf,
+                lambda x, i: F.when(
+                    F.pmod(F.xxhash64(F.col("__k"), i), F.lit(2)) == 0, x
+                ).otherwise((-x).cast(elem_t)),
+            )
         out = out.withColumn(
             "embedding",
-            F.when(F.col("__k") == 0, F.col("embedding")).otherwise(
-                F.when(wrapped, flipped).otherwise(rotated)
-            ),
+            F.when(F.col("__k") == 0, F.col("embedding")).otherwise(xf),
         )
     return out.drop("__k")
 
@@ -157,6 +183,7 @@ def ensure_scaled(
     dst_dir: str,
     factor: int = 10,
     tables: list[str] | None = None,
+    decorrelate: bool = False,
 ) -> str:
     """Generate ``dst_dir`` as ``factor``× ``src_dir`` if not present.
 
@@ -213,13 +240,19 @@ def ensure_scaled(
     if not missing_copy and not missing_fact:
         return dst_dir
     os.makedirs(dst_dir, exist_ok=True)
-    strides = _strides(spark, src_dir)
+    strides = _strides(
+        spark,
+        src_dir,
+        keys=sorted({k for t in missing_fact for k in _OFFSET_KEYS[t]}),
+    )
     for table in missing_copy:
         load_table(spark, src_dir, table).write.mode("overwrite").parquet(
             os.path.join(dst_dir, f"{table}.parquet")
         )
     for table in missing_fact:
-        df = _scaled_table(spark, src_dir, table, factor, strides)
+        df = _scaled_table(
+            spark, src_dir, table, factor, strides, decorrelate=decorrelate
+        )
         # file-count scales with factor so partitions stay ~the same
         # byte size at any generated scale (sf10 with sf1's 4 files
         # per table would make 300+ MB splits the dominant skew)
