@@ -255,8 +255,24 @@ def ensure_scaled(
         )
         # file-count scales with factor so partitions stay ~the same
         # byte size at any generated scale (sf10 with sf1's 4 files
-        # per table would make 300+ MB splits the dominant skew)
-        n_files = _N_FILES.get(table, 4) * max(1, factor // 10)
+        # per table would make 300+ MB splits the dominant skew) —
+        # and never drops below the SOURCE's file count: a composed
+        # generation (sf10→sf100, factor 10) under the factor//10 rule
+        # alone wrote 10× the data into the base 4 files, leaving ~8
+        # real row-group splits to carry a 5M-doc scan (r11: measured
+        # as 8 straggler tasks throttling the sf100 dedup chain).
+        src_files = len(
+            [
+                f
+                for f in os.listdir(
+                    os.path.join(src_dir, f"{table}.parquet")
+                )
+                if f.endswith(".parquet")
+            ]
+        )
+        n_files = max(
+            _N_FILES.get(table, 4) * max(1, factor // 10), src_files
+        )
         df.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(dst_dir, f"{table}.parquet")
         )
