@@ -261,14 +261,11 @@ def ensure_scaled(
         # alone wrote 10× the data into the base 4 files, leaving ~8
         # real row-group splits to carry a 5M-doc scan (r11: measured
         # as 8 straggler tasks throttling the sf100 dedup chain).
-        src_files = len(
-            [
-                f
-                for f in os.listdir(
-                    os.path.join(src_dir, f"{table}.parquet")
-                )
-                if f.endswith(".parquet")
-            ]
+        src_path = os.path.join(src_dir, f"{table}.parquet")
+        src_files = (
+            len([f for f in os.listdir(src_path) if f.endswith(".parquet")])
+            if os.path.isdir(src_path)
+            else 1  # single-file source (the driver's testdata tables)
         )
         n_files = max(
             _N_FILES.get(table, 4) * max(1, factor // 10), src_files

@@ -35,14 +35,17 @@ from dbt_project_spark.operators.ivf import ivf_index_dir
 from dbt_project_spark.sfgen import ensure_scaled
 
 PORT = 4049
+# ANN first: the r11 build-kernel scaling claim (n=2M, K=2048) is the
+# headline; the dedup trio follows (it rides 8 straggler row-group
+# splits of the 4-file sf100 documents layout and takes far longer).
 CHAIN = [
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "corpus_keep_list",
     "ivf_build_index",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_refine",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "corpus_keep_list",
 ]
 
 
@@ -116,8 +119,8 @@ def main():
         }
         results[f"sf100/{name}"] = rec
         print(json.dumps({f"sf100/{name}": rec}), flush=True)
-    with open(os.path.join(REPO, "sf100_r11.json"), "w") as f:
-        json.dump(results, f, indent=1)
+        with open(os.path.join(REPO, "sf100_r11.json"), "w") as f:
+            json.dump(results, f, indent=1)
     print("DONE", flush=True)
 
 
