@@ -78,24 +78,18 @@ def register(name: str, oracle: str | None = None):
 # released plans raise instead of recompute) that only the driver's
 # independent gate would catch.
 #
-# r11: the 11 r10 names (verify_jaccard / connected_components
-# restructure) were cleared — all green in the same-round
-# CORRECTNESS_r10.json, whose driver gate ran AFTER the restructure
-# commit (VERDICT r10 task 1: a stale REFRESH re-burns window slots
-# on current verdicts). Then the r11 IVF restructure landed
-# (operators/ivf.py two-stage exact assignment — numpy shortlist
-# kernel + exact-SQL re-score — and operators/kmeans.assign_clusters
-# as an exact-integer numpy kernel; VERDICT r10 task 3), so every
-# catalog row whose call graph reaches build_ivf_index /
-# load_pq_index / assign_clusters owes a driver re-verification
-# (transitive call-graph sweep over all submodules, r11).
+# r12: the 19 r11 names (IVF/k-means kernel restructure) were
+# cleared — all green in the same-round CORRECTNESS_r11.json, whose
+# driver gate ran AFTER the restructure commit (the same rule that
+# cleared r10's list: a stale REFRESH re-burns window slots on
+# current verdicts). Then the r12 PQ-build restructure landed
+# (operators/ivf.build_pq_index as one fused Arrow encode kernel +
+# shared training sample; pq_train_encode served from the persisted
+# codes; ann_ivfpq_refine broadcast re-rank), so every catalog row
+# whose call graph reaches build_pq_index / load_pq_index or the
+# refine path owes a driver re-verification (transitive call-graph
+# sweep over all submodules, r12).
 REFRESH: list[str] = [
-    "ivf_build_index",
-    "ann_ivf_topk",
-    "ann_recall_ivf",
-    "ivf_cell_balance",
-    "ann_probe_recall_sweep",
-    "ivf_train_centroids",
     "pq_train_encode",
     "pq_ann_topk",
     "ann_ivfpq_topk",
@@ -104,11 +98,6 @@ REFRESH: list[str] = [
     "ann_recall_ivfpq_residual",
     "ann_ivfpq_refine",
     "ann_recall_ivfpq_refine",
-    "dedup_semantic",
-    "dedup_semantic_keeplist",
-    "dedup_semantic_recall",
-    "semantic_threshold_sweep",
-    "serving_parity_ann",
 ]
 
 

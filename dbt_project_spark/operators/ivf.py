@@ -97,11 +97,33 @@ def _shortlist_candidates(
     import numpy as np
 
     crows = cent.orderBy("cid").collect()
-    cids_np = np.asarray([r["cid"] for r in crows], dtype=np.int64)
-    cmat = np.asarray([list(r["ce"]) for r in crows], dtype=np.float64)
+    # ADVICE r11: a degenerate centroid row (null / null-component /
+    # ragged 'ce') must not crash the driver-side collect into the
+    # kernel matrix. Such a centroid can never win the assignment —
+    # the exact SQL key is NULL for it (nulls propagate through the
+    # dot/norm fold; zip_with null-pads length mismatches) and max_by
+    # skips null keys — so it is excluded from the pruning matrix and
+    # covered only by the all-K fallback, whose rows stage 2 re-scores
+    # against EVERY centroid with exactly those null-key semantics.
+    def _ok(r):
+        v = r["ce"]
+        return v is not None and all(x is not None for x in v)
+
+    lens = [len(r["ce"]) for r in crows if _ok(r)]
+    dim0 = max(set(lens), key=lens.count) if lens else 0
+    clean = [r for r in crows if _ok(r) and len(r["ce"]) == dim0]
+    cids_all = np.asarray([r["cid"] for r in crows], dtype=np.int64)
+    cids_np = np.asarray([r["cid"] for r in clean], dtype=np.int64)
+    cmat = (
+        np.asarray([list(r["ce"]) for r in clean], dtype=np.float64)
+        if clean
+        else np.zeros((0, max(dim0, 1)), dtype=np.float64)
+    )
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
     cnorm[cnorm == 0.0] = 1.0
-    bc = spark.sparkContext.broadcast((cids_np, cmat / cnorm[:, None]))
+    bc = spark.sparkContext.broadcast(
+        (cids_np, cmat / cnorm[:, None], cids_all)
+    )
 
     emb_type = e.schema["embedding"].dataType.simpleString()
     vid_type = e.schema["vec_id"].dataType.simpleString()
@@ -113,9 +135,9 @@ def _shortlist_candidates(
         import numpy as np
         import pyarrow as pa
 
-        cids, cn = bc.value  # cn: (K, dim) centroids pre-divided by norm
+        cids, cn, cids_all = bc.value  # cn: (K_clean, dim) / norms
         k, dim = cn.shape
-        all_k = np.arange(k)
+        k_all = cids_all.size
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -125,7 +147,11 @@ def _shortlist_candidates(
             offs = emb.offsets.to_numpy(zero_copy_only=False)
             offs = offs - offs[0]
             lens = offs[1:] - offs[:-1]
-            uniform = bool((lens == dim).all()) and emb.null_count == 0
+            uniform = (
+                k > 0
+                and bool((lens == dim).all())
+                and emb.null_count == 0
+            )
             if uniform:
                 flat = emb.flatten().to_numpy(zero_copy_only=False)
                 X = flat.astype(np.float64, copy=False).reshape(n, dim)
@@ -137,8 +163,8 @@ def _shortlist_candidates(
                 r1 = min(r0 + _ROW_BLOCK, n)
                 if not uniform:
                     # exact fallback: stage 2 evaluates every centroid
-                    row_idx.append(np.repeat(np.arange(r0, r1), k))
-                    cand_cid.append(np.tile(cids, r1 - r0))
+                    row_idx.append(np.repeat(np.arange(r0, r1), k_all))
+                    cand_cid.append(np.tile(cids_all, r1 - r0))
                     continue
                 xb = Xn[r0:r1]
                 if k <= _K_BLOCK:
@@ -167,8 +193,8 @@ def _shortlist_candidates(
                     hit[sel - r0] = True
                 miss = np.nonzero(~hit)[0]
                 if miss.size:
-                    row_idx.append(np.repeat(miss + r0, k))
-                    cand_cid.append(np.tile(cids, miss.size))
+                    row_idx.append(np.repeat(miss + r0, k_all))
+                    cand_cid.append(np.tile(cids_all, miss.size))
             rows = np.concatenate(row_idx)
             order = np.argsort(rows, kind="stable")
             rows = rows[order]
@@ -333,7 +359,179 @@ def probe_cells(
 # PQ layer of the persisted index (r05): codebooks + codes on disk
 # ---------------------------------------------------------------------------
 
-PQ_INDEX_VERSION = 1
+PQ_INDEX_VERSION = 2  # r12: codes carry the winner's exact d2
+
+
+def _pq_encode_codes(
+    spark: SparkSession,
+    iv: DataFrame,
+    books: DataFrame,
+    pq_m: int,
+    sub: int,
+) -> DataFrame:
+    """(vid, m, cid, d2): every subspace's exact argmin assignment —
+    and the winner's exact integer distortion — in ONE Arrow-batched
+    numpy pass over the corpus (r12, VERDICT r11 task 2: the old
+    per-subspace loop paid M corpus passes of interpreted ``F.slice``
+    + M kernel assigns + M TakeOrdered sample scans — 682 s at sf100).
+
+    Bit-identity argument (assign_clusters', applied per subspace):
+    every quantity is a scaled-BIGINT integer, and float64 arithmetic
+    on integer operands is EXACT while all partials stay under 2⁵³ —
+    checked per batch against max|component| ≤ √(2⁵³/sub)/2, which
+    bounds xsq, csq, 2·x·c and d2 itself, so the emitted d2 equals
+    CAST(MIN(key) div KM_KEY_M AS BIGINT) bit-for-bit. Argmin scans
+    ascending cids and keeps the first minimum — min_by's
+    d2·KM_KEY_M + cid ordering. Degenerate inputs (ragged/null
+    vectors or codebook rows) route to a python-int replay of the
+    exact slice + zip_with + min_by null-key semantics."""
+    import numpy as np
+
+    from dbt_project_spark.operators.kmeans import KM_KEY_M
+
+    brows = books.orderBy("m", "cid").collect()
+    per_m = []
+    for m in range(pq_m):
+        rows = [r for r in brows if r["m"] == m]
+        clean = [
+            r
+            for r in rows
+            if r["civ"] is not None
+            and len(r["civ"]) == sub
+            and all(x is not None for x in r["civ"])
+        ]
+        cids = np.asarray([r["cid"] for r in clean], dtype=np.int64)
+        cmat = (
+            np.asarray([list(r["civ"]) for r in clean], dtype=np.int64)
+            if clean
+            else np.zeros((0, max(sub, 1)), dtype=np.int64)
+        )
+        allb = [
+            (int(r["cid"]), None if r["civ"] is None else list(r["civ"]))
+            for r in rows
+        ]
+        per_m.append((cids, cmat, allb))
+    bc = spark.sparkContext.broadcast((per_m, pq_m, sub))
+    key_m = KM_KEY_M
+    vid_type = iv.schema["vid"].dataType.simpleString()
+    out_schema = f"vid {vid_type}, m int, cid bigint, d2 bigint"
+
+    def kernel(batches):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        per_m, M, sub = bc.value
+        need = M * sub
+        safe_mx = math.floor(math.sqrt(2.0**53 / max(sub, 1)) / 2.0)
+        books_f = []
+        for cids, cint, allb in per_m:
+            cf = cint.astype(np.float64)
+            books_f.append(
+                (
+                    cids,
+                    cf,
+                    (cf * cf).sum(axis=1),
+                    int(np.abs(cint).max()) if cint.size else 0,
+                    allb,
+                )
+            )
+
+        def slow_row(v, m):
+            # exact python-int replay of slice + zip_with + min_by
+            if v is None:
+                return None, None
+            vm = v[m * sub : (m + 1) * sub]
+            if any(x is None for x in vm):
+                return None, None  # null element poisons every key
+            best = None
+            for cid, cv in books_f[m][4]:
+                if (
+                    cv is None
+                    or len(vm) != len(cv)
+                    or any(y is None for y in cv)
+                ):
+                    continue  # zip_with null-pads → null key → skipped
+                d2 = sum((a - b) * (a - b) for a, b in zip(vm, cv))
+                key = d2 * key_m + cid
+                if best is None or key < best[0]:
+                    best = (key, cid, d2)
+            return (None, None) if best is None else (best[1], best[2])
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vid = batch.column(0)
+            ivc = batch.column(1)
+            flat = ivc.flatten()
+            offs = ivc.offsets.to_numpy(zero_copy_only=False)
+            lens = offs[1:] - offs[:-1]
+            uniform = (
+                ivc.null_count == 0
+                and flat.null_count == 0
+                and bool((lens == lens[0]).all())
+                and int(lens[0]) >= need
+            )
+            if uniform:
+                L = int(lens[0])
+                x = flat.to_numpy(zero_copy_only=False).reshape(n, L)
+                mx = int(np.abs(x[:, :need]).max()) if x.size else 0
+            ok_fast = (
+                uniform
+                and mx <= safe_mx
+                and all(bf[3] <= safe_mx for bf in books_f)
+                and all(bf[0].size > 0 for bf in books_f)
+            )
+            if not ok_fast:
+                pyiv = ivc.to_pylist()
+                for m in range(M):
+                    cids_o, d2_o = [], []
+                    for v in pyiv:
+                        cid, d2 = slow_row(v, m)
+                        cids_o.append(cid)
+                        d2_o.append(d2)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            vid,
+                            pa.array([m] * n, type=pa.int32()),
+                            pa.array(cids_o, type=pa.int64()),
+                            pa.array(d2_o, type=pa.int64()),
+                        ],
+                        names=["vid", "m", "cid", "d2"],
+                    )
+                continue
+            xf = x[:, :need].astype(np.float64)
+            for m in range(M):
+                cids, cf, csq, _cm, _allb = books_f[m]
+                xm = xf[:, m * sub : (m + 1) * sub]
+                xsq = (xm * xm).sum(axis=1)
+                best_cid = np.empty(n, dtype=np.int64)
+                best_d2 = np.empty(n, dtype=np.int64)
+                for r0 in range(0, n, 4096):
+                    r1 = min(r0 + 4096, n)
+                    d2 = (
+                        xsq[r0:r1, None]
+                        + csq[None, :]
+                        - 2.0 * (xm[r0:r1] @ cf.T)
+                    )
+                    am = np.argmin(d2, axis=1)  # first min = lowest cid
+                    best_cid[r0:r1] = cids[am]
+                    best_d2[r0:r1] = d2[np.arange(r1 - r0), am].astype(
+                        np.int64
+                    )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        vid,
+                        pa.array([m] * n, type=pa.int32()),
+                        pa.array(best_cid, type=pa.int64()),
+                        pa.array(best_d2, type=pa.int64()),
+                    ],
+                    names=["vid", "m", "cid", "d2"],
+                )
+
+    return iv.select("vid", "iv").mapInArrow(kernel, out_schema)
 
 
 def build_pq_index(
@@ -360,9 +558,9 @@ def build_pq_index(
     from dbt_project_spark.caching import persist_tracked
     from dbt_project_spark.operators.kmeans import (
         KM_SCALE,
-        assign_clusters,
         int_vectors,
         kmeans_fit,
+        train_sample,
     )
     from dbt_project_spark.sources import load_table
 
@@ -421,19 +619,41 @@ def build_pq_index(
     iv = persist_tracked(iv)
     dim = iv.select(F.min(F.size("iv")).alias("d")).first()["d"]
     sub = dim // pq_m
+    # r12 restructure (VERDICT r11 task 2): the old loop paid, PER
+    # subspace, a full-corpus interpreted F.slice materialization, a
+    # TakeOrdered hash-sample scan, and a kernel assignment pass —
+    # 3·M corpus passes. The sample key (md5(vid), vid) is independent
+    # of the sliced payload, so the per-subspace training samples are
+    # exactly the slices of ONE full-dim sample (drawn once, ~256·K
+    # rows); training then runs M tiny in-sample Lloyd's loops, and
+    # the corpus is touched exactly once more by the fused encode
+    # kernel, which emits all M sub-assignments (+ exact distortions,
+    # which pq_train_encode serves from disk instead of re-deriving
+    # via an n×K interpreted crossJoin).
+    train_full = persist_tracked(train_sample(iv, pq_k))
+    train_full.count()  # materialize once before the concurrent loops
+
+    # The M sample-sized Lloyd's loops are independent and each is a
+    # chain of tiny driver-coordinated jobs (the corpus never enters
+    # them) — run them as overlapping jobs from a small thread pool
+    # (guide §2.6) so one subspace's scheduling gaps back-fill with
+    # another's tasks. Values are unaffected by submission order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _train(m: int) -> DataFrame:
+        spark.sparkContext.setJobDescription(f"pq_build: train m={m}")
+        sub_train = train_full.select(
+            "vid", F.slice("iv", m * sub + 1, sub).alias("iv")
+        )
+        return kmeans_fit(sub_train, pq_k, pq_iters, sample_per_cell=None)
+
+    with ThreadPoolExecutor(max_workers=min(pq_m, 4)) as pool:
+        cbs = list(pool.map(_train, range(pq_m)))
     books = None
-    codes = None
-    for m in range(pq_m):
-        sub_iv = persist_tracked(
-            iv.select("vid", F.slice("iv", m * sub + 1, sub).alias("iv"))
-        )
-        cb = kmeans_fit(sub_iv, pq_k, pq_iters)
+    for m, cb in enumerate(cbs):
         bm = cb.select(F.lit(m).alias("m"), "cid", "civ")
-        cm = assign_clusters(sub_iv, cb).select(
-            "vid", F.lit(m).alias("m"), "cid"
-        )
         books = bm if books is None else books.unionByName(bm)
-        codes = cm if codes is None else codes.unionByName(cm)
+    codes = _pq_encode_codes(spark, iv, books, pq_m, sub)
     books.write.mode("overwrite").parquet(os.path.join(d, "codebooks.parquet"))
     codes.write.mode("overwrite").parquet(os.path.join(d, "codes.parquet"))
     with open(mpath, "w") as fh:

@@ -139,14 +139,43 @@ def assign_clusters(iv: DataFrame, cent: DataFrame) -> DataFrame:
     every input, including ragged/null vectors (null key → skipped,
     all-null → null cid, matching zip_with/min_by semantics).
     Tie-break: centroids scan in ascending cid and argmin keeps the
-    first minimum — exactly min_by's d2·KM_KEY_M + cid ordering."""
+    first minimum — exactly min_by's d2·KM_KEY_M + cid ordering.
+
+    Precondition (ADVICE r11): callers pass UNIQUE vids. The kernel
+    emits one row per INPUT row, whereas the old groupBy('vid') +
+    min_by emitted one row per DISTINCT vid — duplicate vids would
+    multiply every downstream join (e.g. _update_centroids' asg⋈iv).
+    Every caller in the repo assigns corpus/sample tables keyed by a
+    unique vector id."""
     spark = iv.sparkSession
     crows = cent.orderBy("cid").collect()
     import numpy as np
 
-    cids_np = np.asarray([r["cid"] for r in crows], dtype=np.int64)
-    cmat = np.asarray([list(r["civ"]) for r in crows], dtype=np.int64)
-    bc = spark.sparkContext.broadcast((cids_np, cmat))
+    # ADVICE r11: degenerate centroid rows (null / null-component /
+    # ragged 'civ') must not crash the driver-side matrix build. Such
+    # a centroid's key is NULL against every uniform vector (zip_with
+    # null-pads; nulls propagate through the fold; min_by skips null
+    # keys), so it can never win on the fast path — keep it OUT of the
+    # numpy matrix and let the python slow path (which replays the
+    # exact null-key semantics over ALL centroids) cover the rest.
+    def _ok(r):
+        v = r["civ"]
+        return v is not None and all(x is not None for x in v)
+
+    lens = [len(r["civ"]) for r in crows if _ok(r)]
+    dim0 = max(set(lens), key=lens.count) if lens else 0
+    clean = [r for r in crows if _ok(r) and len(r["civ"]) == dim0]
+    cids_np = np.asarray([r["cid"] for r in clean], dtype=np.int64)
+    cmat = (
+        np.asarray([list(r["civ"]) for r in clean], dtype=np.int64)
+        if clean
+        else np.zeros((0, max(dim0, 1)), dtype=np.int64)
+    )
+    books_py = [
+        (int(r["cid"]), None if r["civ"] is None else list(r["civ"]))
+        for r in crows
+    ]
+    bc = spark.sparkContext.broadcast((cids_np, cmat, books_py))
     vid_type = iv.schema["vid"].dataType.simpleString()
     out_schema = f"vid {vid_type}, cid bigint"
 
@@ -156,7 +185,7 @@ def assign_clusters(iv: DataFrame, cent: DataFrame) -> DataFrame:
         import numpy as np
         import pyarrow as pa
 
-        cids, cint = bc.value
+        cids, cint, books = bc.value
         k, dim = cint.shape
         cf = cint.astype(np.float64)
         csq = (cf * cf).sum(axis=1)
@@ -165,22 +194,25 @@ def assign_clusters(iv: DataFrame, cent: DataFrame) -> DataFrame:
         kblk = 8192
 
         def slow(vid, ivc, n):
-            # cold path: exact python-int replay of the SQL key
+            # cold path: exact python-int replay of the SQL key over
+            # ALL centroids (including degenerate ones → null key)
             out = []
             pyiv = ivc.to_pylist()
-            cl = cint.tolist()
             for r in range(n):
                 v = pyiv[r]
                 best = None
                 if v is not None and all(x is not None for x in v):
-                    for ci in range(k):
-                        cv = cl[ci]
-                        if len(v) != len(cv):
+                    for cid, cv in books:
+                        if (
+                            cv is None
+                            or len(v) != len(cv)
+                            or any(y is None for y in cv)
+                        ):
                             continue  # zip_with null-pads → null key
                         d2 = sum((a - b) * (a - b) for a, b in zip(v, cv))
-                        key = d2 * KM_KEY_M + int(cids[ci])
+                        key = d2 * KM_KEY_M + cid
                         if best is None or key < best[0]:
-                            best = (key, int(cids[ci]))
+                            best = (key, cid)
                 out.append(None if best is None else best[1])
             return pa.RecordBatch.from_arrays(
                 [vid, pa.array(out, type=pa.int64())], names=["vid", "cid"]
@@ -196,7 +228,8 @@ def assign_clusters(iv: DataFrame, cent: DataFrame) -> DataFrame:
             offs = ivc.offsets.to_numpy(zero_copy_only=False)
             lens = offs[1:] - offs[:-1]
             uniform = (
-                bool((lens == dim).all())
+                k > 0
+                and bool((lens == dim).all())
                 and ivc.null_count == 0
                 and flat.null_count == 0
             )

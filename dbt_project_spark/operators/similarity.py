@@ -100,21 +100,230 @@ def with_lsh_bands(
     Output is ids+ints only — vectors are NOT carried through the
     band shuffle (candidates join back to the corpus by id), so the
     band-join stage shuffles O(rows × ntables × 12 bytes) regardless
-    of vector dimension."""
-    cols = []
-    for tid, rows in enumerate(weights):
-        bucket = F.lit(0)
-        for j, row in enumerate(rows):
-            w = F.array(*[F.lit(x) for x in row])
-            bucket = bucket + F.when(
-                dot_product(F.col(vec), w) >= 0, F.lit(2**j)
-            ).otherwise(F.lit(0))
-        cols.append(
-            F.struct(F.lit(tid).alias("tid"), bucket.cast("int").alias("bv"))
-        )
-    return df.select(
-        F.col(id_col).alias(id_out), F.explode(F.array(*cols)).alias("bx")
-    ).select(id_out, "bx.tid", "bx.bv")
+    of vector dimension.
+
+    r12 (guide §4.2): the ntables×nbits hyperplane dot products per
+    vector ran as interpreted ``zip_with``/``aggregate`` HOF chains —
+    the measured ~100×-off-BLAS constant the r11 IVF kernel removed
+    from the coarse build; at (16, 11) that was 176 interpreted
+    64-element folds per vector and the dominant cost of
+    dedup_embedding_strict. They now run as ONE Arrow-batched numpy
+    matmul, bit-identical by the prune/recompute argument:
+
+    - the sign test ``dot >= 0`` only differs from the SQL fold when
+      |dot| is inside the float64 summation-order error band
+      (≤ dim·eps·Σ|x·w| ≈ 1e-13·max|x| at dim 64, |w| < 1) — every
+      dot within ``1e-9·max(1, max|x|)`` of zero (4 orders of slack)
+      is recomputed with the EXACT left-to-right double fold;
+    - Spark's NaN semantics (NaN >= 0 is TRUE) are replayed
+      explicitly; null/ragged/null-element vectors (null dot →
+      ``otherwise(0)`` bit) route to a python replay of the exact
+      when/otherwise chain."""
+    import numpy as np
+
+    spark = df.sparkSession
+    ntables = len(weights)
+    nbits = len(weights[0]) if weights else 0
+    dim = len(weights[0][0]) if nbits else 0
+    wflat = np.asarray(
+        [row for rows in weights for row in rows], dtype=np.float64
+    )  # (ntables·nbits, dim)
+    bc = spark.sparkContext.broadcast(
+        (wflat, [[list(r) for r in rows] for rows in weights])
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_out} {id_type}, tid int, bv int"
+
+    def kernel(batches):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+
+        wf, wpy = bc.value
+        nb, dim = (wf.shape[0] // max(len(wpy), 1), wf.shape[1])
+        T = len(wpy)
+        pow2 = (1 << np.arange(nb)).astype(np.int64)
+
+        def slow_bv(v, rows):
+            # exact replay of the when(dot >= 0, 2^j).otherwise(0) sum
+            bv = 0
+            for j, wrow in enumerate(rows):
+                if (
+                    v is None
+                    or len(v) != len(wrow)
+                    or any(x is None for x in v)
+                ):
+                    continue  # null dot → otherwise(0)
+                s = 0.0
+                for x, wv in zip(v, wrow):
+                    s += float(x) * wv
+                if s >= 0 or math.isnan(s):  # Spark: NaN >= 0 is TRUE
+                    bv += 1 << j
+            return bv
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            ec = batch.column(1)
+            flat = ec.flatten()
+            offs = ec.offsets.to_numpy(zero_copy_only=False)
+            lens = offs[1:] - offs[:-1]
+            uniform = (
+                ec.null_count == 0
+                and flat.null_count == 0
+                and bool((lens == dim).all())
+            )
+            if not uniform:
+                pyv = ec.to_pylist()
+                for t in range(T):
+                    bvs = [slow_bv(v, wpy[t]) for v in pyv]
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            ids,
+                            pa.array([t] * n, type=pa.int32()),
+                            pa.array(bvs, type=pa.int32()),
+                        ],
+                        names=[id_out, "tid", "bv"],
+                    )
+                continue
+            x = (
+                flat.to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, dim)
+            )
+            dots = x @ wf.T  # (n, T·nb)
+            mx = float(np.abs(x).max()) if x.size else 0.0
+            margin = 1e-9 * max(1.0, mx)
+            sliver = np.abs(dots) < margin  # NaN compares False — kept
+            for i, jw in zip(*np.nonzero(sliver)):
+                p = x[i] * wf[jw]
+                s = 0.0
+                for val in p:  # the exact SQL fold, left to right
+                    s += float(val)
+                dots[i, jw] = s
+            bits = (dots >= 0) | np.isnan(dots)  # Spark: NaN >= 0 TRUE
+            bv = (
+                bits.reshape(n, T, nb).astype(np.int64) * pow2[None, None, :]
+            ).sum(axis=2)
+            for t in range(T):
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array([t] * n, type=pa.int32()),
+                        pa.array(bv[:, t].astype(np.int32), type=pa.int32()),
+                    ],
+                    names=[id_out, "tid", "bv"],
+                )
+
+    return df.select(F.col(id_col).alias(id_out), F.col(vec)).mapInArrow(
+        kernel, out_schema
+    )
+
+
+# Prune slack for thresholded exact-cosine verification: a pair passes
+# the SQL filter iff ROUND(cos, 6) >= τ, i.e. cos >= τ − 0.5e-6 (HALF_UP
+# boundary), and the numpy cosine differs from the SQL left-to-right
+# fold by ≤ ~dim²·eps ≈ 1e-12 (cosine is scale-invariant; Σ|x·y| ≤
+# ‖x‖‖y‖) — 1e-6 + 1e-9 gives the rounding unit plus 3 orders of slack.
+_COS_PRUNE_SLACK = 1e-6 + 1e-9
+
+
+def prune_pairs_below_cosine(
+    pairs: DataFrame, ea: str, eb: str, threshold: float
+) -> DataFrame:
+    """Drop candidate pairs whose exact ROUNDED cosine provably falls
+    below ``threshold`` — a prune-only Arrow kernel (guide §4.2): the
+    caller's exact SQL verify then runs over ~output-sized survivors
+    instead of every candidate. Bit-identical output by construction:
+
+    - a clean pair is dropped only when its float64 cosine is under
+      ``threshold − _COS_PRUNE_SLACK`` (see the slack derivation);
+    - non-finite cosines are NEVER pruned (Spark treats NaN as larger
+      than any double, so a NaN cosine PASSES the SQL filter);
+    - null / ragged / null-element pairs are dropped: their SQL cosine
+      is NULL (zip_with null-pads; nulls propagate through the fold)
+      and ``NULL >= τ`` filters them out anyway;
+    - a batch that is not fully uniform is passed through unpruned
+      except for those provably-null rows.
+
+    All input columns pass through unchanged."""
+    import numpy as np
+
+    schema = pairs.schema
+    names = [f.name for f in schema.fields]
+    ia, ib = names.index(ea), names.index(eb)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ca, cb = batch.column(ia), batch.column(ib)
+            fa, fb = ca.flatten(), cb.flatten()
+            offa = ca.offsets.to_numpy(zero_copy_only=False)
+            offb = cb.offsets.to_numpy(zero_copy_only=False)
+            la = offa[1:] - offa[:-1]
+            lb = offb[1:] - offb[:-1]
+            if ca.null_count or cb.null_count:
+                nulls = (
+                    np.asarray(
+                        [v is None for v in ca.to_pylist()], dtype=bool
+                    )
+                    | np.asarray(
+                        [v is None for v in cb.to_pylist()], dtype=bool
+                    )
+                )
+            else:
+                nulls = np.zeros(n, dtype=bool)
+            clean_elems = fa.null_count == 0 and fb.null_count == 0
+            same_len = (~nulls) & (la == lb)
+            uniform = (
+                clean_elems
+                and not nulls.any()
+                and bool((la == la[0]).all())
+                and bool((lb == la[0]).all())
+            )
+            if uniform:
+                d = int(la[0])
+                xa = (
+                    fa.to_numpy(zero_copy_only=False)
+                    .astype(np.float64, copy=False)
+                    .reshape(n, d)
+                )
+                xb = (
+                    fb.to_numpy(zero_copy_only=False)
+                    .astype(np.float64, copy=False)
+                    .reshape(n, d)
+                )
+                dot = (xa * xb).sum(axis=1)
+                den = np.sqrt((xa * xa).sum(axis=1)) * np.sqrt(
+                    (xb * xb).sum(axis=1)
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / den
+                drop = np.isfinite(cos) & (
+                    cos < threshold - _COS_PRUNE_SLACK
+                )
+                keep = ~drop
+            else:
+                # conservative: prune only provably-NULL-cosine rows —
+                # null arrays and ragged pairs (zip_with null-pads →
+                # null fold; SQL NULL >= τ filters them). Equal-length
+                # rows with null ELEMENTS are kept; the exact stage
+                # nulls them out identically.
+                keep = same_len
+            if keep.all():
+                yield batch
+            elif keep.any():
+                yield batch.filter(pa.array(keep))
+
+    return pairs.mapInArrow(kernel, schema)
 
 
 def embedding_lsh_pairs(
@@ -124,6 +333,7 @@ def embedding_lsh_pairs(
     threshold: float,
     ntables: int = 8,
     nbits: int = 3,
+    prune: bool = True,
 ) -> DataFrame:
     """Near-dup vector pairs via banded hyperplane LSH + exact verify.
 
@@ -196,10 +406,22 @@ def embedding_lsh_pairs(
         F.col(vec).alias("__eb"),
         _l2(vec).alias("__nb"),
     )
+    # r12: numpy prune between the candidate join and the exact SQL
+    # verify (bit-identical by prune_pairs_below_cosine's contract) —
+    # the interpreted per-pair fold then runs over ~output-sized
+    # survivors instead of every candidate. ``prune`` is the caller's
+    # boundary-cost dial: each candidate ships ~1 KB (both vectors)
+    # across the Arrow boundary, so the prune pays at production
+    # thresholds where survivors ≪ candidates (τ=0.9 strict: measured
+    # 30.8 → 5.3 s at sf1) and LOSES at a below-bulk threshold whose
+    # candidate set is ~65% of all pairs and largely survives anyway
+    # (τ=0.4 binding: measured 114 → 240 s at sf1 — the transfer
+    # exceeds the interpreted fold it replaces).
+    pairs = cand.join(ea, on="vec_a").join(eb, on="vec_b")
+    if prune:
+        pairs = prune_pairs_below_cosine(pairs, "__ea", "__eb", threshold)
     return (
-        cand.join(ea, on="vec_a")
-        .join(eb, on="vec_b")
-        .withColumn(
+        pairs.withColumn(
             "cosine",
             F.round(
                 _dot("__ea", "__eb") / (F.col("__na") * F.col("__nb")), 6
@@ -207,6 +429,133 @@ def embedding_lsh_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def cell_local_candidate_pairs(
+    mem: DataFrame,
+    threshold: float,
+    cid: str = "cid",
+    vid: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(cid, vec_a, vec_b): within-cell candidate pairs whose exact
+    ROUNDED cosine can reach ``threshold`` — SemDeDup's cluster-then-
+    pairwise stage as a group-local Arrow kernel (guide §4.2).
+
+    The old shape self-joined members on the cell id and scored every
+    Θ(n²/K) pair with the interpreted SQL fold — or, kernel-pruned at
+    the PAIR level, shipped both vectors per pair (~1 KB) across the
+    Arrow boundary. Here each member crosses the boundary ONCE
+    (applyInArrow per cell) and the pairwise scoring is one n_g×n_g
+    numpy matmul per cell; only surviving id pairs return to the JVM,
+    and the caller re-scores them with the exact SQL expression.
+
+    Prune-only contract (bit-identical composition):
+    - a clean pair is dropped only when its float64 cosine is under
+      ``threshold − _COS_PRUNE_SLACK`` (same slack derivation as
+      prune_pairs_below_cosine);
+    - non-finite pair cosines (NaN / zero-norm) are never dropped;
+    - every pair involving a degenerate member (null / ragged /
+      null-element vector) is emitted for the exact stage to resolve;
+    - null-cid members emit no pairs — exactly the old join-on-cid
+      null-key semantics.
+    """
+    import numpy as np
+
+    cid_t = mem.schema[cid].dataType.simpleString()
+    vid_t = mem.schema[vid].dataType.simpleString()
+    out_schema = f"{cid} {cid_t}, vec_a {vid_t}, vec_b {vid_t}"
+    thr = threshold - _COS_PRUNE_SLACK
+
+    def per_cell(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        n = tbl.num_rows
+        empty = pa.table(
+            {
+                cid: pa.array([], tbl.column(cid).type),
+                "vec_a": pa.array([], tbl.column(vid).type),
+                "vec_b": pa.array([], tbl.column(vid).type),
+            }
+        )
+        if n < 2:
+            return empty
+        cids = tbl.column(cid)
+        if cids[0].as_py() is None:
+            return empty  # join-on-cid semantics: null keys never match
+        vids = np.asarray(tbl.column(vid).to_pylist(), dtype=np.int64)
+        order = np.argsort(vids, kind="stable")
+        vids = vids[order]
+        ec = tbl.column(vec).combine_chunks().take(pa.array(order))
+        flat = ec.flatten()
+        offs = ec.offsets.to_numpy(zero_copy_only=False)
+        lens = offs[1:] - offs[:-1]
+        clean_all = (
+            ec.null_count == 0
+            and flat.null_count == 0
+            and bool((lens == lens[0]).all())
+        )
+        ai, bi = np.triu_indices(n, k=1)  # vids sorted → vec_a < vec_b
+        if clean_all:
+            d = int(lens[0])
+            x = (
+                flat.to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, d)
+            )
+            nrm = np.sqrt((x * x).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (x @ x.T) / np.outer(nrm, nrm)
+            c = cos[ai, bi]
+            keep = ~(np.isfinite(c) & (c < thr))
+            ai, bi = ai[keep], bi[keep]
+        else:
+            # degenerate cell: per-row cleanliness; clean×clean pairs
+            # prune via the same matmul, any pair touching a degenerate
+            # member is kept for the exact stage
+            rows = ec.to_pylist()
+            ok = np.asarray(
+                [
+                    v is not None
+                    and len(v) == (len(rows[0]) if rows[0] else 0)
+                    and all(e is not None for e in v)
+                    for v in rows
+                ],
+                dtype=bool,
+            )
+            # conservative: keep every pair not provably prunable —
+            # only pairs where BOTH sides are clean get the prune
+            if ok.sum() >= 2:
+                d = len(rows[int(np.nonzero(ok)[0][0])])
+                xs = np.asarray(
+                    [r for r, o in zip(rows, ok) if o], dtype=np.float64
+                )
+                nrm = np.sqrt((xs * xs).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cosm = (xs @ xs.T) / np.outer(nrm, nrm)
+                idx = np.nonzero(ok)[0]
+                pos = -np.ones(n, dtype=np.int64)
+                pos[idx] = np.arange(idx.size)
+                pa_, pb_ = pos[ai], pos[bi]
+                both = (pa_ >= 0) & (pb_ >= 0)
+                c = np.full(ai.size, np.nan)
+                c[both] = cosm[pa_[both], pb_[both]]
+                drop = both & np.isfinite(c) & (c < thr)
+                ai, bi = ai[~drop], bi[~drop]
+        return pa.table(
+            {
+                cid: pa.array(
+                    [cids[0].as_py()] * ai.size, tbl.column(cid).type
+                ),
+                "vec_a": pa.array(vids[ai], tbl.column(vid).type),
+                "vec_b": pa.array(vids[bi], tbl.column(vid).type),
+            }
+        )
+
+    return mem.select(cid, vid, vec).groupBy(cid).applyInArrow(
+        per_cell, out_schema
     )
 
 

@@ -340,6 +340,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         COSINE_T,
         ntables=EMB_NTABLES,
         nbits=EMB_NBITS,
+        # r12: no verify prune at this below-bulk threshold — 65% of
+        # candidates survive, so shipping both vectors per pair across
+        # the Arrow boundary costs more than the interpreted fold it
+        # would save (measured 114 → 240 s at sf1; see
+        # operators/similarity.embedding_lsh_pairs).
+        prune=False,
     )
 
 
@@ -1092,18 +1098,29 @@ def _sem_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-cell exact-cosine near-dup pairs ≥ τ over base ∪ clone
     members — shared by dedup_semantic and dedup_semantic_keeplist."""
     base, cmem = _sem_members(spark, sf_dir)
+    from dbt_project_spark.caching import persist_tracked
     from dbt_project_spark.functions.expressions import cosine_similarity
-
-    mem = base.unionByName(cmem)
-    a = mem.select(
-        "cid", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    from dbt_project_spark.operators.similarity import (
+        cell_local_candidate_pairs,
     )
-    b = mem.select(
-        "cid", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+
+    # r12 (guide §4.2): the within-cell pairwise stage runs as a
+    # group-local numpy kernel — each member crosses the Arrow
+    # boundary once and the Θ(n²/K) scoring is one matmul per cell;
+    # only surviving id pairs (≈ output-sized at τ=0.9) come back for
+    # the exact SQL verify, which is bit-identical to scoring every
+    # pair in SQL (prune-only contract in cell_local_candidate_pairs).
+    mem = persist_tracked(base.unionByName(cmem))
+    cpairs = cell_local_candidate_pairs(mem, EMB_STRICT_T)
+    ea = mem.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    eb = mem.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     )
     return (
-        a.join(b, "cid")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        F.broadcast(F.broadcast(cpairs).join(ea, "vec_a"))
+        .join(eb, "vec_b")
         .withColumn("cosine", F.round(cosine_similarity("ea", "eb"), 6))
         .filter(F.col("cosine") >= EMB_STRICT_T)
         .select("cid", "vec_a", "vec_b", "cosine")
@@ -1462,18 +1479,29 @@ def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     same within-cell pair cosines; the τ grid only re-aggregates a
     pairs-sized table against a 4-row broadcast."""
     base, cmem = _sem_members(spark, sf_dir)
+    from dbt_project_spark.caching import persist_tracked
     from dbt_project_spark.functions.expressions import cosine_similarity
-
-    mem = base.unionByName(cmem)
-    a = mem.select(
-        "cid", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    from dbt_project_spark.operators.similarity import (
+        cell_local_candidate_pairs,
     )
-    b = mem.select(
-        "cid", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+
+    # r12: pairs provably below the LOWEST τ of the grid contribute
+    # nothing to any bucket (both aggregates condition on cosine ≥ τ;
+    # Spark's NaN-is-largest rows are never pruned), so the same
+    # group-local prune kernel as _sem_pairs applies at τ_min — the
+    # interpreted cosine fold runs over the ≥0.80 survivors instead of
+    # all Θ(n²/K) within-cell pairs.
+    mem = persist_tracked(base.unionByName(cmem))
+    cpairs = cell_local_candidate_pairs(mem, min(SEM_SWEEP_CENTI) / 100.0)
+    ea = mem.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    eb = mem.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     )
     cosv = (
-        a.join(b, "cid")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        F.broadcast(F.broadcast(cpairs).join(ea, "vec_a"))
+        .join(eb, "vec_b")
         .withColumn("cosine", F.round(cosine_similarity("ea", "eb"), 6))
         .select("vec_a", "vec_b", "cosine")
     )

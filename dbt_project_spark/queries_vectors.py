@@ -478,57 +478,31 @@ def pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent (a cluster would run them concurrently); nothing
     ever materializes n×K vector-carrying rows.
     """
-    from dbt_project_spark.caching import persist_tracked
-    from dbt_project_spark.operators.kmeans import (
-        KM_KEY_M,
-        int_vectors,
-        kmeans_fit,
-    )
+    # r12 (VERDICT r11 task 2): serve from the PERSISTED PQ index —
+    # the same deterministic trainer, run once per corpus by
+    # build_pq_index — instead of re-training inline and re-deriving
+    # per-vector distortions via an n×K interpreted crossJoin (the
+    # exact evaluation class the r11 kernels removed from the coarse
+    # path). The persisted codes carry each winner's exact integer d2
+    # (kernel-computed, bit-identical to MIN(key) div KM_KEY_M), so
+    # the codebook report is a codes-sized aggregate.
+    from dbt_project_spark.operators.ivf import load_pq_index
 
     e = load_table(spark, sf_dir, "embeddings")
-    dim = e.select(F.min(F.size("embedding")).alias("d")).first()["d"]
-    sub = dim // PQ_M
-    iv = persist_tracked(int_vectors(e, "vec_id", "embedding"))
-    out = None
-    for m in range(PQ_M):
-        sub_iv = persist_tracked(
-            iv.select(
-                "vid", F.slice("iv", m * sub + 1, sub).alias("iv")
-            )
-        )
-        cent = kmeans_fit(sub_iv, PQ_K, PQ_ITERS)
-        d2 = F.aggregate(
-            F.zip_with("iv", "civ", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        # DECIMAL key: d2·131072 overflows BIGINT since the r05 K-clamp
-        # lift (same widening as operators/kmeans._d2_key).
-        scored = (
-            sub_iv.crossJoin(F.broadcast(cent))
-            .withColumn(
-                "key", d2.cast("decimal(38,0)") * F.lit(KM_KEY_M) + F.col("cid")
-            )
-        )
-        asg = scored.groupBy("vid").agg(
-            F.min_by("cid", F.col("key")).alias("cid"),
-            F.expr(f"CAST(MIN(key) div {KM_KEY_M} AS BIGINT)").alias("d2"),
-        )
-        cell = asg.groupBy("cid").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("d2").cast("bigint").alias("d2_sum"),
-        )
-        part = cent.join(cell, "cid", "left").select(
-            F.lit(m).cast("bigint").alias("subspace"),
-            "cid",
-            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_members"),
-            F.aggregate(
-                "civ", F.lit(0).cast("bigint"), lambda a, x: a + x
-            ).alias("c_sum"),
-            F.coalesce("d2_sum", F.lit(0)).cast("bigint").alias("d2_sum"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    books, codes = load_pq_index(spark, sf_dir, PQ_M, PQ_K, PQ_ITERS, e)
+    cell = codes.groupBy("m", "cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d2").cast("bigint").alias("d2_sum"),
+    )
+    return books.join(cell, ["m", "cid"], "left").select(
+        F.col("m").cast("bigint").alias("subspace"),
+        "cid",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_members"),
+        F.aggregate(
+            "civ", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("c_sum"),
+        F.coalesce("d2_sum", F.lit(0)).cast("bigint").alias("d2_sum"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -762,8 +736,13 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str, nq: int) -> DataFrame:
             F.broadcast(books.filter(F.col("m") == m).select("cid", "civ"))
         ).select("qid", F.lit(m).alias("m"), "cid", ld2.alias("ld2"))
         lut = lm if lut is None else lut.unionByName(lm)
+    # Broadcast the candidate list (nq·nprobe·n/K ≈ nq·nprobe·√n rows
+    # of three ids — bounded by the probe contract, 620 MB-class codes
+    # shuffles are not): codes then stream scan→BHJ→BHJ→partial agg
+    # with no exchange until the (qid, vid) group-by of shortlist-
+    # sized partials (r12, guide §3.1).
     parts = (
-        cand.join(codes, on="vid")
+        codes.join(F.broadcast(cand), on="vid")
         .join(F.broadcast(lut), on=["qid", "m", "cid"])
         .select("qid", "vid", "ld2")
     )
@@ -1136,8 +1115,11 @@ def _rpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "cell", F.lit(m).alias("m"), "cid", ld2.alias("ld2")
         )
         lut = lm if lut is None else lut.unionByName(lm)
+    # Same broadcast shape as _ivfpq_adc (r12): stream the corpus
+    # codes through two broadcast hash joins instead of shuffling them
+    # by vid for a sort-merge against the tiny candidate list.
     parts = (
-        cand.join(codes, on="vid")
+        codes.join(F.broadcast(cand), on="vid")
         .join(F.broadcast(lut), on=["query_id", "cell", "m", "cid"])
         .select("query_id", "vid", "ld2")
     )
@@ -1688,8 +1670,15 @@ def ann_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
     )
+    # Broadcast the nq·4k-row shortlist through BOTH vector-attach
+    # joins (r12, VERDICT r11 item 4): un-hinted, the planner's
+    # unknown size estimate for the windowed shortlist picked
+    # sort-merge and shuffled the full embeddings table TWICE — 620 MB
+    # at sf100 — to attach vectors to 200 rows. Broadcast-hash keeps
+    # the corpus scan shuffle-free; the re-rank carries embeddings
+    # only inside shortlist-sized rows.
     rc = (
-        short.join(q, "query_id")
+        F.broadcast(F.broadcast(short).join(q, "query_id"))
         .join(c, "neighbor_id")
         .withColumn("cosine", F.round(cosine_similarity("qe", "ce"), 6))
     )

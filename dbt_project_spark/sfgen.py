@@ -113,13 +113,44 @@ def _scaled_table(
             ),
         )
     if table == "documents":
+        # Marker-aware COMPOSITION (r12 — VERDICT r11 item 5): when the
+        # source is itself a generated directory its text already
+        # carries zq<k1> markers every 3rd token, and re-splicing
+        # inserted new markers between THEM — composed docs became
+        # ~50% marker tokens, a different shingle-statistics regime
+        # that CPU-bound the first sf100 dedup attempt. Instead,
+        # rewrite each existing marker to zq<k1>_<k2>: marker density
+        # is invariant in generation depth and every copy pair still
+        # gets distinct markers (all 3-shingles contain one). Docs the
+        # source left UNMARKED (its copy-0 universe) get the fresh
+        # splice under a depth-qualified name, zq0_<k2> — a bare
+        # zq<k2> would collide with the source's zq<k1> universe:
+        # copies (k1, 0) and (0, k2=k1) would be verbatim twins.
+        # Supported depth is 2 (sf0.1→sf10→sf100, the bench lineage);
+        # single-generation output has no pre-existing markers and is
+        # byte-identical to the old splice, so sf1/sf10 benchdata
+        # stays reproducible.
+        marker_re = r"(^|\s)zq[0-9_]+(\s|$)"
+        src_marked = (
+            df.filter(F.col("text").rlike(marker_re)).limit(1).count() > 0
+        )
+        prefix = "$1 zq0_" if src_marked else "$1 zq"
         marked = F.regexp_replace(
             F.col("text"),
             F.lit(r"(\S+ \S+) "),
-            F.concat(F.lit("$1 zq"), F.col("__k").cast("string"), F.lit(" ")),
+            F.concat(F.lit(prefix), F.col("__k").cast("string"), F.lit(" ")),
         )
+        composed = F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(zq[0-9_]+)"),
+            F.concat(F.lit("$1_"), F.col("__k").cast("string")),
+        )
+        has_marker = F.col("text").rlike(marker_re)
         out = out.withColumn(
-            "text", F.when(F.col("__k") == 0, F.col("text")).otherwise(marked)
+            "text",
+            F.when(F.col("__k") == 0, F.col("text")).otherwise(
+                F.when(has_marker, composed).otherwise(marked)
+            ),
         ).withColumn("n_chars", F.length("text").cast("bigint"))
     if table == "embeddings":
         # The rotation+flip transform below has period 2·dim: copy k

@@ -148,3 +148,59 @@ def test_decorrelate_default_off_is_byte_identical(spark, tmp_path):
     ea = spark.read.parquet(os.path.join(a, "embeddings.parquet"))
     eb = spark.read.parquet(os.path.join(b, "embeddings.parquet"))
     assert ea.exceptAll(eb).count() == 0 and eb.exceptAll(ea).count() == 0
+
+
+def test_composed_marker_density_invariant(spark, tmp_path):
+    """r12 (VERDICT r11 item 5): composing generations must NOT
+    compound marker density — the old splice inserted zq<k2> between
+    already-present zq<k1> markers, turning composed docs into ~50%
+    marker tokens (a different shingle-statistics regime that
+    CPU-bound the first sf100 dedup attempt). Marker-aware composition
+    rewrites zq<k1> → zq<k1>_<k2>: density is invariant in generation
+    depth, copies stay pairwise marker-distinct, and single-generation
+    output is byte-identical to the old splice."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    mid = str(tmp_path / "docs_mid")
+    ensure_scaled(spark, SF_SMOKE, mid, factor=3, tables=["documents"])
+    out = str(tmp_path / "docs_out")
+    ensure_scaled(spark, mid, out, factor=3, tables=["documents"])
+
+    def max_doc_marker_frac(path):
+        d = spark.read.parquet(os.path.join(path, "documents.parquet"))
+        toks = d.select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("t")
+        ).filter(F.length("t") > 0)
+        per = toks.groupBy("doc_id").agg(
+            (
+                F.sum(
+                    F.when(F.col("t").rlike(r"^zq[0-9_]+$"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).alias("f")
+        )
+        return per.agg(F.max("f")).first()[0]
+
+    f_mid, f_out = max_doc_marker_frac(mid), max_doc_marker_frac(out)
+    # one generation marks ~1 token in 3; the old compounding splice
+    # drove twice-generated docs to ~5/9 marker tokens. No doc may
+    # exceed the single-generation density.
+    assert f_mid <= 0.45
+    assert f_out <= f_mid * 1.05
+    # composed markers carry both generation ids
+    d2 = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    assert (
+        d2.filter(F.col("text").rlike(r"(^|\s)zq[0-9]+_[0-9]+(\s|$)")).count()
+        > 0
+    )
+    # copies of the same base doc remain pairwise distinct texts
+    n0 = spark.read.parquet(
+        os.path.join(SF_SMOKE, "documents.parquet")
+    ).count()
+    dup_texts = (
+        d2.groupBy("text").count().filter(F.col("count") > 1).count()
+    )
+    assert d2.count() == 9 * n0
+    assert dup_texts == 0
