@@ -119,22 +119,30 @@ def _scaled_table(
         # inserted new markers between THEM — composed docs became
         # ~50% marker tokens, a different shingle-statistics regime
         # that CPU-bound the first sf100 dedup attempt. Instead,
-        # rewrite each existing marker to zq<k1>_<k2>: marker density
+        # rewrite each existing marker to zq<k1>x<k2>: marker density
         # is invariant in generation depth and every copy pair still
         # gets distinct markers (all 3-shingles contain one). Docs the
         # source left UNMARKED (its copy-0 universe) get the fresh
-        # splice under a depth-qualified name, zq0_<k2> — a bare
+        # splice under a depth-qualified name, zq0x<k2> — a bare
         # zq<k2> would collide with the source's zq<k1> universe:
         # copies (k1, 0) and (0, k2=k1) would be verbatim twins.
+        # The separator is 'x', NOT '_' or any non-alphanumeric: the
+        # dedup tokenizer is [a-z0-9]+ (operators/dedup.tokens_col),
+        # and a separator outside that class SPLITS the marker — the
+        # '_'-variant made '<k2>' a standalone token shared across all
+        # k1-copies, restoring exactly the cross-copy shingle overlap
+        # the markers exist to destroy (measured: 70 GB of shuffle at
+        # sf100 before the disk filled, vs 544 MB at sf10). 'zq\d+'
+        # never collides with 'zq<a>x<b>' and x splits unambiguously.
         # Supported depth is 2 (sf0.1→sf10→sf100, the bench lineage);
         # single-generation output has no pre-existing markers and is
         # byte-identical to the old splice, so sf1/sf10 benchdata
         # stays reproducible.
-        marker_re = r"(^|\s)zq[0-9_]+(\s|$)"
+        marker_re = r"(^|\s)zq[0-9x]+(\s|$)"
         src_marked = (
             df.filter(F.col("text").rlike(marker_re)).limit(1).count() > 0
         )
-        prefix = "$1 zq0_" if src_marked else "$1 zq"
+        prefix = "$1 zq0x" if src_marked else "$1 zq"
         marked = F.regexp_replace(
             F.col("text"),
             F.lit(r"(\S+ \S+) "),
@@ -142,8 +150,8 @@ def _scaled_table(
         )
         composed = F.regexp_replace(
             F.col("text"),
-            F.lit(r"(zq[0-9_]+)"),
-            F.concat(F.lit("$1_"), F.col("__k").cast("string")),
+            F.lit(r"(zq[0-9x]+)"),
+            F.concat(F.lit("$1x"), F.col("__k").cast("string")),
         )
         has_marker = F.col("text").rlike(marker_re)
         out = out.withColumn(

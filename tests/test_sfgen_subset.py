@@ -156,9 +156,13 @@ def test_composed_marker_density_invariant(spark, tmp_path):
     already-present zq<k1> markers, turning composed docs into ~50%
     marker tokens (a different shingle-statistics regime that
     CPU-bound the first sf100 dedup attempt). Marker-aware composition
-    rewrites zq<k1> → zq<k1>_<k2>: density is invariant in generation
-    depth, copies stay pairwise marker-distinct, and single-generation
-    output is byte-identical to the old splice."""
+    rewrites zq<k1> → zq<k1>x<k2>: density is invariant in generation
+    depth UNDER THE DEDUP TOKENIZER ([a-z0-9]+ — an '_'-separated
+    marker split into two tokens and leaked '<k2>' as a cross-copy
+    shared token, restoring the shingle overlap the markers destroy:
+    70 GB of sf100 shuffle vs 544 MB at sf10), copies stay pairwise
+    marker-distinct, and single-generation output is byte-identical to
+    the old splice."""
     import os
 
     from pyspark.sql import functions as F
@@ -168,15 +172,17 @@ def test_composed_marker_density_invariant(spark, tmp_path):
     out = str(tmp_path / "docs_out")
     ensure_scaled(spark, mid, out, factor=3, tables=["documents"])
 
+    # tokenize exactly like operators/dedup.tokens_col — the consumer
+    # whose shingle statistics the markers exist to control
+    tok = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+
     def max_doc_marker_frac(path):
         d = spark.read.parquet(os.path.join(path, "documents.parquet"))
-        toks = d.select(
-            "doc_id", F.explode(F.split("text", r"\s+")).alias("t")
-        ).filter(F.length("t") > 0)
+        toks = d.select("doc_id", F.explode(tok).alias("t"))
         per = toks.groupBy("doc_id").agg(
             (
                 F.sum(
-                    F.when(F.col("t").rlike(r"^zq[0-9_]+$"), 1).otherwise(0)
+                    F.when(F.col("t").rlike(r"^zq[0-9x]+$"), 1).otherwise(0)
                 )
                 / F.count(F.lit(1))
             ).alias("f")
@@ -189,10 +195,29 @@ def test_composed_marker_density_invariant(spark, tmp_path):
     # exceed the single-generation density.
     assert f_mid <= 0.45
     assert f_out <= f_mid * 1.05
-    # composed markers carry both generation ids
-    d2 = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    # composition must not change the TOKENIZED length of an already-
+    # marked doc (rewrite-in-place): only the factor-1 copies of the
+    # source's UNMARKED docs gain tokens (the fresh splice)
+    mid_d = spark.read.parquet(os.path.join(mid, "documents.parquet"))
+    n_unmarked_mid = mid_d.filter(~F.col("text").rlike(r"zq")).count()
+    stride = mid_d.agg(F.max("doc_id")).first()[0] + 1
+    out_d = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    grown = (
+        out_d.select(
+            (F.col("doc_id") % stride).alias("doc_id"),
+            F.size(tok).alias("nt_out"),
+        )
+        .join(
+            mid_d.select("doc_id", F.size(tok).alias("nt_mid")), "doc_id"
+        )
+        .filter(F.col("nt_out") != F.col("nt_mid"))
+        .count()
+    )
+    assert grown == n_unmarked_mid * 2  # factor 3 → 2 fresh-spliced copies
+    # composed markers carry both generation ids as ONE token
+    d2 = out_d
     assert (
-        d2.filter(F.col("text").rlike(r"(^|\s)zq[0-9]+_[0-9]+(\s|$)")).count()
+        d2.filter(F.col("text").rlike(r"(^|\s)zq[0-9]+x[0-9]+(\s|$)")).count()
         > 0
     )
     # copies of the same base doc remain pairwise distinct texts
