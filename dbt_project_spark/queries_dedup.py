@@ -1053,17 +1053,41 @@ def _sem_members(spark: SparkSession, sf_dir: str):
         (F.col("vec_id") + PLANT_STRIDE).alias("vec_id"),
         F.expr(_PLANT_SPARK).alias("embedding"),
     )
-    from dbt_project_spark.functions.expressions import cosine_similarity
-
-    key = (
-        F.round(F.col("s") * 1000000).cast("bigint") * 131072
-    ) - F.col("cid")
-    casg = (
-        clones.crossJoin(F.broadcast(centd))
-        .withColumn("s", F.round(cosine_similarity("embedding", "ce"), 6))
-        .groupBy("vec_id")
-        .agg(F.max_by("cid", key).alias("cid"))
+    # r12 (guide §4.2): the clone batch's assignment ran as a batch×K
+    # interpreted crossJoin (250k clones × 2048 centroids of
+    # zip_with/aggregate cosine at sf100 — the dominant constant of
+    # dedup_semantic's first sf100 point). It now rides the SAME
+    # two-stage exact kernel as the index build: the prune-only numpy
+    # shortlist (operators/ivf._shortlist_candidates — guaranteed to
+    # contain each vector's rounded-cosine argmax; bit-identity pinned
+    # by tests/test_ivf_shortlist.py) plus the exact SQL re-score over
+    # the near-tie sliver with the identical max_by key, then winners
+    # join back to the clone batch for their embeddings — exactly the
+    # old output.
+    from dbt_project_spark.functions.expressions import dot_product, l2_norm
+    from dbt_project_spark.operators.ivf import (
+        _assign_key,
+        _shortlist_candidates,
     )
+
+    cand = _shortlist_candidates(spark, clones, centd.select("cid", "ce"))
+    singles = cand.filter(F.col("n_cand") == 1).select("vec_id", "cid")
+    cn = centd.withColumn("nc", l2_norm("ce"))
+    multi = (
+        cand.filter(F.col("n_cand") > 1)
+        .join(F.broadcast(cn), on="cid")
+        .withColumn("nv", l2_norm("embedding"))
+        .withColumn(
+            "s",
+            F.round(
+                dot_product("embedding", "ce") / (F.col("nv") * F.col("nc")),
+                6,
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.max_by("cid", _assign_key()).alias("cid"))
+    )
+    casg = singles.unionByName(multi)
     cmem = casg.join(clones, "vec_id").select("vec_id", "embedding", "cid")
     return base, cmem
 
