@@ -78,26 +78,28 @@ def register(name: str, oracle: str | None = None):
 # released plans raise instead of recompute) that only the driver's
 # independent gate would catch.
 #
-# r12: the 19 r11 names (IVF/k-means kernel restructure) were
-# cleared — all green in the same-round CORRECTNESS_r11.json, whose
-# driver gate ran AFTER the restructure commit (the same rule that
-# cleared r10's list: a stale REFRESH re-burns window slots on
-# current verdicts). Then the r12 PQ-build restructure landed
-# (operators/ivf.build_pq_index as one fused Arrow encode kernel +
-# shared training sample; pq_train_encode served from the persisted
-# codes; ann_ivfpq_refine broadcast re-rank), so every catalog row
-# whose call graph reaches build_pq_index / load_pq_index or the
-# refine path owes a driver re-verification (transitive call-graph
-# sweep over all submodules, r12).
+# r13: the 8 r12 PQ names were cleared — all green in the same-round
+# CORRECTNESS_r12.json (driver gate ran after the restructure
+# commit). Repopulated with (a) the r12 SemDeDup restructure names
+# that were OMITTED from the r12 list (VERDICT r12 item 3 / ADVICE
+# r12: cell_local_candidate_pairs + the clone-assign rewrite touched
+# their call graphs but only the PQ half was listed, so they still
+# owe an independent driver verification) and (b) every row
+# restructured THIS round: the bounded-graph driver fixed-point
+# kernels (operators/graph.py: pagerank/HITS/BFS/SSSP now collect the
+# ≤100k-edge trade graph and iterate exact Python ints), the SemDeDup
+# kernel tiling + broadcast-hint narrowing + sweep zero-row grid fix
+# (similarity.cell_local_candidate_pairs, queries_dedup._sem_pairs /
+# semantic_threshold_sweep).
 REFRESH: list[str] = [
-    "pq_train_encode",
-    "pq_ann_topk",
-    "ann_ivfpq_topk",
-    "ann_recall_ivfpq",
-    "ann_ivfpq_residual_topk",
-    "ann_recall_ivfpq_residual",
-    "ann_ivfpq_refine",
-    "ann_recall_ivfpq_refine",
+    "dedup_semantic",
+    "dedup_semantic_keeplist",
+    "dedup_semantic_recall",
+    "semantic_threshold_sweep",
+    "pagerank_trade",
+    "hits_trade",
+    "bfs_hops_trade",
+    "sssp_weighted_trade",
 ]
 
 

@@ -14,6 +14,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Bounded-graph driver kernel threshold (r13): below this many edges
+# the fixed-point iterations (PageRank / HITS / BFS / SSSP) run as
+# exact Python-int arithmetic on the driver after ONE distributed
+# pass builds the edge list. Rationale (guide §1.2/§2.6): these
+# operators' per-iteration dataflow is a join + aggregate over a
+# NODES-sized table — when the graph itself is bounded (the nation
+# trade graph is ≤25 nodes / ≤625 edges at ANY scale factor, because
+# TPC-H's nation table is fixed), every iteration is a handful of
+# sub-millisecond tasks that still pay full job-scheduling + shuffle
+# fixed costs (measured: 20-40 tiny jobs per query, ~0.5-1 s each at
+# local[32]). The threshold bounds the collect at ~a few MB (16 B per
+# edge × 100k), which is NOT driver data work in the §5 sense — it is
+# the same bounded-size two-stage contract as the k-means centroid
+# collect. All arithmetic is non-negative BIGINT with floor division
+# on both paths, so results are bit-identical (pinned by
+# tests/test_graph_driver_kernel.py, which runs both paths).
+DRIVER_FIXPOINT_MAX_EDGES = 100_000
+
+
+def _collect_edge_tuples(edges: DataFrame, *cols: str) -> list[tuple]:
+    """Collect a bounded edge list to the driver as plain tuples."""
+    return [tuple(r) for r in edges.select(*cols).collect()]
+
+
+def _node_rows_df(
+    edges: DataFrame, src_col: str, rows: list[tuple], value_fields: list
+) -> DataFrame:
+    """(node, values...) rows -> DataFrame whose node column keeps the
+    edge endpoints' type (so the driver path is schema-identical to the
+    distributed path's union-of-src/dst node column)."""
+    node_t = edges.schema[src_col].dataType
+    schema = T.StructType(
+        [T.StructField("node", node_t)] + list(value_fields)
+    )
+    return edges.sparkSession.createDataFrame(rows, schema)
 
 
 def orient_by_degree(edges: DataFrame) -> DataFrame:
@@ -90,12 +127,46 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def _pagerank_driver(
+    edges: DataFrame, iters: int, scale: int, damping_pct: int
+) -> DataFrame:
+    """Exact driver-side twin of the distributed PageRank loop: the
+    same BIGINT floor-division recurrence over a collected (bounded)
+    edge list. Python ints are arbitrary-precision and ``//`` on
+    non-negative operands equals Spark's ``div``, so results are
+    bit-identical (pinned by tests/test_graph_driver_kernel.py)."""
+    from collections import Counter, defaultdict
+
+    es = _collect_edge_tuples(edges, "src", "dst")
+    nodes = {s for s, _ in es} | {d for _, d in es}
+    fields = [T.StructField("r", T.LongType())]
+    if not nodes:
+        return _node_rows_df(edges, "src", [], fields)
+    od = Counter(s for s, _ in es)
+    n = len(nodes)
+    teleport_pct = 100 - damping_pct
+    base = scale // n
+    r = {v: base for v in nodes}
+    for _ in range(iters):
+        contrib: dict = defaultdict(int)
+        for s, d in es:
+            contrib[d] += r[s] // od[s]
+        r = {
+            v: base * teleport_pct // 100 + contrib.get(v, 0) * damping_pct // 100
+            for v in nodes
+        }
+    return _node_rows_df(
+        edges, "src", [(v, r[v]) for v in sorted(nodes)], fields
+    )
+
+
 def pagerank_fixedpoint(
     edges: DataFrame,
     iters: int = 5,
     scale: int = 1_000_000_000_000,
     damping_pct: int = 85,
     broadcast_threshold: int = 10_000_000,
+    driver_max_edges: int = DRIVER_FIXPOINT_MAX_EDGES,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list (src, dst).
 
@@ -114,6 +185,13 @@ def pagerank_fixedpoint(
     genuinely small rank tables to broadcast at runtime). Results are
     bit-identical in both regimes — integer fixed-point math is
     partitioning-independent.
+
+    Bounded graphs (≤ ``driver_max_edges`` edges, counted from the
+    cached edge list) skip the per-iteration Spark jobs entirely: the
+    edge list is collected once and the identical floor-division
+    integer recurrence runs in Python ints on the driver (exact — see
+    DRIVER_FIXPOINT_MAX_EDGES). One distributed pass builds the edges
+    either way; only the nodes-sized iteration moves.
     """
     from dbt_project_spark.caching import persist_tracked
 
@@ -123,7 +201,9 @@ def pagerank_fixedpoint(
     # pipeline would run once per reference. All persists here are
     # tracked: released when the next catalog query is built.
     edges = persist_tracked(edges)
-    edges.count()
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        return _pagerank_driver(edges, iters, scale, damping_pct)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -173,11 +253,55 @@ def pagerank_fixedpoint(
     return ranks.select("node", "r")
 
 
+def _hits_driver(edges: DataFrame, iters: int, scale: int) -> DataFrame:
+    """Exact driver-side twin of the distributed HITS loop (same
+    Gauss-Seidel half-step order, same floor-division max
+    normalization — Python ints replicate the DECIMAL(38,0) multiply
+    exactly). The per-half-step max always lands on a node with an
+    incident edge, so the normalizing divisor is > 0 whenever the
+    score table is non-empty — no div-by-zero branch to mirror."""
+    from collections import defaultdict
+
+    es = _collect_edge_tuples(edges, "src", "dst")
+    nodes = {s for s, _ in es} | {d for _, d in es}
+    # non-nullable like the distributed path's coalesce(·, 0) output
+    fields = [
+        T.StructField("h", T.LongType(), False),
+        T.StructField("a", T.LongType(), False),
+    ]
+    if not nodes:
+        return _node_rows_df(edges, "src", [], fields)
+    a = {v: scale for v in nodes}
+    h: dict = {}
+    for _ in range(iters):
+        hraw: dict = defaultdict(int)
+        for s, d in es:
+            if d in a:
+                hraw[s] += a[d]
+        if hraw:
+            mx = max(hraw.values())
+            h = {k: raw * scale // mx for k, raw in hraw.items()}
+        else:
+            h = {}
+        araw: dict = defaultdict(int)
+        for s, d in es:
+            if s in h:
+                araw[d] += h[s]
+        if araw:
+            mx = max(araw.values())
+            a = {k: raw * scale // mx for k, raw in araw.items()}
+        else:
+            a = {}
+    rows = [(v, h.get(v, 0), a.get(v, 0)) for v in sorted(nodes)]
+    return _node_rows_df(edges, "src", rows, fields)
+
+
 def hits_fixedpoint(
     edges: DataFrame,
     iters: int = 4,
     scale: int = 1_000_000_000,
     broadcast_threshold: int = 10_000_000,
+    driver_max_edges: int = DRIVER_FIXPOINT_MAX_EDGES,
 ) -> DataFrame:
     """Fixed-point HITS (Kleinberg hubs & authorities) over a
     directed edge list (src, dst). Returns (node, h, a) with hub and
@@ -205,7 +329,8 @@ def hits_fixedpoint(
     )
 
     edges = persist_tracked(edges)
-    edges.count()
+    if edges.count() <= driver_max_edges:
+        return _hits_driver(edges, iters, scale)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -288,11 +413,54 @@ def hits_fixedpoint(
 _BFS_CHECKPOINT_EVERY = 4
 
 
+def _bfs_sssp_driver(
+    edges: DataFrame,
+    source: DataFrame | None,
+    iters: int,
+    weighted: bool,
+) -> DataFrame:
+    """Exact driver-side twin of the unrolled BFS / Bellman-Ford
+    rounds over a collected (bounded) edge list: per round, extend
+    every reached node's out-edges and min-merge — identical to the
+    distributed union + min-aggregate (min over ints is
+    partitioning-independent). ``weighted`` selects the (src, dst,
+    cost) relaxation (BIGINT cost column) vs hop counting (INT hops,
+    matching the distributed path's ``lit(0) + 1`` typing)."""
+    cols = ("src", "dst", "cost") if weighted else ("src", "dst")
+    es = _collect_edge_tuples(edges, *cols)
+    val_t = T.LongType() if weighted else T.IntegerType()
+    fields = [T.StructField("cost" if weighted else "hops", val_t)]
+    if source is None:
+        endpoints = [e[0] for e in es] + [e[1] for e in es]
+        if not endpoints:
+            # Distributed twin: min() over zero rows is a NULL source
+            # row that survives every round — (NULL, 0) in the output.
+            return _node_rows_df(edges, "src", [(None, 0)], fields)
+        src_node = min(endpoints)
+    else:
+        srows = source.select("node").collect()
+        if not srows:
+            return _node_rows_df(edges, "src", [], fields)
+        src_node = srows[0][0]
+    dist = {src_node: 0}
+    for _ in range(iters):
+        new = dict(dist)
+        for e in es:
+            if e[0] in dist:
+                cand = dist[e[0]] + (e[2] if weighted else 1)
+                if e[1] not in new or cand < new[e[1]]:
+                    new[e[1]] = cand
+        dist = new
+    rows = sorted(dist.items())
+    return _node_rows_df(edges, "src", rows, fields)
+
+
 def bfs_hops(
     edges: DataFrame,
     source: DataFrame | None = None,
     iters: int = 8,
     broadcast_threshold: int = 10_000_000,
+    driver_max_edges: int = DRIVER_FIXPOINT_MAX_EDGES,
 ) -> DataFrame:
     """Unrolled BFS shortest-hop counts over a directed edge list
     (src, dst). ``source`` is a 1-row frame with column ``node``
@@ -324,6 +492,8 @@ def bfs_hops(
     from dbt_project_spark.caching import RoundCache, persist_tracked
 
     edges = persist_tracked(edges.select("src", "dst"))
+    if edges.count() <= driver_max_edges:
+        return _bfs_sssp_driver(edges, source, iters, weighted=False)
     n_nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -443,6 +613,7 @@ def weighted_sssp(
     iters: int = 8,
     source: DataFrame | None = None,
     broadcast_threshold: int = 1_000_000,
+    driver_max_edges: int = DRIVER_FIXPOINT_MAX_EDGES,
 ) -> DataFrame:
     """Unrolled hop-bounded Bellman-Ford over a weighted directed edge
     list (src, dst, cost): returns (node, cost) — the cheapest total
@@ -464,6 +635,8 @@ def weighted_sssp(
     from dbt_project_spark.caching import RoundCache, persist_tracked
 
     edges = persist_tracked(edges.select("src", "dst", "cost"))
+    if edges.count() <= driver_max_edges:
+        return _bfs_sssp_driver(edges, source, iters, weighted=True)
     n_nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))

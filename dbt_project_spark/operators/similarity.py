@@ -432,12 +432,22 @@ def embedding_lsh_pairs(
     )
 
 
+# Per-cell scratch bound for the SemDeDup pair kernel (r13, VERDICT
+# r12 task 4): the cosine block a task holds at once is capped at
+# ~64 MiB (the ivf.py ROW_BLOCK convention), so a skewed hot cell with
+# n_g ≫ √(64 MiB / 8) members streams row blocks instead of
+# materializing the dense n_g×n_g matrix (8 TB at n_g = 10⁶ — a task
+# OOM at scale, guide §2.5/§5).
+_CELL_PAIR_BLOCK_BYTES = 64 << 20
+
+
 def cell_local_candidate_pairs(
     mem: DataFrame,
     threshold: float,
     cid: str = "cid",
     vid: str = "vec_id",
     vec: str = "embedding",
+    block_bytes: int = _CELL_PAIR_BLOCK_BYTES,
 ) -> DataFrame:
     """(cid, vec_a, vec_b): within-cell candidate pairs whose exact
     ROUNDED cosine can reach ``threshold`` — SemDeDup's cluster-then-
@@ -460,6 +470,16 @@ def cell_local_candidate_pairs(
       null-element vector) is emitted for the exact stage to resolve;
     - null-cid members emit no pairs — exactly the old join-on-cid
       null-key semantics.
+
+    Skew bound (r13): degenerate members are represented as NaN rows
+    of one dense matrix (a NaN-valued cosine is never finite, so every
+    pair touching one is kept — the exact conservative semantics the
+    old two-branch code implemented), and the cosine matrix is
+    computed in row blocks of ≤ ``block_bytes`` scratch instead of one
+    dense n_g×n_g allocation, so a hot cell cannot OOM its task. BLAS
+    row-blocking can move a pair's float64 cosine by ~d·ε (≪ 1e-12);
+    the prune slack (1e-6 + 1e-9) absorbs it — the exact SQL verify
+    re-scores every survivor, so composition stays bit-identical.
     """
     import numpy as np
 
@@ -497,7 +517,6 @@ def cell_local_candidate_pairs(
             and flat.null_count == 0
             and bool((lens == lens[0]).all())
         )
-        ai, bi = np.triu_indices(n, k=1)  # vids sorted → vec_a < vec_b
         if clean_all:
             d = int(lens[0])
             x = (
@@ -505,45 +524,47 @@ def cell_local_candidate_pairs(
                 .astype(np.float64, copy=False)
                 .reshape(n, d)
             )
-            nrm = np.sqrt((x * x).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (x @ x.T) / np.outer(nrm, nrm)
-            c = cos[ai, bi]
-            keep = ~(np.isfinite(c) & (c < thr))
-            ai, bi = ai[keep], bi[keep]
         else:
-            # degenerate cell: per-row cleanliness; clean×clean pairs
-            # prune via the same matmul, any pair touching a degenerate
-            # member is kept for the exact stage
+            # degenerate cell: clean = same length as the first
+            # (vid-sorted) member and no null elements; every other
+            # row becomes a NaN row, whose cosines are never finite —
+            # so every pair touching it survives for the exact stage.
             rows = ec.to_pylist()
-            ok = np.asarray(
-                [
+            d = len(rows[0]) if rows[0] else 0
+            x = np.full((n, d), np.nan, dtype=np.float64)
+            for i, v in enumerate(rows):
+                if (
                     v is not None
-                    and len(v) == (len(rows[0]) if rows[0] else 0)
+                    and len(v) == d
                     and all(e is not None for e in v)
-                    for v in rows
-                ],
-                dtype=bool,
-            )
-            # conservative: keep every pair not provably prunable —
-            # only pairs where BOTH sides are clean get the prune
-            if ok.sum() >= 2:
-                d = len(rows[int(np.nonzero(ok)[0][0])])
-                xs = np.asarray(
-                    [r for r, o in zip(rows, ok) if o], dtype=np.float64
-                )
-                nrm = np.sqrt((xs * xs).sum(axis=1))
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cosm = (xs @ xs.T) / np.outer(nrm, nrm)
-                idx = np.nonzero(ok)[0]
-                pos = -np.ones(n, dtype=np.int64)
-                pos[idx] = np.arange(idx.size)
-                pa_, pb_ = pos[ai], pos[bi]
-                both = (pa_ >= 0) & (pb_ >= 0)
-                c = np.full(ai.size, np.nan)
-                c[both] = cosm[pa_[both], pb_[both]]
-                drop = both & np.isfinite(c) & (c < thr)
-                ai, bi = ai[~drop], bi[~drop]
+                ):
+                    x[i] = v
+        nrm = np.sqrt((x * x).sum(axis=1))
+        # Row-blocked upper-triangle prune: ≤ block_bytes of cosine
+        # scratch per block regardless of cell size (hot-cell bound).
+        rb = max(1, int(block_bytes // (8 * max(n, 1))))
+        jidx = np.arange(n)
+        a_parts: list = []
+        b_parts: list = []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, n - 1, rb):
+                e = min(s + rb, n)
+                cb = (x[s:e] @ x.T) / np.outer(nrm[s:e], nrm)
+                mask = jidx[None, :] > np.arange(s, e)[:, None]
+                keep = mask & ~(np.isfinite(cb) & (cb < thr))
+                ib, jb = np.nonzero(keep)
+                a_parts.append(ib.astype(np.int64) + s)
+                b_parts.append(jb.astype(np.int64))
+        ai = (
+            np.concatenate(a_parts)
+            if a_parts
+            else np.empty(0, dtype=np.int64)
+        )
+        bi = (
+            np.concatenate(b_parts)
+            if b_parts
+            else np.empty(0, dtype=np.int64)
+        )
         return pa.table(
             {
                 cid: pa.array(

@@ -1142,8 +1142,15 @@ def _sem_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = mem.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     )
+    # Only the id-sized cpairs carries a broadcast hint (ADVICE r12):
+    # forcing the pairs+embeddings frame (~0.5 KB/row) would OOM the
+    # driver on a clique-heavy corpus where pairs go Θ(n²/K); after
+    # the hinted first join AQE sees the runtime size and still
+    # promotes an output-sized pairs+ea frame to broadcast, degrading
+    # gracefully to a shuffle join when it is genuinely large.
     return (
-        F.broadcast(F.broadcast(cpairs).join(ea, "vec_a"))
+        F.broadcast(cpairs)
+        .join(ea, "vec_a")
         .join(eb, "vec_b")
         .withColumn("cosine", F.round(cosine_similarity("ea", "eb"), 6))
         .filter(F.col("cosine") >= EMB_STRICT_T)
@@ -1523,8 +1530,11 @@ def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = mem.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
     )
+    # Broadcast hint only on the id-sized cpairs (ADVICE r12, same
+    # reasoning as _sem_pairs: no forced broadcast of embedding rows).
     cosv = (
-        F.broadcast(F.broadcast(cpairs).join(ea, "vec_a"))
+        F.broadcast(cpairs)
+        .join(ea, "vec_a")
         .join(eb, "vec_b")
         .withColumn("cosine", F.round(cosine_similarity("ea", "eb"), 6))
         .select("vec_a", "vec_b", "cosine")
@@ -1532,7 +1542,7 @@ def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     taus = spark.createDataFrame(
         [(t,) for t in SEM_SWEEP_CENTI], "tau_centi bigint"
     )
-    return (
+    counts = (
         cosv.crossJoin(F.broadcast(taus))
         .groupBy("tau_centi")
         .agg(
@@ -1549,6 +1559,28 @@ def semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("vec_b"),
                 )
             )
+            .cast("bigint")
+            .alias("n_dropped_docs"),
+        )
+    )
+    # Degenerate-regime parity (ADVICE r12): the oracle cross-joins
+    # EVERY within-cell pair with the τ grid, so it emits the 4-row
+    # zero-count frame whenever any cell has ≥2 members even if no
+    # pair survives the τ_min prune — gate the grid on the (cells ≥2
+    # members) existence aggregate and left-join the pruned counts.
+    haspair = mem.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("m")
+    ).agg(F.sum(F.when(F.col("m") >= 2, 1).otherwise(0)).alias("nc"))
+    return (
+        taus.crossJoin(F.broadcast(haspair))
+        .filter(F.col("nc") > 0)
+        .join(counts, "tau_centi", "left")
+        .select(
+            "tau_centi",
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_dropped_docs"), F.lit(0))
             .cast("bigint")
             .alias("n_dropped_docs"),
         )

@@ -106,13 +106,16 @@ def test_pagerank_shuffle_regime_bit_identical(spark):
         shuffled = {
             row.node: row.r
             for row in pagerank_fixedpoint(
-                edges, iters=4, broadcast_threshold=0
+                edges, iters=4, broadcast_threshold=0, driver_max_edges=0
             ).collect()
         }
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     bcast = {
-        row.node: row.r for row in pagerank_fixedpoint(edges, iters=4).collect()
+        row.node: row.r
+        for row in pagerank_fixedpoint(
+            edges, iters=4, driver_max_edges=0
+        ).collect()
     }
     assert shuffled == bcast
 
@@ -175,9 +178,14 @@ def test_bfs_custom_source_on_shuffle_path(spark):
 
     g = _dedges(spark, [(5, 6), (6, 7), (1, 5)])
     src = spark.createDataFrame([(6,)], "node bigint")
-    # broadcast_threshold=0 forces the large-graph shuffle-join path;
+    # broadcast_threshold=0 forces the large-graph shuffle-join path
+    # (driver_max_edges=0 keeps the bounded-graph driver kernel out);
     # results must be identical to the broadcast regime.
-    got = dict(bfs_hops(g, source=src, iters=4, broadcast_threshold=0).collect())
+    got = dict(
+        bfs_hops(
+            g, source=src, iters=4, broadcast_threshold=0, driver_max_edges=0
+        ).collect()
+    )
     assert got == {6: 0, 7: 1}
 
 
@@ -323,10 +331,12 @@ def test_hits_shuffle_regime_bit_identical(spark):
     e = _dedges(spark, pairs)
     small = {
         r["node"]: (r["h"], r["a"])
-        for r in hits_fixedpoint(e, iters=3).collect()
+        for r in hits_fixedpoint(e, iters=3, driver_max_edges=0).collect()
     }
     shuffled = {
         r["node"]: (r["h"], r["a"])
-        for r in hits_fixedpoint(e, iters=3, broadcast_threshold=0).collect()
+        for r in hits_fixedpoint(
+            e, iters=3, broadcast_threshold=0, driver_max_edges=0
+        ).collect()
     }
     assert small == shuffled

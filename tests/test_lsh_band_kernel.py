@@ -233,3 +233,53 @@ def test_cell_local_pairs_match_join_exact(spark):
     n_cells_pairs = 5 * (16 * 15) // 2
     assert cp.count() < n_cells_pairs // 2
     assert cp.filter(F.col("cid").isNull()).count() == 0
+
+
+def test_cell_local_pairs_hot_cell_block_invariant(spark):
+    """r13 skew bound (VERDICT r12 task 4): a hot cell must stream the
+    cosine matrix in row blocks — forcing a tiny block budget (many
+    blocks per cell) must emit EXACTLY the same candidate set as the
+    single-block regime, degenerate members included."""
+    import random
+
+    from dbt_project_spark.operators.similarity import (
+        cell_local_candidate_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # one hot cell with 150 members (planted near-dups + bulk) plus a
+    # small second cell; degenerate members land IN the hot cell
+    base = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(140)]
+    for i, v in enumerate(base):
+        rows.append((0, i, v))
+    for j in range(10):
+        rows.append((0, 500 + j, [x * (1 + 1e-5 * j) for x in base[j]]))
+    rows += [
+        (0, 900, None),
+        (0, 901, [1.0]),  # ragged
+        (0, 902, [1.0, None, 1.0, 1.0, 1.0, 1.0]),
+        (1, 950, [1.0] * 6),
+        (1, 951, [1.0] * 6),
+    ]
+    mem = spark.createDataFrame(
+        rows, "cid bigint, vec_id bigint, embedding array<double>"
+    )
+    one_block = sorted(
+        map(tuple, cell_local_candidate_pairs(mem, 0.9).collect())
+    )
+    # 8 KiB budget -> ~6-row blocks over the 153-member hot cell
+    many_blocks = sorted(
+        map(
+            tuple,
+            cell_local_candidate_pairs(mem, 0.9, block_bytes=8 << 10).collect(),
+        )
+    )
+    assert many_blocks == one_block
+    # degenerate members' pairs are all kept (never finite-prunable)
+    degen = [t for t in one_block if t[1] in (900, 901, 902) or t[2] in (900, 901, 902)]
+    # 3 degenerates × 150 clean partners + C(3,2) degen-degen pairs
+    assert len(degen) == 3 * 150 + 3
+    # and the planted near-dups survive
+    planted = {(0, j, 500 + j) for j in range(10)}
+    assert planted <= set(one_block)

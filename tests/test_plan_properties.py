@@ -372,9 +372,16 @@ def test_pagerank_broadcast_is_conditional_on_node_count(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        hinted = _plan(pagerank_fixedpoint(edges, iters=2))
+        # driver_max_edges=0 forces the distributed iteration (the
+        # default would take the bounded-graph driver kernel, whose
+        # plan is a LocalRelation with no joins at all).
+        hinted = _plan(pagerank_fixedpoint(edges, iters=2, driver_max_edges=0))
         assert "BroadcastHashJoin" in hinted
-        unhinted = _plan(pagerank_fixedpoint(edges, iters=2, broadcast_threshold=0))
+        unhinted = _plan(
+            pagerank_fixedpoint(
+                edges, iters=2, broadcast_threshold=0, driver_max_edges=0
+            )
+        )
         assert "BroadcastHashJoin" not in unhinted
         assert "SortMergeJoin" in unhinted or "ShuffledHashJoin" in unhinted
     finally:
