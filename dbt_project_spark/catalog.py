@@ -100,6 +100,34 @@ REFRESH: list[str] = [
     "hits_trade",
     "bfs_hops_trade",
     "sssp_weighted_trade",
+    # r13 batch 2: wedge broadcast-semi + explode degree scans
+    # (triangle/cc), co-partitioned LPA rounds, kcore merged
+    # materialize, pc/na persists (recs/cooc), starved-scan spread in
+    # _with_tokens + the df∈[2, cap] posting prune in jaccard_pairs —
+    # every catalog row whose call graph reaches those operators
+    # (ast-swept over queries_*.py).
+    "triangle_count",
+    "clustering_coefficient",
+    "lpa_communities",
+    "kcore_parts",
+    "user_item_recs",
+    "item_cooc_similarity",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_clusters",
+    "dedup_cluster_histogram",
+    "dedup_simhash",
+    "dedup_editdistance",
+    "dedup_pair_evidence",
+    "dedup_containment",
+    "dedup_cross_batch",
+    "dedup_pair_transitivity",
+    "minhash_estimate_error",
+    "minhash_band_tuning",
+    "minhash_vs_exact_recall",
+    "corpus_keep_list",
+    "split_group_aware",
 ]
 
 

@@ -91,8 +91,31 @@ def exploded_shingles(df: DataFrame, id_col: str, n: int = 3) -> DataFrame:
     return sh.select("doc", "sz", F.explode("sh").alias("sg"))
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Starved-scan parallelism floor (r13, guide §6/§2.5): parquet
+    scan tasks are bounded by file/row-group count, so a small-SF
+    corpus (documents.parquet is 1 file at sf0.1, 4 at sf1) runs the
+    whole tokenize+shingle map work on 1-4 of the session's cores.
+    When the planned scan has fewer partitions than the default
+    parallelism, spread the (by premise small) input with one
+    round-robin exchange so per-row CPU uses every core. At scale the
+    branch never fires — split count >> cores — so no exchange is
+    added where the docstring trade-off in ``exploded_shingles``
+    (map-side CPU beats a full-data shuffle at 100 TB) applies.
+    Deterministic under retries: the input is a parquet scan and
+    ``spark.sql.execution.sortBeforeRepartition`` (default on) pins
+    the row-to-partition assignment."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # exotic plan — leave the layout alone
+        return df
+    return df.repartition(target) if n < target else df
+
+
 def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
-    return df.withColumn("__toks", tokens_col(text_col))
+    return spread_small_scan(df).withColumn("__toks", tokens_col(text_col))
 
 
 def jaccard_pairs(
@@ -116,27 +139,33 @@ def jaccard_pairs(
     wall-clock without it). At cluster scale the equivalent is
     checkpointing postings to parquet once per corpus.
     """
+    from dbt_project_spark.caching import persist_tracked
+
     ex = exploded_shingles(_with_tokens(df, text_col), id_col, n)
     if persist_postings:
-        from dbt_project_spark.caching import persist_tracked
-
         ex = persist_tracked(ex)
-    if max_bucket is not None:
-        # Hot-shingle cap as a broadcast anti-join, not a count window:
-        # the groupBy shuffles only per-shingle partial counts (map-side
-        # combine), and the hot list is tiny by construction (≤
-        # |postings|/max_bucket entries, stop-shingles in practice) so
-        # it broadcasts — vs. a window over sg, which would sort the
-        # FULL postings relation.
-        hot = (
-            ex.groupBy("sg")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket)
-            .select("sg")
-        )
-        ex = ex.join(F.broadcast(hot), on="sg", how="left_anti")
-    a = ex.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "sg")
-    b = ex.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "sg")
+    # r13 (VERDICT r12 task 5, guide §2.3/§3.2): a shingle held by ONE
+    # doc can produce no pair, and in real corpora singletons are the
+    # posting majority — drop them BEFORE the self-join so the pair
+    # exchange moves only pair-capable postings. The df counts ride
+    # ONE map-side-combined aggregate (the same one the hot-shingle
+    # cap already paid), the keep set [2, max_bucket] comes out
+    # partitioned by sg, and the semi-join re-partitions the postings
+    # by sg — which the self-join then reuses (zero further exchanges
+    # on the join inputs; the r10 broadcast-anti hot cap is subsumed:
+    # count > max_bucket simply falls out of the keep range).
+    # Semantics: identical — df=1 rows produced no a<b pair, and sz
+    # (the full set size) is computed per row before any drop.
+    counts = ex.groupBy("sg").agg(F.count(F.lit(1)).alias("__n"))
+    lo, hi = 2, max_bucket if max_bucket is not None else None
+    keep = counts.filter(
+        (F.col("__n") >= lo)
+        if hi is None
+        else (F.col("__n") >= lo) & (F.col("__n") <= hi)
+    ).select("sg")
+    ex2 = persist_tracked(ex.join(keep, on="sg", how="left_semi"))
+    a = ex2.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "sg")
+    b = ex2.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "sg")
     pairs = (
         a.join(b, on="sg")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -347,6 +376,14 @@ def verify_jaccard(
     )
     if broadcast_docs:
         docs = F.broadcast(docs)
+    # r13 note (VERDICT r12 task 5): a candidate-local df≥2 prune of
+    # the postings (drop shingles held by one candidate doc before the
+    # pair joins) was implemented and MEASURED COUNTERPRODUCTIVE at
+    # sf0.1/sf1 — the extra aggregate + semi-join exchanges cost more
+    # than the (already join-eliminated) df=1 rows' shuffle saves on
+    # the CC-backed queries (split_group_aware +1.3 s, dedup_clusters
+    # +0.8 s at sf0.1). The prune landed in jaccard_pairs instead,
+    # where the hot-cap aggregate already pays for the counts.
     needed = persist_tracked(postings.join(docs, on="doc", how="left_semi"))
     exa = needed.select(
         F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "sg"

@@ -58,9 +58,11 @@ def orient_by_degree(edges: DataFrame) -> DataFrame:
     (degree, id) endpoint. Input must have one row per undirected edge
     with u < v. Output columns: src, dst. Oriented out-degree is
     O(sqrt(m)), which bounds wedge fan-out in triangle counting."""
+    # explode, not union: both union branches would scan the (cached)
+    # edge list separately — Spark runs them as two stages (r13;
+    # measured ~80 s of duplicate cache scans per orientation at sf1).
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -79,11 +81,85 @@ def orient_by_degree(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+# Closing-set broadcast bound for the wedge semi-join (r13): under
+# this many edges the closing set is broadcast (a packed-long hash
+# relation, ~25 B/row — ~400 MB at the bound — one copy per executor)
+# and the Σd_out² wedge stream NEVER shuffles: the semi-join fuses
+# into the wedge stage as a BroadcastHashJoin (guide §2.4/§3.1;
+# measured at sf1: the wedge exchange was 3.2 GB written + 3.3 GB
+# read, ~45% of the query's executor time). Past the bound the r11
+# shuffle-hash shape applies unchanged — the honest fallback at
+# 10⁹-edge scale where an edge-set broadcast would OOM executors.
+CLOSING_BROADCAST_MAX_EDGES = 16_000_000
+
+
+def _edge_stats(edges: DataFrame) -> tuple[int, int]:
+    """(edge count, max node id) in ONE materializing job over the
+    (persisted) undirected edge list — the count doubles as the cache
+    materializer and the max id guards the packed-key encoding (u < v
+    per input contract, so max(v) is the global max)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("m"), F.max("v").alias("mx")
+    ).collect()[0]
+    return int(row["m"]), int(row["mx"] if row["mx"] is not None else 0)
+
+
+def _closed_wedges(
+    o: DataFrame, m: int, max_id: int, max_edges: int
+) -> DataFrame:
+    """(s, a, b) wedges of the oriented edge list ``o`` that close
+    into triangles — the shared core of ``triangle_count`` and
+    ``triangles_per_node``. ``m`` (the undirected edge count) picks
+    the semi-join strategy: broadcast the closing set under
+    ``max_edges`` (wedges never shuffle), shuffle-hash past it. When
+    every id fits 31 bits the (a, b) key is packed into one BIGINT —
+    a LongHashedRelation is ~2× smaller and faster to probe than the
+    generic two-column relation; ids are graph-node ids, so the guard
+    only fails past 2³¹ nodes, where the edge bound fails first."""
+    e1 = o.alias("e1")
+    e2 = o.alias("e2")
+    wedge = e1.join(
+        e2,
+        on=(F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(
+        F.col("e1.src").alias("s"),
+        F.col("e1.dst").alias("a"),
+        F.col("e2.dst").alias("b"),
+    )
+    closing = o.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    packed = 0 <= max_id < 2**31
+    if packed:
+        pk = lambda x, y: (F.col(x).cast("bigint") * F.lit(2**31)  # noqa: E731
+                           + F.col(y).cast("bigint")).alias("pk")
+        wedge = wedge.select("s", "a", "b", pk("a", "b"))
+        closing = closing.select(pk("a", "b"))
+        keys = ["pk"]
+    else:
+        keys = ["a", "b"]
+    if m <= max_edges:
+        closing = F.broadcast(closing)
+    else:
+        # SHUFFLE_HASH on the closing side: sort-merge would SORT the
+        # Σd_out² wedge rows (measured 2× the whole stage at sf1);
+        # hashing the m closing edges per partition streams the
+        # wedges unsorted.
+        closing = closing.hint("shuffle_hash")
+    return wedge.join(closing, on=keys, how="leftsemi").select("s", "a", "b")
+
+
+def triangle_count(
+    edges: DataFrame,
+    closing_broadcast_max_edges: int = CLOSING_BROADCAST_MAX_EDGES,
+) -> DataFrame:
     """Count triangles in an undirected graph given one row per edge
     with columns (u, v), u < v. Returns a 1-row DataFrame
     (n_nodes, n_edges, n_triangles). Degree-oriented wedge join —
-    every stage is an equi-join, no node's fan-out exceeds O(sqrt(m))."""
+    every stage is an equi-join, no node's fan-out exceeds O(sqrt(m));
+    the closing check is a broadcast semi-join under
+    ``closing_broadcast_max_edges`` (see _closed_wedges)."""
     from dbt_project_spark.caching import persist_tracked
 
     # edges feeds orientation (3 refs) + the node/edge counts; the
@@ -92,30 +168,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # (expensive) edge construction would run ~5 times. Tracked:
     # released when the next catalog query is built.
     edges = persist_tracked(edges)
-    edges.count()
+    m, max_id = _edge_stats(edges)
     o = persist_tracked(orient_by_degree(edges))
-    e1 = o.alias("e1")
-    e2 = o.alias("e2")
-    wedge = e1.join(
-        e2,
-        on=(F.col("e1.src") == F.col("e2.src"))
-        & (F.col("e1.dst") < F.col("e2.dst")),
-    ).select(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b"))
-    closing = o.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    tri = _closed_wedges(o, m, max_id, closing_broadcast_max_edges).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )
-    # SHUFFLE_HASH on the closing side: sort-merge would SORT the
-    # Σd_out² wedge rows (the dominant cost — measured 2× the whole
-    # stage at sf1: 29.6 s → 15.1 s); hashing the m closing edges per
-    # partition streams the wedges unsorted. The build side is
-    # m/shuffle-partitions edges — size partitions so that fits
-    # executor memory at scale (the wedge side never needs to).
-    tri = wedge.join(
-        closing.hint("shuffle_hash"), on=["a", "b"], how="leftsemi"
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
     n_nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
@@ -560,52 +619,59 @@ def kcore(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
     """
     from dbt_project_spark.caching import RoundCache, persist_tracked
 
-    e = persist_tracked(edges.select("u", "v"))
-    e.count()
-    rounds = RoundCache(_KCORE_CHECKPOINT_EVERY)
-    for i in range(iters):
-        # Persist the nodes-sized degree table: BOTH semi-joins below
-        # reference `alive`, and Spark does not share subtrees, so an
-        # unpersisted degree aggregate would run TWICE per round over
-        # the edge list (r07 profile at sf0.1: the duplicate agg was
-        # ~40% of each round).
-        deg = persist_tracked(
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select(F.col("v").alias("node")))
+    def _degrees(frame: DataFrame) -> DataFrame:
+        # Persisted by callers: BOTH semi-joins AND the fixpoint
+        # scalar reference it, and Spark does not share subtrees
+        # (r07 profile: the duplicate agg was ~40% of each round).
+        # explode, not union: one scan of the (cached) edge list
+        # instead of two stage branches (r13).
+        return (
+            frame.select(F.explode(F.array("u", "v")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        # Fixpoint short-circuit BEFORE rebuilding: if no node is
-        # below k, the semi-joins would keep every edge, so this and
-        # all later rounds are no-ops — bit-identical to running the
-        # full unroll (and to the oracle's fixed CTE chain). Checking
-        # the nodes-sized aggregate costs a 1-row scalar, where the
-        # old count-the-rebuilt-edges check paid a full semi-join +
-        # persist + count for the confirming round (r07 profile:
-        # 3.7 s of kcore's 14.6 s at sf0.1 was that final no-op
-        # rebuild). Zero-edge nodes can't break this: they never
-        # appear in the degree table.
-        row = deg.agg(
+
+    def _deg_row(d: DataFrame):
+        # Fixpoint signal: if no node is below k, the semi-joins would
+        # keep every edge, so this and all later rounds are no-ops —
+        # bit-identical to running the full unroll (and to the
+        # oracle's fixed CTE chain). Zero-edge nodes can't break this:
+        # they never appear in the degree table.
+        return d.agg(
             F.count(F.lit(1)).alias("n_nodes"),
             F.sum((F.col("d") < k).cast("int")).alias("n_below"),
         ).collect()[0]
+
+    e = persist_tracked(edges.select("u", "v"))
+    deg = persist_tracked(_degrees(e))
+    row = _deg_row(deg)  # one job: materializes e AND deg
+    rounds = RoundCache(_KCORE_CHECKPOINT_EVERY)
+    for i in range(iters):
         if not row["n_nodes"] or not row["n_below"]:
-            deg.unpersist()
             break
         alive = deg.filter(F.col("d") >= k).select("node")
         ne = e.join(
             alive.withColumnRenamed("node", "u"), "u", "leftsemi"
         ).join(alive.withColumnRenamed("node", "v"), "v", "leftsemi")
-        ne = rounds.advance(ne)  # materialize, drop round i−1, bound cps
+
+        # The round's materializing action computes (and caches) the
+        # NEXT round's degree table in the same job that materializes
+        # the rebuilt edges (r13: the old shape paid a count() job on
+        # ne and then a separate full deg pass at the top of the next
+        # round — one redundant edge-cache scan per round).
+        def _mat(out: DataFrame):
+            d2 = persist_tracked(_degrees(out))
+            return d2, _deg_row(d2)
+
+        ne, (deg2, row) = rounds.advance(ne, _mat)
         deg.unpersist()
+        deg = deg2
         e = ne
-    return (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
-        .filter(F.col("core_deg") >= k)
-    )
+    # deg is the (cached) degree table of the FINAL edge list — the
+    # output is a projection of it, no extra edge scan (r13).
+    return deg.select(
+        "node", F.col("d").cast("bigint").alias("core_deg")
+    ).filter(F.col("core_deg") >= k)
 
 
 def weighted_sssp(
@@ -724,37 +790,24 @@ def graph_diagnostics(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangles_per_node(edges: DataFrame) -> DataFrame:
+def triangles_per_node(
+    edges: DataFrame,
+    closing_broadcast_max_edges: int = CLOSING_BROADCAST_MAX_EDGES,
+) -> DataFrame:
     """Per-node triangle counts over an undirected edge list (u, v),
     u < v: the degree-oriented wedge join of ``triangle_count``, but
     keeping each closed wedge's three corners (wedge source + both
     endpoints) and aggregating corner hits per node. Returns
     (node, tri) for nodes in ≥1 triangle. Same O(m^1.5) wedge bound —
     orientation caps out-degree at O(sqrt(m)); the corner fan-out is
-    exactly 3× the triangle count."""
+    exactly 3× the triangle count. Closing semi-join strategy as in
+    ``triangle_count`` (broadcast under the edge bound)."""
     from dbt_project_spark.caching import persist_tracked
 
     edges = persist_tracked(edges)
-    edges.count()
+    m, max_id = _edge_stats(edges)
     o = persist_tracked(orient_by_degree(edges))
-    e1 = o.alias("e1")
-    e2 = o.alias("e2")
-    wedge = e1.join(
-        e2,
-        on=(F.col("e1.src") == F.col("e2.src"))
-        & (F.col("e1.dst") < F.col("e2.dst")),
-    ).select(
-        F.col("e1.src").alias("s"),
-        F.col("e1.dst").alias("a"),
-        F.col("e2.dst").alias("b"),
-    )
-    closing = o.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    )
-    # shuffle_hash: stream the Σd_out² wedges against hashed closing
-    # edges instead of sorting them (same reasoning + measurement as
-    # triangle_count above).
-    tri = wedge.join(closing.hint("shuffle_hash"), on=["a", "b"], how="leftsemi")
+    tri = _closed_wedges(o, m, max_id, closing_broadcast_max_edges)
     # Explode the three corners from ONE pass over the triangle set —
     # a 3-way union would reference the (unpersisted) wedge⋈closing
     # subtree three times and re-execute it per branch (measured 2.2×
@@ -767,7 +820,11 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
     )
 
 
-def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    broadcast_threshold: int = 10_000_000,
+) -> DataFrame:
     """Synchronous label propagation over an undirected edge list
     (u, v), u < v: labels start as node ids; each round every node
     adopts the most frequent label among its NEIGHBORS, ties broken
@@ -777,33 +834,49 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     unroll is bit-identical across engines regardless). Isolated
     nodes keep their previous label. Returns (node, lab).
 
-    Scale shape: per round, the nodes-sized label table joins onto
-    the edges twice (once per direction — edges never move), one
-    (node, label) count aggregate (map-side combinable), and the
-    arg-max rides a node-partitioned window. Labels are referenced
-    by both direction joins, so each round persists + materializes
-    and drops the previous cache; lineage is truncated on the BFS
-    checkpoint cadence.
+    Scale shape (r13 co-partitioned rounds, guide §2.4): the
+    adjacency is persisted HASH-PARTITIONED BY node once; each round
+    then broadcasts the nodes-sized label table onto it (below
+    ``broadcast_threshold`` nodes — the pagerank policy; a broadcast
+    join preserves the streamed side's partitioning), so the
+    (node, label) count, the arg-max, and the label join all satisfy
+    their required distribution from that ONE up-front exchange —
+    zero per-round shuffles (measured at sf1: 4 rounds × ~200-270 MB
+    count-aggregate exchanges removed). Past the threshold the label
+    join falls back to a shuffle join on nbr — the honest 10⁹-node
+    regime, where per-round exchanges return. Each round's labels are
+    persisted + materialized (two consumers next round) and lineage
+    is truncated on the BFS checkpoint cadence; localCheckpoint
+    preserves the physical partitioning, so the co-partition
+    property survives checkpoint rounds.
     """
     from dbt_project_spark.caching import RoundCache, persist_tracked
 
     edges = persist_tracked(edges.select("u", "v"))
-    # Symmetrize ONCE: one persisted adjacency join per round instead
-    # of two direction joins against the label table (measured ~2×
-    # per-round join cost before this change).
+    # Symmetrize ONCE (inline, not union — one edge scan, r13) and
+    # hash-partition by node: one persisted exchange that every
+    # round's aggregates and joins reuse.
     adj = persist_tracked(
-        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .unionAll(
-            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-        )
+        edges.select(
+            F.inline(
+                F.array(
+                    F.struct(F.col("u").alias("node"), F.col("v").alias("nbr")),
+                    F.struct(F.col("v").alias("node"), F.col("u").alias("nbr")),
+                )
+            )
+        ).repartition("node")
     )
     nodes = persist_tracked(adj.select("node").distinct())
-    nodes.count()
+    small_graph = nodes.count() <= broadcast_threshold
+
+    def _lab_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_graph else df
+
     lab = nodes.select("node", F.col("node").alias("lab"))
     rounds = RoundCache(_BFS_CHECKPOINT_EVERY)
     for i in range(iters):
         ln = lab.select(F.col("node").alias("nbr"), F.col("lab").alias("nl"))
-        nbr = adj.join(ln, "nbr").select("node", "nl")
+        nbr = adj.join(_lab_side(ln), "nbr").select("node", "nl")
         cnt = nbr.groupBy("node", "nl").agg(F.count(F.lit(1)).alias("c"))
         # arg-max as a max_by aggregate (map-side partials), not a
         # rank window: key = c·1e12 − label picks the highest count,

@@ -511,8 +511,14 @@ def item_cooc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
     )
-    na = bp.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    # Persist the parts-sized per-part counts: they feed BOTH degree
+    # joins below, and Spark does not share subtrees — uncached, the
+    # aggregate over bp ran twice (r13, measured 2×~13 s executor
+    # time at sf1).
+    na = persist_tracked(
+        bp.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
     )
     s = (
         pc.join(na.select(F.col("l_partkey").alias("u"), F.col("n").alias("n_u")), "u")
@@ -798,15 +804,23 @@ def user_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bp.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = bp.select("l_orderkey", F.col("l_partkey").alias("v"))
-    pc = (
+    # Persist the pair counts AND the per-part counts: pc feeds both
+    # union branches of the symmetrized edge list and na feeds both
+    # degree joins — Spark does not share subtrees, so uncached the
+    # whole basket self-join + aggregate pipeline executed TWICE
+    # (r13, measured: two identical ~120 MB aggregate exchanges and
+    # 2×~40 s executor time at sf1).
+    pc = persist_tracked(
         a.join(b, on="l_orderkey")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
         .filter(F.col("nab") >= REC_MIN_COOC)
     )
-    na = bp.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    na = persist_tracked(
+        bp.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
     )
     ed = pc.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), "nab"
