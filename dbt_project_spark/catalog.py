@@ -128,6 +128,20 @@ REFRESH: list[str] = [
     "minhash_vs_exact_recall",
     "corpus_keep_list",
     "split_group_aware",
+    # r13 batch 3: bruteforce_topk two-stage shortlist kernel
+    # (operators/similarity.py) — every catalog row whose call graph
+    # reaches it (the exact-ranking anchor of the recall family + the
+    # knn classifier).
+    "ann_bruteforce_topk",
+    "ann_recall_lsh",
+    "ann_recall_quantized",
+    "ann_recall_truncated_dims",
+    "knn_langid_eval",
+    "ann_recall_ivf",
+    "ann_recall_ivfpq",
+    "ann_recall_ivfpq_residual",
+    "ann_recall_ivfpq_refine",
+    "ann_probe_recall_sweep",
 ]
 
 

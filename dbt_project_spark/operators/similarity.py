@@ -45,16 +45,31 @@ def _lcg_weights(nbits: int = LSH_NBITS, dim: int = LSH_DIM) -> list[list[float]
 LSH_W = _lcg_weights()
 
 
-def bruteforce_topk(
+# r13 (VERDICT r12 task 6): margin proof for the bruteforce shortlist.
+# exact = round(cos, 6) on a left-to-right double fold; approx = one
+# float64 matmul on normalized rows, |approx − exact| ≤ δ with
+# δ ≈ dim·2⁻⁵² ≪ 1e-8. If ≥ k+1 batch rows have approx > approx_r +
+# (2e-6 + 2δ), their exact cosines exceed exact_r + 2e-6, so their
+# ROUNDED cosines strictly exceed round(exact_r) on the 1e-6 grid —
+# at most one of them is the self row, leaving ≥ k non-self rows that
+# beat r regardless of id tie-breaks: r cannot be in the top-k.
+_TOPK_SLACK = 2e-6 + 1e-8
+_BF_MAX_QUERIES = 65536
+
+
+def _bruteforce_topk_join(
     queries: DataFrame,
     corpus: DataFrame,
     k: int,
-    query_id: str = "query_id",
-    corpus_id: str = "neighbor_id",
-    qvec: str = "qe",
-    cvec: str = "embedding",
+    query_id: str,
+    corpus_id: str,
+    qvec: str,
+    cvec: str,
 ) -> DataFrame:
-    """Exact cosine top-k of each query against the corpus."""
+    """Pre-r13 path: broadcast crossJoin scoring every (query, corpus)
+    pair with the interpreted SQL fold. Kept as the exact-semantics
+    fallback for degenerate query sets (null/ragged/non-finite/
+    zero-norm query vectors, mixed dims, or > _BF_MAX_QUERIES rows)."""
     sims = (
         F.broadcast(queries)
         .crossJoin(corpus)
@@ -64,6 +79,162 @@ def bruteforce_topk(
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
     return (
         sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def bruteforce_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    qvec: str = "qe",
+    cvec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    r13 (VERDICT r12 task 6 — the builder's own lead): the nq×n
+    interpreted-HOF scoring pass is replaced by the repo's two-stage
+    exact-kernel contract (same shape as the IVF assign): an Arrow
+    numpy kernel streams the corpus once (map-only, zero shuffle of
+    vectors) and emits, per query, every batch row whose float64
+    cosine is within ``_TOPK_SLACK`` of the batch's (k+1)-th best — a
+    provable superset of the exact rounded-cosine top-k (margin proof
+    above) — and the EXACT SQL expression re-scores only that
+    shortlist (nq × k × n_batches rows), so the output is
+    bit-identical to scoring all nq×n pairs. Degenerate corpus rows
+    (null / ragged / non-finite / zero-norm) are always shortlisted
+    and ranked by the exact expression (NaN sorts first under desc,
+    null last — the kernel never decides their fate); degenerate
+    QUERY vectors route the whole call to the crossJoin fallback.
+
+    Precondition (assign_clusters' ADVICE-r11 convention): query ids
+    are unique — every repo caller filters a unique vec_id."""
+    import math
+
+    import numpy as np
+
+    spark = queries.sparkSession
+    qrows = queries.select(query_id, qvec).limit(_BF_MAX_QUERIES + 1).collect()
+
+    def _qok(r):
+        v = r[1]
+        return (
+            v is not None
+            and all(x is not None for x in v)
+            and all(math.isfinite(float(x)) for x in v)
+        )
+
+    dims = {len(r[1]) for r in qrows if r[1] is not None}
+    if (
+        not qrows
+        or len(qrows) > _BF_MAX_QUERIES
+        or not all(_qok(r) for r in qrows)
+        or len(dims) != 1
+    ):
+        return _bruteforce_topk_join(
+            queries, corpus, k, query_id, corpus_id, qvec, cvec
+        )
+    dim = dims.pop()
+    seen = set()
+    uq = [r for r in qrows if not (r[0] in seen or seen.add(r[0]))]
+    qid_np = [r[0] for r in uq]
+    qmat = np.asarray([list(r[1]) for r in uq], dtype=np.float64)
+    qn = np.sqrt((qmat * qmat).sum(axis=1))
+    if (qn == 0.0).any():
+        return _bruteforce_topk_join(
+            queries, corpus, k, query_id, corpus_id, qvec, cvec
+        )
+    bc = spark.sparkContext.broadcast((qid_np, qmat / qn[:, None], dim, k))
+
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    cid_type = corpus.schema[corpus_id].dataType.simpleString()
+    emb_type = corpus.schema[cvec].dataType.simpleString()
+    out_schema = (
+        f"{query_id} {qid_type}, {corpus_id} {cid_type}, {cvec} {emb_type}"
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        qids, Qn, dim, k = bc.value
+        nq = len(qids)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cid = batch.column(0)
+            emb = batch.column(1)
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            offs = (offs - offs[0]).astype(np.int64)
+            lens = offs[1:] - offs[:-1]
+            flat = emb.flatten()
+            vals = flat.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            ok = lens == dim
+            if emb.null_count:
+                ok &= ~np.asarray(emb.is_null())
+            valid = np.nonzero(ok)[0]
+            if valid.size:
+                gather = offs[valid][:, None] + np.arange(dim)[None, :]
+                X = vals[gather]
+                fin = np.isfinite(X).all(axis=1)
+                xn = np.sqrt((X * X).sum(axis=1))
+                good = fin & (xn > 0.0)
+                valid = valid[good]
+                X = X[good]
+                xn = xn[good]
+            # degenerate rows (ragged/null/non-finite/zero-norm): the
+            # exact re-score decides their rank — always shortlist
+            deg = np.setdiff1d(
+                np.arange(n), valid, assume_unique=False
+            )
+            take_rows, take_qi = [], []
+            if valid.size:
+                S = Qn @ (X / xn[:, None]).T  # (nq, nvalid)
+                nv = valid.size
+                if nv > k + 1:
+                    thr = (
+                        np.partition(S, nv - (k + 1), axis=1)[:, nv - (k + 1)]
+                        - _TOPK_SLACK
+                    )
+                else:
+                    thr = np.full(nq, -np.inf)
+                qi, ci = np.nonzero(S >= thr[:, None])
+                take_rows.append(valid[ci])
+                take_qi.append(qi)
+            if deg.size:
+                take_rows.append(np.tile(deg, nq))
+                take_qi.append(np.repeat(np.arange(nq), deg.size))
+            if not take_rows:
+                continue
+            rows = np.concatenate(take_rows)
+            qsel = np.concatenate(take_qi)
+            if rows.size == 0:
+                continue
+            take = pa.array(rows, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([qids[i] for i in qsel]),
+                    cid.take(take),
+                    emb.take(take),
+                ],
+                names=[query_id, corpus_id, cvec],
+            )
+
+    cand = corpus.select(corpus_id, cvec).mapInArrow(kernel, out_schema)
+    scored = (
+        cand.join(F.broadcast(queries.select(query_id, qvec)), on=query_id)
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .withColumn("cosine", F.round(cosine_similarity(qvec, cvec), 6))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
