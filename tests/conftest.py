@@ -4,10 +4,28 @@ from dbt_project_spark import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# r13 (VERDICT r12 task 3 — the driver's pytest gate could not finish):
+# the suite's dominant cost was NOT any single slow test but the
+# planted-table writes: PySpark createDataFrame(list) parallelizes the
+# pickled rows into defaultParallelism (= 32 local cores) slices, and
+# the ubiquitous coalesce(1).write then computes all 32 slices
+# SEQUENTIALLY in one task, each paying a Python-worker round-trip —
+# measured 4.3 s per 2-row parquet write on local[32] vs 0.8 s with 4
+# slices (and 0.45 s uncoalesced). Hundreds of planted tests × 2-5
+# tiny writes each ≈ half the 48-minute suite. Test-session-only knob:
+# production queries never createDataFrame driver lists. 4 (not 1)
+# keeps multi-partition semantics so partition-order bugs still
+# surface; JDBC/datasource partition-count tests pin their own counts.
+_TEST_CONF = {"spark.default.parallelism": "4"}
+
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="dbt-project-spark-tests", shuffle_partitions=8)
+    s = get_spark(
+        app_name="dbt-project-spark-tests",
+        shuffle_partitions=8,
+        extra_conf=_TEST_CONF,
+    )
     yield s
 
 
@@ -15,7 +33,11 @@ def spark():
 def spark_session_holder():
     """Session fixture usable inside @given-decorated hypothesis tests
     (hypothesis forbids function-scoped fixtures there)."""
-    return get_spark(app_name="dbt-project-spark-tests", shuffle_partitions=8)
+    return get_spark(
+        app_name="dbt-project-spark-tests",
+        shuffle_partitions=8,
+        extra_conf=_TEST_CONF,
+    )
 
 
 @pytest.fixture(scope="module", autouse=True)

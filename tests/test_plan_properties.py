@@ -350,12 +350,17 @@ def test_graph_queries_no_cartesian(spark):
 
 
 def test_pagerank_ranks_are_broadcast(spark):
-    """pagerank: the nodes-sized rank/contribution tables broadcast
-    onto the cached edge list — edges never shuffle inside the
-    iteration loop."""
+    """pagerank catalog row: the bounded trade graph (≤ 100k edges at
+    every SF) takes the r13 driver fixed-point kernel — the final plan
+    is a local/RDD relation with NO joins and NO exchanges; the
+    per-iteration distributed plan died with it. (The distributed
+    path's broadcast-vs-shuffle property is pinned on the operator
+    with driver_max_edges=0 in the test below; driver-vs-distributed
+    bit-identity in tests/test_graph_driver_kernel.py.)"""
     plan = _plan(QUERIES["pagerank_trade"](spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in plan
-    assert "InMemoryTableScan" in plan  # cached edges feed iterations
+    assert "Join" not in plan  # no per-iteration joins remain
+    assert _exchanges(plan) == 0
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
 
 
 def test_pagerank_broadcast_is_conditional_on_node_count(spark):
