@@ -78,17 +78,30 @@ def exploded_shingles(df: DataFrame, id_col: str, n: int = 3) -> DataFrame:
     """(doc, set_size, shingle) — one row per distinct shingle per doc.
     Expects a ``__toks`` column (see ``_with_tokens``).
 
-    Deliberately shuffle-free: sz = size(sh) costs extra in-projection
-    evaluations of the shingle pipeline (~3×, pure CPU). The
-    alternative (explode once, sz = count() over doc) measured 2.4×
-    faster warm on local[32] but inserts a full postings exchange on
-    doc — at 100 TB an extra full-data shuffle loses to linear
-    map-side CPU, so the shuffle-free shape is kept."""
+    Deliberately shuffle-free: the alternative (explode once, sz =
+    count() over doc) inserts a full postings exchange on doc — at
+    100 TB an extra full-data shuffle loses to linear map-side CPU.
+
+    r13 (guide §1.2 per-task work; sf100 stage evidence — the fill
+    stage was ~40% of dedup_minhash_lsh's executor time): the old
+    select(sh) → withColumn(sz) → select(explode(sh)) shape let the
+    optimizer inline the tokenize+shingle chain into BOTH the size()
+    and the Generate expression (the docstring's measured ~3×
+    re-evaluation). Building ONE struct(size(sh), sh) projection
+    forces a single ProjectExec where codegen subexpression
+    elimination computes the chain once; the Generate then explodes a
+    plain struct field. Measured sf10 (500k docs): 6.4 → 2.9 s for
+    the postings pass, identical rows."""
     sh = df.select(
         F.col(id_col).alias("doc"),
-        shingles_col("__toks", n).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
-    return sh.select("doc", "sz", F.explode("sh").alias("sg"))
+        F.struct(
+            F.size(shingles_col("__toks", n)).alias("sz"),
+            shingles_col("__toks", n).alias("sh"),
+        ).alias("t"),
+    )
+    return sh.select(
+        "doc", F.col("t.sz").alias("sz"), F.explode("t.sh").alias("sg")
+    )
 
 
 def spread_small_scan(df: DataFrame) -> DataFrame:
@@ -289,7 +302,17 @@ def minhash_lsh_pairs(
         exploded_shingles(_with_tokens(df, text_col), id_col, n)
     )
     sig = minhash_signatures(df, id_col, text_col, n, postings=postings)
-    stacked = minhash_band_stack(sig, bands)
+    # r13 (guide §2.4 / sf100 stage evidence): the band self-join's two
+    # sides are materialized as CONCURRENT AQE stage-jobs, and a lazy
+    # persist cannot dedupe work still in flight — both sides computed
+    # the full postings→md5→16-min-agg signature pipeline (2 × ~600 s
+    # executor at sf100, 5M docs). One eager materialization of the
+    # persisted band stack runs tokenize→postings→signatures→bands
+    # exactly once, sequentially filling all three caches; the join
+    # sides then read the stacked cache. The count itself aggregates
+    # during the fill pass — no extra corpus scan.
+    stacked = persist_tracked(minhash_band_stack(sig, bands))
+    stacked.count()
     a = stacked.select(F.col("doc").alias("doc_a"), "bid", "bv")
     b = stacked.select(F.col("doc").alias("doc_b"), "bid", "bv")
     cand = (
@@ -337,6 +360,7 @@ def verify_jaccard(
     postings: DataFrame,
     threshold: float,
     broadcast_docs: bool = True,
+    hash_nchars: int = 15,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate (doc_a, doc_b) pairs from a
     shingle-postings relation — precision 1.0 regardless of how the
@@ -384,17 +408,59 @@ def verify_jaccard(
     # the CC-backed queries (split_group_aware +1.3 s, dedup_clusters
     # +0.8 s at sf0.1). The prune landed in jaccard_pairs instead,
     # where the hot-cap aggregate already pays for the counts.
-    needed = persist_tracked(postings.join(docs, on="doc", how="left_semi"))
-    exa = needed.select(
-        F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "sg"
+    # r13 (guide §2.3 "shuffle keys and metadata instead of payloads";
+    # sf100 stage evidence): the intersection join shuffled the raw
+    # shingle STRINGS — 10.4 GiB of row data on the (doc_b, sg)
+    # exchange alone at 5M docs, and every sort comparison was a string
+    # compare. The join now runs on h = md5_int(sg, 15) (60-bit BIGINT)
+    # with EXACT collision routing: an h that maps to more than one
+    # distinct sg within the candidate-doc postings (expected count ~0:
+    # ~(3e7)²/2⁶¹ ≈ 4e-4 per run) is detected by a one-pass aggregate,
+    # and its rows take the original string-equality join; all other h
+    # are injective over `needed`, so h-equality ⇔ sg-equality and the
+    # union of the two branches is row-for-row the old join. The
+    # detect aggregate's count doubles as the eager materializer that
+    # fills the cand/needed caches sequentially (the lazy persists
+    # otherwise race in concurrent AQE stage-jobs).
+    # hash_nchars=15 in production (60 bits); tests shrink it to force
+    # real collisions through the string branch.
+    needed = persist_tracked(
+        postings.join(docs, on="doc", how="left_semi").withColumn(
+            "h", md5_int(F.col("sg"), hash_nchars)
+        )
     )
-    exb = needed.select(
-        F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "sg"
+    coll = persist_tracked(
+        needed.groupBy("h")
+        .agg(F.countDistinct("sg").alias("nsg"))
+        .filter(F.col("nsg") > 1)
+        .select("h")
+    )
+    branches = (
+        [(needed, "h")]
+        if coll.count() == 0
+        else [
+            (needed.join(F.broadcast(coll), on="h", how="left_anti"), "h"),
+            (needed.join(F.broadcast(coll), on="h", how="left_semi"), "sg"),
+        ]
+    )
+    parts = []
+    for src, key in branches:
+        exa = src.select(
+            F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), key
+        )
+        exb = src.select(
+            F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), key
+        )
+        parts.append(
+            cand.join(exa, on="doc_a")
+            .join(exb, on=["doc_b", key])
+            .select("doc_a", "doc_b", "sz_a", "sz_b")
+        )
+    inter_rows = (
+        parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     )
     return (
-        cand.join(exa, on="doc_a")
-        .join(exb, on=["doc_b", "sg"])
-        .groupBy("doc_a", "doc_b")
+        inter_rows.groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),
             F.max("sz_a").alias("sa"),
@@ -473,6 +539,13 @@ def incremental_minhash_pairs(
     )
     sig = minhash_signatures(new_df, id_col, text_col, n, postings=new_postings)
     new_stack = persist_tracked(minhash_band_stack(sig, bands))
+    # r13 note: minhash_lsh_pairs eagerly materializes its band stack
+    # to kill the concurrent-side signature race; HERE the race only
+    # duplicates the NEW BATCH's signature pass (the corpus side comes
+    # from the on-disk index), and a daily batch is small relative to
+    # the corpus at every scale — measured at sf0.1 the extra count
+    # job costs more than the duplicated batch sig saves, so no eager
+    # fill.
     # The corpus side is the index MINUS this batch's ids. The
     # anti-join matters for correctness, not just hygiene: parquet
     # scans resolve files at EXECUTION time, so once update_index has

@@ -28,6 +28,9 @@ def main() -> None:
     load_all()
     spark = get_spark(app_name="plans_r13")
     spark.sparkContext.setLogLevel("ERROR")
+    # the engine caps plan rendering at 64 KiB (session.py); evidence
+    # files must be complete — match the test harness's 8 MiB cap
+    spark.conf.set("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
     for name in names:
         spark.sparkContext.setJobDescription(f"plan:{name}")
         df = QUERIES[name](spark, sf_dir)

@@ -47,10 +47,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId
-    # warm codegen
-    QUERIES["tpch_q6"](spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    # warm codegen (subset-generated dirs lack TPC-H tables)
+    try:
+        QUERIES["tpch_q6"](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+    except Exception:
+        QUERIES["dedup_exact"](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
     for name in names:
         seen = {s["stageId"] for s in stages(app_id)}
         spark.sparkContext.setJobDescription(f"stages:{name}")
