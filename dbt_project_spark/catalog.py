@@ -142,6 +142,11 @@ REFRESH: list[str] = [
     "ann_recall_ivfpq_residual",
     "ann_recall_ivfpq_refine",
     "ann_probe_recall_sweep",
+    # r13 batch 4: sweep-found stragglers restructured — the bootstrap
+    # fan's starved-scan spread, the markov-removal driver fixed point
+    # (+ lead() journey pairs).
+    "bootstrap_mean_ci",
+    "attribution_markov_removal",
 ]
 
 

@@ -239,9 +239,15 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/stats.profile_columns for the 100 TB approx swap).
     Null density is planted deterministically (`l_linenumber % 7`) —
     TPC-H data has no natural NULLs to count."""
+    from dbt_project_spark.operators.dedup import spread_small_scan
     from dbt_project_spark.operators.stats import profile_columns
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # r13 (sweep finding): lineitem.parquet is one file at bench SFs —
+    # the 24-aggregate partial pass (incl. exact count_distinct
+    # expands) ran in a single scan task (10.2 s at sf0.1 with 31
+    # cores idle). Spread the small scan; no-op once split count
+    # exceeds cores.
+    li = spread_small_scan(load_table(spark, sf_dir, "lineitem"))
     qty100 = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
     src = li.select(
         F.col("l_orderkey").alias("okey"),

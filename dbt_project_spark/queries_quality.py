@@ -1079,9 +1079,19 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank step orders {BOOT_B} rows. At 100 TB the cost is B scans'
     worth of CPU over one scan's IO (Arrow-free, codegen'd CASE)."""
     from dbt_project_spark.functions.expressions import md5_int
+    from dbt_project_spark.operators.dedup import spread_small_scan
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.expr(_V100).alias("v")
+    # r13 (sweep finding, guide §2.6 idle capacity): events.parquet is
+    # ONE file at bench SFs, so the B-fold md5 fan (n×B string hashes,
+    # the query's entire cost) ran on a single core — 25.3 s at sf0.1
+    # with 31 cores idle. Spread the (by premise small) scan when it
+    # has fewer partitions than the session's parallelism; at scale
+    # the branch never fires (split count >> cores) and the fan stays
+    # shuffle-free.
+    ev = spread_small_scan(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", F.expr(_V100).alias("v")
+        )
     )
     bs = spark.range(BOOT_B).select(F.col("id").alias("b"))
     fan = ev.crossJoin(F.broadcast(bs)).select(

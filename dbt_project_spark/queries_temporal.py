@@ -590,6 +590,66 @@ def attribution_u_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MK_CHANNELS = ["click", "view", "signup", "error"]  # purchase = conversion
 MK_ITERS = 24  # fixed absorption iterations (unrolled in the oracle)
+# transition-table bound for the driver fixed point: states² rows with
+# states = distinct event_type + START/CONV/NULL — single-digit on any
+# real event log; 4096 rows ≈ a 60-state chain, far past plausible
+_MK_DRIVER_MAX = 4096
+
+
+def _markov_removal_driver(spark: SparkSession, prows) -> DataFrame:
+    """Exact Python-int replay of the distributed removal-effect loop
+    over a collected (src, dst, p_micro) transition table: same
+    variant construction, same states = {src} ∪ {CONV, NULL} (a dst
+    that never occurs as src joins nothing — skipped, as the
+    distributed join drops it), same 24 rounds of
+    Σ(p_micro·vm) div 1e6 with CONV/NULL pinned (all quantities
+    non-negative, so // is Spark's truncating div), same
+    removal-effect and attribution arithmetic. Bit-identity is pinned
+    by tests/test_markov_driver_kernel.py against the distributed
+    path."""
+    base_p = [(r["src"], r["dst"], int(r["p_micro"])) for r in prows]
+    schema = (
+        "channel string, base_conv_micro bigint, removed_conv_micro bigint,"
+        " removal_effect_micro bigint, attribution_micro bigint"
+    )
+
+    def absorb(variant: str):
+        tp = []
+        for src, dst, pm in base_p:
+            if variant != "base" and src == variant:
+                continue
+            d = "NULL" if (variant != "base" and dst == variant) else dst
+            tp.append((src, d, pm))
+        states = {s for s, _, _ in tp} | {"CONV", "NULL"}
+        v = {st: (1_000_000 if st == "CONV" else 0) for st in states}
+        for _ in range(MK_ITERS):
+            s: dict[str, int] = {}
+            for src, dst, pm in tp:
+                if dst in v:
+                    s[src] = s.get(src, 0) + pm * v[dst]
+            v = {
+                st: (
+                    1_000_000
+                    if st == "CONV"
+                    else 0
+                    if st == "NULL"
+                    else s.get(st, 0) // 1_000_000
+                )
+                for st in states
+            }
+        return v.get("START")
+
+    rows = []
+    bv = absorb("base")
+    if bv is not None:
+        chans = [(c, absorb(c)) for c in MK_CHANNELS]
+        chans = [(c, rv) for c, rv in chans if rv is not None]
+        s_tot = sum(max(bv - rv, 0) for _, rv in chans)
+        for c, rv in chans:
+            re_ = max(bv - rv, 0)
+            attr = (re_ * 1_000_000) // s_tot if s_tot > 0 else 0
+            rows.append((c, bv, rv, re_, attr))
+    return spark.createDataFrame(rows, schema)
 
 
 def _markov_oracle() -> str:
@@ -728,12 +788,15 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = j.filter(F.col("rn") == 1).select(
         F.lit("START").alias("src"), F.col("st").alias("dst")
     )
-    b = j.select(F.col("user_id").alias("u2"), F.col("st").alias("st2"), F.col("rn").alias("rn2"))
+    # r13 (guide §2.4): consecutive-step pairs via lead() over the SAME
+    # (user_id, rn) partitioning the journey window already
+    # established, instead of a rn+1 equi-self-join that shuffled j
+    # twice. rn is row_number (dense, unique per user) and j keeps the
+    # full prefix rn ≤ fp, so lead(st) is exactly the old join's st2.
+    wl = Window.partitionBy("user_id").orderBy("rn")
     mid = (
-        j.join(
-            b,
-            (F.col("u2") == F.col("user_id")) & (F.col("rn2") == F.col("rn") + 1),
-        )
+        j.withColumn("st2", F.lead("st").over(wl))
+        .filter(F.col("st2").isNotNull())
         .select(F.col("st").alias("src"), F.col("st2").alias("dst"))
     )
     end = j.filter((F.col("rn") == F.col("mx")) & (F.col("fp") > F.col("mx"))).select(
@@ -745,6 +808,17 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = cnt.join(tot, "src").select(
         "src", "dst", F.expr("CAST(c * 1000000 div t AS BIGINT)").alias("p_micro")
     )
+    # r13 (the graph-family driver fixed-point pattern, VERDICT r12
+    # task 1's sibling): after the one events window, everything is
+    # (states+3)²-sized — 24 rounds of tiny Spark jobs were pure
+    # scheduling overhead (sweep: 20.4 s at sf0.1, ~15 s of it the
+    # loop). When the transition table is bounded, collect it once and
+    # run the identical truncating-integer recurrence in Python ints;
+    # the distributed loop below remains for a pathological
+    # high-cardinality event_type corpus.
+    prows = p.limit(_MK_DRIVER_MAX + 1).collect()
+    if len(prows) <= _MK_DRIVER_MAX:
+        return _markov_removal_driver(spark, prows)
     variants = spark.createDataFrame(
         [("base",)] + [(c,) for c in MK_CHANNELS], "variant string"
     )
