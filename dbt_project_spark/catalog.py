@@ -147,6 +147,12 @@ REFRESH: list[str] = [
     # (+ lead() journey pairs).
     "bootstrap_mean_ci",
     "attribution_markov_removal",
+    # r13 batch 5: streaming-parity trio — _parity_summary persists
+    # the batch side; the windowed topology's upsert empty-check and
+    # state-partition sizing changed (streaming/update_dist.py).
+    "serving_parity_windowed",
+    "serving_parity_classifier",
+    "serving_parity_ann",
 ]
 
 

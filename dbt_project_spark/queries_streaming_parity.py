@@ -85,9 +85,14 @@ def _parity_summary(
     batch: DataFrame,
     n_inputs: int,
 ) -> DataFrame:
+    # r13: the two exceptAll passes each re-executed the full batch
+    # serving pipeline — persist it for the diff, release before
+    # returning (all uses reduce to scalars here).
+    batch = batch.persist()
     total = streamed.count()
     stream_only = streamed.exceptAll(batch).count()
     batch_only = batch.exceptAll(streamed).count()
+    batch.unpersist()
     matching = total - stream_only
     acc = round(100.0 * matching / total, 2) if total else 0.0
     return spark.createDataFrame(
@@ -278,10 +283,20 @@ def serving_parity_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             width_sec=300,
             key_col="event_type",
             watermark="3650 days",
+            # r13: state here is |5-min windows × event types| rows —
+            # bounded and volume-independent — so 8 state partitions
+            # (not the batch shuffle width) bounds the per-trigger
+            # state-store commit/snapshot fixed cost at ANY event
+            # volume; each partition holds a trivially small slice.
+            state_shuffle_partitions=8,
         )
         final = read_current_distribution(spark, os.path.join(tmp, "out"))
         streamed = spark.createDataFrame(final.collect(), final.schema)
-        batch = windowed_count_distribution(events, "ts", 300, ["event_type"])
+        # persist: n_inputs below + both exceptAll diffs re-executed
+        # this agg 3× (the _parity_summary persist reuses this cache).
+        batch = windowed_count_distribution(
+            events, "ts", 300, ["event_type"]
+        ).persist()
         return _parity_summary(
             spark, "windowed_dist_online", streamed, batch, batch.count()
         )

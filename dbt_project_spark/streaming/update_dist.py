@@ -83,12 +83,25 @@ def run_update_distribution(
     key_col: str = "event_type",
     watermark: str = "10 minutes",
     max_files_per_trigger: int | None = 1,
+    state_shuffle_partitions: int | None = None,
 ) -> list[dict]:
     """availableNow run of the update-mode distribution pipeline.
 
     ``max_files_per_trigger=1`` forces multiple triggers over a
     multi-file source so the per-emit upsert path is actually
     exercised (a single trigger would degenerate to batch).
+
+    ``state_shuffle_partitions`` (r13): number of state-store
+    partitions for the stateful aggregation, locked in at first
+    trigger by Spark from ``spark.sql.shuffle.partitions``. The
+    default (None) leaves the session conf alone. Streaming state
+    here is |windows × keys| rows — volume-INDEPENDENT (module
+    header) — so sizing its partition count off the batch shuffle
+    width is wrong at every scale: each extra state partition adds
+    per-trigger store commit + snapshot maintenance fixed cost for no
+    data-size benefit. Callers with a known-bounded keyspace should
+    pass a small constant; the session conf is restored after the
+    stream finishes.
 
     Returns the stream's per-trigger progress dicts (r10):
     ``stateOperators[0].numRowsTotal`` is the LIVE state-store row
@@ -100,6 +113,40 @@ def run_update_distribution(
     SCALE.md r10).
     """
     ensure_runtime_confs(spark)
+    prev_shuffle_conf: str | None = None
+    if state_shuffle_partitions is not None:
+        prev_shuffle_conf = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(state_shuffle_partitions)
+        )
+    try:
+        return _run_update_distribution(
+            spark,
+            source_dir,
+            state_dir,
+            out_dir,
+            checkpoint_dir,
+            width_sec,
+            key_col,
+            watermark,
+            max_files_per_trigger,
+        )
+    finally:
+        if prev_shuffle_conf is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle_conf)
+
+
+def _run_update_distribution(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    width_sec: int,
+    key_col: str,
+    watermark: str,
+    max_files_per_trigger: int | None,
+) -> list[dict]:
     static = spark.read.parquet(source_dir)
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger is not None:
@@ -123,10 +170,16 @@ def run_update_distribution(
     )
 
     def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         sp = batch_df.sparkSession
+        # r13: persist FIRST and use count() as the emptiness check —
+        # isEmpty() evaluated a partition of the stateful-agg output
+        # outside the cache, so every trigger paid that work twice
+        # (~0.5 s/trigger at sf0.1). One count both fills the cache
+        # and answers emptiness.
         updates = batch_df.persist()
+        if updates.count() == 0:
+            updates.unpersist()
+            return
         prev_v = _latest_version(state_dir)
         if prev_v is None:
             state = updates
