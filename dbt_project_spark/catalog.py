@@ -153,6 +153,9 @@ REFRESH: list[str] = [
     "serving_parity_windowed",
     "serving_parity_classifier",
     "serving_parity_ann",
+    # r13 batch 6: wedge pair-key packing + m-bounded broadcasts on
+    # the anti/degree joins.
+    "link_prediction_jaccard",
 ]
 
 

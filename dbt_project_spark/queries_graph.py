@@ -1123,7 +1123,18 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity"
     )
+    from dbt_project_spark.operators.graph import (
+        CLOSING_BROADCAST_MAX_EDGES,
+        _edge_stats,
+    )
+
     edges = persist_tracked(copurchase_edges(li))
+    # r13: one job materializes the edge cache AND returns the max id
+    # for the packed-key guard. Without the eager fill, AQE
+    # materializes both wedge-join sides concurrently and a lazy
+    # persist cannot dedupe in-flight work — the whole basket build
+    # ran twice (59 s executor at sf0.1, the §4 minhash race).
+    _m, max_id = _edge_stats(edges)
     adj = edges.select(
         F.col("u").alias("node"), F.col("v").alias("nbr")
     ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
@@ -1131,27 +1142,65 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     a = adj.select(F.col("node").alias("na"), "nbr")
     b = adj.select(F.col("node").alias("nb"), "nbr")
-    cn = (
-        a.join(b, "nbr")
-        .filter(F.col("na") < F.col("nb"))
-        .groupBy("na", "nb")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
-        .filter(F.col("common") >= LP_MIN_COMMON)
-    )
-    nonedge = cn.join(
-        edges.select(F.col("u").alias("na"), F.col("v").alias("nb")),
-        ["na", "nb"],
-        "left_anti",
-    )
+    wedges = a.join(b, "nbr").filter(F.col("na") < F.col("nb"))
+    if 0 <= max_id < 2**31:
+        # r13 (the _closed_wedges packed-key convention, guide §2.3):
+        # the Σd² wedge stream is the query's dominant cost (452 s of
+        # 625 s executor at sf0.1) and its partial-agg shuffle carried
+        # (na, nb, cnt) rows — pack the pair into ONE BIGINT so the
+        # combine hashes a single long and the exchange row narrows
+        # (1091 MB → see OPTIMIZATION_r13.md); the anti-join probes
+        # the same packed key. Ids are partkeys: the guard only fails
+        # past 2³¹ parts, where the two-column fallback below applies
+        # unchanged. Unpacking via div/mod is exact (na, nb < 2³¹).
+        pk = (
+            F.col("na").cast("bigint") * F.lit(2**31)
+            + F.col("nb").cast("bigint")
+        ).alias("pk")
+        cnp = (
+            wedges.select(pk)
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+            .filter(F.col("common") >= LP_MIN_COMMON)
+        )
+        epk = edges.select(
+            (
+                F.col("u").cast("bigint") * F.lit(2**31)
+                + F.col("v").cast("bigint")
+            ).alias("pk")
+        )
+        # r13: the anti-join's right side is the m-row edge set — under
+        # the triangle broadcast bound the pair stream (9M rows /
+        # 225 MB at sf0.1, the planner chose a shuffle) never
+        # exchanges again after the aggregation; past the bound the
+        # planner's choice stands (the honest 10⁹-edge fallback).
+        if _m <= CLOSING_BROADCAST_MAX_EDGES:
+            epk = F.broadcast(epk)
+        nonedge = cnp.join(epk, "pk", "left_anti").select(
+            F.expr(f"pk div {2**31}").alias("na"),
+            F.expr(f"pk % {2**31}").alias("nb"),
+            "common",
+        )
+    else:
+        cn = (
+            wedges.groupBy("na", "nb")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+            .filter(F.col("common") >= LP_MIN_COMMON)
+        )
+        eab = edges.select(F.col("u").alias("na"), F.col("v").alias("nb"))
+        if _m <= CLOSING_BROADCAST_MAX_EDGES:
+            eab = F.broadcast(eab)
+        nonedge = cn.join(eab, ["na", "nb"], "left_anti")
+    # r13: deg is node-sized (≤ 2m rows) — broadcast both degree
+    # attachments under the same edge bound so the surviving pair
+    # stream flows join→join→TakeOrdered with zero exchanges.
+    deg_a = deg.select(F.col("node").alias("na"), F.col("d").alias("d_a"))
+    deg_b = deg.select(F.col("node").alias("nb"), F.col("d").alias("d_b"))
+    if _m <= CLOSING_BROADCAST_MAX_EDGES:
+        deg_a, deg_b = F.broadcast(deg_a), F.broadcast(deg_b)
     sc = (
-        nonedge.join(
-            deg.select(F.col("node").alias("na"), F.col("d").alias("d_a")),
-            "na",
-        )
-        .join(
-            deg.select(F.col("node").alias("nb"), F.col("d").alias("d_b")),
-            "nb",
-        )
+        nonedge.join(deg_a, "na")
+        .join(deg_b, "nb")
         .select(
             "na",
             "nb",
