@@ -1067,6 +1067,10 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LP_TOP_K = 20
 LP_MIN_COMMON = 2  # candidate floor (1 shared neighbor is noise)
+# Anti-join edge-broadcast bound (r13): see the comment at the use
+# site — tighter than CLOSING_BROADCAST_MAX_EDGES because this
+# broadcast shares the heap with the common-neighbor aggregation.
+LP_ANTI_BROADCAST_MAX_EDGES = 4_000_000
 
 
 @register(
@@ -1170,11 +1174,17 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pk")
         )
         # r13: the anti-join's right side is the m-row edge set — under
-        # the triangle broadcast bound the pair stream (9M rows /
-        # 225 MB at sf0.1, the planner chose a shuffle) never
-        # exchanges again after the aggregation; past the bound the
-        # planner's choice stands (the honest 10⁹-edge fallback).
-        if _m <= CLOSING_BROADCAST_MAX_EDGES:
+        # the bound the pair stream (9M rows / 225 MB at sf0.1, the
+        # planner chose a shuffle) never exchanges again after the
+        # aggregation; past the bound the planner's choice stands.
+        # The bound is TIGHTER than the triangle closing bound:
+        # unlike the semi-join there, this broadcast must coexist in
+        # the (shared local / executor) heap with the common-neighbor
+        # HashAggregate's tables — measured at sf1, an 11.5M-row
+        # single-long relation failed the broadcast build
+        # (notEnoughMemoryToBuildAndBroadcastTable) while 1.15M
+        # (sf0.1) is comfortable.
+        if _m <= LP_ANTI_BROADCAST_MAX_EDGES:
             epk = F.broadcast(epk)
         nonedge = cnp.join(epk, "pk", "left_anti").select(
             F.expr(f"pk div {2**31}").alias("na"),
@@ -1188,7 +1198,7 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("common") >= LP_MIN_COMMON)
         )
         eab = edges.select(F.col("u").alias("na"), F.col("v").alias("nb"))
-        if _m <= CLOSING_BROADCAST_MAX_EDGES:
+        if _m <= LP_ANTI_BROADCAST_MAX_EDGES:
             eab = F.broadcast(eab)
         nonedge = cn.join(eab, ["na", "nb"], "left_anti")
     # r13: deg is node-sized (≤ 2m rows) — broadcast both degree
